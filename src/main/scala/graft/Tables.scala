@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated test tables (TESTDATA.md).
+  *
+  * Every operator in this engine is a pure `(SparkSession, sfDir) =>
+  * DataFrame` function; these loaders are the only place paths are
+  * built. Reads are plain parquet scans so Catalyst predicate pushdown
+  * and column pruning apply end-to-end (check `PushedFilters` /
+  * `ReadSchema` in `.explain("formatted")`).
+  *
+  * Reference mapping (FIXTURES.md §B): `events` stands in for the
+  * behavior-log stream (reference `ods_base_log`,
+  * gmall-time/.../app/dwd2/BaseLogApp2.java:61), `orders`/`lineitem`
+  * for the order_info/order_detail CDC facts
+  * (gmall-time/.../app/dwm2/OrderWideApp2.java:95-100), and
+  * `customer`/`nation`/`region`/`part`/`supplier` for the HBase/Phoenix
+  * dimension tables (gmall-time/.../utils/DimUtil.java:18-43).
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}

@@ -1,0 +1,44 @@
+package graft.func
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared expression helpers.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql
+  * .functions` and is chosen for *oracle parity*: the DuckDB oracle
+  * evaluates the same arithmetic, so results must be bit-identical.
+  *
+  *  - Money goes through DecimalType (exact, associative addition —
+  *    safe under any partitioning / AQE reordering at 100 TB), like the
+  *    reference's BigDecimal amounts (reference
+  *    gmall-time/.../bean/OrderWide.java:19-34).
+  *  - Ratios use floor-scaling instead of round(): IEEE double division
+  *    is deterministic, round() tie-breaking across engines is not.
+  *  - Tumbling windows are exposed as epoch-second window starts
+  *    (BIGINT) rather than engine-specific window structs (reference
+  *    10 s tumble: gmall-time/.../app/dws2/VisitorStatsApp.java:213).
+  */
+object Exprs {
+  /** Exact money value: DECIMAL(18,2), mirroring CAST(x AS DECIMAL(18,2)). */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact money sum widened to DECIMAL(38,2) so Spark's sum type matches
+    * DuckDB's (DuckDB widens decimal sums to precision 38). */
+  def sumMoney(c: Column): Column = sum(money(c)).cast(DecimalType(38, 2))
+
+  /** Tumbling-window start in epoch seconds (BIGINT).
+    * Oracle equivalent: CAST(floor(epoch(ts)/N)*N AS BIGINT). */
+  def tumbleStart(ts: Column, seconds: Long): Column =
+    (floor(unix_timestamp(ts) / seconds) * seconds).cast("long")
+
+  /** Deterministic fixed-point ratio: floor(num * scale / den) / scale as
+    * DOUBLE, 0 when den = 0 (reference zero-guard:
+    * gmall-time/.../bean/VisitorStats.java:37-66).
+    * Oracle equivalent: CASE WHEN den=0 THEN 0.0 ELSE
+    * floor(num * scale / den) / scale END. */
+  def ratio(num: Column, den: Column, scale: Long = 100L): Column =
+    when(den === 0, lit(0.0))
+      .otherwise(floor(num.cast("double") * scale / den.cast("double")) / scale)
+}
