@@ -17,12 +17,60 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dws_province_stats" -> (dws.ProvinceStats(_, _))
+    // DWD — log split / flag repair / CDC routing (§2.3, §2.5)
+    "q_dwd_log_split"      -> (dwd.LogSplit.demux(_, _)),
+    "q_dwd_is_new_repair"  -> (dwd.LogSplit.isNewRepair(_, _)),
+    "q_dwd_db_route"       -> (dwd.DbRouter(_, _)),
+    // DWM — dedup / CEP-bounce / interval + dim joins (§2.4, §2.5)
+    "q_dwm_unique_visit"   -> (dwm.UniqueVisit(_, _)),
+    "q_dwm_jump_detect"    -> (dwm.JumpDetect(_, _)),
+    "q_dwm_order_wide"     -> (dwm.OrderWide(_, _)),
+    "q_dwm_order_wide_dims" -> (dwm.OrderWide.withDims(_, _)),
+    "q_dwm_payment_wide"   -> (dwm.OrderWide.paymentWide(_, _)),
+    // DWS — windowed stats (§2.6)
+    "q_dws_visitor_stats"  -> (dws.VisitorStats(_, _)),
+    "q_dws_product_stats"  -> (dws.ProductStats(_, _)),
+    "q_dws_keyword_stats"  -> (dws.KeywordStats(_, _)),
+    "q_dws_keyword_c2r"    -> (dws.KeywordStats.productC2R(_, _)),
+    "q_dws_province_stats" -> (dws.ProvinceStats(_, _)),
+    // ADS — the dashboard query surface (§2.7)
+    "q_ads_gmv_day"          -> (ads.Queries.gmvDay(_, _)),
+    "q_ads_top_trademark"    -> (ads.Queries.topTrademark(_, _)),
+    "q_ads_top_category"     -> (ads.Queries.topCategory(_, _)),
+    "q_ads_top_spu"          -> (ads.Queries.topSpu(_, _)),
+    "q_ads_visitor_newflag"  -> (ads.Queries.visitorByNewFlag(_, _)),
+    "q_ads_hourly_curve"     -> (ads.Queries.hourlyCurve(_, _)),
+    "q_ads_keyword_ranking"  -> (ads.Queries.keywordRanking(_, _)),
+    "q_ads_province_map"     -> (ads.Queries.provinceMap(_, _)),
+    "q_ads_visitor_ratios"   -> (ads.Queries.visitorRatios(_, _)),
+    "q_ads_hour_backfill"    -> (ads.Queries.hourBackfill(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q_dws_province_stats" -> dws.ProvinceStats.oracle
+    "q_dwd_log_split"      -> dwd.LogSplit.demuxOracle,
+    "q_dwd_is_new_repair"  -> dwd.LogSplit.isNewRepairOracle,
+    "q_dwd_db_route"       -> dwd.DbRouter.oracle,
+    "q_dwm_unique_visit"   -> dwm.UniqueVisit.oracle,
+    "q_dwm_jump_detect"    -> dwm.JumpDetect.oracle,
+    "q_dwm_order_wide"     -> dwm.OrderWide.oracle,
+    "q_dwm_order_wide_dims" -> dwm.OrderWide.withDimsOracle,
+    "q_dwm_payment_wide"   -> dwm.OrderWide.paymentWideOracle,
+    "q_dws_visitor_stats"  -> dws.VisitorStats.oracle,
+    "q_dws_product_stats"  -> dws.ProductStats.oracle,
+    "q_dws_keyword_stats"  -> dws.KeywordStats.oracle,
+    "q_dws_keyword_c2r"    -> dws.KeywordStats.productC2ROracle,
+    "q_dws_province_stats" -> dws.ProvinceStats.oracle,
+    "q_ads_gmv_day"          -> ads.Queries.gmvDayOracle,
+    "q_ads_top_trademark"    -> ads.Queries.topTrademarkOracle,
+    "q_ads_top_category"     -> ads.Queries.topCategoryOracle,
+    "q_ads_top_spu"          -> ads.Queries.topSpuOracle,
+    "q_ads_visitor_newflag"  -> ads.Queries.visitorByNewFlagOracle,
+    "q_ads_hourly_curve"     -> ads.Queries.hourlyCurveOracle,
+    "q_ads_keyword_ranking"  -> ads.Queries.keywordRankingOracle,
+    "q_ads_province_map"     -> ads.Queries.provinceMapOracle,
+    "q_ads_visitor_ratios"   -> ads.Queries.visitorRatiosOracle,
+    "q_ads_hour_backfill"    -> ads.Queries.hourBackfillOracle
   )
 }

@@ -1,0 +1,261 @@
+package graft.ads
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.Exprs._
+
+/** ADS layer: the reference's query surface — the MyBatis @Select
+  * ClickHouse SQL behind the Sugar dashboard REST API
+  * (gmall-publisher2/.../mapper/*.java, controller/SugarController.java;
+  * SURVEY.md §2.7 Q1–Q10). Each becomes a named DataFrame query; the
+  * ClickHouse functions map to Spark builtins (toYYYYMMDD→date_format,
+  * toHour→hour, multiIf→when chains).
+  *
+  * All are aggregations over pre-joined facts; every one is a single
+  * scan + hash aggregate (+ broadcast dim join where needed) — the
+  * shapes that scale linearly with input at 100 TB.
+  */
+object Queries {
+  /** Q1: GMV per day (toYYYYMMDD(stt) grouping,
+    * ProductStatsMapper.java:19 — parameterless variant groups all
+    * days). */
+  def gmvDay(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyyMMdd").as("dt"))
+      .agg(sumMoney(col("o_totalprice")).as("order_amount"))
+      .orderBy("dt")
+
+  val gmvDayOracle: String =
+    """SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount
+      |FROM orders GROUP BY 1 ORDER BY dt""".stripMargin
+
+  /** Q2: top-N trademarks by amount (having sum>0, desc, limit —
+    * ProductStatsMapper.java:25-28). tm ↔ p_brand. */
+  def topTrademark(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand").as("tm_id"))
+      .agg(sumMoney(col("l_extendedprice")).as("order_amount"))
+      .filter(col("order_amount") > 0)
+      .orderBy(col("order_amount").desc, col("tm_id"))
+      .limit(10)
+  }
+
+  val topTrademarkOracle: String =
+    """SELECT p_brand AS tm_id,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) > 0
+      |ORDER BY order_amount DESC, tm_id LIMIT 10""".stripMargin
+
+  /** Q3: top-N category3 (ProductStatsMapper.java:33-36). ↔ p_type. */
+  def topCategory(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_type").as("category3_name"))
+      .agg(sumMoney(col("l_extendedprice")).as("order_amount"))
+      .filter(col("order_amount") > 0)
+      .orderBy(col("order_amount").desc, col("category3_name"))
+      .limit(10)
+  }
+
+  val topCategoryOracle: String =
+    """SELECT p_type AS category3_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) > 0
+      |ORDER BY order_amount DESC, category3_name LIMIT 10""".stripMargin
+
+  /** Q4: top-N SPU with amount + order count
+    * (ProductStatsMapper.java:42-45). spu ↔ supplier. */
+  def topSpu(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .groupBy(col("s_name").as("spu_name"))
+      .agg(
+        sumMoney(col("l_extendedprice")).as("order_amount"),
+        countDistinct(col("l_orderkey")).as("order_ct"))
+      .orderBy(col("order_amount").desc, col("spu_name"))
+      .limit(10)
+  }
+
+  val topSpuOracle: String =
+    """SELECT s_name AS spu_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount,
+      |       count(DISTINCT l_orderkey) AS order_ct
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY order_amount DESC, spu_name LIMIT 10""".stripMargin
+
+  /** Q5: visitor stats by new-visitor flag (VisitorStatsMapper.java:14-16);
+    * is_new derived per the T1 repair. */
+  def visitorByNewFlag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstDay = min(to_date(col("ts")))
+      .over(Window.partitionBy(col("user_id")))
+    Tables.events(spark, dir)
+      .withColumn("is_new",
+        when(to_date(col("ts")) === firstDay, 1).otherwise(0).cast("int"))
+      .groupBy(col("is_new"))
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        countDistinct(col("user_id")).as("uv_ct"),
+        sumMoney(col("value")).as("dur_sum"))
+      .orderBy("is_new")
+  }
+
+  val visitorByNewFlagOracle: String =
+    """WITH t AS (
+      |  SELECT *, CAST(CASE WHEN CAST(ts AS DATE) =
+      |                min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+      |           THEN 1 ELSE 0 END AS INTEGER) AS is_new
+      |  FROM events)
+      |SELECT is_new, count(*) AS pv_ct, count(DISTINCT user_id) AS uv_ct,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dur_sum
+      |FROM t GROUP BY 1 ORDER BY is_new""".stripMargin
+
+  /** Q6: hourly visitor curve with conditional aggregation
+    * (sum(if(...)) — VisitorStatsMapper.java:24-27). */
+  def hourlyCurve(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(hour(col("ts")).as("hr"))
+      .agg(
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("new_uv"),
+        count(lit(1)).as("pv_ct"),
+        sumMoney(col("value")).as("dur_sum"))
+      .orderBy("hr")
+
+  val hourlyCurveOracle: String =
+    """SELECT CAST(hour(ts) AS INTEGER) AS hr,
+      |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS new_uv,
+      |       count(*) AS pv_ct,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dur_sum
+      |FROM events GROUP BY 1 ORDER BY hr""".stripMargin
+
+  /** Q7: weighted keyword ranking — sum(ct × multiIf(source…))
+    * (KeywordStatsMapper.java:16-21; weights SEARCH 10 / ORDER 3 /
+    * CART 2 / CLICK 1). Runs over the U2 C2R rows. */
+  def keywordRanking(spark: SparkSession, dir: String): DataFrame = {
+    val weight = when(col("source") === "SEARCH", 10L)
+      .when(col("source") === "ORDER", 3L)
+      .when(col("source") === "CART", 2L)
+      .when(col("source") === "CLICK", 1L)
+      .otherwise(0L)
+    graft.dws.KeywordStats.productC2R(spark, dir)
+      .groupBy(col("keyword"))
+      .agg(sum(col("ct") * weight).as("score"))
+      .orderBy(col("score").desc, col("keyword"))
+      .limit(20)
+  }
+
+  val keywordRankingOracle: String =
+    """WITH m AS (
+      |  SELECT p_brand AS keyword,
+      |         count(*) AS click_ct,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cart_ct,
+      |         count(DISTINCT l_orderkey) AS order_ct
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand),
+      |c2r AS (
+      |  SELECT keyword, source, ct FROM (
+      |    SELECT keyword, 'CLICK' AS source, click_ct AS ct FROM m
+      |    UNION ALL SELECT keyword, 'CART', cart_ct FROM m
+      |    UNION ALL SELECT keyword, 'ORDER', order_ct FROM m)
+      |  WHERE ct > 0)
+      |SELECT keyword,
+      |       CAST(sum(ct * CASE source WHEN 'SEARCH' THEN 10 WHEN 'ORDER' THEN 3
+      |                     WHEN 'CART' THEN 2 WHEN 'CLICK' THEN 1 ELSE 0 END) AS BIGINT) AS score
+      |FROM c2r GROUP BY keyword
+      |ORDER BY score DESC, keyword LIMIT 20""".stripMargin
+
+  /** Q8: province order map (ProvinceStatsMapper.java:14-16). */
+  def provinceMap(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    Tables.orders(spark, dir)
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(
+        col("n_nationkey").cast("int").as("province_id"),
+        col("n_name").as("province_name"))
+      .agg(sumMoney(col("o_totalprice")).as("order_amount"))
+      .orderBy("province_id")
+  }
+
+  val provinceMapOracle: String =
+    """SELECT CAST(n_nationkey AS INTEGER) AS province_id,
+      |       n_name AS province_name,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY province_id""".stripMargin
+
+  /** Q9: derived ratios with zero-guard (bounce rate, dwell/session,
+    * pages/session — bean/VisitorStats.java:37-66). floor-scaled so the
+    * doubles are engine-portable. */
+  def visitorRatios(spark: SparkSession, dir: String): DataFrame = {
+    val vs = graft.dws.VisitorStats(spark, dir)
+      .groupBy(col("ch"))
+      .agg(
+        sum(col("pv_ct")).as("pv"),
+        sum(col("sv_ct")).as("sv"),
+        sum(col("uj_ct")).as("uj"))
+    vs.select(
+        col("ch"),
+        ratio(col("uj") * 100, col("sv")).as("uj_rate"),
+        ratio(col("pv"), col("sv")).as("pv_per_sv"))
+      .orderBy("ch")
+  }
+
+  val visitorRatiosOracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, ts,
+      |         epoch_ms(ts) AS ts_ms,
+      |         lag(epoch_ms(ts)) OVER w AS prev_ms,
+      |         lead(epoch_ms(ts)) OVER w AS next_ms
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |vs AS (
+      |  SELECT event_type AS ch,
+      |         count(*) AS pv,
+      |         CAST(sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS sv,
+      |         CAST(sum(CASE WHEN (prev_ms IS NULL OR ts_ms - prev_ms > 1800000)
+      |                   AND (next_ms IS NULL OR next_ms - ts_ms > 1800000)
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS uj
+      |  FROM flagged GROUP BY 1)
+      |SELECT ch,
+      |       CASE WHEN sv = 0 THEN 0.0
+      |            ELSE floor(CAST(uj*100 AS DOUBLE) * 100 / CAST(sv AS DOUBLE)) / 100 END AS uj_rate,
+      |       CASE WHEN sv = 0 THEN 0.0
+      |            ELSE floor(CAST(pv AS DOUBLE) * 100 / CAST(sv AS DOUBLE)) / 100 END AS pv_per_sv
+      |FROM vs ORDER BY ch""".stripMargin
+
+  /** Q10: hour back-fill 0..23 (SugarController.java:82-108) — left
+    * join the full hour range so missing hours appear as zeros. */
+  def hourBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val hours = spark.range(24).select(col("id").cast("int").as("hr"))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("purchase_ct"))
+    hours.join(purchases, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("purchase_ct"), lit(0L)).as("purchase_ct"))
+      .orderBy("hr")
+  }
+
+  val hourBackfillOracle: String =
+    """SELECT CAST(h.range AS INTEGER) AS hr,
+      |       coalesce(p.purchase_ct, 0) AS purchase_ct
+      |FROM range(24) h
+      |LEFT JOIN (SELECT CAST(hour(ts) AS INTEGER) AS hr, count(*) AS purchase_ct
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+      |  ON CAST(h.range AS INTEGER) = p.hr
+      |ORDER BY hr""".stripMargin
+}

@@ -1,0 +1,78 @@
+package graft.dws
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.Exprs._
+
+/** DWS product stats (A2–A4): the reference unions seven fact streams
+  * into `ProductStats` partials keyed by sku_id, reduces them in a 10 s
+  * tumbling window — carrying HashSets of order ids for exact windowed
+  * distinct counts — then enriches with four dims (reference
+  * gmall-time/.../app/dws2/ProductStatsApp.java:257-411,
+  * sets :304-313).
+  *
+  * Spark-first: the carried-HashSet distinct count is exactly what
+  * Catalyst's `countDistinct` expand/partial-aggregate rewrite does,
+  * minus the hand-rolled state (ProductStats.java:77-87 →
+  * `countDistinct("order_id")`). Conditional metrics (refunds, good
+  * comments) are `when(...)` counters over the same scan instead of
+  * extra unioned streams. Dims join AFTER aggregation (J4) — at 100 TB
+  * that means broadcasting dims against the small aggregate, not the
+  * raw fact.
+  *
+  * Metric mapping onto lineitem: click_ct↔line count, order_ct↔exact
+  * distinct orders, order_amount↔extendedprice, refund_*↔returnflag='R'
+  * lines, good_comment_ct↔linestatus='F' (appraise '1201' analog,
+  * GmallConstant.java:23).
+  */
+object ProductStats {
+  /** Pre-dim aggregate keyed by (window, sku). */
+  def aggregated(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(
+        tumbleStart(col("l_shipdate"), 10).as("stt"),
+        col("l_partkey").as("sku_id"))
+      .agg(
+        count(lit(1)).as("click_ct"),
+        countDistinct(col("l_orderkey")).as("order_ct"),
+        sum(money(col("l_quantity"))).cast("decimal(38,2)").as("order_sku_num"),
+        sumMoney(col("l_extendedprice")).as("order_amount"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("refund_order_ct"),
+        sum(when(col("l_returnflag") === "R", money(col("l_extendedprice")))
+          .otherwise(money(lit(0)))).cast("decimal(38,2)").as("refund_amount"),
+        sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("good_comment_ct"))
+
+  /** A2 + J4: aggregate, then broadcast-join the sku dim. */
+  def apply(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    aggregated(spark, dir)
+      .join(broadcast(p), col("sku_id") === p("p_partkey"))
+      .select(
+        col("stt"), col("sku_id"),
+        col("p_name").as("sku_name"), col("p_brand").as("tm_id"),
+        col("click_ct"), col("order_ct"), col("order_sku_num"),
+        col("order_amount"), col("refund_order_ct"), col("refund_amount"),
+        col("good_comment_ct"))
+      .orderBy("stt", "sku_id")
+  }
+
+  val oracle: String =
+    """SELECT CAST(floor(epoch(l_shipdate)/10)*10 AS BIGINT) AS stt,
+      |       l_partkey AS sku_id,
+      |       p_name AS sku_name,
+      |       p_brand AS tm_id,
+      |       count(*) AS click_ct,
+      |       count(DISTINCT l_orderkey) AS order_ct,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_sku_num,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount,
+      |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS refund_order_ct,
+      |       CAST(sum(CASE WHEN l_returnflag = 'R'
+      |                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS refund_amount,
+      |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS good_comment_ct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY stt, sku_id""".stripMargin
+}

@@ -1,0 +1,87 @@
+package graft.dws
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.Exprs._
+
+/** DWS visitor stats (A1): the reference unions four per-stream
+  * projections of `VisitorStats` counters (pv/uv/sv/uj + dwell time),
+  * keys by (ar, ch, vc, is_new) and incrementally reduces in a 10 s
+  * tumbling event-time window (reference
+  * gmall-time/.../app/dws2/VisitorStatsApp.java:97-244; we implement
+  * the *intended* semantics — its reducer forgets uj_ct and its sv
+  * filter is inverted, see SURVEY.md §2.6).
+  *
+  * Spark-first: the union of per-stream counter projections becomes
+  * per-row conditional counters over ONE scan (`when(...)`), so the
+  * "4-way union" costs nothing; the window reduce is a single partial+
+  * final hash aggregate on the (window, dims) key. uv/sv/uj flags are
+  * computed with analytic windows first (one shuffle on mid), then
+  * aggregated (second shuffle on the low-cardinality stat key) — the
+  * same two-exchange shape Flink's keyBy→keyBy pipeline has, but with
+  * map-side combine on the second.
+  */
+object VisitorStats {
+  def apply(spark: SparkSession, dir: String): DataFrame = {
+    val byMid = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byMidDay = Window.partitionBy(col("user_id"), to_date(col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+
+    val flagged = Tables.events(spark, dir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byMid))
+      .withColumn("next_ms", lead(col("ts_ms"), 1).over(byMid))
+      .withColumn("day_rn", row_number().over(byMidDay))
+      // per-event counters (the reference's 4 projected streams):
+      .withColumn("pv", lit(1L))                                   // page view
+      .withColumn("uv", when(col("day_rn") === 1, 1L).otherwise(0L)) // daily unique
+      .withColumn("sv", when(col("prev_ms").isNull ||
+        col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L)) // session start
+      .withColumn("uj", when((col("prev_ms").isNull ||
+          col("ts_ms") - col("prev_ms") > 1800000L) &&
+          (col("next_ms").isNull ||
+          col("next_ms") - col("ts_ms") > 1800000L), 1L).otherwise(0L)) // bounce
+
+    flagged
+      .groupBy(
+        tumbleStart(col("ts"), 10).as("stt"),
+        (col("user_id") % 10).as("ar"),           // area dim stand-in
+        col("event_type").as("ch"))               // channel dim stand-in
+      .agg(
+        sum(col("pv")).as("pv_ct"),
+        sum(col("uv")).as("uv_ct"),
+        sum(col("sv")).as("sv_ct"),
+        sum(col("uj")).as("uj_ct"),
+        sumMoney(col("value")).as("dur_sum"))
+      .orderBy("stt", "ar", "ch")
+  }
+
+  val oracle: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, value, ts,
+      |         epoch_ms(ts) AS ts_ms,
+      |         lag(epoch_ms(ts)) OVER w AS prev_ms,
+      |         lead(epoch_ms(ts)) OVER w AS next_ms,
+      |         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                            ORDER BY ts, event_id) AS day_rn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS stt,
+      |       user_id % 10 AS ar,
+      |       event_type AS ch,
+      |       count(*) AS pv_ct,
+      |       CAST(sum(CASE WHEN day_rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uv_ct,
+      |       CAST(sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS sv_ct,
+      |       CAST(sum(CASE WHEN (prev_ms IS NULL OR ts_ms - prev_ms > 1800000)
+      |                 AND (next_ms IS NULL OR next_ms - ts_ms > 1800000)
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dur_sum
+      |FROM flagged
+      |GROUP BY 1, 2, 3
+      |ORDER BY stt, ar, ch""".stripMargin
+}
