@@ -8,7 +8,7 @@ import graft.func.Exprs._
 
 /** ADS layer: the reference's query surface — the MyBatis @Select
   * ClickHouse SQL behind the Sugar dashboard REST API
-  * (gmall-publisher2/.../mapper/*.java, controller/SugarController.java;
+  * (gmall-publisher2 mapper @Select files, controller/SugarController.java;
   * SURVEY.md §2.7 Q1–Q10). Each becomes a named DataFrame query; the
   * ClickHouse functions map to Spark builtins (toYYYYMMDD→date_format,
   * toHour→hour, multiIf→when chains).
@@ -178,7 +178,7 @@ object Queries {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     Tables.orders(spark, dir)
-      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .join(c, col("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(
         col("n_nationkey").cast("int").as("province_id"),

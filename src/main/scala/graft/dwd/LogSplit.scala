@@ -51,7 +51,6 @@ object LogSplit {
         col("event_type").as("page_id"),
         unix_millis(col("ts")).as("ts_ms"),
         col("prop_k"))
-      .orderBy("event_id")
 
   val demuxOracle: String =
     """SELECT event_id,
@@ -63,8 +62,7 @@ object LogSplit {
       |       event_type AS page_id,
       |       epoch_ms(ts) AS ts_ms,
       |       TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS prop_k
-      |FROM events
-      |ORDER BY event_id""".stripMargin
+      |FROM events""".stripMargin
 
   /** T1 new/old-visitor flag repair: is_new = 1 only on the mid's first
     * calendar day (the reference records first-visit date in keyed state
@@ -79,7 +77,6 @@ object LogSplit {
         to_date(col("ts")).cast("string").as("dt"),
         when(to_date(col("ts")) === firstSeenDate, 1).otherwise(0)
           .cast("int").as("is_new"))
-      .orderBy("event_id")
 
   val isNewRepairOracle: String =
     """SELECT event_id,
@@ -88,6 +85,5 @@ object LogSplit {
       |       CAST(CASE WHEN CAST(ts AS DATE) =
       |                      min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
       |                 THEN 1 ELSE 0 END AS INTEGER) AS is_new
-      |FROM events
-      |ORDER BY event_id""".stripMargin
+      |FROM events""".stripMargin
 }

@@ -37,7 +37,6 @@ object JumpDetect {
         (col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs) &&
         (col("next_ms").isNull || col("next_ms") - col("ts_ms") > gapMs))
       .select("event_id", "mid", "ts_ms")
-      .orderBy("event_id")
   }
 
   def apply(spark: SparkSession, dir: String): DataFrame =
@@ -51,6 +50,5 @@ object JumpDetect {
        |  FROM events)
        |SELECT event_id, mid, ts_ms FROM t
        |WHERE (prev_ms IS NULL OR ts_ms - prev_ms > $SessionGapMs)
-       |  AND (next_ms IS NULL OR next_ms - ts_ms > $SessionGapMs)
-       |ORDER BY event_id""".stripMargin
+       |  AND (next_ms IS NULL OR next_ms - ts_ms > $SessionGapMs)""".stripMargin
 }

@@ -39,7 +39,7 @@ object OrderWide {
     val l = Tables.lineitem(spark, dir)
     o.join(l,
         o("o_orderkey") === l("l_orderkey") &&
-        abs(unix_millis(l("l_shipdate")) - unix_millis(o("o_orderdate"))) <= ShipBoundMs)
+        abs(epochMs(l("l_shipdate")) - epochMs(o("o_orderdate"))) <= ShipBoundMs)
       .select(
         col("l_orderkey").as("order_id"),
         col("l_linenumber").cast("int").as("detail_id"),
@@ -49,12 +49,12 @@ object OrderWide {
         money(col("l_quantity")).as("sku_num"),
         money(col("l_extendedprice")).as("split_total_amount"),
         money(col("o_totalprice")).as("total_amount"),
-        unix_millis(col("o_orderdate")).as("create_ts"))
+        epochMs(col("o_orderdate")).as("create_ts"))
   }
 
   /** J1: order×detail interval join → order_wide. */
   def apply(spark: SparkSession, dir: String): DataFrame =
-    wide(spark, dir).drop("supp_id").orderBy("order_id", "detail_id")
+    wide(spark, dir).drop("supp_id")
 
   val oracle: String =
     s"""SELECT l_orderkey AS order_id,
@@ -67,8 +67,7 @@ object OrderWide {
        |       epoch_ms(o_orderdate) AS create_ts
        |FROM orders JOIN lineitem
        |  ON o_orderkey = l_orderkey
-       | AND abs(epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) <= $ShipBoundMs
-       |ORDER BY order_id, detail_id""".stripMargin
+       | AND abs(epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) <= $ShipBoundMs""".stripMargin
 
   /** J3: order_wide enriched with 4 broadcast dims + derived age (the
     * reference derives age from BIRTHDAY, OrderWideApp2.java:199-216;
@@ -81,7 +80,7 @@ object OrderWide {
     val p  = Tables.part(spark, dir)
     val s  = Tables.supplier(spark, dir)
 
-    ow.join(broadcast(c), col("user_id") === c("c_custkey"))
+    ow.join(c, col("user_id") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(p), col("sku_id") === p("p_partkey"))
       .join(broadcast(s), col("supp_id") === s("s_suppkey"))
@@ -94,7 +93,6 @@ object OrderWide {
         col("p_brand").as("tm_id"), col("p_type").as("category3_name"),
         col("s_name").as("spu_name"),
         col("split_total_amount"))
-      .orderBy("order_id", "detail_id")
   }
 
   val withDimsOracle: String =
@@ -116,8 +114,7 @@ object OrderWide {
        |JOIN customer ON o_custkey = c_custkey
        |JOIN nation   ON c_nationkey = n_nationkey
        |JOIN part     ON l_partkey = p_partkey
-       |JOIN supplier ON l_suppkey = s_suppkey
-       |ORDER BY order_id, detail_id""".stripMargin
+       |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
 
   /** J2: payment×order interval join with the asymmetric [-30 min, 0]
     * bound (payment within 30 min AFTER the order,
@@ -128,13 +125,13 @@ object OrderWide {
     val o = Tables.orders(spark, dir)
     val pay = o.select(
       col("o_orderkey").as("payment_order_id"),
-      (unix_millis(col("o_orderdate")) + (col("o_orderkey") % 3600) * 1000)
+      (epochMs(col("o_orderdate")) + (col("o_orderkey") % 3600) * 1000)
         .as("pay_ts"),
       money(col("o_totalprice")).as("payment_amount"))
     val ow = o.select(
       col("o_orderkey").as("order_id"),
       col("o_custkey").as("user_id"),
-      unix_millis(col("o_orderdate")).as("order_ts"))
+      epochMs(col("o_orderdate")).as("order_ts"))
 
     pay.join(ow,
         col("payment_order_id") === col("order_id") &&
@@ -142,7 +139,6 @@ object OrderWide {
         col("order_ts") <= col("pay_ts"))
       .select(col("order_id"), col("user_id"), col("pay_ts"),
         col("order_ts"), col("payment_amount"))
-      .orderBy("order_id")
   }
 
   val paymentWideOracle: String =
@@ -157,6 +153,5 @@ object OrderWide {
       |  FROM orders)
       |SELECT order_id, user_id, pay_ts, order_ts, payment_amount
       |FROM pay JOIN ow ON payment_order_id = order_id
-      | AND order_ts >= pay_ts - 1800000 AND order_ts <= pay_ts
-      |ORDER BY order_id""".stripMargin
+      | AND order_ts >= pay_ts - 1800000 AND order_ts <= pay_ts""".stripMargin
 }

@@ -28,7 +28,6 @@ object UniqueVisit {
         col("event_id"),
         col("user_id").as("mid"),
         to_date(col("ts")).cast("string").as("dt"))
-      .orderBy("event_id")
   }
 
   val oracle: String =
@@ -38,6 +37,5 @@ object UniqueVisit {
       |                            ORDER BY ts, event_id) AS rn
       |  FROM events)
       |SELECT event_id, user_id AS mid, dt
-      |FROM ranked WHERE rn = 1
-      |ORDER BY event_id""".stripMargin
+      |FROM ranked WHERE rn = 1""".stripMargin
 }

@@ -28,7 +28,7 @@ object ProvinceStats {
     val nation   = Tables.nation(spark, dir)
 
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .groupBy(
         tumbleStart(col("o_orderdate"), 10).as("stt"),

@@ -24,6 +24,13 @@ object Exprs {
   /** Exact money value: DECIMAL(18,2), mirroring CAST(x AS DECIMAL(18,2)). */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Epoch millis of any timestamp flavor. Parquet `timestamp[ms]`
+    * columns (orders/lineitem dates) infer as TIMESTAMP_NTZ in Spark 4
+    * and `unix_millis` rejects NTZ; the explicit cast routes through
+    * TIMESTAMP, and the session TZ is UTC so NTZ→TZ is the identity
+    * instant — matching DuckDB's `epoch_ms` on naive timestamps. */
+  def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
   /** Exact money sum widened to DECIMAL(38,2) so Spark's sum type matches
     * DuckDB's (DuckDB widens decimal sums to precision 38). */
   def sumMoney(c: Column): Column = sum(money(c)).cast(DecimalType(38, 2))
