@@ -43,7 +43,22 @@ object SparkEntry {
     "q_ads_keyword_ranking"  -> (ads.Queries.keywordRanking(_, _)),
     "q_ads_province_map"     -> (ads.Queries.provinceMap(_, _)),
     "q_ads_visitor_ratios"   -> (ads.Queries.visitorRatios(_, _)),
-    "q_ads_hour_backfill"    -> (ads.Queries.hourBackfill(_, _))
+    "q_ads_hour_backfill"    -> (ads.Queries.hourBackfill(_, _)),
+    // LLM-data-pipeline operators (brief north star): dedup,
+    // similarity search, text analysis, multimodal plumbing
+    "q_llm_exact_dedup"     -> (llm.Dedup.exact(_, _)),
+    "q_llm_minhash_sig"     -> (llm.Dedup.minhashSignatures(_, _)),
+    "q_llm_lsh_dups"        -> (llm.Dedup.lshDuplicates(_, _)),
+    "q_llm_simhash"         -> (llm.Dedup.simhash(_, _)),
+    "q_llm_simhash_dups"    -> (llm.Dedup.simhashDuplicates(_, _)),
+    "q_llm_ann_topk"        -> (llm.Similarity.bruteTopK(_, _)),
+    "q_llm_ann_ivf"         -> (llm.Similarity.ivfTopK(_, _)),
+    "q_llm_embed_neardup"   -> (llm.Similarity.lshNearDup(_, _)),
+    "q_llm_lang_id"         -> (llm.TextAnalysis.langId(_, _)),
+    "q_llm_quality"         -> (llm.TextAnalysis.qualityScore(_, _)),
+    "q_llm_token_stats"     -> (llm.TextAnalysis.tokenStats(_, _)),
+    "q_llm_fingerprint"     -> (llm.TextAnalysis.fingerprint(_, _)),
+    "q_llm_multimodal_meta" -> (llm.Multimodal.metaQuery(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,6 +86,21 @@ object SparkEntry {
     "q_ads_keyword_ranking"  -> ads.Queries.keywordRankingOracle,
     "q_ads_province_map"     -> ads.Queries.provinceMapOracle,
     "q_ads_visitor_ratios"   -> ads.Queries.visitorRatiosOracle,
-    "q_ads_hour_backfill"    -> ads.Queries.hourBackfillOracle
+    "q_ads_hour_backfill"    -> ads.Queries.hourBackfillOracle,
+    // q_llm_ann_ivf is intentionally absent: centroid means are an
+    // unordered float sum, not SQL-reproducible — rows-only check;
+    // recall vs q_llm_ann_topk is asserted in the test suite.
+    "q_llm_exact_dedup"     -> llm.Dedup.exactOracle,
+    "q_llm_minhash_sig"     -> llm.Dedup.minhashOracle,
+    "q_llm_lsh_dups"        -> llm.Dedup.lshOracle,
+    "q_llm_simhash"         -> llm.Dedup.simhashOracle,
+    "q_llm_simhash_dups"    -> llm.Dedup.simhashDupOracle,
+    "q_llm_ann_topk"        -> llm.Similarity.bruteTopKOracle,
+    "q_llm_embed_neardup"   -> llm.Similarity.lshNearDupOracle,
+    "q_llm_lang_id"         -> llm.TextAnalysis.langIdOracle,
+    "q_llm_quality"         -> llm.TextAnalysis.qualityOracle,
+    "q_llm_token_stats"     -> llm.TextAnalysis.tokenStatsOracle,
+    "q_llm_fingerprint"     -> llm.TextAnalysis.fingerprintOracle,
+    "q_llm_multimodal_meta" -> llm.Multimodal.metaOracle
   )
 }

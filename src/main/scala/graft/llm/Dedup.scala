@@ -1,0 +1,254 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.Tokenizer
+
+/** Deduplication operators for an LLM training-data pipeline, over the
+  * `documents` table: exact (hash-groupBy), MinHash+LSH near-dup
+  * (shingle → signature → banded bucket-join → within-bucket verify),
+  * and SimHash with banded Hamming candidate search.
+  *
+  * Design for 100 TB:
+  *  - Never all-pairs. Candidate generation is a self-equi-join on
+  *    (band, signature) buckets — the shuffle key is the bucket, and
+  *    only same-bucket rows meet. Pair count scales with bucket
+  *    occupancy, not n².
+  *  - All hashing is md5 (a codegen'd built-in on both Spark and the
+  *    DuckDB oracle); the MinHash "permutation" family is
+  *    min(md5(i ":" shingle)) over the shingle set — lexicographic min
+  *    of hex strings is a uniform minwise hash, and it is portable
+  *    across engines byte-for-byte.
+  *  - Exact Jaccard verification happens only within candidate pairs
+  *    (the LSH contract), as integer counts with ppm integer division —
+  *    no floats anywhere in dedup.
+  *
+  * Reference scope: the reference engine has no dedup operators; these
+  * extend its keyed-dedup idea (gmall-time/.../app/dwm2/UV2.java:61-112
+  * keeps first-per-key) to content-level near-duplicate detection.
+  */
+object Dedup {
+  // MinHash geometry: K hashes in B bands of R rows. Threshold ≈
+  // (1/B)^(1/R) ≈ 0.59 — pairs with Jaccard ≥ 0.9 (the planted dups)
+  // are caught with p ≈ 1 - (1 - 0.9^4)^8 ≈ 0.9997.
+  val K = 32
+  val Bands = 8
+  val R = 4
+  require(Bands * R == K)
+
+  /** Minimum Jaccard (in ppm) for a candidate pair to count as a dup. */
+  val JaccardPpmThreshold = 800000L
+
+  /** Word n-gram shingles (distinct), n=3. Guarded so short docs yield
+    * an empty set rather than a descending `sequence`. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = Tokenizer.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB equivalent of [[shingles]] over a `toks` list column. */
+  private def shinglesSql(toks: String): String =
+    s"CASE WHEN len($toks) >= 3 THEN list_distinct(list_transform(" +
+      s"range(1, len($toks) - 1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])) " +
+      "ELSE [] END"
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Exact dedup: documents grouped by content hash; rank 1 per group
+    * is the keeper. One hash-shuffle on the 32-hex key — the exact
+    * analog of `GROUP BY md5(text)` at any scale. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("content_key"))
+      .withColumn("dup_rank", row_number().over(w).cast("int"))
+      .withColumn("group_ct", count(lit(1))
+        .over(Window.partitionBy(col("content_key"))))
+  }
+
+  val exactOracle: String =
+    """SELECT doc_id, md5(text) AS content_key,
+      |       CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS INTEGER) AS dup_rank,
+      |       count(*) OVER (PARTITION BY md5(text)) AS group_ct
+      |FROM documents""".stripMargin
+
+  /** Per-doc MinHash signature, long form: (doc_id, h, sig) — K rows
+    * per doc. The groupBy(doc_id) with K min() aggregates is one
+    * map-side-combinable shuffle regardless of shingle count. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sigWide = signaturesWide(Tables.documents(spark, dir))
+    sigWide.select(col("doc_id"), posexplode(
+      array((0 until K).map(h => col(s"h$h")): _*)).as(Seq("h", "sig")))
+      .withColumn("h", col("h").cast("int"))
+  }
+
+  /** Wide signature frame: doc_id, h0..h{K-1}. */
+  private def signaturesWide(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val aggs = (0 until K).map(h =>
+      min(md5(concat(lit(s"$h:"), col("sh")))).as(s"h$h"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def signaturesWideSql: String = {
+    val mins = (0 until K)
+      .map(h => s"min(md5('$h:' || sh)) AS h$h").mkString(", ")
+    s"""toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |shl AS (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM toks),
+       |sh AS (SELECT doc_id, unnest(shingles) AS sh FROM shl),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  val minhashOracle: String = {
+    val branches = (0 until K).map(h => s"($h, h$h)").mkString(", ")
+    s"""WITH ${signaturesWideSql}
+       |SELECT doc_id, CAST(u.h AS INTEGER) AS h, u.sig
+       |FROM sig, LATERAL (SELECT * FROM (VALUES $branches) t(h, sig)) u""".stripMargin
+  }
+
+  /** Banded bucket frame: (doc_id, band, bucket-signature). */
+  private def banded(docs: DataFrame): DataFrame = {
+    val sigWide = signaturesWide(docs)
+    val bandCols = (0 until Bands).map(b =>
+      md5(concat_ws("|", (0 until R).map(r => col(s"h${b * R + r}")): _*)))
+    sigWide.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
+  }
+
+  /** MinHash-LSH near-dup pairs: same-bucket candidates, verified with
+    * exact shingle Jaccard (integer ppm), threshold 0.8. */
+  def lshDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bands = banded(docs)
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shl = docs.select(col("doc_id"), shingles(col("text")).as("shingles"))
+    cands
+      .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("i_ct"),
+        size(array_union(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("u_ct"))
+      .withColumn("jac_ppm", expr("(1000000 * i_ct) DIV u_ct"))
+      .filter(col("jac_ppm") >= JaccardPpmThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+  }
+
+  val lshOracle: String = {
+    val bandExprs = (0 until Bands).map { b =>
+      val parts = (0 until R).map(r => s"h${b * R + r}").mkString(" || '|' || ")
+      s"($b, md5($parts))"
+    }.mkString(", ")
+    s"""WITH ${signaturesWideSql},
+       |band AS (SELECT doc_id, u.band, u.bsig
+       |         FROM sig, LATERAL (SELECT * FROM (VALUES $bandExprs) t(band, bsig)) u),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM band a JOIN band b
+       |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |          CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS i_ct,
+       |          CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS BIGINT) AS u_ct
+       |        FROM cand c
+       |        JOIN shl sa ON c.doc_a = sa.doc_id
+       |        JOIN shl sb ON c.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, (1000000 * i_ct) // u_ct AS jac_ppm
+       |FROM jac WHERE (1000000 * i_ct) // u_ct >= $JaccardPpmThreshold""".stripMargin
+  }
+
+  // ---- SimHash ----------------------------------------------------
+
+  /** SimHash width in bits; each bit j comes from the j-th hex nibble's
+    * high bit of each token's md5 (char >= '8' — ASCII compare is
+    * identical in both engines). 32 bits (md5 has 32 nibbles) keeps
+    * band buckets small even on a homogeneous corpus — at 16 bits the
+    * largest nibble-band bucket held 59% of all docs, degenerating the
+    * candidate join toward all-pairs. */
+  val SimBits = 32
+  /** Band layout: 4 bands × 8 bits. Hamming ≤ 2 flips bits in at most
+    * 2 bands, so every qualifying pair shares ≥ 1 intact band. */
+  val SimBands = 4
+  val SimBandBits = 8
+
+  /** Per-doc 32-bit SimHash over the token multiset. One explode + one
+    * map-side-combinable groupBy — linear in token count. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(spark, dir))
+
+  private def simhashOf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(Tokenizer.tokens(col("text"))).as("tok"))
+      .withColumn("th", md5(col("tok")))
+    val bitSums = (0 until SimBits).map(j =>
+      sum(when(substring(col("th"), j + 1, 1) >= "8", 1L).otherwise(-1L))
+        .as(s"s$j"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until SimBits).map(j =>
+      when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    agg.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  private val simhashSql: String = {
+    val sums = (0 until SimBits).map(j =>
+      s"sum(CASE WHEN substr(th, ${j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val hash = (0 until SimBits).map(j =>
+      s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""tok AS (SELECT doc_id, md5(unnest($toksSql)) AS th FROM documents),
+       |bits AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+       |simh AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  val simhashOracle: String =
+    s"""WITH $simhashSql
+       |SELECT doc_id, simhash FROM simh""".stripMargin
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 2 on the 32-bit hash.
+    * Pigeonhole over 4 byte-bands: ≤2 differing bits touch ≤2 bands,
+    * so every qualifying pair shares ≥1 intact band — the band
+    * equi-join is the candidate filter, never all-pairs. */
+  def simhashDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashOf(Tables.documents(spark, dir))
+    val bands = sh.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until SimBands).map(b =>
+        shiftright(col("simhash"), SimBandBits * b)
+          .bitwiseAND((1 << SimBandBits) - 1)): _*))
+      .as(Seq("band", "nib")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= 2)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  val simhashDupOracle: String = {
+    val bandVals = (0 until SimBands).map(b =>
+      s"($b, (simhash >> ${SimBandBits * b}) & ${(1 << SimBandBits) - 1})").mkString(", ")
+    s"""WITH $simhashSql,
+       |band AS (SELECT doc_id, simhash, u.band, u.nib
+       |         FROM simh, LATERAL (SELECT * FROM (VALUES $bandVals) t(band, nib)) u),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.simhash AS sh_a, b.simhash AS sh_b
+       |         FROM band a JOIN band b
+       |           ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2""".stripMargin
+  }
+}

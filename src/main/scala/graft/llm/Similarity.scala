@@ -1,0 +1,235 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim FLOAT[]).
+  *
+  * Three operators:
+  *  - [[bruteTopK]]: exact cosine top-k for a query subset — the
+  *    correctness baseline, a crossJoin + per-query window. Quadratic;
+  *    kept for the oracle and as the recall reference.
+  *  - [[ivfTopK]]: the scale path — IVF-style coarse quantization.
+  *    Vectors are bucketed by their `label` (the coarse cell), each
+  *    query probes only the `NProbe` nearest cell centroids, so the
+  *    candidate set shrinks by ~|cells|/NProbe. At 100 TB the
+  *    label-partitioned layout means each probe is a partition-pruned
+  *    scan, and no executor ever sees the whole index.
+  *  - [[lshNearDup]]: embedding-space near-duplicate pairs via random
+  *    hyperplane (sign) LSH: 32 sign bits in 8 bands; pairs sharing a
+  *    band are candidates; exact cosine verifies. Never all-pairs.
+  *
+  * Float determinism: every dot product / norm is an explicit
+  * left-associative sum over the vector (unrolled `element_at` chain
+  * in Spark, `list_reduce(list_prepend(0.0, ...))` in the DuckDB
+  * oracle) — both engines execute the same IEEE-754 operation
+  * sequence, so doubles are bit-identical and the hash compare is
+  * exact. Reported
+  * similarity is floored to ppm (integer) anyway, and ranking uses the
+  * ppm value, so ordering cannot hinge on a final ulp.
+  */
+object Similarity {
+  /** Every `QueryStride`-th vector is a query (deterministic subset). */
+  val QueryStride = 50
+  val TopK = 10
+  val NProbe = 2
+  /** Near-dup cosine threshold, ppm. */
+  val NearDupPpm = 350000L
+
+  /** Left-fold dot product of two float-array columns, in double.
+    * Unrolled over the fixed Dim rather than `aggregate(zip_with(...))`:
+    * higher-order functions evaluate interpreted (off the codegen
+    * path), which benchmarked 40 µs/row; the unrolled `element_at`
+    * chain is whole-stage-codegen'd and sums in the identical
+    * left-associative IEEE order, so oracle doubles stay bit-equal. */
+  def dot(a: Column, b: Column): Column =
+    (1 to Dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduceLeft(_ + _)
+
+  /** Unrolled L2 norm (same codegen rationale as [[dot]]). */
+  def norm(a: Column): Column = {
+    val sq = (1 to Dim).map { i =>
+      val x = element_at(a, i).cast("double"); x * x
+    }
+    sqrt(sq.reduceLeft(_ + _))
+  }
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine floored to ppm — the integer the oracle compares. */
+  def cosinePpm(a: Column, b: Column): Column =
+    floor(cosine(a, b) * 1e6).cast("long")
+
+  /** DuckDB fold equivalents (a/b are DOUBLE[] expressions); the
+    * 0.0-prepend start is IEEE-identical to the unrolled chain. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), s -> s[1]*s[2])), (x,y) -> x+y)"
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($a, x -> x*x)), (x,y) -> x+y))"
+  private def cosPpmSql(a: String, b: String): String =
+    s"CAST(floor(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) * 1e6) AS BIGINT)"
+
+  /** Exact brute-force cosine top-k per query vector. Norms are
+    * computed once per vector before the pair join — at n·|Q| pairs,
+    * recomputing them per pair would triple the hot-path flops. */
+  def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val queries = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id"))
+    queries.join(e, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        floor(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")) * 1e6)
+          .cast("long").as("cos_ppm"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cos_ppm")
+  }
+
+  val bruteTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $QueryStride = 0),
+       |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |                  ${cosPpmSql("q.qv", "e.v")} AS cos_ppm
+       |           FROM q JOIN e ON e.vec_id <> q.query_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY cos_ppm DESC, neighbor_id) AS INTEGER) AS rank
+       |           FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos_ppm
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
+  /** IVF-style top-k: coarse cells = `label`; per-cell centroid =
+    * element-wise mean; each query searches only its NProbe nearest
+    * cells. Centroid means involve an unordered float sum, so this
+    * operator has no SQL oracle (driver rows-only check); recall vs
+    * [[bruteTopK]] is asserted in the test suite. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    // element-wise mean per cell: explode → avg per (label, pos) → re-pack
+    val centroids = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+      .select(col("label").as("cell"),
+        transform(col("pc"), p => p.getField("cx")).as("centroid"))
+
+    val queries = e.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"))
+
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_ppm").desc, col("cell"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("c_ppm", cosinePpm(col("qv"), col("centroid")))
+      .withColumn("prb", row_number().over(wProbe))
+      .filter(col("prb") <= NProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id"))
+    probes.join(e, col("label") === col("cell") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        floor(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")) * 1e6)
+          .cast("long").as("cos_ppm"))
+      .withColumn("rank", row_number().over(wTop).cast("int"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cos_ppm")
+  }
+
+  // ---- random-hyperplane LSH --------------------------------------
+
+  val Planes = 32
+  val Dim = 64
+  // 8 bands × 4 bits: recall for cos ≥ 0.35 pairs ≈ 1-(1-p^4)^8 ≈ 0.70
+  // (p = 1 - θ/π ≈ 0.61) vs 0.45 for 4×4 — and 16-way buckets per band
+  // keep the candidate join bounded.
+  private val BandsCount = 8
+  private val BitsPerBand = 4
+
+  /** Deterministic ±1 hyperplane weights (Weyl-sequence bit mix —
+    * reproducible in both engines because it is baked in as literals). */
+  def planeWeight(j: Int, d: Int): Double = {
+    val x = (j * Dim + d) * 0x9E3779B97F4A7C15L
+    if (((x >>> 17) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Signed projection of the embedding onto plane j — unrolled for
+    * codegen; ±1 weights become plain add/subtract. */
+  private def planeProj(v: Column, j: Int): Column =
+    (0 until Dim).map { d =>
+      val x = element_at(v, d + 1).cast("double")
+      if (planeWeight(j, d) > 0) x else -x
+    }.reduceLeft(_ + _)
+
+  /** 16-bit sign signature of an embedding column. */
+  def signBits(v: Column): Column =
+    (0 until Planes).map(j =>
+      when(planeProj(v, j) >= 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Near-duplicate pairs: banded sign-LSH candidates verified with
+    * exact cosine ≥ 0.35. Bands bucket the join; recall (vs the exact
+    * all-pairs answer) is probabilistic and asserted in tests. */
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // heavy expressions evaluated exactly once, in narrow projections:
+    // bands carry only ids so the candidate join + distinct shuffles
+    // 16-byte rows, never embedding arrays
+    val sigs = e.select(col("vec_id"), signBits(col("embedding")).as("sig"))
+    val bands = sigs.select(col("vec_id"), posexplode(
+      array((0 until BandsCount).map(b =>
+        shiftright(col("sig"), BitsPerBand * b)
+          .bitwiseAND((1 << BitsPerBand) - 1)): _*))
+      .as(Seq("band", "nib")))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val ev = e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    pairs
+      .join(ev.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(ev.as("y"), col("vec_b") === col("y.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        floor(dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")) * 1e6).cast("long").as("cos_ppm"))
+      .filter(col("cos_ppm") >= NearDupPpm)
+  }
+
+  val lshNearDupOracle: String = {
+    def planeSql(j: Int): String = {
+      val w = (0 until Dim).map(d => s"${planeWeight(j, d)}::DOUBLE")
+        .mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(v, $w), s -> s[1]*s[2])), (x,y) -> x+y)"
+    }
+    val sig = (0 until Planes).map(j =>
+      s"CASE WHEN ${planeSql(j)} >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val bandVals = (0 until BandsCount).map(b =>
+      s"($b, (sig >> ${BitsPerBand * b}) & ${(1 << BitsPerBand) - 1})").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sg AS (SELECT vec_id, v, CAST($sig AS BIGINT) AS sig FROM e),
+       |band AS (SELECT vec_id, v, u.band, u.nib
+       |         FROM sg, LATERAL (SELECT * FROM (VALUES $bandVals) t(band, nib)) u),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |                a.v AS va, b.v AS vb
+       |         FROM band a JOIN band b
+       |           ON a.band = b.band AND a.nib = b.nib AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, ${cosPpmSql("va", "vb")} AS cos_ppm
+       |FROM cand WHERE ${cosPpmSql("va", "vb")} >= $NearDupPpm""".stripMargin
+  }
+}

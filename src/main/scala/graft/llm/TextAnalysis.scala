@@ -1,0 +1,164 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.Tokenizer
+
+/** Text-analysis operators for an LLM data pipeline, over `documents`:
+  * language ID (marker-token heuristic), quality scoring, token
+  * counting, and content fingerprinting.
+  *
+  * All scores are integer arithmetic (counts + ppm integer division) —
+  * deterministic at any parallelism and bit-portable to the DuckDB
+  * oracle. Every operator is scan → narrow projection → (at most) one
+  * hash aggregate: linear, no shuffle beyond the aggregate, no UDFs —
+  * the whole thing stays in whole-stage codegen.
+  */
+object TextAnalysis {
+  /** Marker stopwords per language (tiny n-gram-free heuristic: count
+    * marker hits, argmax with deterministic lexicographic tiebreak;
+    * 'und' when nothing matches). */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "est"))
+
+  /** English-ish stopword list for the quality score. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t =>
+      array_contains(array(words.map(lit): _*), t))).cast("long")
+
+  private def hitsSql(words: Seq[String]): String =
+    s"CAST(len(list_filter(toks, t -> list_contains(${words.mkString("['", "', '", "']")}, t))) AS BIGINT)"
+
+  /** Language ID: (doc_id, pred_lang, hit_ct, is_match vs the labeled
+    * `lang`). The `lang` column is the ground-truth label; the
+    * heuristic's agreement rate is itself a useful corpus stat. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tokenizer.tokens(col("text"))
+    val withHits = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang")) ++
+        Markers.map { case (l, ws) => hits(toks, ws).as(s"h_$l") }: _*)
+    val mx = greatest(Markers.map { case (l, _) => col(s"h_$l") }: _*)
+    // ties break to the lexicographically-first language (Markers is
+    // declared sorted), mirroring the oracle's CASE order
+    val predLex: Column =
+      Markers.reverse.foldLeft(lit("und"): Column) { case (rest, (l, _)) =>
+        when(col(s"h_$l") === mx && mx > 0, l).otherwise(rest)
+      }
+    withHits
+      .select(col("doc_id"), col("lang"), predLex.as("pred_lang"),
+        mx.as("hit_ct"))
+      .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+  }
+
+  val langIdOracle: String = {
+    val hitCols = Markers.map { case (l, ws) => s"${hitsSql(ws)} AS h_$l" }
+      .mkString(", ")
+    val mx = Markers.map { case (l, _) => s"h_$l" }
+      .mkString("greatest(", ", ", ")")
+    val pred = Markers.map { case (l, _) =>
+      s"WHEN h_$l = mx AND mx > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |h AS (SELECT doc_id, lang, $hitCols FROM t),
+       |m AS (SELECT *, $mx AS mx FROM h)
+       |SELECT doc_id, lang, $pred AS pred_lang, mx AS hit_ct,
+       |       CAST($pred = lang AS INTEGER) AS is_match
+       |FROM m""".stripMargin
+  }
+
+  /** Quality score: stopword ratio, mean token length, and a composite
+    * — all ppm integers. The shape every corpus-filtering pass needs:
+    * per-doc, embarrassingly parallel. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tokenizer.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        hits(toks, Stopwords).as("n_stop"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("len_sum"))
+      .withColumn("stop_ppm", expr("(1000000 * n_stop) DIV n_tokens"))
+      .withColumn("mean_len_ppm", expr("(1000000 * len_sum) DIV n_tokens"))
+      .withColumn("len_ok",
+        when(col("n_tokens").between(20, 80), 1000000L).otherwise(300000L))
+      .withColumn("quality_ppm",
+        expr("(stop_ppm + mean_len_ppm DIV 10 + len_ok) DIV 3"))
+      .select("doc_id", "n_tokens", "n_stop", "stop_ppm", "mean_len_ppm",
+        "quality_ppm")
+  }
+
+  val qualityOracle: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |c AS (SELECT doc_id,
+       |        CAST(len(toks) AS BIGINT) AS n_tokens,
+       |        ${hitsSql(Stopwords)} AS n_stop,
+       |        CAST(list_reduce(list_prepend(0, list_transform(toks, x -> strlen(x))), (a,b) -> a+b) AS BIGINT) AS len_sum
+       |      FROM t),
+       |r AS (SELECT doc_id, n_tokens, n_stop,
+       |        (1000000 * n_stop) // n_tokens AS stop_ppm,
+       |        (1000000 * len_sum) // n_tokens AS mean_len_ppm,
+       |        CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1000000 ELSE 300000 END AS len_ok
+       |      FROM c)
+       |SELECT doc_id, n_tokens, n_stop, stop_ppm, mean_len_ppm,
+       |       (stop_ppm + mean_len_ppm // 10 + len_ok) // 3 AS quality_ppm
+       |FROM r""".stripMargin
+
+  /** Token counting: regex word tokens, whitespace tokens, distinct
+    * tokens, type-token ratio (ppm) — per doc. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tokenizer.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"))
+      .withColumn("ttr_ppm", expr("(1000000 * n_types) DIV n_tokens"))
+  }
+
+  val tokenStatsOracle: String =
+    s"""WITH t AS (SELECT doc_id, strlen(text) AS n_chars, $toksSql AS toks,
+       |             string_split_regex(trim(text), '\\s+') AS ws
+       |           FROM documents)
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |       CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+       |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       |       (1000000 * CAST(len(list_distinct(toks)) AS BIGINT)) // len(toks) AS ttr_ppm
+       |FROM t""".stripMargin
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * invariant to word order and repetition (a cheap canonical-form
+    * document hash, the batch analog of a rolling-hash fingerprint). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tokenizer.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp"))
+      .withColumn("fp_bucket",
+        expr("CAST(conv(substring(fp, 1, 4), 16, 10) AS BIGINT) % 256"))
+  }
+
+  val fingerprintOracle: String = {
+    // portable hex-nibble → int (both engines agree on instr/strpos)
+    s"""WITH t AS (SELECT doc_id,
+       |             md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+       |           FROM documents)
+       |SELECT doc_id, fp,
+       |       ((instr('0123456789abcdef', fp[1]) - 1) * 4096
+       |      + (instr('0123456789abcdef', fp[2]) - 1) * 256
+       |      + (instr('0123456789abcdef', fp[3]) - 1) * 16
+       |      + (instr('0123456789abcdef', fp[4]) - 1)) % 256 AS fp_bucket
+       |FROM t""".stripMargin
+  }
+}
