@@ -21,6 +21,10 @@ object SparkEntry {
     "q_dwd_log_split"      -> (dwd.LogSplit.demux(_, _)),
     "q_dwd_is_new_repair"  -> (dwd.LogSplit.isNewRepair(_, _)),
     "q_dwd_db_route"       -> (dwd.DbRouter(_, _)),
+    "q_dwd_start_split"    -> (dwd.LogNested.startSplit(_, _)),
+    "q_dwd_display_explode" -> (dwd.LogNested.displayExplode(_, _)),
+    "q_dws_display_stats"  -> (dwd.LogNested.displayStats(_, _)),
+    "q_dwd_cdc_route"      -> (dwd.CdcEnvelope(_, _)),
     // DWM — dedup / CEP-bounce / interval + dim joins (§2.4, §2.5)
     "q_dwm_unique_visit"   -> (dwm.UniqueVisit(_, _)),
     "q_dwm_jump_detect"    -> (dwm.JumpDetect(_, _)),
@@ -67,6 +71,10 @@ object SparkEntry {
     "q_dwd_log_split"      -> dwd.LogSplit.demuxOracle,
     "q_dwd_is_new_repair"  -> dwd.LogSplit.isNewRepairOracle,
     "q_dwd_db_route"       -> dwd.DbRouter.oracle,
+    "q_dwd_start_split"    -> dwd.LogNested.startSplitOracle,
+    "q_dwd_display_explode" -> dwd.LogNested.displayExplodeOracle,
+    "q_dws_display_stats"  -> dwd.LogNested.displayStatsOracle,
+    "q_dwd_cdc_route"      -> dwd.CdcEnvelope.oracle,
     "q_dwm_unique_visit"   -> dwm.UniqueVisit.oracle,
     "q_dwm_jump_detect"    -> dwm.JumpDetect.oracle,
     "q_dwm_order_wide"     -> dwm.OrderWide.oracle,

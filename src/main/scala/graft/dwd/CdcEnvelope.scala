@@ -1,0 +1,106 @@
+package graft.dwd
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.func.Exprs._
+
+/** CDC-envelope ingestion (S4 + P3): the Maxwell binlog envelope
+  * `{"database","table","type","data":{...}}` with the reference's
+  * guards — drop records with null `table`/`data` or `len(data) <= 3`
+  * (gmall-time/.../app/dwd2/BaseDBApp2.java:54-60) — and the
+  * `bootstrap-insert` → `insert` normalization
+  * (app/func/TableProcessFunction.java:184-188).
+  *
+  * The testdata has no Kafka stream, so envelope lines are RENDERED
+  * from `orders` rows first (with deterministic poison: some rows get
+  * a null table, some an empty payload) and then parsed back through
+  * the real two-level `from_json` path — envelope first, then the
+  * `data` payload string — exactly the reference's two JSONObject
+  * hops. The oracle states the expected routing counts directly.
+  *
+  * Scale: parse → filter → aggregate, one scan, one low-cardinality
+  * shuffle; malformed rows are dropped before any shuffle.
+  */
+object CdcEnvelope {
+  val EnvelopeSchema: StructType = StructType(Seq(
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("type", StringType),
+    StructField("data", StringType)))
+
+  val PayloadSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("user_id", LongType),
+    StructField("total_amount", StringType),
+    StructField("create_time", StringType)))
+
+  /** Rendered envelope lines, with deterministic poison rows:
+    * `%101` → null table, `%97` → empty payload, `%53` →
+    * bootstrap-insert type. */
+  def envelopeLines(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val payload = to_json(struct(
+      col("o_orderkey").as("id"),
+      col("o_custkey").as("user_id"),
+      money(col("o_totalprice")).cast("string").as("total_amount"),
+      col("o_orderdate").cast("string").as("create_time")))
+    o.select(
+      col("o_orderkey"),
+      to_json(struct(
+        lit("gmall").as("database"),
+        when(col("o_orderkey") % 101 =!= 0, lit("order_info")).as("table"),
+        when(col("o_orderkey") % 53 === 0, "bootstrap-insert")
+          .when(col("o_orderkey") % 2 === 0, "insert")
+          .otherwise("update").as("type"),
+        when(col("o_orderkey") % 97 === 0, lit("{}")).otherwise(payload)
+          .as("data"))).as("line"))
+  }
+
+  /** Parsed + guarded + normalized routing summary: row counts and
+    * parsed-amount sums per (sink_table, op_type), with malformed
+    * records counted under `_malformed`/`rejected`. */
+  def apply(spark: SparkSession, dir: String): DataFrame = {
+    val env = envelopeLines(spark, dir)
+      .select(from_json(col("line"), EnvelopeSchema).as("env"))
+      .select(col("env.table").as("tbl"), col("env.type").as("op"),
+        col("env.data").as("data"))
+    val valid = col("tbl").isNotNull && col("data").isNotNull &&
+      length(col("data")) > 3
+    val normOp = when(col("op") === "bootstrap-insert", "insert")
+      .otherwise(col("op"))
+    env
+      .withColumn("payload", from_json(col("data"), PayloadSchema))
+      .groupBy(
+        when(valid, col("tbl")).otherwise("_malformed").as("sink_table"),
+        when(valid, normOp).otherwise("rejected").as("op_type"))
+      .agg(
+        count(lit(1)).as("row_ct"),
+        sum(when(valid, col("payload.total_amount").cast(DecimalType(18, 2)))
+          .otherwise(lit(null).cast(DecimalType(18, 2))))
+          .cast(DecimalType(38, 2)).as("amount_sum"))
+  }
+
+  val oracle: String =
+    """WITH env AS (
+      |  SELECT CASE WHEN o_orderkey % 101 <> 0 THEN 'order_info' END AS tbl,
+      |         CASE WHEN o_orderkey % 53 = 0 THEN 'bootstrap-insert'
+      |              WHEN o_orderkey % 2 = 0 THEN 'insert'
+      |              ELSE 'update' END AS op,
+      |         o_orderkey % 97 = 0 AS short_data,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+      |  FROM orders),
+      |flagged AS (
+      |  SELECT tbl IS NOT NULL AND NOT short_data AS valid,
+      |         tbl, CASE WHEN op = 'bootstrap-insert' THEN 'insert' ELSE op END AS norm_op,
+      |         amount
+      |  FROM env)
+      |SELECT CASE WHEN valid THEN tbl ELSE '_malformed' END AS sink_table,
+      |       CASE WHEN valid THEN norm_op ELSE 'rejected' END AS op_type,
+      |       count(*) AS row_ct,
+      |       CAST(sum(CASE WHEN valid THEN amount END) AS DECIMAL(38,2)) AS amount_sum
+      |FROM flagged
+      |GROUP BY 1, 2""".stripMargin
+}

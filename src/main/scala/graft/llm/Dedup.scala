@@ -187,7 +187,8 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(Tables.documents(spark, dir))
 
-  private def simhashOf(docs: DataFrame): DataFrame = {
+  /** SimHash over any (doc_id, text) frame — public for tests. */
+  def simhashOf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(Tokenizer.tokens(col("text"))).as("tok"))
       .withColumn("th", md5(col("tok")))

@@ -43,9 +43,13 @@ object TextAnalysis {
   /** Language ID: (doc_id, pred_lang, hit_ct, is_match vs the labeled
     * `lang`). The `lang` column is the ground-truth label; the
     * heuristic's agreement rate is itself a useful corpus stat. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOf(Tables.documents(spark, dir))
+
+  /** [[langId]] over any (doc_id, text, lang) frame — public for tests. */
+  def langIdOf(docs: DataFrame): DataFrame = {
     val toks = Tokenizer.tokens(col("text"))
-    val withHits = Tables.documents(spark, dir)
+    val withHits = docs
       .select(Seq(col("doc_id"), col("lang")) ++
         Markers.map { case (l, ws) => hits(toks, ws).as(s"h_$l") }: _*)
     val mx = greatest(Markers.map { case (l, _) => col(s"h_$l") }: _*)
@@ -80,9 +84,13 @@ object TextAnalysis {
   /** Quality score: stopword ratio, mean token length, and a composite
     * — all ppm integers. The shape every corpus-filtering pass needs:
     * per-doc, embarrassingly parallel. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityOf(Tables.documents(spark, dir))
+
+  /** [[qualityScore]] over any (doc_id, text) frame — public for tests. */
+  def qualityOf(docs: DataFrame): DataFrame = {
     val toks = Tokenizer.tokens(col("text"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         hits(toks, Stopwords).as("n_stop"),
@@ -140,9 +148,13 @@ object TextAnalysis {
   /** Content fingerprint: md5 over the sorted distinct token set —
     * invariant to word order and repetition (a cheap canonical-form
     * document hash, the batch analog of a rolling-hash fingerprint). */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprintOf(Tables.documents(spark, dir))
+
+  /** [[fingerprint]] over any (doc_id, text) frame — public for tests. */
+  def fingerprintOf(docs: DataFrame): DataFrame = {
     val toks = Tokenizer.tokens(col("text"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp"))
       .withColumn("fp_bucket",

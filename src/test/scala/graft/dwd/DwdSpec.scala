@@ -1,0 +1,57 @@
+package graft.dwd
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DwdSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nested log parse: every record classified start XOR page") {
+    val out = LogNested.startSplit(spark, Sf).cache()
+    val bad = out.filter(
+      (col("stream") === "start" && col("page_id").isNotNull) ||
+      (col("stream") === "page" && col("page_id").isNull)).count()
+    assert(bad == 0)
+    assert(out.filter(col("stream") === "start").count() > 0)
+    assert(out.filter(col("stream") === "page").count() > 0)
+  }
+
+  test("displays explode: row count = Σ event_id%3 over page events, " +
+    "page_id injected from parent") {
+    val ev = graft.Tables.events(spark, Sf)
+      .filter(col("event_type") =!= "signup")
+      .select((col("event_id") % 3).as("n"), col("event_type"))
+    val expected = ev.agg(sum("n")).as[Long].head()
+    val out = LogNested.displayExplode(spark, Sf).cache()
+    assert(out.count() == expected)
+    // injected page_id must equal the parent's event_type-derived page
+    val mismatches = out.join(
+        graft.Tables.events(spark, Sf).select(col("event_id"),
+          col("event_type")),
+        "event_id")
+      .filter(col("page_id") =!= col("event_type")).count()
+    assert(mismatches == 0)
+  }
+
+  test("CDC envelope: malformed counts match the poison pattern") {
+    val o = graft.Tables.orders(spark, Sf)
+    val expectedBad = o.filter(
+      col("o_orderkey") % 101 === 0 || col("o_orderkey") % 97 === 0).count()
+    val out = CdcEnvelope(spark, Sf).cache()
+    val rejected = out.filter(col("sink_table") === "_malformed")
+      .agg(sum("row_ct")).as[Long].head()
+    assert(rejected == expectedBad)
+    // bootstrap-insert normalized away: only insert/update survive
+    val ops = out.filter(col("sink_table") === "order_info")
+      .select("op_type").as[String].collect().toSet
+    assert(ops == Set("insert", "update"))
+  }
+
+  test("db router: every configured sink gets its pruned column set") {
+    val routed = DbRouter.routed(spark, Sf)
+    assert(routed.keySet == DbRouter.config.map(_._3).toSet)
+    DbRouter.config.foreach { case (_, _, sink, cols) =>
+      assert(routed(sink).columns.toSeq == cols.split(",").toSeq)
+    }
+  }
+}

@@ -1,0 +1,29 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decode stub is deterministic and in-range") {
+    val (w1, h1, c1, f1) = Multimodal.decodeStub("png", "payload".getBytes)
+    val (w2, h2, c2, f2) = Multimodal.decodeStub("png", "payload".getBytes)
+    assert((w1, h1, c1, f1) == ((w2, h2, c2, f2)))
+    assert(w1 >= 16 && w1 < 80 && h1 >= 16 && h1 < 80)
+    assert(c1 >= 1 && c1 <= 4 && f1 == 1)
+    val (_, _, _, fw) = Multimodal.decodeStub("wav", "payload".getBytes)
+    assert(fw >= 1 && fw <= 30, "wav gets a frame count")
+  }
+
+  test("mapPartitions decode: typed output, one row per media record") {
+    val meta = Multimodal.decoded(spark, Sf).cache()
+    val n = graft.Tables.documents(spark, Sf).count()
+    assert(meta.count() == n)
+    val bad = meta.filter(m =>
+      m.width < 16 || m.width >= 80 || m.channels < 1 || m.channels > 4 ||
+      (m.format != "wav" && m.frames != 1)).count()
+    assert(bad == 0)
+    assert(meta.select("format").distinct().as[String].collect().toSet ==
+      Set("png", "jpeg", "wav"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/norm/cosine match hand arithmetic") {
+    val a = Array.fill(64)(0.0f); a(0) = 3f; a(1) = 4f
+    val b = Array.fill(64)(0.0f); b(0) = 3f; b(1) = 4f
+    val c = Array.fill(64)(0.0f); c(0) = -4f; c(1) = 3f
+    val df = Seq((a.toSeq, b.toSeq), (a.toSeq, c.toSeq)).toDF("x", "y")
+    val cos = df.select(Similarity.cosine(col("x"), col("y"))).as[Double]
+      .collect()
+    assert(math.abs(cos(0) - 1.0) < 1e-12, "parallel vectors → 1")
+    assert(math.abs(cos(1)) < 1e-12, "orthogonal vectors → 0")
+  }
+
+  test("bruteTopK: rank 1 is the max-cosine neighbor, k rows per query") {
+    val out = Similarity.bruteTopK(spark, Sf).cache()
+    val perQuery = out.groupBy("query_id").count().as[(Long, Long)].collect()
+    assert(perQuery.nonEmpty)
+    assert(perQuery.forall(_._2 == Similarity.TopK))
+    val ranked = out.filter(col("query_id") === perQuery.head._1)
+      .orderBy("rank").select("cos_ppm").as[Long].collect()
+    assert(ranked.toSeq == ranked.sortBy(-_).toSeq, "cos_ppm descending by rank")
+  }
+
+  test("ivfTopK: probes only promising cells yet recalls most true top-k") {
+    val brute = Similarity.bruteTopK(spark, Sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, Sf)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.3,
+      s"IVF nprobe=${Similarity.NProbe} recall vs brute was $recall")
+  }
+
+  test("lshNearDup: 100% precision (every pair verified ≥ threshold)") {
+    val pairs = Similarity.lshNearDup(spark, Sf)
+      .select("cos_ppm").as[Long].collect()
+    assert(pairs.forall(_ >= Similarity.NearDupPpm))
+  }
+
+  test("plane weights are ±1 and deterministic") {
+    val w = for (j <- 0 until Similarity.Planes; d <- 0 until Similarity.Dim)
+      yield Similarity.planeWeight(j, d)
+    assert(w.forall(x => x == 1.0 || x == -1.0))
+    assert(w.count(_ > 0) > w.size / 3 && w.count(_ < 0) > w.size / 3,
+      "roughly balanced signs")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId: marker hits pick the language, lexicographic tiebreak") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house", "en"),
+      (2L, "el perro y la casa de que es", "es"),
+      (3L, "zzz qqq www", "zh"))
+      .toDF("doc_id", "text", "lang")
+    d.createOrReplaceTempView("x")
+    val out = TextAnalysis.langIdOf(d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "und", "no markers → und")
+  }
+
+  test("quality: ppm integer arithmetic, stopword ratio exact") {
+    val d = Seq((1L, "the the the x")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityOf(d)
+      .select("n_tokens", "n_stop", "stop_ppm").as[(Long, Long, Long)]
+      .head()
+    assert(r == ((4L, 3L, 750000L)))
+  }
+
+  test("fingerprint is order- and repetition-invariant") {
+    val d = Seq((1L, "b a a c"), (2L, "c b a"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprintOf(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("tokenStats on the documents table: types ≤ tokens, ttr ≤ 1e6") {
+    val out = TextAnalysis.tokenStats(spark, Sf)
+      .select("n_tokens", "n_types", "ttr_ppm").as[(Long, Long, Long)]
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (nt, ty, ttr) => ty <= nt && ttr <= 1000000L })
+  }
+}

@@ -1,0 +1,53 @@
+package graft.sinks
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").toString
+
+  test("dedupLatest keeps the max-ts row per key") {
+    val d = Seq(
+      ("k1", 10L, "old"), ("k1", 20L, "new"),
+      ("k2", 5L, "only"))
+      .toDF("id", "ts", "payload")
+    val out = Sinks.dedupLatest(d, Seq("id"), "ts")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("k1" -> "new", "k2" -> "only"))
+  }
+
+  test("writeDedupLatest is idempotent: same batch twice → same state") {
+    val path = tmp() + "/dim"
+    val d = Seq(("k1", 10L, "a"), ("k1", 20L, "b")).toDF("id", "ts", "v")
+    Sinks.writeDedupLatest(d, Seq("id"), "ts", path)
+    val first = spark.read.parquet(path).collect().toSet
+    Sinks.writeDedupLatest(d, Seq("id"), "ts", path)
+    val second = spark.read.parquet(path).collect().toSet
+    assert(first == second)
+    assert(first.size == 1)
+  }
+
+  test("writeRouted fans out per routing value; topics read back clean") {
+    val path = tmp() + "/topics"
+    val d = Seq(
+      ("dwd_a", 1L), ("dwd_a", 2L), ("dwd_b", 3L))
+      .toDF("sink_table", "v")
+    Sinks.writeRouted(d, "sink_table", path)
+    val a = Sinks.readTopic(spark, path, "sink_table", "dwd_a")
+      .select("v").as[Long].collect().toSet
+    val b = Sinks.readTopic(spark, path, "sink_table", "dwd_b")
+      .select("v").as[Long].collect().toSet
+    assert(a == Set(1L, 2L) && b == Set(3L))
+  }
+
+  test("writeDropTransient removes helper columns at the sink boundary") {
+    val path = tmp() + "/stats"
+    val d = Seq((1L, "keep", "scratch")).toDF("id", "v", "tmp")
+    Sinks.writeDropTransient(d, Seq("tmp"), path)
+    assert(spark.read.parquet(path).columns.toSet == Set("id", "v"))
+  }
+}
