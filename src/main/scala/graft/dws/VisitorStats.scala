@@ -28,17 +28,20 @@ object VisitorStats {
   def apply(spark: SparkSession, dir: String): DataFrame = {
     val byMid = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val byMidDay = Window.partitionBy(col("user_id"), to_date(col("ts")))
-      .orderBy(col("ts"), col("event_id"))
 
+    // ONE window pass: the daily-unique flag is "previous event (by ts,
+    // within mid) fell on an earlier day", which the same lag that
+    // drives sv/uj already provides — the earlier row_number() over
+    // (mid, day) cost a second hash-shuffle + sort for the same answer.
     val flagged = Tables.events(spark, dir)
       .withColumn("ts_ms", unix_millis(col("ts")))
       .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byMid))
+      .withColumn("prev_day", lag(to_date(col("ts")), 1).over(byMid))
       .withColumn("next_ms", lead(col("ts_ms"), 1).over(byMid))
-      .withColumn("day_rn", row_number().over(byMidDay))
       // per-event counters (the reference's 4 projected streams):
       .withColumn("pv", lit(1L))                                   // page view
-      .withColumn("uv", when(col("day_rn") === 1, 1L).otherwise(0L)) // daily unique
+      .withColumn("uv", when(col("prev_day").isNull ||
+        col("prev_day") < to_date(col("ts")), 1L).otherwise(0L))   // daily unique
       .withColumn("sv", when(col("prev_ms").isNull ||
         col("ts_ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L)) // session start
       .withColumn("uj", when((col("prev_ms").isNull ||

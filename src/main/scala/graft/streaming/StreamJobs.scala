@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming variants of the stateful operators (§2.10) —
+  * the additive layer SURVEY §7.1 deferred. Each job is a pure
+  * DataFrame → DataFrame transform, source-agnostic: tests drive them
+  * from a MemoryStream, production from `readStream` (Kafka or files);
+  * the SAME transform body also runs in batch (Spark's unified API),
+  * which is how the specs prove parity with the batch operators.
+  *
+  * Reference semantics carried over (gmall-time/...):
+  *  - event time + bounded out-of-orderness 3 s
+  *    (app/dws2/VisitorStatsApp.java:192) → `withWatermark("ts","3 seconds")`
+  *  - 10 s tumbling windows (VisitorStatsApp.java:213) → `window()`
+  *  - UV dedup keyed state with 1-day TTL (app/dwm2/UV2.java:77-78) →
+  *    `dropDuplicates` on (mid, day) with a 1-day watermark — the
+  *    watermark IS the TTL
+  *  - CEP bounce with 10 s timeout (app/dwm/UserJumpDetailApp.java:89-148)
+  *    → `session_window`: a bounce is exactly a session containing one
+  *    event, and the timeout side-output becomes the session close
+  */
+object StreamJobs {
+  /** File-source stream over the events table (batch stand-in for the
+    * reference's Kafka `ods_base_log`). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** T2 streaming: daily unique visitors. State eviction = watermark;
+    * emits the first (mid, day) sighting in arrival order — same SET
+    * as the batch row_number()==1 formulation. */
+  def uvDedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("dt", to_date(col("ts")))
+      .withWatermark("ts", "1 day")
+      .dropDuplicates("user_id", "dt")
+      .select(col("user_id").as("mid"), col("dt"))
+
+  /** A1 streaming: 10 s tumble × (ar, ch) with 3 s disorder bound. */
+  def visitorTumble(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "3 seconds")
+      .groupBy(
+        window(col("ts"), "10 seconds"),
+        (col("user_id") % 10).as("ar"),
+        col("event_type").as("ch"))
+      .agg(
+        count(lit(1)).as("pv_ct"),
+        sum(col("value")).as("dur_sum"))
+      .select(col("window.start").as("stt"), col("ar"), col("ch"),
+        col("pv_ct"), col("dur_sum"))
+
+  /** T3 streaming: bounce = session with exactly one event. The same
+    * expression runs in batch, where it must agree with the lag/lead
+    * JumpDetect formulation (asserted in tests). */
+  def sessionBounces(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupBy(
+        session_window(col("ts"), gap),
+        col("user_id").as("mid"))
+      .agg(count(lit(1)).as("event_ct"))
+      .filter(col("event_ct") === 1)
+      .select(col("mid"), col("session_window.start").as("session_start"))
+}
