@@ -48,6 +48,19 @@ object Sinks {
       path: String): Unit =
     df.drop(transientCols: _*).write.mode("overwrite").parquet(path)
 
+  /** K5: stats re-publish — the same frame written to its primary
+    * store AND re-published for downstream SQL consumers (reference
+    * app/dws2/ProductStatsApp.java:421-424). The input is computed
+    * once (cache) and written twice. */
+  def publishBoth(df: DataFrame, primaryPath: String,
+      republishPath: String): Unit = {
+    val cached = df.cache()
+    try {
+      cached.write.mode("overwrite").parquet(primaryPath)
+      cached.write.mode("overwrite").parquet(republishPath)
+    } finally cached.unpersist()
+  }
+
   /** Read back a routed "topic" (for tests and downstream jobs). */
   def readTopic(spark: SparkSession, path: String, routeCol: String,
       topic: String): DataFrame =

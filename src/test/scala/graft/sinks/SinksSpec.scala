@@ -44,6 +44,15 @@ class SinksSpec extends SparkSpec {
     assert(a == Set(1L, 2L) && b == Set(3L))
   }
 
+  test("publishBoth writes identical content to primary and republish") {
+    val base = tmp()
+    val d = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    Sinks.publishBoth(d, base + "/primary", base + "/republished")
+    val p = spark.read.parquet(base + "/primary").collect().toSet
+    val r = spark.read.parquet(base + "/republished").collect().toSet
+    assert(p == r && p.size == 2)
+  }
+
   test("writeDropTransient removes helper columns at the sink boundary") {
     val path = tmp() + "/stats"
     val d = Seq((1L, "keep", "scratch")).toDF("id", "v", "tmp")
