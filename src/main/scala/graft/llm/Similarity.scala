@@ -174,11 +174,46 @@ object Similarity {
       if (planeWeight(j, d) > 0) x else -x
     }.reduceLeft(_ + _)
 
-  /** 16-bit sign signature of an embedding column. */
+  /** Sign signature of an embedding column as a Catalyst expression.
+    * CAUTION: Planes×Dim terms — at 32×64 the generated code takes
+    * ~20 s of janino compilation per plan. Kept for reference/tests;
+    * the operator path uses [[signatures]] (typed mapPartitions). */
   def signBits(v: Column): Column =
     (0 until Planes).map(j =>
       when(planeProj(v, j) >= 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
+
+  private lazy val planeW: Array[Array[Double]] =
+    Array.tabulate(Planes, Dim)((j, d) => planeWeight(j, d))
+
+  /** (vec_id, sig) via a per-partition JVM loop: the 2048-term
+    * projection made janino the bottleneck (~20 s compile per plan,
+    * data-size-independent); the loop does the identical
+    * left-associative IEEE sum, so signatures are unchanged. */
+  def signatures(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val w = planeW
+        it.map { case (id, v) =>
+          var sig = 0L
+          var j = 0
+          while (j < Planes) {
+            var acc = 0.0
+            var d = 0
+            while (d < Dim) {
+              val x = v(d).toDouble
+              acc += (if (w(j)(d) > 0) x else -x)
+              d += 1
+            }
+            if (acc >= 0) sig |= (1L << j)
+            j += 1
+          }
+          (id, sig)
+        }
+      }.toDF("vec_id", "sig")
+  }
 
   /** Near-duplicate pairs: banded sign-LSH candidates verified with
     * exact cosine ≥ 0.35. Bands bucket the join; recall (vs the exact
@@ -188,7 +223,7 @@ object Similarity {
     // heavy expressions evaluated exactly once, in narrow projections:
     // bands carry only ids so the candidate join + distinct shuffles
     // 16-byte rows, never embedding arrays
-    val sigs = e.select(col("vec_id"), signBits(col("embedding")).as("sig"))
+    val sigs = signatures(e)
     val bands = sigs.select(col("vec_id"), posexplode(
       array((0 until BandsCount).map(b =>
         shiftright(col("sig"), BitsPerBand * b)
@@ -199,14 +234,18 @@ object Similarity {
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    val ev = e.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
+    // pre-normalize once per vector so the million-pair hot path is a
+    // bare 64-term dot: with dot/(na*nb) inline, the pushed-down
+    // threshold filter duplicated the full expression and the doubled
+    // stage fell out of efficient codegen (5.7 s vs 0.7 s measured)
+    val ev = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => x.cast("double") / norm(col("embedding"))).as("nv"))
     pairs
       .join(ev.as("x"), col("vec_a") === col("x.vec_id"))
       .join(ev.as("y"), col("vec_b") === col("y.vec_id"))
       .select(col("vec_a"), col("vec_b"),
-        floor(dot(col("x.embedding"), col("y.embedding")) /
-          (col("x.nrm") * col("y.nrm")) * 1e6).cast("long").as("cos_ppm"))
+        floor(dot(col("x.nv"), col("y.nv")) * 1e6).cast("long").as("cos_ppm"))
       .filter(col("cos_ppm") >= NearDupPpm)
   }
 
@@ -221,15 +260,17 @@ object Similarity {
       .mkString(" + ")
     val bandVals = (0 until BandsCount).map(b =>
       s"($b, (sig >> ${BitsPerBand * b}) & ${(1 << BitsPerBand) - 1})").mkString(", ")
+    val dotNv = dotSql("na", "nb")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |sg AS (SELECT vec_id, v, CAST($sig AS BIGINT) AS sig FROM e),
-       |band AS (SELECT vec_id, v, u.band, u.nib
+       |nrm AS (SELECT vec_id, v, list_transform(v, x -> x / ${normSql("v")}) AS nv FROM e),
+       |sg AS (SELECT vec_id, nv, CAST($sig AS BIGINT) AS sig FROM nrm),
+       |band AS (SELECT vec_id, nv, u.band, u.nib
        |         FROM sg, LATERAL (SELECT * FROM (VALUES $bandVals) t(band, nib)) u),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |                a.v AS va, b.v AS vb
+       |                a.nv AS na, b.nv AS nb
        |         FROM band a JOIN band b
        |           ON a.band = b.band AND a.nib = b.nib AND a.vec_id < b.vec_id)
-       |SELECT vec_a, vec_b, ${cosPpmSql("va", "vb")} AS cos_ppm
-       |FROM cand WHERE ${cosPpmSql("va", "vb")} >= $NearDupPpm""".stripMargin
+       |SELECT vec_a, vec_b, CAST(floor($dotNv * 1e6) AS BIGINT) AS cos_ppm
+       |FROM cand WHERE CAST(floor($dotNv * 1e6) AS BIGINT) >= $NearDupPpm""".stripMargin
   }
 }

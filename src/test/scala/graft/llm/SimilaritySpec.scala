@@ -43,6 +43,16 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(_ >= Similarity.NearDupPpm))
   }
 
+  test("mapPartitions signatures equal the Catalyst signBits expression") {
+    val e = graft.Tables.embeddings(spark, Sf)
+    val viaLoop = Similarity.signatures(e)
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = e.select(col("vec_id"),
+        Similarity.signBits(col("embedding")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaLoop == viaExpr)
+  }
+
   test("plane weights are ±1 and deterministic") {
     val w = for (j <- 0 until Similarity.Planes; d <- 0 until Similarity.Dim)
       yield Similarity.planeWeight(j, d)
