@@ -55,7 +55,6 @@ object ProductStats {
         col("click_ct"), col("order_ct"), col("order_sku_num"),
         col("order_amount"), col("refund_order_ct"), col("refund_amount"),
         col("good_comment_ct"))
-      .orderBy("stt", "sku_id")
   }
 
   val oracle: String =
@@ -73,6 +72,5 @@ object ProductStats {
       |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS refund_amount,
       |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS good_comment_ct
       |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |GROUP BY 1, 2, 3, 4
-      |ORDER BY stt, sku_id""".stripMargin
+      |GROUP BY 1, 2, 3, 4""".stripMargin
 }

@@ -37,7 +37,6 @@ object ProvinceStats {
       .agg(
         countDistinct(col("o_orderkey")).as("order_ct"),
         sumMoney(col("o_totalprice")).as("order_amount"))
-      .orderBy("stt", "province_id")
   }
 
   val oracle: String =
@@ -49,6 +48,5 @@ object ProvinceStats {
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation   ON c_nationkey = n_nationkey
-      |GROUP BY 1, 2, 3
-      |ORDER BY stt, province_id""".stripMargin
+      |GROUP BY 1, 2, 3""".stripMargin
 }

@@ -60,7 +60,6 @@ object VisitorStats {
         sum(col("sv")).as("sv_ct"),
         sum(col("uj")).as("uj_ct"),
         sumMoney(col("value")).as("dur_sum"))
-      .orderBy("stt", "ar", "ch")
   }
 
   val oracle: String =
@@ -85,6 +84,5 @@ object VisitorStats {
       |                THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dur_sum
       |FROM flagged
-      |GROUP BY 1, 2, 3
-      |ORDER BY stt, ar, ch""".stripMargin
+      |GROUP BY 1, 2, 3""".stripMargin
 }
