@@ -37,6 +37,9 @@ object SparkEntry {
     "q_dws_keyword_stats"  -> (dws.KeywordStats(_, _)),
     "q_dws_keyword_c2r"    -> (dws.KeywordStats.productC2R(_, _)),
     "q_dws_province_stats" -> (dws.ProvinceStats(_, _)),
+    // approximate-distinct bench variant (rows-only check; HLL estimates
+    // are not oracle-comparable)
+    "q_dws_product_stats_approx" -> (dws.ProductStats.approx(_, _)),
     // ADS — the dashboard query surface (§2.7)
     "q_ads_gmv_day"          -> (ads.Queries.gmvDay(_, _)),
     "q_ads_top_trademark"    -> (ads.Queries.topTrademark(_, _)),

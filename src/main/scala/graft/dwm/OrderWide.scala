@@ -69,30 +69,56 @@ object OrderWide {
        |  ON o_orderkey = l_orderkey
        | AND abs(epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) <= $ShipBoundMs""".stripMargin
 
-  /** J3: order_wide enriched with 4 broadcast dims + derived age (the
-    * reference derives age from BIRTHDAY, OrderWideApp2.java:199-216;
-    * customer has no birthday so age is a deterministic function of the
-    * user key — same operator shape, reproducible oracle). */
+  /** J3: order_wide enriched with SIX independent dimension joins —
+    * user, province, sku, spu, category3, trademark — mirroring the
+    * reference's six chained async enrichments
+    * (OrderWideApp2.java:190-322). category3/trademark are standalone
+    * dim tables derived from the sku dim's attributes (the star-schema
+    * mapping has no separate files for them), each with its own
+    * deterministic surrogate key and its own broadcast join, so all
+    * six joins exist as genuine plan nodes. Derived age: the reference
+    * computes it from BIRTHDAY (:199-216); customer has no birthday so
+    * age is a deterministic function of the user key — same operator
+    * shape, reproducible oracle. */
   def withDims(spark: SparkSession, dir: String): DataFrame = {
     val ow = wide(spark, dir)
     val c  = Tables.customer(spark, dir)
     val n  = Tables.nation(spark, dir)
     val p  = Tables.part(spark, dir)
     val s  = Tables.supplier(spark, dir)
+    // standalone category3/trademark dims with md5-derived surrogate ids
+    val cat3 = p.select(col("p_type").as("c3_name")).distinct()
+      .withColumn("c3_id",
+        expr("CAST(conv(substring(md5(c3_name), 1, 12), 16, 10) AS BIGINT)"))
+    val tm = p.select(col("p_brand").as("tm_name")).distinct()
+      .withColumn("tm_key",
+        expr("CAST(conv(substring(md5(tm_name), 1, 12), 16, 10) AS BIGINT)"))
 
     ow.join(c, col("user_id") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(p), col("sku_id") === p("p_partkey"))
       .join(broadcast(s), col("supp_id") === s("s_suppkey"))
+      .join(broadcast(cat3), p("p_type") === cat3("c3_name"))
+      .join(broadcast(tm), p("p_brand") === tm("tm_name"))
       .select(
         col("order_id"), col("detail_id"), col("user_id"),
         (lit(18) + col("user_id") % 50).cast("int").as("user_age"),
         col("n_nationkey").cast("int").as("province_id"),
         col("n_name").as("province_name"),
         col("sku_id"), col("p_name").as("sku_name"),
-        col("p_brand").as("tm_id"), col("p_type").as("category3_name"),
+        col("tm_key").as("tm_id"), col("tm_name"),
+        col("c3_id").as("category3_id"), col("c3_name").as("category3_name"),
         col("s_name").as("spu_name"),
         col("split_total_amount"))
+  }
+
+  /** DuckDB lacks conv(); the surrogate ids are rebuilt from md5 hex
+    * nibbles (same 48-bit value). */
+  private def hexIdSql(arg: String): String = {
+    val nib = (1 to 12).map(k =>
+      s"(instr('0123456789abcdef', substr(md5($arg), $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
+      .mkString(" + ")
+    s"CAST($nib AS BIGINT)"
   }
 
   val withDimsOracle: String =
@@ -104,7 +130,9 @@ object OrderWide {
        |       n_name AS province_name,
        |       l_partkey AS sku_id,
        |       p_name AS sku_name,
-       |       p_brand AS tm_id,
+       |       ${hexIdSql("p_brand")} AS tm_id,
+       |       p_brand AS tm_name,
+       |       ${hexIdSql("p_type")} AS category3_id,
        |       p_type AS category3_name,
        |       s_name AS spu_name,
        |       CAST(l_extendedprice AS DECIMAL(18,2)) AS split_total_amount

@@ -57,6 +57,26 @@ object ProductStats {
         col("good_comment_ct"))
   }
 
+  /** Bench-mode variant for the 100-TB distinct-count hazard (SURVEY
+    * §7.5): exact windowed countDistinct carries (window, sku, order)
+    * triples through a double shuffle; approx_count_distinct (HLL++)
+    * keeps one sketch per group — same query shape, rows-only checked
+    * (the estimate is not oracle-comparable). */
+  def approx(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    Tables.lineitem(spark, dir)
+      .groupBy(
+        tumbleStart(col("l_shipdate"), 10).as("stt"),
+        col("l_partkey").as("sku_id"))
+      .agg(
+        count(lit(1)).as("click_ct"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("order_ct"),
+        sumMoney(col("l_extendedprice")).as("order_amount"))
+      .join(broadcast(p), col("sku_id") === p("p_partkey"))
+      .select(col("stt"), col("sku_id"), col("p_name").as("sku_name"),
+        col("click_ct"), col("order_ct"), col("order_amount"))
+  }
+
   val oracle: String =
     """SELECT CAST(floor(epoch(l_shipdate)/10)*10 AS BIGINT) AS stt,
       |       l_partkey AS sku_id,

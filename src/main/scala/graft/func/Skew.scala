@@ -1,0 +1,35 @@
+package graft.func
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for hot-key joins at 100 TB.
+  *
+  * AQE's skew-join split handles most cases at runtime; explicit
+  * salting remains the tool when ONE key dominates so heavily that even
+  * split partitions of it overwhelm executors (e.g. the null/default
+  * key of a fact table, or a viral item id). The pattern: spread the
+  * fact side across `buckets` salt values derived deterministically
+  * from a high-cardinality column, replicate the (small) build side
+  * once per salt value, and join on (key, salt) — the hot key's rows
+  * land on `buckets` reducers instead of one.
+  */
+object Skew {
+  /** Salted equi-join of a skewed fact against a replicable dim.
+    *
+    * @param saltFrom high-cardinality fact column that spreads the hot
+    *                 key's rows (e.g. a row id); deterministic, so the
+    *                 join result is reproducible
+    * @param buckets  salt fan-out (= max reducers per hot key)
+    */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, saltFrom: Column, buckets: Int): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(hash(saltFrom), lit(buckets)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated,
+        salted(factKey) === replicated(dimKey) &&
+        salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+}
