@@ -59,6 +59,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.agg(sum("pv_ct")).as[Long].head() == fixture.size)
   }
 
+  test("file-source events stream: UV dedup set matches the batch operator") {
+    val q = StreamJobs.uvDedup(StreamJobs.eventsStream(spark, Sf))
+      .writeStream.format("memory").queryName("uv_file_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("uv_file_out")
+      .select(col("mid"), col("dt").cast("string"))
+      .as[(Long, String)].collect().toSet
+    val batch = graft.dwm.UniqueVisit(spark, Sf)
+      .select(col("mid"), col("dt")).as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming session bounces agree with the batch lag/lead operator") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[Ev]
