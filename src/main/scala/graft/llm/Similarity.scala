@@ -39,19 +39,27 @@ object Similarity {
   /** Near-dup cosine threshold, ppm. */
   val NearDupPpm = 350000L
 
-  /** Left-fold dot product of two float-array columns, in double.
-    * Unrolled over the fixed Dim rather than `aggregate(zip_with(...))`:
-    * higher-order functions evaluate interpreted (off the codegen
-    * path), which benchmarked 40 µs/row; the unrolled `element_at`
-    * chain is whole-stage-codegen'd and sums in the identical
-    * left-associative IEEE order, so oracle doubles stay bit-equal. */
+  /** Dot product via the native [[graft.expr.VecDot]] expression: a
+    * compact generated loop instead of an interpreted HOF fold
+    * (~40 µs/row) or a width-dependent unrolled tree. Same
+    * ascending-index IEEE fold, so oracle doubles stay bit-equal
+    * (parity-tested against [[dotUnrolled]]). */
   def dot(a: Column, b: Column): Column =
+    graft.expr.GraftFunctions.vecDot(a, b)
+
+  /** L2 norm via native [[graft.expr.VecNorm]]. */
+  def norm(a: Column): Column =
+    graft.expr.GraftFunctions.vecNorm(a)
+
+  /** Unrolled element_at reference implementations — the IEEE-order
+    * specification the native expressions must match (kept for the
+    * parity tests). */
+  def dotUnrolled(a: Column, b: Column): Column =
     (1 to Dim).map(i =>
       element_at(a, i).cast("double") * element_at(b, i).cast("double"))
       .reduceLeft(_ + _)
 
-  /** Unrolled L2 norm (same codegen rationale as [[dot]]). */
-  def norm(a: Column): Column = {
+  def normUnrolled(a: Column): Column = {
     val sq = (1 to Dim).map { i =>
       val x = element_at(a, i).cast("double"); x * x
     }

@@ -43,6 +43,33 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(_ >= Similarity.NearDupPpm))
   }
 
+  test("native VecDot/VecNorm are bit-equal to the unrolled IEEE spec") {
+    val e = graft.Tables.embeddings(spark, Sf)
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id") && col("a.vec_id") % 7 === 0)
+      .select(col("a.embedding").as("x"), col("b.embedding").as("y"))
+    val diff = pairs.select(
+        Similarity.dot(col("x"), col("y")).as("n"),
+        Similarity.dotUnrolled(col("x"), col("y")).as("u"),
+        Similarity.norm(col("x")).as("nn"),
+        Similarity.normUnrolled(col("x")).as("un"))
+      .filter(col("n") =!= col("u") || col("nn") =!= col("un"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("vec_dot / vec_norm register as SQL functions via install") {
+    graft.expr.GraftFunctions.install(spark)
+    graft.Tables.embeddings(spark, Sf).limit(5)
+      .createOrReplaceTempView("emb_sql_test")
+    val r = spark.sql(
+      """SELECT vec_dot(embedding, embedding) AS d,
+        |       vec_norm(embedding) AS n FROM emb_sql_test""".stripMargin)
+      .as[(Double, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (d, n) => assert(math.abs(math.sqrt(d) - n) < 1e-9) }
+  }
+
   test("mapPartitions signatures equal the Catalyst signBits expression") {
     val e = graft.Tables.embeddings(spark, Sf)
     val viaLoop = Similarity.signatures(e)
