@@ -99,10 +99,34 @@ object Dedup {
       .withColumn("h", col("h").cast("int"))
   }
 
+  /** Tokenizer-equivalent plain-Scala tokens (Locale.ROOT lower-case,
+    * ASCII-safe — matches Spark's locale-independent `lower`). */
+  private def tokensOf(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** (doc_id, shingles[]) via a typed map: the Column-expression
+    * version (`transform` + `slice` higher-order functions) runs
+    * interpreted with O(tokens²) copying per doc — the dominant cost
+    * of the whole dedup family before this. Shingle SET semantics are
+    * identical (distinct 3-grams in first-occurrence order). */
+  def shingleSets(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val toks = tokensOf(t)
+        val sh =
+          if (toks.length >= 3)
+            toks.sliding(3).map(_.mkString(" ")).toArray.distinct
+          else Array.empty[String]
+        (id, sh)
+      }).toDF("doc_id", "shingles")
+  }
+
   /** Wide signature frame: doc_id, h0..h{K-1} (BIGINT minhashes). */
   private def signaturesWide(docs: DataFrame): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val exploded = shingleSets(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
       // one md5 per shingle; 12 hex chars = 48 bits, exact in a LONG
       .withColumn("x",
         expr("CAST(conv(substring(md5(sh), 1, 12), 16, 10) AS BIGINT)"))
@@ -153,7 +177,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val shl = docs.select(col("doc_id"), shingles(col("text")).as("shingles"))
+    val shl = shingleSets(docs)
     cands
       .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
