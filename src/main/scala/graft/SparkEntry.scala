@@ -56,6 +56,7 @@ object SparkEntry {
     "q_llm_exact_dedup"     -> (llm.Dedup.exact(_, _)),
     "q_llm_minhash_sig"     -> (llm.Dedup.minhashSignatures(_, _)),
     "q_llm_lsh_dups"        -> (llm.Dedup.lshDuplicates(_, _)),
+    "q_llm_dedup_keeplist"  -> (llm.Dedup.keepList(_, _)),
     "q_llm_simhash"         -> (llm.Dedup.simhash(_, _)),
     "q_llm_simhash_dups"    -> (llm.Dedup.simhashDuplicates(_, _)),
     "q_llm_ann_topk"        -> (llm.Similarity.bruteTopK(_, _)),
@@ -104,6 +105,7 @@ object SparkEntry {
     "q_llm_exact_dedup"     -> llm.Dedup.exactOracle,
     "q_llm_minhash_sig"     -> llm.Dedup.minhashOracle,
     "q_llm_lsh_dups"        -> llm.Dedup.lshOracle,
+    "q_llm_dedup_keeplist"  -> llm.Dedup.keepListOracle,
     "q_llm_simhash"         -> llm.Dedup.simhashOracle,
     "q_llm_simhash_dups"    -> llm.Dedup.simhashDupOracle,
     "q_llm_ann_topk"        -> llm.Similarity.bruteTopKOracle,

@@ -213,6 +213,35 @@ object Dedup {
        |FROM jac WHERE (1000000 * i_ct) // u_ct >= $JaccardPpmThreshold""".stripMargin
   }
 
+  /** End-to-end corpus dedup: every document, flagged kept/dropped by
+    * the MinHash-LSH verdicts — greedy keep-smallest-id within each
+    * duplicate pair (a left anti join against the dropped-id set; the
+    * transitive-closure variant would iterate min-id propagation, but
+    * pairwise-greedy matches what a streaming ingest pipeline does).
+    * One broadcast-or-shuffle anti join over the verdicts — the pair
+    * set is tiny relative to the corpus at any scale. */
+  def keepList(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = lshDuplicates(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(dropped.withColumn("dropped", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("dropped").isNotNull, 0).otherwise(1).cast("int").as("kept"))
+  }
+
+  val keepListOracle: String = {
+    // the full LSH pipeline as a CTE chain, reduced to the dropped-id set
+    val inner = lshOracle.replace("\n", "\n  ")
+    s"""WITH dropped AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (
+       |  $inner
+       |  ) p)
+       |SELECT d.doc_id, d.lang, d.source,
+       |       CAST(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id""".stripMargin
+  }
+
   // ---- SimHash ----------------------------------------------------
 
   /** SimHash width in bits; each bit j comes from the j-th hex nibble's
