@@ -58,6 +58,38 @@ object StreamJobs {
       .select(col("window.start").as("stt"), col("ar"), col("ch"),
         col("pv_ct"), col("dur_sum"))
 
+  /** T1 streaming: new/old-visitor flag repair with explicit keyed
+    * state — `flatMapGroupsWithState` holding the first-seen date per
+    * mid, the direct translation of the reference's `ValueState`
+    * (BaseLogApp2.java:73-113). Batches are processed in arrival
+    * order (within a batch, events are sorted by event time), so a
+    * record claims is_new=1 only while its day matches the earliest
+    * day the state has seen — the streaming twin of the batch
+    * min-date-over-window formulation. */
+  def isNewRepair(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    case class In(event_id: Long, user_id: Long, dt: java.sql.Date)
+    val typed = events
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("dt"))
+      .as[(Long, Long, java.sql.Date)]
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState[String, (Long, Long, String, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (mid, rows, state: GroupState[String]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3.toString, r._1))
+          sorted.iterator.map { case (eventId, _, dt) =>
+            val day = dt.toString
+            val first = state.getOption.getOrElse {
+              state.update(day); day
+            }
+            val firstDay = if (day < first) { state.update(day); day } else first
+            (eventId, mid, day, if (day == firstDay) 1 else 0)
+          }
+      }
+      .toDF("event_id", "mid", "dt", "is_new")
+  }
+
   /** T3 streaming: bounce = session with exactly one event. The same
     * expression runs in batch, where it must agree with the lag/lead
     * JumpDetect formulation (asserted in tests). */

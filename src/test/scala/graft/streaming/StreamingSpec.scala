@@ -74,6 +74,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("flatMapGroupsWithState is_new repair matches the batch window form") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = StreamJobs.isNewRepair(src.toDF())
+      .writeStream.format("memory").queryName("inr_out")
+      .outputMode("append").start()
+    src.addData(fixture: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("inr_out")
+      .select("event_id", "is_new").as[(Long, Int)].collect().toMap
+    // mid 1 first seen 2021-03-21: events 1,2,3 that day are new, 5 (next
+    // day) is not; mid 2's only event is new
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1, 5L -> 0))
+  }
+
   test("streaming session bounces agree with the batch lag/lead operator") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[Ev]
