@@ -121,8 +121,14 @@ object TextAnalysis {
        |       (stop_ppm + mean_len_ppm // 10 + len_ok) // 3 AS quality_ppm
        |FROM r""".stripMargin
 
-  /** Token counting: regex word tokens, whitespace tokens, distinct
-    * tokens, type-token ratio (ppm) — per doc. */
+  /** BPE-ish pre-tokenizer pattern (GPT-2 style, lower-case corpus):
+    * letter runs, digit runs, punctuation runs, each with optional
+    * leading space. Counting its matches approximates subword token
+    * budget before merges. */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Token counting: regex word tokens, whitespace tokens, BPE-ish
+    * pre-tokens, distinct tokens, type-token ratio (ppm) — per doc. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tokenizer.tokens(col("text"))
     Tables.documents(spark, dir)
@@ -130,17 +136,21 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars"),
         size(toks).cast("long").as("n_tokens"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        regexp_count(lower(col("text")), lit(BpePattern)).cast("long")
+          .as("n_bpe_tokens"),
         size(array_distinct(toks)).cast("long").as("n_types"))
       .withColumn("ttr_ppm", expr("(1000000 * n_types) DIV n_tokens"))
   }
 
   val tokenStatsOracle: String =
     s"""WITH t AS (SELECT doc_id, strlen(text) AS n_chars, $toksSql AS toks,
-       |             string_split_regex(trim(text), '\\s+') AS ws
+       |             string_split_regex(trim(text), '\\s+') AS ws,
+       |             len(regexp_extract_all(lower(text), '$BpePattern')) AS n_bpe
        |           FROM documents)
        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
        |       CAST(len(toks) AS BIGINT) AS n_tokens,
        |       CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+       |       CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
        |       (1000000 * CAST(len(list_distinct(toks)) AS BIGINT)) // len(toks) AS ttr_ppm
        |FROM t""".stripMargin
@@ -151,22 +161,40 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     fingerprintOf(Tables.documents(spark, dir))
 
-  /** [[fingerprint]] over any (doc_id, text) frame — public for tests. */
+  /** [[fingerprint]] over any (doc_id, text) frame — public for tests.
+    * `roll_fp` is a winnowing-style rolling fingerprint: the minimum
+    * 48-bit hash over all character 8-grams — stable under small edits
+    * anywhere outside the minimizing window (the batch analog of a
+    * rolling-hash document sketch). */
   def fingerprintOf(docs: DataFrame): DataFrame = {
     val toks = Tokenizer.tokens(col("text"))
+    def gramHash(g: Column): Column =
+      conv(substring(md5(g), 1, 12), 16, 10).cast("long")
+    val rollFp = when(length(col("text")) >= 8,
+      array_min(transform(sequence(lit(1), length(col("text")) - 7),
+        i => gramHash(col("text").substr(i, lit(8))))))
     docs
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("text"),
         md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp"))
+      .withColumn("roll_fp", rollFp)
       .withColumn("fp_bucket",
         expr("CAST(conv(substring(fp, 1, 4), 16, 10) AS BIGINT) % 256"))
+      .drop("text")
   }
 
   val fingerprintOracle: String = {
     // portable hex-nibble → int (both engines agree on instr/strpos)
-    s"""WITH t AS (SELECT doc_id,
+    val gramNum = (1 to 12)
+      .map(k => s"(instr('0123456789abcdef', substr(md5(substr(text, i, 8)), $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, text,
        |             md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
        |           FROM documents)
        |SELECT doc_id, fp,
+       |       CASE WHEN strlen(text) >= 8 THEN
+       |         list_min(list_transform(range(1, strlen(text) - 6),
+       |           i -> CAST($gramNum AS BIGINT)))
+       |       END AS roll_fp,
        |       ((instr('0123456789abcdef', fp[1]) - 1) * 4096
        |      + (instr('0123456789abcdef', fp[2]) - 1) * 256
        |      + (instr('0123456789abcdef', fp[3]) - 1) * 16
