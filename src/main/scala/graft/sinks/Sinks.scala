@@ -48,6 +48,21 @@ object Sinks {
       path: String): Unit =
     df.drop(transientCols: _*).write.mode("overwrite").parquet(path)
 
+  /** Bucketed table write: pre-shuffles once at write time so later
+    * equi-joins and aggregations on `bucketCols` are co-located — no
+    * Exchange at read time. The 100-TB pattern for fact↔fact joins
+    * that repeat every run (e.g. orders×lineitem on the order key):
+    * pay the shuffle once, amortize it across every downstream query.
+    * (Parquet + catalog table; `sortBy` keeps bucket files
+    * merge-join-friendly.) */
+  def writeBucketed(df: DataFrame, bucketCols: Seq[String], buckets: Int,
+      table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K5: stats re-publish — the same frame written to its primary
     * store AND re-published for downstream SQL consumers (reference
     * app/dws2/ProductStatsApp.java:421-424). The input is computed

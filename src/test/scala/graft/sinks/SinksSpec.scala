@@ -53,6 +53,29 @@ class SinksSpec extends SparkSpec {
     assert(p == r && p.size == 2)
   }
 
+  test("co-bucketed tables join without a shuffle exchange") {
+    val o = graft.Tables.orders(spark, Sf)
+      .select("o_orderkey", "o_totalprice")
+    val l = graft.Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_extendedprice")
+    Sinks.writeBucketed(o, Seq("o_orderkey"), 8, "b_orders")
+    Sinks.writeBucketed(l, Seq("l_orderkey"), 8, "b_lineitem")
+    try {
+      // disable auto-broadcast so the join would otherwise shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("writeDropTransient removes helper columns at the sink boundary") {
     val path = tmp() + "/stats"
     val d = Seq((1L, "keep", "scratch")).toDF("id", "v", "tmp")
