@@ -28,7 +28,13 @@ import graft.func.Exprs._
   * GmallConstant.java:23).
   */
 object ProductStats {
-  /** Pre-dim aggregate keyed by (window, sku). */
+  /** Pre-dim aggregate keyed by (window, sku) — the full 13-metric
+    * ProductStats shape (app/bean2/ProductStats.java:24-91), each
+    * reference metric mapped onto a lineitem column/flag:
+    * click↔line count, favor↔returnflag 'A', cart↔quantity of 'N'
+    * lines, order_ct↔exact distinct orders, payment↔discounted
+    * amount, paid_order_ct↔distinct 'F' orders, refund↔'R' lines,
+    * comment↔high-tax lines, good_comment↔'F' lines. */
   def aggregated(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(
@@ -36,12 +42,25 @@ object ProductStats {
         col("l_partkey").as("sku_id"))
       .agg(
         count(lit(1)).as("click_ct"),
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("favor_ct"),
+        sum(when(col("l_returnflag") === "N", money(col("l_quantity")))
+          .otherwise(money(lit(0)))).cast("decimal(38,2)").as("cart_ct"),
         countDistinct(col("l_orderkey")).as("order_ct"),
         sum(money(col("l_quantity"))).cast("decimal(38,2)").as("order_sku_num"),
         sumMoney(col("l_extendedprice")).as("order_amount"),
+        // exact decimal arithmetic at scale 4 — a double->decimal(2)
+        // cast here hits half-cent ties (price x round discount) that
+        // Spark (HALF_UP) and DuckDB round differently
+        sum(money(col("l_extendedprice")) *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(4,2)") -
+             col("l_discount").cast("decimal(4,2)")))
+          .cast("decimal(38,4)").as("payment_amount"),
+        countDistinct(when(col("l_linestatus") === "F", col("l_orderkey")))
+          .as("paid_order_ct"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("refund_order_ct"),
         sum(when(col("l_returnflag") === "R", money(col("l_extendedprice")))
           .otherwise(money(lit(0)))).cast("decimal(38,2)").as("refund_amount"),
+        sum(when(col("l_tax") > 0.05, 1L).otherwise(0L)).as("comment_ct"),
         sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("good_comment_ct"))
 
   /** A2 + J4: aggregate, then broadcast-join the sku dim. */
@@ -52,9 +71,11 @@ object ProductStats {
       .select(
         col("stt"), col("sku_id"),
         col("p_name").as("sku_name"), col("p_brand").as("tm_id"),
-        col("click_ct"), col("order_ct"), col("order_sku_num"),
-        col("order_amount"), col("refund_order_ct"), col("refund_amount"),
-        col("good_comment_ct"))
+        col("click_ct"), col("favor_ct"), col("cart_ct"),
+        col("order_ct"), col("order_sku_num"), col("order_amount"),
+        col("payment_amount"), col("paid_order_ct"),
+        col("refund_order_ct"), col("refund_amount"),
+        col("comment_ct"), col("good_comment_ct"))
   }
 
   /** Bench-mode variant for the 100-TB distinct-count hazard (SURVEY
@@ -83,13 +104,20 @@ object ProductStats {
       |       p_name AS sku_name,
       |       p_brand AS tm_id,
       |       count(*) AS click_ct,
+      |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS favor_ct,
+      |       CAST(sum(CASE WHEN l_returnflag = 'N'
+      |                     THEN CAST(l_quantity AS DECIMAL(18,2))
+      |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS cart_ct,
       |       count(DISTINCT l_orderkey) AS order_ct,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_sku_num,
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS payment_amount,
+      |       count(DISTINCT CASE WHEN l_linestatus = 'F' THEN l_orderkey END) AS paid_order_ct,
       |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS refund_order_ct,
       |       CAST(sum(CASE WHEN l_returnflag = 'R'
       |                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
       |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS refund_amount,
+      |       CAST(sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS comment_ct,
       |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS good_comment_ct
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1, 2, 3, 4""".stripMargin
