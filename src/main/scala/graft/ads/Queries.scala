@@ -24,12 +24,12 @@ object Queries {
   def gmvDay(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(date_format(col("o_orderdate"), "yyyyMMdd").as("dt"))
-      .agg(sumMoney(col("o_totalprice")).as("order_amount"))
+      .agg(sumCents(col("o_totalprice")).as("order_amount_cents"))
       .orderBy("dt")
 
   val gmvDayOracle: String =
     """SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS order_amount_cents
       |FROM orders GROUP BY 1 ORDER BY dt""".stripMargin
 
   /** Q2: top-N trademarks by amount (having sum>0, desc, limit —
@@ -37,60 +37,60 @@ object Queries {
   def topTrademark(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      .join(p, col("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand").as("tm_id"))
-      .agg(sumMoney(col("l_extendedprice")).as("order_amount"))
-      .filter(col("order_amount") > 0)
-      .orderBy(col("order_amount").desc, col("tm_id"))
+      .agg(sumCents(col("l_extendedprice")).as("order_amount_cents"))
+      .filter(col("order_amount_cents") > 0)
+      .orderBy(col("order_amount_cents").desc, col("tm_id"))
       .limit(10)
   }
 
   val topTrademarkOracle: String =
     """SELECT p_brand AS tm_id,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS order_amount_cents
       |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |GROUP BY 1 HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) > 0
-      |ORDER BY order_amount DESC, tm_id LIMIT 10""".stripMargin
+      |GROUP BY 1 HAVING sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) > 0
+      |ORDER BY order_amount_cents DESC, tm_id LIMIT 10""".stripMargin
 
   /** Q3: top-N category3 (ProductStatsMapper.java:33-36). ↔ p_type. */
   def topCategory(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      .join(p, col("l_partkey") === p("p_partkey"))
       .groupBy(col("p_type").as("category3_name"))
-      .agg(sumMoney(col("l_extendedprice")).as("order_amount"))
-      .filter(col("order_amount") > 0)
-      .orderBy(col("order_amount").desc, col("category3_name"))
+      .agg(sumCents(col("l_extendedprice")).as("order_amount_cents"))
+      .filter(col("order_amount_cents") > 0)
+      .orderBy(col("order_amount_cents").desc, col("category3_name"))
       .limit(10)
   }
 
   val topCategoryOracle: String =
     """SELECT p_type AS category3_name,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS order_amount_cents
       |FROM lineitem JOIN part ON l_partkey = p_partkey
-      |GROUP BY 1 HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) > 0
-      |ORDER BY order_amount DESC, category3_name LIMIT 10""".stripMargin
+      |GROUP BY 1 HAVING sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) > 0
+      |ORDER BY order_amount_cents DESC, category3_name LIMIT 10""".stripMargin
 
   /** Q4: top-N SPU with amount + order count
     * (ProductStatsMapper.java:42-45). spu ↔ supplier. */
   def topSpu(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.supplier(spark, dir)
     Tables.lineitem(spark, dir)
-      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .join(s, col("l_suppkey") === s("s_suppkey"))
       .groupBy(col("s_name").as("spu_name"))
       .agg(
-        sumMoney(col("l_extendedprice")).as("order_amount"),
+        sumCents(col("l_extendedprice")).as("order_amount_cents"),
         countDistinct(col("l_orderkey")).as("order_ct"))
-      .orderBy(col("order_amount").desc, col("spu_name"))
+      .orderBy(col("order_amount_cents").desc, col("spu_name"))
       .limit(10)
   }
 
   val topSpuOracle: String =
     """SELECT s_name AS spu_name,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount,
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS order_amount_cents,
       |       count(DISTINCT l_orderkey) AS order_ct
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      |GROUP BY 1 ORDER BY order_amount DESC, spu_name LIMIT 10""".stripMargin
+      |GROUP BY 1 ORDER BY order_amount_cents DESC, spu_name LIMIT 10""".stripMargin
 
   /** Q5: visitor stats by new-visitor flag (VisitorStatsMapper.java:14-16);
     * is_new derived per the T1 repair. */
@@ -105,7 +105,7 @@ object Queries {
       .agg(
         count(lit(1)).as("pv_ct"),
         countDistinct(col("user_id")).as("uv_ct"),
-        sumMoney(col("value")).as("dur_sum"))
+        sumCents(col("value")).as("dur_sum_cents"))
       .orderBy("is_new")
   }
 
@@ -116,7 +116,7 @@ object Queries {
       |           THEN 1 ELSE 0 END AS INTEGER) AS is_new
       |  FROM events)
       |SELECT is_new, count(*) AS pv_ct, count(DISTINCT user_id) AS uv_ct,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dur_sum
+      |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS dur_sum_cents
       |FROM t GROUP BY 1 ORDER BY is_new""".stripMargin
 
   /** Q6: hourly visitor curve with conditional aggregation
@@ -127,14 +127,14 @@ object Queries {
       .agg(
         sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("new_uv"),
         count(lit(1)).as("pv_ct"),
-        sumMoney(col("value")).as("dur_sum"))
+        sumCents(col("value")).as("dur_sum_cents"))
       .orderBy("hr")
 
   val hourlyCurveOracle: String =
     """SELECT CAST(hour(ts) AS INTEGER) AS hr,
       |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS new_uv,
       |       count(*) AS pv_ct,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dur_sum
+      |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS dur_sum_cents
       |FROM events GROUP BY 1 ORDER BY hr""".stripMargin
 
   /** Q7: weighted keyword ranking — sum(ct × multiIf(source…))
@@ -183,14 +183,14 @@ object Queries {
       .groupBy(
         col("n_nationkey").cast("int").as("province_id"),
         col("n_name").as("province_name"))
-      .agg(sumMoney(col("o_totalprice")).as("order_amount"))
+      .agg(sumCents(col("o_totalprice")).as("order_amount_cents"))
       .orderBy("province_id")
   }
 
   val provinceMapOracle: String =
     """SELECT CAST(n_nationkey AS INTEGER) AS province_id,
       |       n_name AS province_name,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS order_amount_cents
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey

@@ -78,9 +78,10 @@ object CdcEnvelope {
         when(valid, normOp).otherwise("rejected").as("op_type"))
       .agg(
         count(lit(1)).as("row_ct"),
-        sum(when(valid, col("payload.total_amount").cast(DecimalType(18, 2)))
-          .otherwise(lit(null).cast(DecimalType(18, 2))))
-          .cast(DecimalType(38, 2)).as("amount_sum"))
+        sum(when(valid,
+            (col("payload.total_amount").cast(DecimalType(18, 2)) * 100)
+              .cast("long"))
+          .otherwise(lit(null).cast("long"))).as("amount_sum_cents"))
   }
 
   val oracle: String =
@@ -90,17 +91,17 @@ object CdcEnvelope {
       |              WHEN o_orderkey % 2 = 0 THEN 'insert'
       |              ELSE 'update' END AS op,
       |         o_orderkey % 97 = 0 AS short_data,
-      |         CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amount_cents
       |  FROM orders),
       |flagged AS (
       |  SELECT tbl IS NOT NULL AND NOT short_data AS valid,
       |         tbl, CASE WHEN op = 'bootstrap-insert' THEN 'insert' ELSE op END AS norm_op,
-      |         amount
+      |         amount_cents
       |  FROM env)
       |SELECT CASE WHEN valid THEN tbl ELSE '_malformed' END AS sink_table,
       |       CASE WHEN valid THEN norm_op ELSE 'rejected' END AS op_type,
       |       count(*) AS row_ct,
-      |       CAST(sum(CASE WHEN valid THEN amount END) AS DECIMAL(38,2)) AS amount_sum
+      |       CAST(sum(CASE WHEN valid THEN amount_cents END) AS BIGINT) AS amount_sum_cents
       |FROM flagged
       |GROUP BY 1, 2""".stripMargin
 }

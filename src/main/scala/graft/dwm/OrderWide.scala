@@ -46,9 +46,9 @@ object OrderWide {
         col("o_custkey").as("user_id"),
         col("l_partkey").as("sku_id"),
         col("l_suppkey").as("supp_id"),
-        money(col("l_quantity")).as("sku_num"),
-        money(col("l_extendedprice")).as("split_total_amount"),
-        money(col("o_totalprice")).as("total_amount"),
+        cents(col("l_quantity")).as("sku_num_x100"),
+        cents(col("l_extendedprice")).as("split_total_amount_cents"),
+        cents(col("o_totalprice")).as("total_amount_cents"),
         epochMs(col("o_orderdate")).as("create_ts"))
   }
 
@@ -61,9 +61,9 @@ object OrderWide {
        |       CAST(l_linenumber AS INTEGER) AS detail_id,
        |       o_custkey AS user_id,
        |       l_partkey AS sku_id,
-       |       CAST(l_quantity AS DECIMAL(18,2)) AS sku_num,
-       |       CAST(l_extendedprice AS DECIMAL(18,2)) AS split_total_amount,
-       |       CAST(o_totalprice AS DECIMAL(18,2)) AS total_amount,
+       |       CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS sku_num_x100,
+       |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS split_total_amount_cents,
+       |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_amount_cents,
        |       epoch_ms(o_orderdate) AS create_ts
        |FROM orders JOIN lineitem
        |  ON o_orderkey = l_orderkey
@@ -94,10 +94,14 @@ object OrderWide {
       .withColumn("tm_key",
         expr("CAST(conv(substring(md5(tm_name), 1, 12), 16, 10) AS BIGINT)"))
 
+    // broadcast() hints only on the genuinely bounded sides: nation is
+    // fixed-size (25 rows at ANY sf), and cat3/tm are distinct-value
+    // projections bounded by the attribute domain. part/supplier scale
+    // LINEARLY with sf (like customer) — AQE decides those at runtime.
     ow.join(c, col("user_id") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(p), col("sku_id") === p("p_partkey"))
-      .join(broadcast(s), col("supp_id") === s("s_suppkey"))
+      .join(p, col("sku_id") === p("p_partkey"))
+      .join(s, col("supp_id") === s("s_suppkey"))
       .join(broadcast(cat3), p("p_type") === cat3("c3_name"))
       .join(broadcast(tm), p("p_brand") === tm("tm_name"))
       .select(
@@ -109,7 +113,7 @@ object OrderWide {
         col("tm_key").as("tm_id"), col("tm_name"),
         col("c3_id").as("category3_id"), col("c3_name").as("category3_name"),
         col("s_name").as("spu_name"),
-        col("split_total_amount"))
+        col("split_total_amount_cents"))
   }
 
   /** DuckDB lacks conv(); the surrogate ids are rebuilt from md5 hex
@@ -135,7 +139,7 @@ object OrderWide {
        |       ${hexIdSql("p_type")} AS category3_id,
        |       p_type AS category3_name,
        |       s_name AS spu_name,
-       |       CAST(l_extendedprice AS DECIMAL(18,2)) AS split_total_amount
+       |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS split_total_amount_cents
        |FROM orders
        |JOIN lineitem ON o_orderkey = l_orderkey
        | AND abs(epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) <= $ShipBoundMs
@@ -155,7 +159,7 @@ object OrderWide {
       col("o_orderkey").as("payment_order_id"),
       (epochMs(col("o_orderdate")) + (col("o_orderkey") % 3600) * 1000)
         .as("pay_ts"),
-      money(col("o_totalprice")).as("payment_amount"))
+      cents(col("o_totalprice")).as("payment_amount_cents"))
     val ow = o.select(
       col("o_orderkey").as("order_id"),
       col("o_custkey").as("user_id"),
@@ -166,20 +170,20 @@ object OrderWide {
         col("order_ts") >= col("pay_ts") - 1800000L &&
         col("order_ts") <= col("pay_ts"))
       .select(col("order_id"), col("user_id"), col("pay_ts"),
-        col("order_ts"), col("payment_amount"))
+        col("order_ts"), col("payment_amount_cents"))
   }
 
   val paymentWideOracle: String =
     """WITH pay AS (
       |  SELECT o_orderkey AS payment_order_id,
       |         epoch_ms(o_orderdate) + (o_orderkey % 3600) * 1000 AS pay_ts,
-      |         CAST(o_totalprice AS DECIMAL(18,2)) AS payment_amount
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS payment_amount_cents
       |  FROM orders),
       |ow AS (
       |  SELECT o_orderkey AS order_id, o_custkey AS user_id,
       |         epoch_ms(o_orderdate) AS order_ts
       |  FROM orders)
-      |SELECT order_id, user_id, pay_ts, order_ts, payment_amount
+      |SELECT order_id, user_id, pay_ts, order_ts, payment_amount_cents
       |FROM pay JOIN ow ON payment_order_id = order_id
       | AND order_ts >= pay_ts - 1800000 AND order_ts <= pay_ts""".stripMargin
 }

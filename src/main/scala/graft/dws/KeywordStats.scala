@@ -44,8 +44,10 @@ object KeywordStats {
     * CART / ORDER (constants GmallConstant.java:70-73). */
   def productC2R(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
+    // part scales linearly with sf (not a bounded dim) — no forced
+    // broadcast; AQE picks broadcast-vs-shuffle from runtime sizes.
     val metrics = Tables.lineitem(spark, dir)
-      .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+      .join(p, col("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand").as("keyword"))
       .agg(
         count(lit(1)).as("click_ct"),

@@ -43,38 +43,43 @@ object ProductStats {
       .agg(
         count(lit(1)).as("click_ct"),
         sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("favor_ct"),
-        sum(when(col("l_returnflag") === "N", money(col("l_quantity")))
-          .otherwise(money(lit(0)))).cast("decimal(38,2)").as("cart_ct"),
+        sum(when(col("l_returnflag") === "N", cents(col("l_quantity")))
+          .otherwise(0L)).as("cart_ct_x100"),
         countDistinct(col("l_orderkey")).as("order_ct"),
-        sum(money(col("l_quantity"))).cast("decimal(38,2)").as("order_sku_num"),
-        sumMoney(col("l_extendedprice")).as("order_amount"),
-        // exact decimal arithmetic at scale 4 — a double->decimal(2)
-        // cast here hits half-cent ties (price x round discount) that
-        // Spark (HALF_UP) and DuckDB round differently
-        sum(money(col("l_extendedprice")) *
+        sum(cents(col("l_quantity"))).as("order_sku_num_x100"),
+        sumCents(col("l_extendedprice")).as("order_amount_cents"),
+        // exact decimal arithmetic at scale 4 (a double->decimal(2) cast
+        // here hits half-cent ties that Spark HALF_UP and DuckDB round
+        // differently), then x10000 -> BIGINT at the output boundary —
+        // integer minor units render identically in every engine, and
+        // the aggregate becomes a plain map-side-combinable long sum
+        sum((money(col("l_extendedprice")) *
             (lit(java.math.BigDecimal.ONE).cast("decimal(4,2)") -
-             col("l_discount").cast("decimal(4,2)")))
-          .cast("decimal(38,4)").as("payment_amount"),
+             col("l_discount").cast("decimal(4,2)")) * 10000)
+          .cast("long")).as("payment_amount_tenk"),
         countDistinct(when(col("l_linestatus") === "F", col("l_orderkey")))
           .as("paid_order_ct"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("refund_order_ct"),
-        sum(when(col("l_returnflag") === "R", money(col("l_extendedprice")))
-          .otherwise(money(lit(0)))).cast("decimal(38,2)").as("refund_amount"),
+        sum(when(col("l_returnflag") === "R", cents(col("l_extendedprice")))
+          .otherwise(0L)).as("refund_amount_cents"),
         sum(when(col("l_tax") > 0.05, 1L).otherwise(0L)).as("comment_ct"),
         sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("good_comment_ct"))
 
   /** A2 + J4: aggregate, then broadcast-join the sku dim. */
   def apply(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
+    // J4: the join input is the post-aggregation frame (one row per
+    // (window, sku)); part scales linearly with sf, so no forced
+    // broadcast — AQE picks the strategy from runtime sizes.
     aggregated(spark, dir)
-      .join(broadcast(p), col("sku_id") === p("p_partkey"))
+      .join(p, col("sku_id") === p("p_partkey"))
       .select(
         col("stt"), col("sku_id"),
         col("p_name").as("sku_name"), col("p_brand").as("tm_id"),
-        col("click_ct"), col("favor_ct"), col("cart_ct"),
-        col("order_ct"), col("order_sku_num"), col("order_amount"),
-        col("payment_amount"), col("paid_order_ct"),
-        col("refund_order_ct"), col("refund_amount"),
+        col("click_ct"), col("favor_ct"), col("cart_ct_x100"),
+        col("order_ct"), col("order_sku_num_x100"), col("order_amount_cents"),
+        col("payment_amount_tenk"), col("paid_order_ct"),
+        col("refund_order_ct"), col("refund_amount_cents"),
         col("comment_ct"), col("good_comment_ct"))
   }
 
@@ -92,10 +97,10 @@ object ProductStats {
       .agg(
         count(lit(1)).as("click_ct"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("order_ct"),
-        sumMoney(col("l_extendedprice")).as("order_amount"))
-      .join(broadcast(p), col("sku_id") === p("p_partkey"))
+        sumCents(col("l_extendedprice")).as("order_amount_cents"))
+      .join(p, col("sku_id") === p("p_partkey"))
       .select(col("stt"), col("sku_id"), col("p_name").as("sku_name"),
-        col("click_ct"), col("order_ct"), col("order_amount"))
+        col("click_ct"), col("order_ct"), col("order_amount_cents"))
   }
 
   val oracle: String =
@@ -106,17 +111,17 @@ object ProductStats {
       |       count(*) AS click_ct,
       |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS favor_ct,
       |       CAST(sum(CASE WHEN l_returnflag = 'N'
-      |                     THEN CAST(l_quantity AS DECIMAL(18,2))
-      |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS cart_ct,
+      |                     THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |                     ELSE 0 END) AS BIGINT) AS cart_ct_x100,
       |       count(DISTINCT l_orderkey) AS order_ct,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_sku_num,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS payment_amount,
+      |       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS order_sku_num_x100,
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS order_amount_cents,
+      |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)) AS BIGINT) AS payment_amount_tenk,
       |       count(DISTINCT CASE WHEN l_linestatus = 'F' THEN l_orderkey END) AS paid_order_ct,
       |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS refund_order_ct,
       |       CAST(sum(CASE WHEN l_returnflag = 'R'
-      |                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
-      |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS refund_amount,
+      |                     THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |                     ELSE 0 END) AS BIGINT) AS refund_amount_cents,
       |       CAST(sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS comment_ct,
       |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS good_comment_ct
       |FROM lineitem JOIN part ON l_partkey = p_partkey

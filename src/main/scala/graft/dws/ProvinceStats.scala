@@ -36,7 +36,7 @@ object ProvinceStats {
         col("n_name").as("province_name"))
       .agg(
         countDistinct(col("o_orderkey")).as("order_ct"),
-        sumMoney(col("o_totalprice")).as("order_amount"))
+        sumCents(col("o_totalprice")).as("order_amount_cents"))
   }
 
   val oracle: String =
@@ -44,7 +44,7 @@ object ProvinceStats {
       |       CAST(n_nationkey AS INTEGER) AS province_id,
       |       n_name AS province_name,
       |       count(DISTINCT o_orderkey) AS order_ct,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS order_amount
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS order_amount_cents
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation   ON c_nationkey = n_nationkey

@@ -59,7 +59,7 @@ object VisitorStats {
         sum(col("uv")).as("uv_ct"),
         sum(col("sv")).as("sv_ct"),
         sum(col("uj")).as("uj_ct"),
-        sumMoney(col("value")).as("dur_sum"))
+        sumCents(col("value")).as("dur_sum_cents"))
   }
 
   val oracle: String =
@@ -82,7 +82,7 @@ object VisitorStats {
       |       CAST(sum(CASE WHEN (prev_ms IS NULL OR ts_ms - prev_ms > 1800000)
       |                 AND (next_ms IS NULL OR next_ms - ts_ms > 1800000)
       |                THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dur_sum
+      |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS dur_sum_cents
       |FROM flagged
       |GROUP BY 1, 2, 3""".stripMargin
 }

@@ -35,6 +35,21 @@ object Exprs {
     * DuckDB's (DuckDB widens decimal sums to precision 38). */
   def sumMoney(c: Column): Column = sum(money(c)).cast(DecimalType(38, 2))
 
+  /** Money as integer minor units (cents, BIGINT). DECIMAL(18,2) × 100 is
+    * an exact integer, so the cast truncates nothing — and downstream
+    * sums become plain LONG aggregates (map-side combinable, no decimal
+    * accumulator state). This is the OUTPUT-BOUNDARY form: decimal stays
+    * the internal math type, integers cross the engine boundary, because
+    * decimal rendering (trailing zeros: `5.10` vs `5.1`) differs between
+    * engines while integers render identically everywhere.
+    * Oracle equivalent: CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT). */
+  def cents(c: Column): Column = (money(c) * 100).cast("long")
+
+  /** Money sum in integer cents (BIGINT).
+    * Oracle: CAST(sum(CAST(CAST(x AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT)
+    * — the outer CAST because DuckDB widens sum(BIGINT) to HUGEINT. */
+  def sumCents(c: Column): Column = sum(cents(c))
+
   /** Tumbling-window start in epoch seconds (BIGINT).
     * Oracle equivalent: CAST(floor(epoch(ts)/N)*N AS BIGINT). */
   def tumbleStart(ts: Column, seconds: Long): Column =
