@@ -23,6 +23,7 @@ object SparkEntry {
     "q_dwd_db_route"       -> (dwd.DbRouter(_, _)),
     "q_dwd_start_split"    -> (dwd.LogNested.startSplit(_, _)),
     "q_dwd_display_explode" -> (dwd.LogNested.displayExplode(_, _)),
+    "q_dwd_action_explode"  -> (dwd.LogNested.actionExplode(_, _)),
     "q_dws_display_stats"  -> (dwd.LogNested.displayStats(_, _)),
     "q_dwd_cdc_route"      -> (dwd.CdcEnvelope(_, _)),
     // DWM — dedup / CEP-bounce / interval + dim joins (§2.4, §2.5)
@@ -51,12 +52,17 @@ object SparkEntry {
     "q_ads_province_map"     -> (ads.Queries.provinceMap(_, _)),
     "q_ads_visitor_ratios"   -> (ads.Queries.visitorRatios(_, _)),
     "q_ads_hour_backfill"    -> (ads.Queries.hourBackfill(_, _)),
+    // Sink layer (K2–K5): real write → read-back through each sink path
+    "q_sink_dedup_latest" -> (sinks.Sinks.dedupLatestQuery(_, _)),
+    "q_sink_route"        -> (sinks.Sinks.routeQuery(_, _)),
+    "q_sink_republish"    -> (sinks.Sinks.republishQuery(_, _)),
     // LLM-data-pipeline operators (brief north star): dedup,
     // similarity search, text analysis, multimodal plumbing
     "q_llm_exact_dedup"     -> (llm.Dedup.exact(_, _)),
     "q_llm_minhash_sig"     -> (llm.Dedup.minhashSignatures(_, _)),
     "q_llm_lsh_dups"        -> (llm.Dedup.lshDuplicates(_, _)),
     "q_llm_dedup_keeplist"  -> (llm.Dedup.keepList(_, _)),
+    "q_llm_dedup_closure"   -> (llm.Dedup.dedupClosure(_, _)),
     "q_llm_simhash"         -> (llm.Dedup.simhash(_, _)),
     "q_llm_simhash_dups"    -> (llm.Dedup.simhashDuplicates(_, _)),
     "q_llm_ann_topk"        -> (llm.Similarity.bruteTopK(_, _)),
@@ -77,6 +83,7 @@ object SparkEntry {
     "q_dwd_db_route"       -> dwd.DbRouter.oracle,
     "q_dwd_start_split"    -> dwd.LogNested.startSplitOracle,
     "q_dwd_display_explode" -> dwd.LogNested.displayExplodeOracle,
+    "q_dwd_action_explode"  -> dwd.LogNested.actionExplodeOracle,
     "q_dws_display_stats"  -> dwd.LogNested.displayStatsOracle,
     "q_dwd_cdc_route"      -> dwd.CdcEnvelope.oracle,
     "q_dwm_unique_visit"   -> dwm.UniqueVisit.oracle,
@@ -99,6 +106,9 @@ object SparkEntry {
     "q_ads_province_map"     -> ads.Queries.provinceMapOracle,
     "q_ads_visitor_ratios"   -> ads.Queries.visitorRatiosOracle,
     "q_ads_hour_backfill"    -> ads.Queries.hourBackfillOracle,
+    "q_sink_dedup_latest" -> sinks.Sinks.dedupLatestOracle,
+    "q_sink_route"        -> sinks.Sinks.routeOracle,
+    "q_sink_republish"    -> sinks.Sinks.republishOracle,
     // q_llm_ann_ivf is intentionally absent: centroid means are an
     // unordered float sum, not SQL-reproducible — rows-only check;
     // recall vs q_llm_ann_topk is asserted in the test suite.
@@ -106,6 +116,7 @@ object SparkEntry {
     "q_llm_minhash_sig"     -> llm.Dedup.minhashOracle,
     "q_llm_lsh_dups"        -> llm.Dedup.lshOracle,
     "q_llm_dedup_keeplist"  -> llm.Dedup.keepListOracle,
+    "q_llm_dedup_closure"   -> llm.Dedup.dedupClosureOracle,
     "q_llm_simhash"         -> llm.Dedup.simhashOracle,
     "q_llm_simhash_dups"    -> llm.Dedup.simhashDupOracle,
     "q_llm_ann_topk"        -> llm.Similarity.bruteTopKOracle,

@@ -48,6 +48,11 @@ object LogNested {
       StructField("item_type", StringType),
       StructField("order", LongType),
       StructField("pos_id", LongType))))),
+    StructField("actions", ArrayType(StructType(Seq(
+      StructField("action_id", StringType),
+      StructField("item", StringType),
+      StructField("item_type", StringType),
+      StructField("ts", LongType))))),
     StructField("start", StructType(Seq(
       StructField("entry", StringType),
       StructField("loading_time", LongType),
@@ -56,24 +61,43 @@ object LogNested {
       StructField("open_ad_skip_ms", LongType)))),
     StructField("ts", LongType)))
 
+  /** One display entry for a FIXED index k — the k-dependent branches
+    * collapse to literals at plan time, so the whole struct is a plain
+    * codegen'd projection. */
+  private def displayStruct(k: Int): Column = struct(
+    lit(if (k % 2 == 1) "promo" else "query").as("display_type"),
+    ((col("event_id") + k) % 200 + 1).cast("string").as("item"),
+    lit(if (k % 2 == 1) "sku_id" else "activity_id").as("item_type"),
+    lit(k.toLong).as("order"),
+    lit(k + 1L).as("pos_id"))
+
+  /** One action entry for a FIXED index k — same constant-folding
+    * trick as displayStruct. Actions carry their own event-time ts
+    * (page ts + k seconds), like the reference's actions[] elements
+    * (BaseLogApp2.java:173). */
+  private def actionStruct(k: Int): Column = struct(
+    lit(if (k % 2 == 1) "cart_add" else "favor_add").as("action_id"),
+    ((col("event_id") + 3 * k) % 200 + 1).cast("string").as("item"),
+    lit("sku_id").as("item_type"),
+    (unix_millis(col("ts")) + 1000L * k).as("ts"))
+
   /** Deterministic A1-shaped JSON for each event: signup events are
     * *start* logs, everything else a *page* log with `event_id % 3`
-    * display entries (alternating sku/activity items). */
+    * display entries (alternating sku/activity items) and
+    * `(event_id+1) % 3` action entries. */
   private def renderJson: Column = {
     val isStart = col("event_type") === "signup"
-    // guard: sequence(1, 0) would DESCEND in Spark, so an empty
-    // display list must be produced explicitly when event_id % 3 == 0
-    val displayIdx = when(col("event_id") % 3 > 0,
-      sequence(lit(1), (col("event_id") % 3).cast("int")))
-      .otherwise(array().cast("array<int>"))
-    val displays = transform(
-      displayIdx,
-      k => struct(
-        when(k % 2 === 1, "promo").otherwise("query").as("display_type"),
-        ((col("event_id") + k) % 200 + 1).cast("string").as("item"),
-        when(k % 2 === 1, "sku_id").otherwise("activity_id").as("item_type"),
-        k.cast("long").as("order"),
-        (k + 1).cast("long").as("pos_id")))
+    // event_id % 3 ∈ {0,1,2} entries: render both candidates as
+    // constant-folded structs and slice the prefix. The previous
+    // transform(sequence(...)) form ran as an INTERPRETED higher-order
+    // function — the heaviest per-row expression in the whole suite
+    // (and sequence(1,0) descends, needing an extra empty-array guard).
+    val displays = slice(
+      array(displayStruct(1), displayStruct(2)),
+      lit(1), (col("event_id") % 3).cast("int"))
+    val actions = slice(
+      array(actionStruct(1), actionStruct(2)),
+      lit(1), ((col("event_id") + 1) % 3).cast("int"))
     to_json(struct(
       struct(
         (col("user_id") % 10).cast("string").as("ar"),
@@ -93,6 +117,7 @@ object LogNested {
         lit("sku_id").as("item_type"),
         lit("query").as("source_type"))).as("page"),
       when(!isStart, displays).as("displays"),
+      when(!isStart, actions).as("actions"),
       when(isStart, struct(
         lit("icon").as("entry"),
         coalesce(col("prop_k"), lit(0L)).as("loading_time"),
@@ -167,6 +192,36 @@ object LogNested {
       |       k AS ord,
       |       k + 1 AS pos_id
       |FROM events, LATERAL (SELECT unnest(range(1, CAST(event_id % 3 AS INTEGER) + 1)) AS k) u
+      |WHERE event_type <> 'signup'""".stripMargin
+
+  /** P5 (second array): actions[] exploded with parent page context —
+    * the reference's log carries BOTH displays[] and actions[]
+    * (BaseLogApp2.java:173); same injected-parent-field explode, the
+    * action's own ts kept as the event time. */
+  def actionExplode(spark: SparkSession, dir: String): DataFrame =
+    parsed(spark, dir)
+      .filter(col("log.start").isNull)
+      .select(
+        col("event_id"),
+        col("log.common.mid").as("mid"),
+        col("log.page.page_id").as("page_id"),
+        explode(col("log.actions")).as("a"))
+      .select(
+        col("event_id"), col("mid"), col("page_id"),
+        col("a.action_id").as("action_id"),
+        col("a.item").as("item"),
+        col("a.item_type").as("item_type"),
+        col("a.ts").as("action_ts"))
+
+  val actionExplodeOracle: String =
+    """SELECT event_id,
+      |       'mid_' || user_id AS mid,
+      |       event_type AS page_id,
+      |       CASE WHEN k % 2 = 1 THEN 'cart_add' ELSE 'favor_add' END AS action_id,
+      |       CAST((event_id + 3 * k) % 200 + 1 AS VARCHAR) AS item,
+      |       'sku_id' AS item_type,
+      |       epoch_ms(ts) + 1000 * k AS action_ts
+      |FROM events, LATERAL (SELECT unnest(range(1, CAST((event_id + 1) % 3 AS INTEGER) + 1)) AS k) u
       |WHERE event_type <> 'signup'""".stripMargin
 
   /** A3 aggregate: display counts per displayed item (the click/display

@@ -28,6 +28,9 @@ object VisitorStats {
   def apply(spark: SparkSession, dir: String): DataFrame = {
     val byMid = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // whole-partition min for the T1-repaired is_new flag — same
+    // partitioning key as byMid, so Catalyst reuses the one shuffle
+    val overMid = Window.partitionBy(col("user_id"))
 
     // ONE window pass: the daily-unique flag is "previous event (by ts,
     // within mid) fell on an earlier day", which the same lag that
@@ -49,11 +52,19 @@ object VisitorStats {
           (col("next_ms").isNull ||
           col("next_ms") - col("ts_ms") > 1800000L), 1L).otherwise(0L)) // bounce
 
+    // the reference keys by the FOUR dims (ar, ch, vc, is_new) —
+    // VisitorStatsApp.java:201-211; is_new is the T1-repaired flag
+    // (1 only on the user's first active day), vc a low-cardinality
+    // version-code stand-in
     flagged
+      .withColumn("first_day", min(to_date(col("ts"))).over(overMid))
       .groupBy(
         tumbleStart(col("ts"), 10).as("stt"),
         (col("user_id") % 10).as("ar"),           // area dim stand-in
-        col("event_type").as("ch"))               // channel dim stand-in
+        col("event_type").as("ch"),               // channel dim stand-in
+        concat(lit("v2."), col("user_id") % 3).as("vc"),
+        when(to_date(col("ts")) === col("first_day"), 1)
+          .otherwise(0).cast("int").as("is_new"))
       .agg(
         sum(col("pv")).as("pv_ct"),
         sum(col("uv")).as("uv_ct"),
@@ -69,12 +80,15 @@ object VisitorStats {
       |         lag(epoch_ms(ts)) OVER w AS prev_ms,
       |         lead(epoch_ms(ts)) OVER w AS next_ms,
       |         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
-      |                            ORDER BY ts, event_id) AS day_rn
+      |                            ORDER BY ts, event_id) AS day_rn,
+      |         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_day
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |SELECT CAST(floor(epoch(ts)/10)*10 AS BIGINT) AS stt,
       |       user_id % 10 AS ar,
       |       event_type AS ch,
+      |       'v2.' || CAST(user_id % 3 AS VARCHAR) AS vc,
+      |       CAST(CASE WHEN CAST(ts AS DATE) = first_day THEN 1 ELSE 0 END AS INTEGER) AS is_new,
       |       count(*) AS pv_ct,
       |       CAST(sum(CASE WHEN day_rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uv_ct,
       |       CAST(sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
@@ -84,5 +98,5 @@ object VisitorStats {
       |                THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct,
       |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS dur_sum_cents
       |FROM flagged
-      |GROUP BY 1, 2, 3""".stripMargin
+      |GROUP BY 1, 2, 3, 4, 5""".stripMargin
 }

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * bit-identical to the unrolled `element_at` chain and to the DuckDB
   * oracle's `list_reduce(list_prepend(0.0, ...))`, so results remain
   * hash-comparable. Asserted by tests against [[graft.llm.Similarity.dot]].
+  *
+  * Input contract (enforced, not silently papered over): arrays must be
+  * equal-length with non-null elements — length mismatch raises
+  * IllegalArgumentException, a null element raises NPE. The null check
+  * is only *generated* when the schema's `containsNull` admits nulls,
+  * so clean schemas keep the bare multiply-add loop.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,14 +42,23 @@ case class VecDot(left: Expression, right: Expression)
 
   @transient private lazy val leftFloat = VecExprs.isFloatArray(left.dataType)
   @transient private lazy val rightFloat = VecExprs.isFloatArray(right.dataType)
+  // null-element checks are emitted ONLY when the schema admits null
+  // elements, so the hot loop on clean (containsNull=false) schemas
+  // stays a bare multiply-add
+  @transient private lazy val leftNullable = VecExprs.elemNullable(left.dataType)
+  @transient private lazy val rightNullable = VecExprs.elemNullable(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw VecExprs.lengthMismatch(prettyName, n, y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if ((leftNullable && x.isNullAt(i)) || (rightNullable && y.isNullAt(i)))
+        throw VecExprs.nullElement(prettyName, i)
       val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -59,10 +74,24 @@ case class VecDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val gx = VecExprs.elemJava(x, i, leftFloat)
       val gy = VecExprs.elemJava(y, i, rightFloat)
+      val nullGuard =
+        if (leftNullable || rightNullable) {
+          val checks = Seq(
+            if (leftNullable) Some(s"$x.isNullAt($i)") else None,
+            if (rightNullable) Some(s"$y.isNullAt($i)") else None).flatten
+          s"""if (${checks.mkString(" || ")}) {
+             |    throw graft.expr.VecExprs.nullElement("$prettyName", $i);
+             |  }""".stripMargin
+        } else ""
       s"""
-         |int $n = Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($y.numElements() != $n) {
+         |  throw graft.expr.VecExprs.lengthMismatch(
+         |    "$prettyName", $n, $y.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  $acc += $gx * $gy;
          |}
          |${ev.value} = $acc;
@@ -85,6 +114,7 @@ case class VecNorm(child: Expression)
   override def prettyName: String = "vec_norm"
 
   @transient private lazy val childFloat = VecExprs.isFloatArray(child.dataType)
+  @transient private lazy val childNullable = VecExprs.elemNullable(child.dataType)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -92,6 +122,8 @@ case class VecNorm(child: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (childNullable && x.isNullAt(i))
+        throw VecExprs.nullElement(prettyName, i)
       val v = if (childFloat) x.getFloat(i).toDouble else x.getDouble(i)
       acc += v * v
       i += 1
@@ -105,10 +137,17 @@ case class VecNorm(child: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val v = ctx.freshName("v")
+      val nullGuard =
+        if (childNullable)
+          s"""if ($x.isNullAt($i)) {
+             |    throw graft.expr.VecExprs.nullElement("$prettyName", $i);
+             |  }""".stripMargin
+        else ""
       s"""
          |int $n = $x.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  double $v = ${VecExprs.elemJava(x, i, childFloat)};
          |  $acc += $v * $v;
          |}
@@ -130,7 +169,20 @@ object VecExprs {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
     case _ => false
   }
+  def elemNullable(t: DataType): Boolean = t match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
   /** Java source for element i of array variable x, as double. */
   def elemJava(x: String, i: String, isFloat: Boolean): String =
     if (isFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+
+  // shared by interpreted eval and generated code (must be public for
+  // janino-compiled classes to call)
+  def lengthMismatch(fn: String, n1: Int, n2: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"$fn requires equal-length arrays, got $n1 and $n2 elements")
+  def nullElement(fn: String, i: Int): NullPointerException =
+    new NullPointerException(
+      s"$fn: null array element at index $i (elements must be non-null)")
 }

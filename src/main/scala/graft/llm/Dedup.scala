@@ -242,6 +242,74 @@ object Dedup {
        |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id""".stripMargin
   }
 
+  /** Transitive dedup closure: connected components over the LSH dup
+    * pair graph, so a→b, b→c chains keep exactly ONE doc per component
+    * (the min id) — the corpus-correct form [[keepList]]'s
+    * pairwise-greedy approximates. Iterative min-label propagation:
+    * each round every node adopts min(own label, neighbors' labels);
+    * fixpoint ≤ graph-diameter rounds. All distributed joins — the
+    * per-round `count()` is driver-side COORDINATION (a scalar), not a
+    * data collect; at 100 TB the pair graph is tiny relative to the
+    * corpus and each round is one small equi-join (for very deep
+    * graphs, `localCheckpoint` every few rounds would cut lineage). */
+  def dedupClosure(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshDuplicates(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("keeper", col("doc_id")).cache()
+    var moved = 1L
+    var rounds = 0
+    while (moved > 0 && rounds < 20) {
+      val nbrMin = edges.as("e")
+        .join(labels.as("l"), col("e.dst") === col("l.doc_id"))
+        .groupBy(col("e.src").as("doc_id"))
+        .agg(min(col("l.keeper")).as("nbr_keeper"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("keeper"), coalesce(col("nbr_keeper"), col("keeper")))
+            .as("keeper"))
+        .cache()
+      moved = next.as("a").join(labels.as("b"), Seq("doc_id"))
+        .filter(col("a.keeper") =!= col("b.keeper")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val verdict = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("keeper"), col("doc_id")).as("keeper"),
+        when(col("keeper").isNull || col("keeper") === col("doc_id"), 1)
+          .otherwise(0).cast("int").as("kept"))
+    edges.unpersist()
+    verdict
+  }
+
+  /** DuckDB states the same closure with a recursive CTE (reach-set per
+    * node, keeper = min reachable id). */
+  val dedupClosureOracle: String = {
+    val inner = lshOracle.replace("\n", "\n  ")
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |  $inner
+       |  ) p),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(src, reach) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+       |label AS (SELECT src AS doc_id, min(reach) AS keeper FROM walk GROUP BY src)
+       |SELECT d.doc_id, d.lang, d.source,
+       |       coalesce(l.keeper, d.doc_id) AS keeper,
+       |       CAST(CASE WHEN l.keeper IS NULL OR l.keeper = d.doc_id
+       |            THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM documents d LEFT JOIN label l ON d.doc_id = l.doc_id""".stripMargin
+  }
+
   // ---- SimHash ----------------------------------------------------
 
   /** SimHash width in bits; each bit j comes from the j-th hex nibble's

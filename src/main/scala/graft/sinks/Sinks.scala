@@ -23,16 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
   /** Keep-latest upsert write: among rows sharing `keys`, only the one
-    * with the highest `tsCol` (ties → arbitrary-but-deterministic via
-    * the full ordering) survives, then overwrite `path`. */
+    * with the highest `tsCol` (ties → highest payload, see
+    * [[dedupLatest]]) survives, then overwrite `path`. */
   def writeDedupLatest(df: DataFrame, keys: Seq[String], tsCol: String,
       path: String): Unit =
     dedupLatest(df, keys, tsCol).write.mode("overwrite").parquet(path)
 
-  /** The dedup transform alone (unit-testable without IO). */
+  /** The dedup transform alone (unit-testable without IO).
+    *
+    * Tie-break on ts is by the remaining DATA columns (descending, in
+    * frame order) — a replay of the same batch keeps the same row under
+    * ANY partition layout, which the ReplacingMergeTree/upsert contract
+    * requires (reference ClickHouseUtil.java:18-20). A
+    * `monotonically_increasing_id()` tie-break would be partitioning-
+    * dependent and could keep different payloads on re-run. Payload
+    * columns must be orderable (no maps) — true for every sink row
+    * shape here. */
   def dedupLatest(df: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).desc, monotonically_increasing_id())
+    val payload = df.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val ordering = col(tsCol).desc +: payload.map(col(_).desc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -80,4 +90,87 @@ object Sinks {
   def readTopic(spark: SparkSession, path: String, routeCol: String,
       topic: String): DataFrame =
     spark.read.parquet(path).filter(col(routeCol) === topic)
+
+  // ---------------------------------------------------------------------
+  // Driver-checkable sink queries (K2–K5): each performs a REAL write →
+  // read-back through the sink path and returns the read-back frame, so
+  // the oracle compares durable state, not an in-memory transform.
+  // ---------------------------------------------------------------------
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_sink_$tag").toString
+
+  /** K3/K4 (q_sink_dedup_latest): three deterministic versions per
+    * order — v1/v3 tie on the max ts, v2 trails — written through the
+    * keep-latest sink and read back. The survivor per key is fully
+    * determined by (ts desc, status desc, amount desc), so DuckDB can
+    * state it with one row_number(). */
+  def dedupLatestQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.func.Exprs._
+    val dup = graft.Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").as("order_id"),
+        epochMs(col("o_orderdate")).as("base_ts"),
+        cents(col("o_totalprice")).as("base_cents"),
+        explode(array(lit(1), lit(2), lit(3))).as("v"))
+      .select(
+        col("order_id"),
+        (col("base_ts") + when(col("v") === 2, 0L).otherwise(1000L)).as("ts"),
+        concat(lit("v"), col("v")).as("status"),
+        (col("base_cents") + col("v")).as("amount_cents"))
+    val path = tmpDir("dedup")
+    writeDedupLatest(dup, Seq("order_id"), "ts", path)
+    spark.read.parquet(path)
+  }
+
+  val dedupLatestOracle: String =
+    """WITH dup AS (
+      |  SELECT o_orderkey AS order_id,
+      |         epoch_ms(o_orderdate) + CASE WHEN v = 2 THEN 0 ELSE 1000 END AS ts,
+      |         'v' || CAST(v AS VARCHAR) AS status,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) + v AS amount_cents
+      |  FROM orders, LATERAL (SELECT unnest([1, 2, 3]) AS v) u),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY order_id
+      |            ORDER BY ts DESC, status DESC, amount_cents DESC) AS rn
+      |  FROM dup)
+      |SELECT order_id, ts, status, amount_cents FROM ranked WHERE rn = 1""".stripMargin
+
+  /** K2 (q_sink_route): events fanned out to one directory per "topic"
+    * (the dynamic-topic sink), read back whole, counted per topic —
+    * proves the fan-out is lossless and the routing column survives as
+    * partition metadata. */
+  def routeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type").as("topic"))
+    val path = tmpDir("route")
+    writeRouted(events, "topic", path)
+    spark.read.parquet(path)
+      .groupBy(col("topic").cast("string").as("topic"))
+      .agg(count(lit(1)).as("row_ct"), countDistinct(col("user_id")).as("user_ct"))
+  }
+
+  val routeOracle: String =
+    """SELECT event_type AS topic, count(*) AS row_ct,
+      |       count(DISTINCT user_id) AS user_ct
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** K5 (q_sink_republish): a stats frame written to its primary store
+    * AND re-published; the read-back of the REPUBLISH copy must equal
+    * the primary computation (the oracle recomputes it from source). */
+  def republishQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.func.Exprs._
+    val stats = graft.Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyyMMdd").as("dt"))
+      .agg(sumCents(col("o_totalprice")).as("order_amount_cents"))
+    val primary = tmpDir("primary")
+    val republish = tmpDir("republish")
+    publishBoth(stats, primary, republish)
+    spark.read.parquet(republish)
+  }
+
+  val republishOracle: String =
+    """SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS order_amount_cents
+      |FROM orders GROUP BY 1""".stripMargin
 }

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *    (app/dws2/VisitorStatsApp.java:192) → `withWatermark("ts","3 seconds")`
   *  - 10 s tumbling windows (VisitorStatsApp.java:213) → `window()`
   *  - UV dedup keyed state with 1-day TTL (app/dwm2/UV2.java:77-78) →
-  *    `dropDuplicates` on (mid, day) with a 1-day watermark — the
-  *    watermark IS the TTL
+  *    `dropDuplicatesWithinWatermark` on (mid, day) under a 1-day
+  *    watermark, so dedup state is EVICTED as the watermark advances
+  *    (a plain `dropDuplicates` whose keys exclude the event-time
+  *    column would keep state forever)
   *  - CEP bounce with 10 s timeout (app/dwm/UserJumpDetailApp.java:89-148)
   *    → `session_window`: a bounce is exactly a session containing one
   *    event, and the timeout side-output becomes the session close
@@ -34,14 +36,18 @@ object StreamJobs {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** T2 streaming: daily unique visitors. State eviction = watermark;
-    * emits the first (mid, day) sighting in arrival order — same SET
-    * as the batch row_number()==1 formulation. */
+  /** T2 streaming: daily unique visitors. Same SET as the batch
+    * row_number()==1 formulation, emitted at first sighting. A (mid,
+    * day) duplicate's event times are at most one day apart, so the
+    * 1-day watermark delay covers every in-watermark duplicate AND
+    * bounds the state: dropDuplicatesWithinWatermark evicts each key
+    * once the watermark passes it (dropDuplicates on keys that exclude
+    * the event-time column would grow state forever). */
   def uvDedup(events: DataFrame): DataFrame =
     events
       .withColumn("dt", to_date(col("ts")))
       .withWatermark("ts", "1 day")
-      .dropDuplicates("user_id", "dt")
+      .dropDuplicatesWithinWatermark("user_id", "dt")
       .select(col("user_id").as("mid"), col("dt"))
 
   /** A1 streaming: 10 s tumble × (ar, ch) with 3 s disorder bound. */

@@ -20,6 +20,15 @@ class SinksSpec extends SparkSpec {
     assert(out == Map("k1" -> "new", "k2" -> "only"))
   }
 
+  test("dedupLatest ts-ties keep the same payload under any partition layout") {
+    val d = Seq(("k1", 10L, "a"), ("k1", 10L, "b")).toDF("id", "ts", "payload")
+    val plain = Sinks.dedupLatest(d, Seq("id"), "ts")
+      .collect().head.getString(2)
+    val scrambled = Sinks.dedupLatest(d.repartition(7), Seq("id"), "ts")
+      .collect().head.getString(2)
+    assert(plain == "b" && scrambled == "b") // max payload wins, layout-independent
+  }
+
   test("writeDedupLatest is idempotent: same batch twice → same state") {
     val path = tmp() + "/dim"
     val d = Seq(("k1", 10L, "a"), ("k1", 20L, "b")).toDF("id", "ts", "v")
