@@ -12,12 +12,13 @@ import graft.Tables
   *  - [[bruteTopK]]: exact cosine top-k for a query subset — the
   *    correctness baseline, a crossJoin + per-query window. Quadratic;
   *    kept for the oracle and as the recall reference.
-  *  - [[ivfTopK]]: the scale path — IVF-style coarse quantization.
-  *    Vectors are bucketed by their `label` (the coarse cell), each
-  *    query probes only the `NProbe` nearest cell centroids, so the
-  *    candidate set shrinks by ~|cells|/NProbe. At 100 TB the
-  *    label-partitioned layout means each probe is a partition-pruned
-  *    scan, and no executor ever sees the whole index.
+  *  - [[ivfTopK]]: the scale path — IVF with a learned coarse
+  *    quantizer: [[kmeansCentroids]] (deterministic fixed-round
+  *    spherical k-means) defines the cells, each query probes only
+  *    the `NProbe` nearest cell centroids, so the candidate set
+  *    shrinks by ~KCells/NProbe. At 100 TB a cell-partitioned layout
+  *    makes each probe a partition-pruned scan, and no executor ever
+  *    sees the whole index.
   *  - [[lshNearDup]]: embedding-space near-duplicate pairs via random
   *    hyperplane (sign) LSH: 32 sign bits in 8 bands; pairs sharing a
   *    band are candidates; exact cosine verifies. Never all-pairs.
@@ -36,6 +37,17 @@ object Similarity {
   val QueryStride = 50
   val TopK = 10
   val NProbe = 2
+  /** Hard cap on brute-force query vectors: the quadratic baseline
+    * must stay a baseline — at 100 TB an uncapped stride still yields
+    * n²/stride pairs, so the query set is additionally bounded to the
+    * first `MaxQueries` stride hits (a constant-size workload however
+    * large the corpus; the serving path is [[ivfTopK]]). */
+  val MaxQueries = 1024L
+  /** Coarse-quantizer cell count for [[ivfTopK]]. */
+  val KCells = 10
+  /** Fixed Lloyd iteration count — determinism beats convergence
+    * detection here (no data-dependent round count to reproduce). */
+  val LloydIters = 3
   /** Near-dup cosine threshold, ppm. */
   val NearDupPpm = 350000L
 
@@ -88,7 +100,8 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
-    val queries = e.filter(col("vec_id") % QueryStride === 0)
+    val queries = e.filter(col("vec_id") % QueryStride === 0 &&
+        col("vec_id") < QueryStride * MaxQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
@@ -104,7 +117,8 @@ object Similarity {
 
   val bruteTopKOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % $QueryStride = 0),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |      WHERE vec_id % $QueryStride = 0 AND vec_id < ${QueryStride * MaxQueries}),
        |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
        |                  ${cosPpmSql("q.qv", "e.v")} AS cos_ppm
        |           FROM q JOIN e ON e.vec_id <> q.query_id),
@@ -114,40 +128,90 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, cos_ppm
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
-  /** IVF-style top-k: coarse cells = `label`; per-cell centroid =
-    * element-wise mean; each query searches only its NProbe nearest
-    * cells. Centroid means involve an unordered float sum, so this
-    * operator has no SQL oracle (driver rows-only check); recall vs
-    * [[bruteTopK]] is asserted in the test suite. */
+  /** Centroid as a plan-time literal: VecDot against a `typedLit`
+    * array keeps the generated code a counted loop (an unrolled
+    * per-centroid expression tree would re-create the janino blowup
+    * [[signBits]] documents), and `containsNull=false` on the literal
+    * keeps VecDot's null guard un-generated. */
+  private def litVec(c: Array[Double]): Column = typedLit(c.toSeq)
+
+  /** All K cells ranked for vector `v`: ascending array_sort over
+    * (negated dot, cell) structs — nearest first, ulp-ties broken by
+    * the smaller cell id. A pure projection; no join, no shuffle. */
+  private def cellRanking(cents: Array[Array[Double]], v: Column): Column =
+    array_sort(array(cents.zipWithIndex.map { case (c, j) =>
+      struct((-dot(v, litVec(c))).as("nd"), lit(j).as("cell"))
+    }: _*))
+
+  /** Deterministic spherical k-means coarse quantizer: seeds = the K
+    * lowest vec_ids' unit vectors, then exactly [[LloydIters]] Lloyd
+    * rounds. Each round is ONE distributed pass shaped for 100 TB:
+    * assignment is the shuffle-free [[cellRanking]] projection against
+    * the current centroids (baked in as literals), and the recompute
+    * shuffles only map-side-combined partial sums over (cell, pos) —
+    * K×Dim groups regardless of corpus size. The driver holds K×Dim
+    * doubles between rounds (coordination, not data; the same scalar
+    * role as [[Dedup.dedupClosure]]'s fixpoint count). Cells that lose
+    * every member keep their previous centroid. */
+  def kmeansCentroids(env: DataFrame): Array[Array[Double]] = {
+    import env.sparkSession.implicits._
+    var cents: Array[Array[Double]] = env
+      .filter(col("vec_id") < KCells).orderBy(col("vec_id"))
+      .select(col("nv")).as[Seq[Double]].collect().map(_.toArray)
+    for (_ <- 1 to LloydIters) {
+      val sums = env
+        .select(element_at(cellRanking(cents, col("nv")), 1)
+          .getField("cell").as("cell"),
+          posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("cx"))
+        .as[(Int, Int, Double)].collect()
+      val byCell = sums.groupBy(_._1)
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCell.get(j) match {
+          case Some(rows) =>
+            val mean = rows.sortBy(_._2).map(_._3)
+            val n = math.sqrt(mean.map(x => x * x).sum)
+            if (n == 0.0) old else mean.map(_ / n)
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF top-k — the ANN scale path. Coarse cells come from
+    * [[kmeansCentroids]]; every vector is assigned to its nearest cell
+    * and each query probes only its [[NProbe]] nearest cells, so the
+    * scored candidate set shrinks by ~KCells/NProbe and the one real
+    * shuffle is the (cell)-keyed candidate join. Scoring reuses the
+    * raw-embedding norms so cos_ppm is bit-identical to [[bruteTopK]]
+    * on shared pairs. Centroid means are an unordered float sum, so
+    * this operator has no SQL oracle (driver rows-only check); recall
+    * vs [[bruteTopK]] is asserted in the test suite. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"),
+      .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
-    // element-wise mean per cell: explode → avg per (label, pos) → re-pack
-    val centroids = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
-      .select(col("label").as("cell"),
-        transform(col("pc"), p => p.getField("cx")).as("centroid"))
+      .withColumn("nv", transform(col("embedding"),
+        x => x.cast("double") / col("nrm")))
+    val cents = kmeansCentroids(e.select(col("vec_id"), col("nv")))
 
-    val queries = e.filter(col("vec_id") % QueryStride === 0)
+    val assigned = e
+      .withColumn("cell", element_at(cellRanking(cents, col("nv")), 1)
+        .getField("cell"))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+    val probes = e.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"))
-
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("c_ppm").desc, col("cell"))
-    val probes = queries.join(broadcast(centroids))
-      .withColumn("c_ppm", cosinePpm(col("qv"), col("centroid")))
-      .withColumn("prb", row_number().over(wProbe))
-      .filter(col("prb") <= NProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+        col("nrm").as("qn"),
+        explode(transform(
+          slice(cellRanking(cents, col("nv")), 1, NProbe),
+          p => p.getField("cell"))).as("cell"))
 
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_ppm").desc, col("neighbor_id"))
-    probes.join(e, col("label") === col("cell") &&
+    probes.join(assigned,
+        probes("cell") === assigned("cell") &&
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         floor(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")) * 1e6)

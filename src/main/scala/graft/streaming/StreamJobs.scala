@@ -24,6 +24,29 @@ import org.apache.spark.sql.functions._
   *    event, and the timeout side-output becomes the session close
   */
 object StreamJobs {
+  /** S2/S3 production source: the real Kafka construction
+    * (reference MyKafkaUtil.java:21-27 consumer / BaseDBApp2.java:49
+    * SQL-table form). Returns (key, value, topic, partition, offset,
+    * timestamp) with value parsed by `schema` into a `log` struct —
+    * the SAME downstream transforms as [[eventsStream]] run on it
+    * unchanged, which is what makes every streaming job here
+    * source-agnostic. The sandbox has neither a broker nor the
+    * spark-sql-kafka connector jar, so `load()` throws at source
+    * resolution there (asserted as such in StreamingSpec); on a
+    * cluster with the connector this is the deployment path.
+    * `startingOffsets=earliest` mirrors the reference's
+    * committed-offset bootstrap. */
+  def kafkaJsonStream(spark: SparkSession, brokers: String, topic: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(
+        col("timestamp"),
+        from_json(col("value").cast("string"), schema).as("log"))
+
   /** File-source stream over the events table (batch stand-in for the
     * reference's Kafka `ods_base_log`). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -71,7 +94,14 @@ object StreamJobs {
     * order (within a batch, events are sorted by event time), so a
     * record claims is_new=1 only while its day matches the earliest
     * day the state has seen — the streaming twin of the batch
-    * min-date-over-window formulation. */
+    * min-date-over-window formulation.
+    *
+    * Memory bound: `rows.toSeq.sortBy` materializes one (mid × batch)
+    * group — deliberate, and safe because a single device emits at
+    * most a few hundred events per micro-batch (the reference's
+    * per-mid ValueState makes the same assumption); a pathological
+    * producer would need the sort dropped in favor of arrival order,
+    * trading exactness of within-batch ordering for O(1) memory. */
   def isNewRepair(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}

@@ -74,6 +74,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("kafka source construction resolves up to the missing connector") {
+    // the sandbox ships no spark-sql-kafka jar: the production path
+    // must fail AT SOURCE RESOLUTION (proving the format/options wiring
+    // is real), not at option validation or analysis
+    val schema = spark.read.parquet(s"$Sf/events.parquet").schema
+    val err = intercept[Exception] {
+      StreamJobs.kafkaJsonStream(spark, "broker:9092", "ods_base_log", schema)
+    }
+    assert(err.getMessage.toLowerCase.contains("kafka"),
+      s"expected connector-resolution failure, got: ${err.getMessage}")
+  }
+
   test("flatMapGroupsWithState is_new repair matches the batch window form") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[Ev]
