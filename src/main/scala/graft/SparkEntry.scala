@@ -63,6 +63,7 @@ object SparkEntry {
     "q_llm_lsh_dups"        -> (llm.Dedup.lshDuplicates(_, _)),
     "q_llm_dedup_keeplist"  -> (llm.Dedup.keepList(_, _)),
     "q_llm_dedup_closure"   -> (llm.Dedup.dedupClosure(_, _)),
+    "q_llm_ngram_jaccard"   -> (llm.Dedup.ngramJaccard(_, _)),
     "q_llm_simhash"         -> (llm.Dedup.simhash(_, _)),
     "q_llm_simhash_dups"    -> (llm.Dedup.simhashDuplicates(_, _)),
     "q_llm_ann_topk"        -> (llm.Similarity.bruteTopK(_, _)),
@@ -117,6 +118,7 @@ object SparkEntry {
     "q_llm_lsh_dups"        -> llm.Dedup.lshOracle,
     "q_llm_dedup_keeplist"  -> llm.Dedup.keepListOracle,
     "q_llm_dedup_closure"   -> llm.Dedup.dedupClosureOracle,
+    "q_llm_ngram_jaccard"   -> llm.Dedup.ngramJaccardOracle,
     "q_llm_simhash"         -> llm.Dedup.simhashOracle,
     "q_llm_simhash_dups"    -> llm.Dedup.simhashDupOracle,
     "q_llm_ann_topk"        -> llm.Similarity.bruteTopKOracle,

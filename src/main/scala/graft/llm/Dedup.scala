@@ -242,6 +242,77 @@ object Dedup {
        |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id""".stripMargin
   }
 
+  // ---- n-gram Jaccard (inverted index) ----------------------------
+
+  /** Document-frequency cap for the n-gram inverted index: shingles in
+    * more than MaxDf docs are stop-grams, dropped from CANDIDATE
+    * GENERATION only (the exact verify still uses full shingle sets).
+    * This bounds bucket occupancy — candidate pairs scale with
+    * Σ df² ≤ MaxDf·Σ df, never n². */
+  val MaxDf = 64L
+  /** A candidate pair must share at least this many surviving shingles.
+    * J ≥ 0.8 pairs share ≥ 44% of their union, so real near-dups clear
+    * this easily; it prunes the long tail of single-shared-shingle
+    * coincidences before the array-carrying verify join. (Docs with
+    * < MinShared total shingles can be missed — the LSH family covers
+    * those; this operator's contract is the inverted-index path.) */
+  val MinShared = 3L
+
+  /** Near-dup pairs via n-gram Jaccard with inverted-index candidate
+    * generation — the classic alternative to MinHash when exact
+    * Jaccard (not a sketch) must drive the verdict. Shape at 100 TB:
+    * postings list keyed by shingle (one shuffle), df-pruned to bound
+    * every bucket, same-shingle self-join emits id-only pairs, a
+    * count-≥-MinShared filter shrinks the candidate set BEFORE the
+    * joins that carry shingle arrays, and exact verification runs only
+    * within candidates (the same contract as [[lshDuplicates]], which
+    * it must agree with on any pair both generate). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val shl = shingleSets(docs)
+    val postings = shl.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val rare = postings.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+      .select(col("sh"))
+    val pruned = postings.join(rare, Seq("sh"))
+    val cands = pruned.as("a").join(pruned.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_ct"))
+      .filter(col("shared_ct") >= MinShared)
+      .select(col("doc_a"), col("doc_b"))
+    cands
+      .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("i_ct"),
+        size(array_union(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("u_ct"))
+      .withColumn("jac_ppm", expr("(1000000 * i_ct) DIV u_ct"))
+      .filter(col("jac_ppm") >= JaccardPpmThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+  }
+
+  val ngramJaccardOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |shl AS (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM toks),
+       |post AS (SELECT doc_id, unnest(shingles) AS sh FROM shl),
+       |rare AS (SELECT sh FROM post GROUP BY sh HAVING count(*) <= $MaxDf),
+       |pr AS (SELECT p.doc_id, p.sh FROM post p JOIN rare r ON p.sh = r.sh),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2 HAVING count(*) >= $MinShared),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |          CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS i_ct,
+       |          CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS BIGINT) AS u_ct
+       |        FROM cand c
+       |        JOIN shl sa ON c.doc_a = sa.doc_id
+       |        JOIN shl sb ON c.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, (1000000 * i_ct) // u_ct AS jac_ppm
+       |FROM jac WHERE (1000000 * i_ct) // u_ct >= $JaccardPpmThreshold""".stripMargin
+
   /** Transitive dedup closure: connected components over the LSH dup
     * pair graph, so a→b, b→c chains keep exactly ONE doc per component
     * (the min id) — the corpus-correct form [[keepList]]'s
@@ -254,6 +325,19 @@ object Dedup {
     * graphs, `localCheckpoint` every few rounds would cut lineage). */
   def dedupClosure(spark: SparkSession, dir: String): DataFrame = {
     val pairs = lshDuplicates(spark, dir).select(col("doc_a"), col("doc_b"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(closureKeepers(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("keeper"), col("doc_id")).as("keeper"),
+        when(col("keeper").isNull || col("keeper") === col("doc_id"), 1)
+          .otherwise(0).cast("int").as("kept"))
+  }
+
+  /** The label-propagation loop alone: (doc_id, keeper) for every node
+    * of the pair graph, keeper = min id of its connected component.
+    * Unit-testable on synthetic graphs (chains, forests). */
+  def closureKeepers(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
@@ -277,15 +361,8 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    val verdict = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("source"),
-        coalesce(col("keeper"), col("doc_id")).as("keeper"),
-        when(col("keeper").isNull || col("keeper") === col("doc_id"), 1)
-          .otherwise(0).cast("int").as("kept"))
     edges.unpersist()
-    verdict
+    labels
   }
 
   /** DuckDB states the same closure with a recursive CTE (reach-set per

@@ -53,6 +53,30 @@ class DedupSpec extends SparkSpec {
     assert(j12 > 0.8, s"fixture near-dup should have jaccard > 0.8, got $j12")
   }
 
+  test("closure keepers: chains collapse to one component minimum") {
+    // a→b, b→c chain plus a disjoint pair: pairwise-greedy would keep
+    // 3 (dropping only join partners); the closure keeps min per component
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val keepers = Dedup.closureKeepers(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("ngram jaccard: inverted index finds the near-dup, prunes the rest") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 37) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ngram").toString
+    docs((1L, base), (2L, nearDup), (3L, other))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.ngramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the planted pair, got ${out.toSeq}")
+    assert(out.head._3 >= Dedup.JaccardPpmThreshold)
+  }
+
   test("simhash: identical token multisets share a hash; disjoint differ") {
     val d = docs((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
       (3L, "x1 y2 z3 w4 v5"))
