@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g GC-thrashed under local[32]: 32 concurrent JSON render/parse
+  // tasks intermittently blew a single query from ~2 s to 20-40 s
+  // (the round-2 official 114 s display_explode stall was this same
+  // signature). The bench box has 128 GiB; give the forked driver
+  // enough old-gen that the suite never tips into full-GC churn.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -64,6 +64,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min-of-2: immune to one-off stalls (GC pause, page-cache miss)
       val times = (1 to 2).flatMap { _ =>
+        // pay earlier queries' garbage debt OUTSIDE the timed window:
+        // without this, whichever query first tips the old gen eats a
+        // full-GC stall (observed 1.7 s -> 15-41 s on the same query
+        // across otherwise-identical runs)
+        System.gc()
         val t0 = System.nanoTime()
         try { run(fn, sfDir); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>

@@ -101,7 +101,7 @@ object Dedup {
 
   /** Tokenizer-equivalent plain-Scala tokens (Locale.ROOT lower-case,
     * ASCII-safe — matches Spark's locale-independent `lower`). */
-  private def tokensOf(text: String): Array[String] =
+  private[llm] def tokensOf(text: String): Array[String] =
     text.toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty)
 

@@ -128,85 +128,94 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, cos_ppm
        |FROM ranked WHERE rank <= $TopK""".stripMargin
 
-  /** Centroid as a plan-time literal: VecDot against a `typedLit`
-    * array keeps the generated code a counted loop (an unrolled
-    * per-centroid expression tree would re-create the janino blowup
-    * [[signBits]] documents), and `containsNull=false` on the literal
-    * keeps VecDot's null guard un-generated. */
-  private def litVec(c: Array[Double]): Column = typedLit(c.toSeq)
-
-  /** All K cells ranked for vector `v`: ascending array_sort over
-    * (negated dot, cell) structs — nearest first, ulp-ties broken by
-    * the smaller cell id. A pure projection; no join, no shuffle. */
-  private def cellRanking(cents: Array[Array[Double]], v: Column): Column =
-    array_sort(array(cents.zipWithIndex.map { case (c, j) =>
-      struct((-dot(v, litVec(c))).as("nd"), lit(j).as("cell"))
-    }: _*))
-
   /** Deterministic spherical k-means coarse quantizer: seeds = the K
     * lowest vec_ids' unit vectors, then exactly [[LloydIters]] Lloyd
-    * rounds. Each round is ONE distributed pass shaped for 100 TB:
-    * assignment is the shuffle-free [[cellRanking]] projection against
-    * the current centroids (baked in as literals), and the recompute
-    * shuffles only map-side-combined partial sums over (cell, pos) —
-    * K×Dim groups regardless of corpus size. The driver holds K×Dim
-    * doubles between rounds (coordination, not data; the same scalar
-    * role as [[Dedup.dedupClosure]]'s fixpoint count). Cells that lose
-    * every member keep their previous centroid. */
+    * rounds. Each round is ONE typed `mapPartitions` pass emitting
+    * per-partition partial sums — K×(Dim+1) doubles per partition,
+    * merged and re-normalized on the driver (coordination, not data;
+    * the same scalar role as [[Dedup.dedupClosure]]'s fixpoint count).
+    * Cells that lose every member keep their previous centroid.
+    *
+    * Typed, not Column expressions, for a measured reason: baking the
+    * round's centroids into literal expression trees forces a FRESH
+    * janino compile per Lloyd round (centroid literals change every
+    * round) — 4.8–7.4 s of pure plan-compilation overhead on 5k rows.
+    * The lambda compiles once; per-round state arrives via broadcast.
+    * Assignment uses the same ascending-index IEEE dot as [[VecDot]],
+    * ulp-ties kept by the first (lowest) cell. */
   def kmeansCentroids(env: DataFrame): Array[Array[Double]] = {
     import env.sparkSession.implicits._
-    var cents: Array[Array[Double]] = env
-      .filter(col("vec_id") < KCells).orderBy(col("vec_id"))
-      .select(col("nv")).as[Seq[Double]].collect().map(_.toArray)
+    val typed = env.select(col("vec_id"), col("nv")).as[(Long, Seq[Double])]
+    var cents: Array[Array[Double]] = typed
+      .filter(_._1 < KCells).collect().sortBy(_._1).map(_._2.toArray)
     for (_ <- 1 to LloydIters) {
-      val sums = env
-        .select(element_at(cellRanking(cents, col("nv")), 1)
-          .getField("cell").as("cell"),
-          posexplode(col("nv")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("x")).as("cx"))
-        .as[(Int, Int, Double)].collect()
-      val byCell = sums.groupBy(_._1)
+      val bc = env.sparkSession.sparkContext.broadcast(cents)
+      val partials = typed.mapPartitions { it =>
+        val cs = bc.value
+        val k = cs.length
+        val sums = Array.fill(k)(new Array[Double](Dim))
+        val cnt = new Array[Long](k)
+        it.foreach { case (_, v) =>
+          val best = VecOps.nearestCell(v, cs)
+          val s = sums(best)
+          var t = 0
+          while (t < Dim) { s(t) += v(t); t += 1 }
+          cnt(best) += 1
+        }
+        (0 until k).iterator.filter(cnt(_) > 0)
+          .map(j => (j, cnt(j), sums(j).toSeq))
+      }.collect()
+      val byCell = partials.groupBy(_._1)
       cents = cents.zipWithIndex.map { case (old, j) =>
         byCell.get(j) match {
           case Some(rows) =>
-            val mean = rows.sortBy(_._2).map(_._3)
-            val n = math.sqrt(mean.map(x => x * x).sum)
-            if (n == 0.0) old else mean.map(_ / n)
+            val n = rows.map(_._2).sum.toDouble
+            val mean = (0 until Dim).map(t => rows.map(_._3(t)).sum / n)
+            val nrm = math.sqrt(mean.map(x => x * x).sum)
+            if (nrm == 0.0) old else mean.map(_ / nrm).toArray
           case None => old
         }
       }
+      bc.destroy()
     }
     cents
   }
 
   /** IVF top-k — the ANN scale path. Coarse cells come from
-    * [[kmeansCentroids]]; every vector is assigned to its nearest cell
-    * and each query probes only its [[NProbe]] nearest cells, so the
-    * scored candidate set shrinks by ~KCells/NProbe and the one real
-    * shuffle is the (cell)-keyed candidate join. Scoring reuses the
-    * raw-embedding norms so cos_ppm is bit-identical to [[bruteTopK]]
-    * on shared pairs. Centroid means are an unordered float sum, so
-    * this operator has no SQL oracle (driver rows-only check); recall
-    * vs [[bruteTopK]] is asserted in the test suite. */
+    * [[kmeansCentroids]]; ONE further typed pass assigns every vector
+    * its nearest cell and (for query vectors) its [[NProbe]] probe
+    * cells, so the scored candidate set shrinks by ~KCells/NProbe and
+    * the one real shuffle is the (cell)-keyed candidate join. Scoring
+    * reuses the raw-embedding norms so cos_ppm is bit-identical to
+    * [[bruteTopK]] on shared pairs. Centroid means are an unordered
+    * float sum, so this operator has no SQL oracle (driver rows-only
+    * check); recall vs [[bruteTopK]] is asserted in the test suite. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
       .withColumn("nv", transform(col("embedding"),
         x => x.cast("double") / col("nrm")))
     val cents = kmeansCentroids(e.select(col("vec_id"), col("nv")))
+    val bc = spark.sparkContext.broadcast(cents)
 
-    val assigned = e
-      .withColumn("cell", element_at(cellRanking(cents, col("nv")), 1)
-        .getField("cell"))
-      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
-    val probes = e.filter(col("vec_id") % QueryStride === 0)
+    // (vec_id, embedding, nrm, cell, probes) in one compiled-once pass
+    val cells = e.select(col("vec_id"), col("embedding"), col("nrm"), col("nv"))
+      .as[(Long, Seq[Float], Double, Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, emb, nrm, nv) =>
+          (id, emb, nrm, VecOps.nearestCell(nv, cs),
+            VecOps.probeCells(nv, cs, NProbe))
+        }
+      }.toDF("vec_id", "embedding", "nrm", "cell", "probes")
+
+    val assigned = cells.select(col("vec_id"), col("cell"),
+      col("embedding"), col("nrm"))
+    val probes = cells.filter(col("vec_id") % QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"),
-        explode(transform(
-          slice(cellRanking(cents, col("nv")), 1, NProbe),
-          p => p.getField("cell"))).as("cell"))
+        col("nrm").as("qn"), explode(col("probes")).as("cell"))
 
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_ppm").desc, col("neighbor_id"))
@@ -219,6 +228,33 @@ object Similarity {
       .withColumn("rank", row_number().over(wTop).cast("int"))
       .filter(col("rank") <= TopK)
       .select("query_id", "rank", "neighbor_id", "cos_ppm")
+  }
+
+  /** JVM-side vector helpers for the typed k-means/IVF passes — the
+    * same ascending-index IEEE fold as [[VecDot]], so typed and
+    * expression paths agree bit-for-bit. */
+  private[llm] object VecOps {
+    def dotJ(v: Seq[Double], c: Array[Double]): Double = {
+      var acc = 0.0
+      var t = 0
+      while (t < c.length) { acc += v(t) * c(t); t += 1 }
+      acc
+    }
+    /** argmax dot; ulp-ties keep the first (lowest) cell. */
+    def nearestCell(v: Seq[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0
+      var bestD = Double.NegativeInfinity
+      var j = 0
+      while (j < cs.length) {
+        val d = dotJ(v, cs(j))
+        if (d > bestD) { bestD = d; best = j }
+        j += 1
+      }
+      best
+    }
+    /** Top-n cells by (dot desc, cell asc). */
+    def probeCells(v: Seq[Double], cs: Array[Array[Double]], n: Int): Seq[Int] =
+      cs.indices.map(j => (-dotJ(v, cs(j)), j)).sorted.take(n).map(_._2)
   }
 
   // ---- random-hyperplane LSH --------------------------------------

@@ -165,21 +165,54 @@ object TextAnalysis {
     * `roll_fp` is a winnowing-style rolling fingerprint: the minimum
     * 48-bit hash over all character 8-grams — stable under small edits
     * anywhere outside the minimizing window (the batch analog of a
-    * rolling-hash document sketch). */
+    * rolling-hash document sketch).
+    *
+    * Typed `mapPartitions`, not Column expressions: the per-position
+    * md5 ran as an INTERPRETED `transform` HOF — one interpreted md5
+    * per character of every document, the slowest row in the LLM bench
+    * block (4.8 s → measured below 1 s at sf0.1). Same escalation
+    * rationale as the LSH signature stage (PLANS.md #7); hash
+    * semantics are bit-identical (md5 over UTF-8, first 48 bits / 16
+    * hex nibbles — all tokens ASCII by construction) and remain
+    * oracle-checked. Per-doc linear work, embarrassingly parallel. */
   def fingerprintOf(docs: DataFrame): DataFrame = {
-    val toks = Tokenizer.tokens(col("text"))
-    def gramHash(g: Column): Column =
-      conv(substring(md5(g), 1, 12), 16, 10).cast("long")
-    val rollFp = when(length(col("text")) >= 8,
-      array_min(transform(sequence(lit(1), length(col("text")) - 7),
-        i => gramHash(col("text").substr(i, lit(8))))))
-    docs
-      .select(col("doc_id"), col("text"),
-        md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fp"))
-      .withColumn("roll_fp", rollFp)
-      .withColumn("fp_bucket",
-        expr("CAST(conv(substring(fp, 1, 4), 16, 10) AS BIGINT) % 256"))
-      .drop("text")
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5Hex(s: String): String = {
+          md.reset()
+          val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val sb = new StringBuilder(32)
+          dig.foreach(b => sb.append(f"${b & 0xff}%02x"))
+          sb.toString
+        }
+        // first 6 digest bytes = the 12 leading hex nibbles as a long
+        def hash48(s: String): Long = {
+          md.reset()
+          val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var acc = 0L
+          var i = 0
+          while (i < 6) { acc = (acc << 8) | (dig(i) & 0xffL); i += 1 }
+          acc
+        }
+        it.map { case (id, text) =>
+          val fp = md5Hex(Dedup.tokensOf(text).distinct.sorted.mkString(" "))
+          val roll: Option[Long] =
+            if (text.length >= 8) {
+              var best = Long.MaxValue
+              var i = 0
+              while (i <= text.length - 8) {
+                val h = hash48(text.substring(i, i + 8))
+                if (h < best) best = h
+                i += 1
+              }
+              Some(best)
+            } else None
+          val bucket = java.lang.Long.parseLong(fp.substring(0, 4), 16) % 256
+          (id, fp, roll, bucket)
+        }
+      }.toDF("doc_id", "fp", "roll_fp", "fp_bucket")
   }
 
   val fingerprintOracle: String = {
