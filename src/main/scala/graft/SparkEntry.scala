@@ -73,7 +73,10 @@ object SparkEntry {
     "q_llm_quality"         -> (llm.TextAnalysis.qualityScore(_, _)),
     "q_llm_token_stats"     -> (llm.TextAnalysis.tokenStats(_, _)),
     "q_llm_fingerprint"     -> (llm.TextAnalysis.fingerprint(_, _)),
-    "q_llm_multimodal_meta" -> (llm.Multimodal.metaQuery(_, _))
+    "q_llm_multimodal_meta" -> (llm.Multimodal.metaQuery(_, _)),
+    "q_llm_mm_resize"       -> (llm.Multimodal.resizeQuery(_, _)),
+    "q_llm_mm_frames"       -> (llm.Multimodal.frameSample(_, _)),
+    "q_llm_mm_features"     -> (llm.Multimodal.features(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,6 +130,9 @@ object SparkEntry {
     "q_llm_quality"         -> llm.TextAnalysis.qualityOracle,
     "q_llm_token_stats"     -> llm.TextAnalysis.tokenStatsOracle,
     "q_llm_fingerprint"     -> llm.TextAnalysis.fingerprintOracle,
-    "q_llm_multimodal_meta" -> llm.Multimodal.metaOracle
+    "q_llm_multimodal_meta" -> llm.Multimodal.metaOracle,
+    "q_llm_mm_resize"       -> llm.Multimodal.resizeOracle,
+    "q_llm_mm_frames"       -> llm.Multimodal.frameSampleOracle,
+    "q_llm_mm_features"     -> llm.Multimodal.featuresOracle
   )
 }

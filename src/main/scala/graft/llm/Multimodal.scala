@@ -71,6 +71,126 @@ object Multimodal {
   def metaQuery(spark: SparkSession, dir: String): DataFrame =
     decoded(spark, dir).toDF()
 
+  // -------------------------------------------------------------------
+  // Downstream media stages: resize, frame-sample, feature-extract.
+  // Same contract as the decode stage — the pixel/sample math is a
+  // deterministic stand-in (no codecs in the container), but the stage
+  // SHAPES are the production ones: typed record in, typed record out,
+  // narrow mapPartitions with per-partition context, one row per
+  // sampled frame out of the explode. All arithmetic is integer and
+  // replayed exactly by the DuckDB oracle.
+  // -------------------------------------------------------------------
+
+  /** Longest side of the thumbnail box. */
+  val ThumbSide = 32
+  /** Every FrameStride-th frame is sampled from multi-frame media. */
+  val FrameStride = 5
+
+  /** Post-resize row: box-fitted dims + the REAL sampled payload's
+    * length and checksum (proof the downsample actually ran). */
+  case class MediaThumb(doc_id: Long, width: Int, height: Int,
+    t_width: Int, t_height: Int, thumb_len: Long, thumb_sum: Long)
+
+  /** Resize stage: fit the longest side to [[ThumbSide]] preserving
+    * aspect (integer arithmetic, min 1 px), then nearest-neighbor
+    * sample t_width·t_height payload bytes at idx_j = j·n/L. A real
+    * resizer replaces the sampling body; dims/len/sum stay checkable. */
+  def resized(spark: SparkSession, dir: String): Dataset[MediaThumb] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val (w, h, _, _) = decodeStub(r.format, r.blob)
+        val long = math.max(w, h)
+        val tw = math.max(1, w * ThumbSide / long)
+        val th = math.max(1, h * ThumbSide / long)
+        val n = r.blob.length
+        val l = tw * th
+        var sum = 0L
+        var j = 0
+        while (j < l) {
+          sum += r.blob((j.toLong * n / l).toInt) & 0xff
+          j += 1
+        }
+        MediaThumb(r.doc_id, w, h, tw, th, l.toLong, sum)
+      }
+    }
+  }
+
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
+    resized(spark, dir).toDF()
+
+  val resizeOracle: String = {
+    def byteSql(i: Int): String =
+      s"((instr('0123456789abcdef', m[${2 * i + 1}]) - 1) * 16 + instr('0123456789abcdef', m[${2 * i + 2}]) - 1)"
+    s"""WITH t AS (SELECT doc_id, text, strlen(text) AS n, md5(text) AS m,
+       |             ['png','jpeg','wav'][CAST(doc_id % 3 + 1 AS INTEGER)] AS format
+       |           FROM documents),
+       |dim AS (SELECT doc_id, text, n,
+       |          16 + ${byteSql(0)} % 64 AS w, 16 + ${byteSql(1)} % 64 AS h
+       |        FROM t),
+       |fit AS (SELECT doc_id, text, n, w, h,
+       |          greatest(1, w * $ThumbSide // greatest(w, h)) AS tw,
+       |          greatest(1, h * $ThumbSide // greatest(w, h)) AS th
+       |        FROM dim)
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |       CAST(tw AS INTEGER) AS t_width, CAST(th AS INTEGER) AS t_height,
+       |       CAST(tw * th AS BIGINT) AS thumb_len,
+       |       CAST((SELECT sum(ord(substr(text, CAST(j * n // (tw * th) AS INTEGER) + 1, 1)))
+       |             FROM unnest(range(0, tw * th)) u(j)) AS BIGINT) AS thumb_sum
+       |FROM fit""".stripMargin
+  }
+
+  /** Frame-sample stage: one row per sampled frame (every
+    * [[FrameStride]]-th), the video/audio analog of the displays[]
+    * explode — a real frame extractor replaces the index arithmetic. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decoded(spark, dir)
+      .flatMap(m => (0 until m.frames by FrameStride)
+        .map(i => (m.doc_id, m.format, m.frames, i)))
+      .toDF("doc_id", "format", "n_frames", "frame_idx")
+  }
+
+  val frameSampleOracle: String = {
+    def byteSql(i: Int): String =
+      s"((instr('0123456789abcdef', m[${2 * i + 1}]) - 1) * 16 + instr('0123456789abcdef', m[${2 * i + 2}]) - 1)"
+    s"""WITH t AS (SELECT doc_id, md5(text) AS m,
+       |             ['png','jpeg','wav'][CAST(doc_id % 3 + 1 AS INTEGER)] AS format
+       |           FROM documents),
+       |fr AS (SELECT doc_id, format,
+       |         CASE WHEN format = 'wav' THEN 1 + ${byteSql(3)} % 30 ELSE 1 END AS n_frames
+       |       FROM t)
+       |SELECT doc_id, format, CAST(n_frames AS INTEGER) AS n_frames,
+       |       CAST(u.frame_idx AS INTEGER) AS frame_idx
+       |FROM fr, LATERAL (SELECT unnest(range(0, n_frames, $FrameStride)) AS frame_idx) u""".stripMargin
+  }
+
+  /** Feature-extract stage: a fixed-width integer feature vector per
+    * record (md5-derived stand-in for an embedding model's output,
+    * emitted as 8 scalar columns — the schema a feature store would
+    * ingest). Per-partition digest context = the model handle. */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        md.reset()
+        val d = md.digest(r.blob)
+        (r.doc_id, d(4) & 0xff, d(5) & 0xff, d(6) & 0xff, d(7) & 0xff,
+          d(8) & 0xff, d(9) & 0xff, d(10) & 0xff, d(11) & 0xff)
+      }
+    }.toDF("doc_id", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
+  }
+
+  val featuresOracle: String = {
+    def byteSql(i: Int): String =
+      s"((instr('0123456789abcdef', m[${2 * i + 1}]) - 1) * 16 + instr('0123456789abcdef', m[${2 * i + 2}]) - 1)"
+    val cols = (0 until 8)
+      .map(k => s"CAST(${byteSql(k + 4)} AS INTEGER) AS f$k").mkString(", ")
+    s"""SELECT doc_id, $cols
+       |FROM (SELECT doc_id, md5(text) AS m FROM documents)""".stripMargin
+  }
+
   /** The oracle replays the stub's md5 arithmetic on the text bytes
     * (hex-nibble pairs = digest bytes; ASCII text ⇒ blob == text). */
   val metaOracle: String = {

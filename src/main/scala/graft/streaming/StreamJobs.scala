@@ -126,6 +126,29 @@ object StreamJobs {
       .toDF("event_id", "mid", "dt", "is_new")
   }
 
+  /** J1/J2 streaming: STREAM-STREAM interval join — the Structured
+    * Streaming twin of the reference's Flink `intervalJoin`
+    * (OrderWideApp2.java order×detail ±5 s, PaymentWideApp payment×
+    * order [-30 min, 0]). Both sides carry event-time watermarks and
+    * the join predicate is an equi-key plus a time-range bound, which
+    * is exactly the shape Spark's state-store eviction needs: each
+    * side's buffered rows are dropped once the watermark passes
+    * `bound` + delay, so state is O(rate × bound), never unbounded.
+    *
+    * Column contract: `left` has (lkey, lts) + payload, `right` has
+    * (rkey, rts) + payload, all four names distinct; emits the inner
+    * join where rts ∈ [lts - bound, lts + bound]. The same transform
+    * body runs in batch (unified API) — parity with the batch interval
+    * join is asserted in StreamingSpec. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      lkey: String, rkey: String, lts: String, rts: String,
+      bound: String, delay: String = "1 minute"): DataFrame =
+    left.withWatermark(lts, delay)
+      .join(right.withWatermark(rts, delay),
+        col(lkey) === col(rkey) &&
+        col(rts) >= col(lts) - expr(s"INTERVAL $bound") &&
+        col(rts) <= col(lts) + expr(s"INTERVAL $bound"))
+
   /** T3 streaming: bounce = session with exactly one event. The same
     * expression runs in batch, where it must agree with the lag/lead
     * JumpDetect formulation (asserted in tests). */

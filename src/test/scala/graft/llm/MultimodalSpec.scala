@@ -15,6 +15,27 @@ class MultimodalSpec extends SparkSpec {
     assert(fw >= 1 && fw <= 30, "wav gets a frame count")
   }
 
+  test("resize fits the thumb box and samples the real payload") {
+    val th = Multimodal.resized(spark, Sf).cache()
+    val bad = th.filter(t =>
+      t.t_width < 1 || t.t_width > Multimodal.ThumbSide ||
+      t.t_height < 1 || t.t_height > Multimodal.ThumbSide ||
+      math.max(t.t_width, t.t_height) != Multimodal.ThumbSide ||
+      t.thumb_len != t.t_width.toLong * t.t_height ||
+      t.thumb_sum <= 0).count()
+    assert(bad == 0)
+  }
+
+  test("frame sampling explodes every FrameStride-th frame only") {
+    import org.apache.spark.sql.functions._
+    val fr = Multimodal.frameSample(spark, Sf).cache()
+    assert(fr.filter(col("frame_idx") % Multimodal.FrameStride =!= 0).count() == 0)
+    assert(fr.filter(col("frame_idx") >= col("n_frames")).count() == 0)
+    // every media record contributes frame 0
+    assert(fr.filter(col("frame_idx") === 0).count() ==
+      graft.Tables.documents(spark, Sf).count())
+  }
+
   test("mapPartitions decode: typed output, one row per media record") {
     val meta = Multimodal.decoded(spark, Sf).cache()
     val n = graft.Tables.documents(spark, Sf).count()

@@ -7,6 +7,8 @@ import graft.SparkSpec
 
 case class Ev(event_id: Long, user_id: Long, event_type: String,
   value: Double, ts: Timestamp)
+case class Ord(order_id: Long, o_ts: Timestamp, total: Long)
+case class Det(d_order_id: Long, d_ts: Timestamp, amount: Long)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -72,6 +74,39 @@ class StreamingSpec extends SparkSpec {
       .select(col("mid"), col("dt")).as[(Long, String)].collect().toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("stream-stream interval join matches batch and excludes out-of-bound rows") {
+    implicit val sc = spark.sqlContext
+    val orders = Seq(
+      Ord(10, t("2021-03-21 10:00:00"), 500L),
+      Ord(20, t("2021-03-21 11:00:00"), 700L))
+    val details = Seq(
+      Det(10, t("2021-03-21 10:10:00"), 100L), // in [-30m, +30m]
+      Det(10, t("2021-03-21 09:40:00"), 150L), // in (earlier side)
+      Det(10, t("2021-03-21 12:00:00"), 999L), // OUT: +2h
+      Det(20, t("2021-03-21 11:29:00"), 300L), // in
+      Det(30, t("2021-03-21 11:00:00"), 400L)) // no matching order
+    val oSrc = MemoryStream[Ord]
+    val dSrc = MemoryStream[Det]
+    val q = StreamJobs.intervalJoin(oSrc.toDF(), dSrc.toDF(),
+        "order_id", "d_order_id", "o_ts", "d_ts", "30 minutes")
+      .select(col("order_id"), col("amount"))
+      .writeStream.format("memory").queryName("ivj_out")
+      .outputMode("append").start()
+    oSrc.addData(orders: _*)
+    dSrc.addData(details: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ivj_out")
+      .as[(Long, Long)].collect().toSet
+    // the SAME transform body in batch mode (unified API)
+    val batch = StreamJobs.intervalJoin(orders.toDF(), details.toDF(),
+        "order_id", "d_order_id", "o_ts", "d_ts", "30 minutes")
+      .select(col("order_id"), col("amount"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == Set((10L, 100L), (10L, 150L), (20L, 300L)))
+    assert(streamed == batch)
   }
 
   test("kafka source construction resolves up to the missing connector") {
