@@ -40,6 +40,60 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("closure keepers equal union-find components on random graphs") {
+    val rnd = new scala.util.Random(13)
+    // 6 random graphs: up to 12 nodes, random edge sets incl. chains
+    // (each graph costs diameter-many distributed rounds — six keeps
+    // the suite's wall time bounded while still covering chains,
+    // forests and dense blobs under the fixed seed)
+    (1 to 6).foreach { _ =>
+      val n = 4 + rnd.nextInt(9)
+      val edges = List.fill(1 + rnd.nextInt(10))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // reference: plain driver-side union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expect = nodes.map(x => x -> nodes.filter(find(_) == find(x)).min).toMap
+        val got = llm.Dedup.closureKeepers(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"edges=$edges")
+      }
+    }
+  }
+
+  test("batch interval join equals the filter-based reference form") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(29)
+    val base = Timestamp.valueOf("2021-03-21 10:00:00").getTime
+    (1 to 5).foreach { _ =>
+      val orders = List.tabulate(6)(i =>
+        (i.toLong, new Timestamp(base + rnd.nextInt(7200) * 1000L), i * 10L))
+      val details = List.fill(15)(
+        (rnd.nextInt(8).toLong, new Timestamp(base + rnd.nextInt(7200) * 1000L), rnd.nextInt(100).toLong))
+      val got = streaming.StreamJobs.intervalJoin(
+          orders.toDF("oid", "ots", "total"), details.toDF("did", "dts", "amt"),
+          "oid", "did", "ots", "dts", "30 minutes")
+        .select("oid", "dts", "amt")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+      val expect = (for {
+        (oid, ots, _) <- orders
+        (did, dts, amt) <- details
+        if did == oid && math.abs(dts.getTime - ots.getTime) <= 30 * 60 * 1000L
+      } yield (oid, dts, amt)).toSet
+      assert(got == expect)
+    }
+  }
+
   test("dedupLatest is idempotent and keeps the max ts per key") {
     cases.foreach { xs =>
       val df = xs.toDF("k", "ts")
