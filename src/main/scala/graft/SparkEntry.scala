@@ -24,6 +24,7 @@ object SparkEntry {
     "q_dwd_start_split"    -> (dwd.LogNested.startSplit(_, _)),
     "q_dwd_display_explode" -> (dwd.LogNested.displayExplode(_, _)),
     "q_dwd_action_explode"  -> (dwd.LogNested.actionExplode(_, _)),
+    "q_dws_province_stats_sql" -> (dws.ProvinceStats.sqlForm(_, _)),
     "q_dws_display_stats"  -> (dwd.LogNested.displayStats(_, _)),
     "q_dwd_cdc_route"      -> (dwd.CdcEnvelope(_, _)),
     // DWM — dedup / CEP-bounce / interval + dim joins (§2.4, §2.5)
@@ -88,6 +89,7 @@ object SparkEntry {
     "q_dwd_start_split"    -> dwd.LogNested.startSplitOracle,
     "q_dwd_display_explode" -> dwd.LogNested.displayExplodeOracle,
     "q_dwd_action_explode"  -> dwd.LogNested.actionExplodeOracle,
+    "q_dws_province_stats_sql" -> dws.ProvinceStats.oracle,
     "q_dws_display_stats"  -> dwd.LogNested.displayStatsOracle,
     "q_dwd_cdc_route"      -> dwd.CdcEnvelope.oracle,
     "q_dwm_unique_visit"   -> dwm.UniqueVisit.oracle,

@@ -39,6 +39,30 @@ object ProvinceStats {
         sumCents(col("o_totalprice")).as("order_amount_cents"))
   }
 
+  /** The reference's ACTUAL entry form is SQL text over registered
+    * tables (ProvinceStatsSqlApp.java:51-80 assembles the query as a
+    * string; the keyword app likewise) — the same statement here runs
+    * through `spark.sql` over temp views. Semantically identical to
+    * [[apply]] (same oracle), and it exercises the engine's SQL
+    * surface: Catalyst plans SQL text and DataFrame calls into the
+    * same physical plan, so everything PLANS.md audits holds for SQL
+    * users too. */
+  def sqlForm(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT CAST(floor(unix_timestamp(o_orderdate) / 10) * 10 AS BIGINT) AS stt,
+        |       CAST(n_nationkey AS INT) AS province_id,
+        |       n_name AS province_name,
+        |       count(DISTINCT o_orderkey) AS order_ct,
+        |       sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS order_amount_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3""".stripMargin)
+  }
+
   val oracle: String =
     """SELECT CAST(floor(epoch(o_orderdate)/10)*10 AS BIGINT) AS stt,
       |       CAST(n_nationkey AS INTEGER) AS province_id,

@@ -126,6 +126,24 @@ object StreamJobs {
       .toDF("event_id", "mid", "dt", "is_new")
   }
 
+  /** A2 streaming: product stats 10 s tumble per sku — the reference's
+    * ProductStatsApp as a streaming aggregate. Exact `countDistinct`
+    * is unsupported in streaming aggregation (it would carry unbounded
+    * per-window sets in state); `approx_count_distinct` HLL sketches
+    * merge incrementally in the state store — the streaming twin of
+    * the batch `ProductStats.approx` scale path. Input contract:
+    * (ship_ts, sku_id, order_id, amount_cents). */
+  def productTumble(lineitems: DataFrame): DataFrame =
+    lineitems
+      .withWatermark("ship_ts", "3 seconds")
+      .groupBy(window(col("ship_ts"), "10 seconds"), col("sku_id"))
+      .agg(
+        count(lit(1)).as("click_ct"),
+        approx_count_distinct(col("order_id")).as("order_ct"),
+        sum(col("amount_cents")).as("order_amount_cents"))
+      .select(col("window.start").as("stt"), col("sku_id"),
+        col("click_ct"), col("order_ct"), col("order_amount_cents"))
+
   /** J1/J2 streaming: STREAM-STREAM interval join — the Structured
     * Streaming twin of the reference's Flink `intervalJoin`
     * (OrderWideApp2.java order×detail ±5 s, PaymentWideApp payment×

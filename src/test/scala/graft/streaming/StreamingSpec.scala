@@ -9,6 +9,8 @@ case class Ev(event_id: Long, user_id: Long, event_type: String,
   value: Double, ts: Timestamp)
 case class Ord(order_id: Long, o_ts: Timestamp, total: Long)
 case class Det(d_order_id: Long, d_ts: Timestamp, amount: Long)
+case class Li(ship_ts: Timestamp, sku_id: Long, order_id: Long,
+  amount_cents: Long)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -74,6 +76,34 @@ class StreamingSpec extends SparkSpec {
       .select(col("mid"), col("dt")).as[(Long, String)].collect().toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming product tumble matches the batch aggregate after close") {
+    implicit val sc = spark.sqlContext
+    val lis = Seq(
+      Li(t("2021-03-21 10:00:01"), 7, 100, 500L),
+      Li(t("2021-03-21 10:00:04"), 7, 100, 300L),  // same window+sku+order
+      Li(t("2021-03-21 10:00:09"), 7, 101, 200L),  // same window, 2nd order
+      Li(t("2021-03-21 10:00:12"), 7, 102, 100L),  // next window
+      Li(t("2021-03-21 10:00:03"), 9, 103, 900L),  // other sku
+      Li(t("2021-04-01 00:00:00"), 0, 0, 0L))      // sentinel closes windows
+    val src = MemoryStream[Li]
+    val q = StreamJobs.productTumble(src.toDF())
+      .writeStream.format("memory").queryName("ps_out")
+      .outputMode("append").start()
+    src.addData(lis: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ps_out")
+      .filter(col("sku_id") =!= 0)
+      .as[(Timestamp, Long, Long, Long, Long)].collect().toSet
+    val batch = StreamJobs.productTumble(lis.toDF())
+      .filter(col("sku_id") =!= 0)
+      .as[(Timestamp, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    val w7 = streamed.find(r =>
+      r._1 == t("2021-03-21 10:00:00") && r._2 == 7L).get
+    assert(w7._3 == 3L && w7._4 == 2L && w7._5 == 1000L)
   }
 
   test("stream-stream interval join matches batch and excludes out-of-bound rows") {
