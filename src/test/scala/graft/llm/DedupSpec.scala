@@ -77,6 +77,18 @@ class DedupSpec extends SparkSpec {
     assert(out.head._3 >= Dedup.JaccardPpmThreshold)
   }
 
+  test("ngram jaccard and minhash-LSH agree on shared pairs") {
+    // both verify with exact shingle Jaccard, so any pair emitted by
+    // both candidate generators must carry the IDENTICAL ppm value
+    val ng = Dedup.ngramJaccard(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lsh = Dedup.lshDuplicates(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val shared = ng.keySet intersect lsh.keySet
+    assert(shared.nonEmpty, "fixture should produce overlapping pairs")
+    shared.foreach(k => assert(ng(k) == lsh(k), s"pair $k disagrees"))
+  }
+
   test("simhash: identical token multisets share a hash; disjoint differ") {
     val d = docs((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
       (3L, "x1 y2 z3 w4 v5"))
