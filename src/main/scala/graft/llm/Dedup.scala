@@ -341,8 +341,16 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("keeper", col("doc_id")).cache()
+    // seed with round 1 already applied — keeper(x) = min(x, N(x)) is
+    // the identity-init loop's first output, computed here as part of
+    // the init aggregate instead of a separate distributed round (for
+    // the common disjoint-pair graph the seed IS the fixpoint, so the
+    // loop's first moved-count hits 0 immediately)
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nbr")).as("keeper"))
+      .cache()
     var moved = 1L
     var rounds = 0
     while (moved > 0 && rounds < 20) {
