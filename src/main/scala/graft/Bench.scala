@@ -45,19 +45,20 @@ object Bench {
       val parent = new java.io.File(sfDir).getParentFile
       val candidate = new java.io.File(parent, "sf0.001")
       if (candidate.isDirectory && candidate.getPath != new java.io.File(sfDir).getPath)
-        Some(candidate.getPath)
-      else None
+        candidate.getPath
+      else {
+        // documented fallback: warm up on the bench dir itself — one
+        // untimed full pass is still cheaper than letting the first
+        // TIMED query absorb JVM/codegen warmup
+        System.err.println(s"[bench] no sibling sf0.001 next to $sfDir — warming up on the bench dir")
+        sfDir
+      }
     }
-    warmupDir match {
-      case Some(dir) =>
-        SparkEntry.queries.foreach { case (name, fn) =>
-          try run(fn, dir)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
-          }
-        }
-      case None =>
-        System.err.println(s"[bench] no sibling sf0.001 next to $sfDir — skipping warmup")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try run(fn, warmupDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
     }
 
     var failed = List.empty[String]

@@ -334,42 +334,78 @@ object Dedup {
           .otherwise(0).cast("int").as("kept"))
   }
 
+  /** Round cap for [[closureKeepers]]. With pointer doubling each round
+    * at least SQUARES the label-jump distance, so 20 rounds covers
+    * component diameters up to ~2^20 hops — far beyond any real dup
+    * graph. Hitting the cap with labels still moving now THROWS instead
+    * of silently returning wrong keepers. */
+  val ClosureMaxRounds = 20
+
   /** The label-propagation loop alone: (doc_id, keeper) for every node
     * of the pair graph, keeper = min id of its connected component.
-    * Unit-testable on synthetic graphs (chains, forests). */
+    * Unit-testable on synthetic graphs (chains, forests).
+    *
+    * Each round does two distributed steps: (1) neighbor-min — adopt
+    * the smallest keeper among direct neighbors; (2) pointer doubling —
+    * adopt the keeper's OWN keeper (keeper-of-keeper). Step 2 squares
+    * the effective hop distance per round, so convergence is
+    * O(log diameter) rounds rather than O(diameter) one-hop rounds —
+    * the property that makes deep near-dup chains (incremental-edit
+    * lineages at corpus scale) converge inside the round cap.
+    *
+    * Every round ends in `localCheckpoint` (eager), NOT `cache`: the
+    * round's plan references the previous labels twice and the hop
+    * frame twice, so without truncation the LOGICAL plan grows 4× per
+    * round — by round 7 the analyzer walks ~16k copies of the seed
+    * plan (measured: minutes of driver CPU on a 60-node chain) even
+    * though execution reuses the cache. Checkpointing pins each round
+    * to a LogicalRDD, keeping analysis O(1) per round. */
   def closureKeepers(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
-    // seed with round 1 already applied — keeper(x) = min(x, N(x)) is
-    // the identity-init loop's first output, computed here as part of
-    // the init aggregate instead of a separate distributed round (for
-    // the common disjoint-pair graph the seed IS the fixpoint, so the
-    // loop's first moved-count hits 0 immediately)
+    // seed with round 1's neighbor-min already applied — keeper(x) =
+    // min(x, N(x)) is the identity-init loop's first output, computed
+    // here as part of the init aggregate instead of a separate
+    // distributed round (for the common disjoint-pair graph the seed
+    // IS the fixpoint, so the loop's first moved-count hits 0)
     var labels = edges.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nbr"))
       .select(col("doc_id"),
         least(col("doc_id"), col("nbr")).as("keeper"))
-      .cache()
+      .localCheckpoint()
     var moved = 1L
     var rounds = 0
-    while (moved > 0 && rounds < 20) {
+    while (moved > 0 && rounds < ClosureMaxRounds) {
       val nbrMin = edges.as("e")
         .join(labels.as("l"), col("e.dst") === col("l.doc_id"))
         .groupBy(col("e.src").as("doc_id"))
         .agg(min(col("l.keeper")).as("nbr_keeper"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+      val hop = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("keeper"), coalesce(col("nbr_keeper"), col("keeper")))
             .as("keeper"))
-        .cache()
+        .localCheckpoint()
+      // pointer doubling: keeper ids are themselves graph nodes, so
+      // they carry a label row — chase one level (keeper := keeper's
+      // keeper). Renamed projection, not an alias self-join, to stay
+      // clear of Spark's ambiguous-self-join detection.
+      val byId = hop.select(col("doc_id").as("k_id"), col("keeper").as("k_keeper"))
+      val next = hop.join(byId, col("keeper") === col("k_id"), "left")
+        .select(col("doc_id"),
+          least(col("keeper"), coalesce(col("k_keeper"), col("keeper")))
+            .as("keeper"))
+        .localCheckpoint()
       moved = next.as("a").join(labels.as("b"), Seq("doc_id"))
         .filter(col("a.keeper") =!= col("b.keeper")).count()
-      labels.unpersist()
       labels = next
       rounds += 1
     }
     edges.unpersist()
+    if (moved > 0)
+      throw new IllegalStateException(
+        s"closureKeepers did not converge in $ClosureMaxRounds rounds " +
+          s"($moved labels still moving) — component diameter beyond 2^$ClosureMaxRounds?")
     labels
   }
 

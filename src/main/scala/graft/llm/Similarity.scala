@@ -148,6 +148,9 @@ object Similarity {
     val typed = env.select(col("vec_id"), col("nv")).as[(Long, Seq[Double])]
     var cents: Array[Array[Double]] = typed
       .filter(_._1 < KCells).collect().sortBy(_._1).map(_._2.toArray)
+    require(cents.nonEmpty,
+      s"kmeansCentroids: no seed vectors with vec_id < $KCells — empty or " +
+        "renumbered embeddings table; seed ids must start at 0")
     for (_ <- 1 to LloydIters) {
       val bc = env.sparkSession.sparkContext.broadcast(cents)
       val partials = typed.mapPartitions { it =>
@@ -213,7 +216,10 @@ object Similarity {
 
     val assigned = cells.select(col("vec_id"), col("cell"),
       col("embedding"), col("nrm"))
-    val probes = cells.filter(col("vec_id") % QueryStride === 0)
+    // same query population as bruteTopK (stride AND MaxQueries cap) so
+    // the two paths time and score identical query sets at every sf
+    val probes = cells.filter(col("vec_id") % QueryStride === 0 &&
+        col("vec_id") < QueryStride * MaxQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("nrm").as("qn"), explode(col("probes")).as("cell"))
 

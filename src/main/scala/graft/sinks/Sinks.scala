@@ -97,8 +97,24 @@ object Sinks {
   // the oracle compares durable state, not an in-memory transform.
   // ---------------------------------------------------------------------
 
+  /** One temp directory per (tag, JVM), recursively deleted at JVM
+    * exit. The writes below are all mode("overwrite"), so re-running a
+    * sink query (bench does warmup + two timed runs) re-writes the SAME
+    * directory instead of leaking a fresh parquet tree per invocation —
+    * timing then measures the write path, not filesystem accumulation. */
+  private val tmpDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def tmpDir(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_sink_$tag").toString
+    tmpDirs.getOrElseUpdate(tag, {
+      val p = java.nio.file.Files.createTempDirectory(s"graft_sink_$tag")
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(p))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f): Unit)
+      }
+      p.toString
+    })
 
   /** K3/K4 (q_sink_dedup_latest): three deterministic versions per
     * order — v1/v3 tie on the max ts, v2 trails — written through the

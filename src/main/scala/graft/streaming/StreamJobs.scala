@@ -27,7 +27,8 @@ object StreamJobs {
   /** S2/S3 production source: the real Kafka construction
     * (reference MyKafkaUtil.java:21-27 consumer / BaseDBApp2.java:49
     * SQL-table form). Returns (key, value, topic, partition, offset,
-    * timestamp) with value parsed by `schema` into a `log` struct —
+    * timestamp, log) — the raw Kafka metadata columns plus the value
+    * parsed by `schema` into a `log` struct —
     * the SAME downstream transforms as [[eventsStream]] run on it
     * unchanged, which is what makes every streaming job here
     * source-agnostic. The sandbox has neither a broker nor the
@@ -44,6 +45,9 @@ object StreamJobs {
       .option("startingOffsets", "earliest")
       .load()
       .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        col("topic"), col("partition"), col("offset"),
         col("timestamp"),
         from_json(col("value").cast("string"), schema).as("log"))
 

@@ -62,6 +62,17 @@ class DedupSpec extends SparkSpec {
     assert(keepers == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("closure keepers: a 60-hop chain converges inside the round cap") {
+    // Diameter 59 — one-hop propagation would need 59 rounds (past the
+    // cap of 20); pointer doubling reaches the fixpoint in ~log2(59)
+    // rounds. This is the incremental-edit-lineage shape at corpus
+    // scale: doc k is a near-dup of doc k+1 only.
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val keepers = Dedup.closureKeepers(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers == (1L to 60L).map(_ -> 1L).toMap)
+  }
+
   test("ngram jaccard: inverted index finds the near-dup, prunes the rest") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 37) "CHANGED" else s"tok$i")
