@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit sbt's raw stdout in forked runs instead of the default
+// logger: the logger prefixes every line with "[info] ", which breaks
+// downstream consumers that expect Bench's single JSON result line to
+// start at column 0 (BENCH_r02/r03 both recorded parsed:null for
+// exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

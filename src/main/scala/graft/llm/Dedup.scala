@@ -450,18 +450,48 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     simhashOf(Tables.documents(spark, dir))
 
-  /** SimHash over any (doc_id, text) frame — public for tests. */
+  /** SimHash over any (doc_id, text) frame — public for tests.
+    *
+    * Typed per-doc pass, zero shuffle: the earlier explode + 32
+    * conditional `sum`s pushed ~1M (doc, md5-hex) token rows through a
+    * 32-column aggregate and evaluated 32 substring compares per token
+    * (measured ~60% of q_llm_simhash_dups at sf0.1). The majority vote
+    * is doc-local, so it belongs in one partition-local loop — the same
+    * escalation as [[shingleSets]]. Bit j comes from md5 nibble j's
+    * high bit (hex char >= '8'), identical to the SQL form in
+    * [[simhashSql]]; docs with zero tokens are skipped, matching the
+    * explode form (no token rows → no group). */
   def simhashOf(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(Tokenizer.tokens(col("text"))).as("tok"))
-      .withColumn("th", md5(col("tok")))
-    val bitSums = (0 until SimBits).map(j =>
-      sum(when(substring(col("th"), j + 1, 1) >= "8", 1L).otherwise(-1L))
-        .as(s"s$j"))
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until SimBits).map(j =>
-      when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
-    agg.select(col("doc_id"), hash.as("simhash"))
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          val toks = tokensOf(t)
+          if (toks.isEmpty) Iterator.empty
+          else {
+            val counts = new Array[Int](SimBits)
+            toks.foreach { tok =>
+              md.reset()
+              val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              var j = 0
+              while (j < SimBits) {
+                val nib =
+                  if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xF else d(j >> 1) & 0xF
+                counts(j) += (if (nib >= 8) 1 else -1)
+                j += 1
+              }
+            }
+            var hash = 0L
+            var j = 0
+            while (j < SimBits) {
+              if (counts(j) >= 0) hash |= 1L << j
+              j += 1
+            }
+            Iterator.single((id, hash))
+          }
+        }
+      }.toDF("doc_id", "simhash")
   }
 
   private val simhashSql: String = {
