@@ -33,6 +33,8 @@ object SparkEntry {
     "q_dwm_order_wide"     -> (dwm.OrderWide(_, _)),
     "q_dwm_order_wide_dims" -> (dwm.OrderWide.withDims(_, _)),
     "q_dwm_payment_wide"   -> (dwm.OrderWide.paymentWide(_, _)),
+    // As-of join (point-in-time lookup; J1/J2's unbounded-lower limit)
+    "q_asof_latest_order"  -> (operators.AsOf.latestOrderQuery(_, _)),
     // DWS — windowed stats (§2.6)
     "q_dws_visitor_stats"  -> (dws.VisitorStats(_, _)),
     "q_dws_product_stats"  -> (dws.ProductStats(_, _)),
@@ -77,7 +79,12 @@ object SparkEntry {
     "q_llm_multimodal_meta" -> (llm.Multimodal.metaQuery(_, _)),
     "q_llm_mm_resize"       -> (llm.Multimodal.resizeQuery(_, _)),
     "q_llm_mm_frames"       -> (llm.Multimodal.frameSample(_, _)),
-    "q_llm_mm_features"     -> (llm.Multimodal.features(_, _))
+    "q_llm_mm_features"     -> (llm.Multimodal.features(_, _)),
+    // Corpus curation: Gopher-style repetition signals, deterministic
+    // hash splits, per-language quantile calibration
+    "q_llm_repetition"      -> (llm.CorpusOps.repetition(_, _)),
+    "q_llm_hash_split"      -> (llm.CorpusOps.hashSplit(_, _)),
+    "q_llm_quality_quantiles" -> (llm.CorpusOps.qualityQuantiles(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,6 +104,7 @@ object SparkEntry {
     "q_dwm_order_wide"     -> dwm.OrderWide.oracle,
     "q_dwm_order_wide_dims" -> dwm.OrderWide.withDimsOracle,
     "q_dwm_payment_wide"   -> dwm.OrderWide.paymentWideOracle,
+    "q_asof_latest_order"  -> operators.AsOf.latestOrderOracle,
     "q_dws_visitor_stats"  -> dws.VisitorStats.oracle,
     "q_dws_product_stats"  -> dws.ProductStats.oracle,
     "q_dws_keyword_stats"  -> dws.KeywordStats.oracle,
@@ -135,6 +143,9 @@ object SparkEntry {
     "q_llm_multimodal_meta" -> llm.Multimodal.metaOracle,
     "q_llm_mm_resize"       -> llm.Multimodal.resizeOracle,
     "q_llm_mm_frames"       -> llm.Multimodal.frameSampleOracle,
-    "q_llm_mm_features"     -> llm.Multimodal.featuresOracle
+    "q_llm_mm_features"     -> llm.Multimodal.featuresOracle,
+    "q_llm_repetition"      -> llm.CorpusOps.repetitionOracle,
+    "q_llm_hash_split"      -> llm.CorpusOps.hashSplitOracle,
+    "q_llm_quality_quantiles" -> llm.CorpusOps.qualityQuantilesOracle
   )
 }

@@ -1,0 +1,192 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators an LLM training-data pipeline runs after
+  * dedup: repetition-based quality signals (the Gopher/MassiveText
+  * family of "fraction of duplicated n-grams" filters, Rae et al. 2021
+  * §A1.1 — public paper), deterministic train/valid/test hash splits,
+  * and per-language score quantiles for threshold calibration.
+  *
+  * All outputs are integer (counts + ppm integer division) and every
+  * operator is per-doc or one aggregate — the same determinism and
+  * scale discipline as [[TextAnalysis]].
+  */
+object CorpusOps {
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  // ---- repetition signals -----------------------------------------
+
+  /** Per-doc n-gram repetition signals: bigram total / top-bigram
+    * count / top-bigram fraction (ppm), and the duplicated-bigram and
+    * duplicated-trigram fractions (occurrences beyond each gram's
+    * first, over total grams — the Gopher "duplicate n-gram" filter
+    * shape). Docs with fewer than n tokens score 0, not null.
+    *
+    * Typed partition-local pass (the [[Dedup.shingleSets]] escalation):
+    * gram counting is doc-local, so a per-doc hash map beats the
+    * explode → two-level-aggregate form — zero shuffle, and no
+    * interpreted higher-order functions on the hot path. Linear in
+    * corpus size, embarrassingly parallel at any scale. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.documents(spark, dir))
+
+  /** [[repetition]] over any (doc_id, text) frame — public for tests. */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = Dedup.tokensOf(text)
+        // (total, distinct, topCount) for word n-grams of size n
+        def gramStats(n: Int): (Long, Long, Long) =
+          if (toks.length < n) (0L, 0L, 0L)
+          else {
+            val counts = scala.collection.mutable.HashMap.empty[String, Long]
+            var top = 0L
+            var i = 0
+            while (i <= toks.length - n) {
+              val sb = new StringBuilder(toks(i))
+              var j = 1
+              while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+              val g = sb.toString
+              val c = counts.getOrElse(g, 0L) + 1L
+              counts(g) = c
+              if (c > top) top = c
+              i += 1
+            }
+            (toks.length.toLong - n + 1, counts.size.toLong, top)
+          }
+        val (t2, d2, top2) = gramStats(2)
+        val (t3, d3, _) = gramStats(3)
+        def ppm(num: Long, den: Long): Long =
+          if (den > 0) 1000000L * num / den else 0L
+        (id, t2, top2, ppm(top2, t2), ppm(t2 - d2, t2), ppm(t3 - d3, t3))
+      }).toDF("doc_id", "n_bigrams", "top_bigram_ct", "top_bigram_ppm",
+        "dup2_ppm", "dup3_ppm")
+  }
+
+  val repetitionOracle: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g2 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+       |       FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+       |       WHERE len(toks) >= 2),
+       |c2 AS (SELECT doc_id, g, count(*) AS ct FROM g2 GROUP BY 1, 2),
+       |a2 AS (SELECT doc_id, sum(ct) AS total2, count(*) AS dist2,
+       |              max(ct) AS top2 FROM c2 GROUP BY doc_id),
+       |g3 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       |       FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) u
+       |       WHERE len(toks) >= 3),
+       |c3 AS (SELECT doc_id, g, count(*) AS ct FROM g3 GROUP BY 1, 2),
+       |a3 AS (SELECT doc_id, sum(ct) AS total3, count(*) AS dist3
+       |       FROM c3 GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(a2.total2, 0) AS BIGINT) AS n_bigrams,
+       |       CAST(coalesce(a2.top2, 0) AS BIGINT) AS top_bigram_ct,
+       |       CASE WHEN coalesce(a2.total2, 0) > 0
+       |            THEN (1000000 * a2.top2) // a2.total2 ELSE 0 END AS top_bigram_ppm,
+       |       CASE WHEN coalesce(a2.total2, 0) > 0
+       |            THEN (1000000 * (a2.total2 - a2.dist2)) // a2.total2 ELSE 0 END AS dup2_ppm,
+       |       CASE WHEN coalesce(a3.total3, 0) > 0
+       |            THEN (1000000 * (a3.total3 - a3.dist3)) // a3.total3 ELSE 0 END AS dup3_ppm
+       |FROM documents d
+       |LEFT JOIN a2 ON d.doc_id = a2.doc_id
+       |LEFT JOIN a3 ON d.doc_id = a3.doc_id""".stripMargin
+
+  // ---- deterministic hash split -----------------------------------
+
+  /** Split-bucket boundaries out of 100: [0,80) train, [80,90) valid,
+    * [90,100) test. */
+  val TrainUpper = 80L
+  val ValidUpper = 90L
+
+  /** Deterministic train/valid/test assignment: bucket = first 16 bits
+    * of md5(doc_id) mod 100. Pure projection — no shuffle, no state,
+    * stable under reruns, re-partitioning, and corpus growth (a doc's
+    * split never depends on other docs) — the property that makes
+    * hash splits the standard at corpus scale. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainUpper, "train")
+          .when(col("bucket") < ValidUpper, "valid")
+          .otherwise("test"))
+
+  val hashSplitOracle: String = {
+    val nib = (1 to 4)
+      .map(k => s"(instr('0123456789abcdef', m[$k]) - 1) * ${1L << (4 * (4 - k))}")
+      .mkString("(", " + ", ")")
+    s"""WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m
+       |           FROM documents)
+       |SELECT doc_id, lang, CAST($nib % 100 AS BIGINT) AS bucket,
+       |       CASE WHEN $nib % 100 < $TrainUpper THEN 'train'
+       |            WHEN $nib % 100 < $ValidUpper THEN 'valid'
+       |            ELSE 'test' END AS split
+       |FROM h""".stripMargin
+  }
+
+  // ---- per-language quality quantiles -----------------------------
+
+  /** Quantile points (percent) reported per language. */
+  val QuantilePoints = Seq(25, 50, 75, 90)
+
+  /** Per-language discrete quantiles of the [[TextAnalysis]] quality
+    * score: the value at rank ceil(p·n/100) of the sorted scores —
+    * exact, integer, and identically defined in both engines (unlike
+    * continuous-interpolation percentiles, whose midpoint arithmetic
+    * is engine-specific). The calibration table a corpus-filtering
+    * pass reads its thresholds from.
+    *
+    * Scale note: rank-by-window is one shuffle per language partition
+    * and a partition-local sort — fine while every language fits an
+    * executor's spill budget; at 100 TB swap in approx_percentile
+    * (t-digest) behind the same output shape, as
+    * [[graft.dws.ProductStats.approx]] does for distinct counts. */
+  def qualityQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysis.qualityOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), col("quality_ppm"))
+    val ranked = scored
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("lang").orderBy("quality_ppm")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+    val qs = QuantilePoints.map(p =>
+      max(when(expr(s"rn = (n * $p + 99) DIV 100"), col("quality_ppm")))
+        .as(s"q$p"))
+    ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), qs: _*)
+  }
+
+  val qualityQuantilesOracle: String = {
+    val qs = QuantilePoints.map(p =>
+      s"max(CASE WHEN rn = (n * $p + 99) // 100 THEN quality_ppm END) AS q$p")
+      .mkString(",\n       |       ")
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |c AS (SELECT doc_id, lang,
+       |        CAST(len(toks) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_filter(toks, t -> list_contains(${TextAnalysis.Stopwords.mkString("['", "', '", "']")}, t))) AS BIGINT) AS n_stop,
+       |        CAST(list_reduce(list_prepend(0, list_transform(toks, x -> strlen(x))), (a,b) -> a+b) AS BIGINT) AS len_sum
+       |      FROM t),
+       |r AS (SELECT lang,
+       |        (1000000 * n_stop) // n_tokens AS stop_ppm,
+       |        (1000000 * len_sum) // n_tokens AS mean_len_ppm,
+       |        CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1000000 ELSE 300000 END AS len_ok
+       |      FROM c),
+       |q AS (SELECT lang, (stop_ppm + mean_len_ppm // 10 + len_ok) // 3 AS quality_ppm FROM r),
+       |rk AS (SELECT lang, quality_ppm,
+       |         row_number() OVER (PARTITION BY lang ORDER BY quality_ppm) AS rn,
+       |         count(*) OVER (PARTITION BY lang) AS n
+       |       FROM q)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       $qs
+       |FROM rk GROUP BY lang""".stripMargin
+  }
+}

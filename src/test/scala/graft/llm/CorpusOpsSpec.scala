@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition: hand-computed gram fractions") {
+    // "a b a b": bigrams [a b, b a, a b] -> total 3, distinct 2, top 2
+    //            trigrams [a b a, b a b] -> total 2, distinct 2
+    val docs = Seq((1L, "a b a b"), (2L, "x"), (3L, "p q r")).toDF("doc_id", "text")
+    val out = CorpusOps.repetitionOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getLong(1) === 3L)              // n_bigrams
+    assert(r1.getLong(2) === 2L)              // top_bigram_ct
+    assert(r1.getLong(3) === 1000000L * 2 / 3) // top_bigram_ppm
+    assert(r1.getLong(4) === 1000000L * 1 / 3) // dup2_ppm (3 - 2 distinct)
+    assert(r1.getLong(5) === 0L)              // dup3_ppm (2 - 2)
+    val r2 = out(2L)                          // single token: no grams
+    assert((1 to 5).forall(i => r2.getLong(i) === 0L))
+    val r3 = out(3L)                          // all grams unique
+    assert(r3.getLong(1) === 2L && r3.getLong(4) === 0L)
+  }
+
+  test("hash split: deterministic, in-range, boundaries respected") {
+    val out = CorpusOps.hashSplit(spark, Sf)
+    val rows = out.select("bucket", "split").as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (b, _) => b >= 0 && b < 100 })
+    assert(rows.forall {
+      case (b, s) => s === (if (b < CorpusOps.TrainUpper) "train"
+        else if (b < CorpusOps.ValidUpper) "valid" else "test")
+    })
+    // rerun is bit-identical (pure projection of doc_id)
+    val again = CorpusOps.hashSplit(spark, Sf).select("bucket", "split")
+      .as[(Long, String)].collect()
+    assert(rows.sorted.sameElements(again.sorted))
+  }
+
+  test("quality quantiles: rank formula on a hand-built corpus") {
+    // single lang, 4 docs -> ceil(p*4/100): q25->rank 1, q50->2, q75->3, q90->4
+    val docs = Seq(
+      (1L, "the of and to in is on for the a", "en"),   // all stopwords
+      (2L, "zz yy xx ww vv uu tt ss rr qq", "en"),      // none
+      (3L, "the the the zz yy xx ww vv uu tt", "en"),
+      (4L, "aaaa bbbb cccc dddd the of and to in is", "en")
+    ).toDF("doc_id", "text", "lang")
+    val scored = TextAnalysis.qualityOf(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select("quality_ppm").as[Long].collect().sorted
+    val out = CorpusOps.qualityQuantiles(spark, Sf)
+    assert(out.columns.toSeq === Seq("lang", "n_docs", "q25", "q50", "q75", "q90"))
+    // quantiles are values from the corpus and monotone per lang
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qs = (2 to 5).map(r.getLong)
+      assert(qs === qs.sorted, s"non-monotone quantiles in ${r}")
+    }
+    // and the rank formula itself, on the tiny frame
+    val tiny = {
+      val ranked = scored.zipWithIndex.map { case (v, i) => (i + 1, v) }.toMap
+      Seq(25, 50, 75, 90).map(p => ranked((4 * p + 99) / 100))
+    }
+    assert(tiny === Seq(scored(0), scored(1), scored(2), scored(3)))
+  }
+}
