@@ -123,9 +123,27 @@ object Dedup {
       }).toDF("doc_id", "shingles")
   }
 
+  /** Lazily-materialized shingle frame: the typed shingle pass feeds
+    * up to six consumers in one dedup query (posting-list self-join
+    * sides, df pruning, both verify joins), and Spark has no common-
+    * subexpression materialization across DataFrame branches — without
+    * this, the plan recomputes tokenize+shingle per consumer (measured
+    * 6× in q_llm_ngram_jaccard's physical plan). A LAZY localCheckpoint
+    * materializes on first use, is shared by every branch of THIS
+    * query invocation, and (unlike `persist` of an identical plan) is
+    * NOT reused across repeated invocations — bench timings stay
+    * honest. Same shape at 100 TB: persist the shingle intermediate
+    * before multi-way reuse instead of recomputing it per branch. */
+  private def shingleSetsShared(docs: DataFrame): DataFrame =
+    shingleSets(docs).localCheckpoint(false)
+
   /** Wide signature frame: doc_id, h0..h{K-1} (BIGINT minhashes). */
-  private def signaturesWide(docs: DataFrame): DataFrame = {
-    val exploded = shingleSets(docs)
+  private def signaturesWide(docs: DataFrame): DataFrame =
+    signaturesWideOf(shingleSets(docs))
+
+  /** [[signaturesWide]] from an existing (doc_id, shingles) frame. */
+  private def signaturesWideOf(shl: DataFrame): DataFrame = {
+    val exploded = shl
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       // one md5 per shingle; 12 hex chars = 48 bits, exact in a LONG
       .withColumn("x",
@@ -158,9 +176,8 @@ object Dedup {
        |FROM sig, LATERAL (SELECT * FROM (VALUES $branches) t(h, sig)) u""".stripMargin
   }
 
-  /** Banded bucket frame: (doc_id, band, bucket-signature). */
-  private def banded(docs: DataFrame): DataFrame = {
-    val sigWide = signaturesWide(docs)
+  /** Banded bucket frame from a wide signature frame. */
+  private def bandedOf(sigWide: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map(b =>
       md5(concat_ws("|", (0 until R).map(r => col(s"h${b * R + r}")): _*)))
     sigWide.select(col("doc_id"),
@@ -168,16 +185,19 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs: same-bucket candidates, verified with
-    * exact shingle Jaccard (integer ppm), threshold 0.8. */
+    * exact shingle Jaccard (integer ppm), threshold 0.8. The shingle
+    * pass and the per-doc signature aggregate are each materialized
+    * once (lazy checkpoint) — the band self-join and both verify joins
+    * re-read them instead of re-tokenizing the corpus per branch. */
   def lshDuplicates(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val bands = banded(docs)
+    val shl = shingleSetsShared(docs)
+    val bands = bandedOf(signaturesWideOf(shl).localCheckpoint(false))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val shl = shingleSets(docs)
     cands
       .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -269,7 +289,7 @@ object Dedup {
     * it must agree with on any pair both generate). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val shl = shingleSets(docs)
+    val shl = shingleSetsShared(docs)
     val postings = shl.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val rare = postings.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
