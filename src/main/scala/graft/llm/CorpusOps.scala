@@ -132,6 +132,52 @@ object CorpusOps {
        |FROM h""".stripMargin
   }
 
+  // ---- sequence packing -------------------------------------------
+
+  /** Token capacity of one training sequence pack. */
+  val PackCapacity = 256L
+
+  /** Deterministic next-fit sequence packing: documents are laid out
+    * in (lang, doc_id) order and each starts in the pack its running
+    * token offset falls into — pack_id = floor(tokens-before / C).
+    * The assignment every training-data loader needs to group short
+    * documents into fixed-size context windows, made reproducible:
+    * it depends only on the ordered prefix sums, not on partitioning
+    * or scheduling. (Next-fit lets a document straddle its pack
+    * boundary rather than re-ordering — the standard streaming-packing
+    * trade-off; bin-packing heuristics that reorder lose determinism.)
+    *
+    * Scale note: the running sum is one window shuffle per `lang`
+    * partition. At 100 TB the partition key becomes (lang, shard) with
+    * shard = a hash bucket of doc_id — same plan shape, bounded
+    * partitions, still deterministic. */
+  def packing(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(graft.func.Tokenizer.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_tokens) DIV $PackCapacity"))
+      .withColumn("pack_offset",
+        expr(s"(cum_tokens - n_tokens) % $PackCapacity"))
+  }
+
+  val packingOracle: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |             CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |      FROM t)
+       |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |       (cum_tokens - n_tokens) // $PackCapacity AS pack_id,
+       |       (cum_tokens - n_tokens) % $PackCapacity AS pack_offset
+       |FROM c""".stripMargin
+
   // ---- per-language quality quantiles -----------------------------
 
   /** Quantile points (percent) reported per language. */

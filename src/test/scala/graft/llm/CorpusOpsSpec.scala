@@ -40,6 +40,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
+  test("packing: next-fit by running token offset, per-lang restart") {
+    val out = CorpusOps.packing(spark, Sf)
+      .select("lang", "doc_id", "n_tokens", "cum_tokens", "pack_id", "pack_offset")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (_, rows) =>
+      var cum = 0L
+      rows.foreach { case (_, _, n, c, pid, off) =>
+        assert(c === cum + n)            // running sum restarts per lang
+        assert(pid === cum / CorpusOps.PackCapacity)
+        assert(off === cum % CorpusOps.PackCapacity)
+        cum = c
+      }
+    }
+    // pack ids are dense from 0 within each lang
+    out.foreach { case (_, rows) =>
+      val pids = rows.map(_._5)
+      assert(pids.head === 0L)
+      assert(pids.zip(pids.tail).forall { case (a, b) => b == a || b == a + 1 || b > a })
+    }
+  }
+
   test("quality quantiles: rank formula on a hand-built corpus") {
     // single lang, 4 docs -> ceil(p*4/100): q25->rank 1, q50->2, q75->3, q90->4
     val docs = Seq(
