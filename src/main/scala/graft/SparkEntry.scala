@@ -85,7 +85,8 @@ object SparkEntry {
     "q_llm_repetition"      -> (llm.CorpusOps.repetition(_, _)),
     "q_llm_hash_split"      -> (llm.CorpusOps.hashSplit(_, _)),
     "q_llm_quality_quantiles" -> (llm.CorpusOps.qualityQuantiles(_, _)),
-    "q_llm_packing"         -> (llm.CorpusOps.packing(_, _))
+    "q_llm_packing"         -> (llm.CorpusOps.packing(_, _)),
+    "q_llm_contamination"   -> (llm.CorpusOps.contamination(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_llm_repetition"      -> llm.CorpusOps.repetitionOracle,
     "q_llm_hash_split"      -> llm.CorpusOps.hashSplitOracle,
     "q_llm_quality_quantiles" -> llm.CorpusOps.qualityQuantilesOracle,
-    "q_llm_packing"         -> llm.CorpusOps.packingOracle
+    "q_llm_packing"         -> llm.CorpusOps.packingOracle,
+    "q_llm_contamination"   -> llm.CorpusOps.contaminationOracle
   )
 }

@@ -132,6 +132,75 @@ object CorpusOps {
        |FROM h""".stripMargin
   }
 
+  // ---- benchmark decontamination ----------------------------------
+
+  /** A test doc is flagged contaminated when it shares at least this
+    * many rare shingles with ANY train doc. */
+  val ContaminationMinShared = 3L
+
+  /** Train/test decontamination: flag test-split documents whose rare
+    * word-3-gram shingles also occur in the train split — the overlap
+    * check every benchmark-hygiene pass runs before evaluation
+    * (the n-gram form of C4/GPT-style decontamination, over the
+    * [[hashSplit]] assignment).
+    *
+    * Shape at 100 TB: one posting list over the corpus keyed by
+    * shingle, df-capped (df ≤ [[Dedup.MaxDf]]) so no shingle bucket
+    * degenerates; the train side collapses to DISTINCT shingles before
+    * the join, so the probe carries set-membership rows, not doc pairs
+    * — |test postings| × membership, never |test| × |train|. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = hashSplit(spark, dir).select(col("doc_id"), col("split"))
+    val post = Dedup.shingleSets(docs).localCheckpoint(false)
+      .join(split, Seq("doc_id"))
+      .select(col("doc_id"), col("split"), explode(col("shingles")).as("sh"))
+    val rare = post.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.MaxDf)
+      .select(col("sh"))
+    val pruned = post.join(rare, Seq("sh"))
+    val trainSh = pruned.filter(col("split") === "train")
+      .select(col("sh")).distinct()
+    val shared = pruned.filter(col("split") === "test")
+      .join(trainSh, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("shared_ct"))
+    split.filter(col("split") === "test").select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shared_ct"), lit(0L)).as("shared_ct"))
+      .withColumn("contaminated",
+        (col("shared_ct") >= ContaminationMinShared).cast("int"))
+  }
+
+  val contaminationOracle: String = {
+    val nib = (1 to 4)
+      .map(k => s"(instr('0123456789abcdef', m[$k]) - 1) * ${1L << (4 * (4 - k))}")
+      .mkString("(", " + ", ")")
+    s"""WITH sp AS (SELECT doc_id,
+       |  CASE WHEN $nib % 100 < $TrainUpper THEN 'train'
+       |       WHEN $nib % 100 < $ValidUpper THEN 'valid' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents)),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |shl AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+       |          THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |          ELSE [] END AS shingles FROM t),
+       |post AS (SELECT s.doc_id, sp.split, unnest(s.shingles) AS sh
+       |         FROM shl s JOIN sp ON s.doc_id = sp.doc_id),
+       |rare AS (SELECT sh FROM post GROUP BY sh HAVING count(*) <= ${Dedup.MaxDf}),
+       |pr AS (SELECT p.doc_id, p.split, p.sh FROM post p JOIN rare r ON p.sh = r.sh),
+       |tr AS (SELECT DISTINCT sh FROM pr WHERE split = 'train'),
+       |sh AS (SELECT p.doc_id, count(DISTINCT p.sh) AS shared_ct
+       |       FROM pr p JOIN tr ON p.sh = tr.sh WHERE p.split = 'test'
+       |       GROUP BY p.doc_id)
+       |SELECT s.doc_id, coalesce(sh.shared_ct, 0) AS shared_ct,
+       |       CAST(coalesce(sh.shared_ct, 0) >= $ContaminationMinShared AS INTEGER) AS contaminated
+       |FROM sp s LEFT JOIN sh ON s.doc_id = sh.doc_id
+       |WHERE s.split = 'test'""".stripMargin
+  }
+
   // ---- sequence packing -------------------------------------------
 
   /** Token capacity of one training sequence pack. */

@@ -63,6 +63,20 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("contamination: only test docs reported, counts consistent") {
+    val out = CorpusOps.contamination(spark, Sf)
+    val rows = out.select("doc_id", "shared_ct", "contaminated")
+      .as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    val testIds = CorpusOps.hashSplit(spark, Sf)
+      .filter(col("split") === "test").select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet === testIds)
+    rows.foreach { case (_, ct, flag) =>
+      assert(ct >= 0)
+      assert(flag === (if (ct >= CorpusOps.ContaminationMinShared) 1 else 0))
+    }
+  }
+
   test("quality quantiles: rank formula on a hand-built corpus") {
     // single lang, 4 docs -> ceil(p*4/100): q25->rank 1, q50->2, q75->3, q90->4
     val docs = Seq(
