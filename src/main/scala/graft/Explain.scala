@@ -20,12 +20,12 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    args.drop(1).foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
+    try args.drop(1).foreach { name =>
+      val q = SparkEntry.queries.getOrElse(name, sys.error(
+        s"unknown query '$name'; valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
       println(s"==== $name ====")
-      println(df.queryExecution.explainString(
+      println(q(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
-    }
-    spark.stop()
+    } finally spark.stop()
   }
 }

@@ -69,8 +69,7 @@ object CdcEnvelope {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def renderedLines(spark: SparkSession, dir: String): DataFrame = {
     val path = renderedDirs.computeIfAbsent(dir, { d =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_cdclines").toString
+      val p = graft.func.TempDirs.scoped("graft_cdclines")
       envelopeLines(spark, d).write.mode("overwrite").parquet(p)
       p
     })

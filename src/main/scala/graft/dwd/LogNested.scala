@@ -140,8 +140,7 @@ object LogNested {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def renderedLines(spark: SparkSession, dir: String): DataFrame = {
     val path = renderedDirs.computeIfAbsent(dir, { d =>
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_loglines").toString
+      val p = graft.func.TempDirs.scoped("graft_loglines")
       LogSplit.parsed(spark, d)
         .select(col("event_id"), renderJson.as("line"))
         .write.mode("overwrite").parquet(p)

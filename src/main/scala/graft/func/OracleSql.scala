@@ -1,0 +1,20 @@
+package graft.func
+
+/** DuckDB-oracle SQL fragments that must mirror a Spark-side
+  * expression exactly. Centralized so the tokenizer regex and the
+  * hex-nibble integer decode live in ONE place per engine — a change
+  * to either side that isn't mirrored here breaks the oracle compare
+  * loudly instead of drifting per-operator. */
+object OracleSql {
+  /** DuckDB equivalent of [[Tokenizer.tokens]] over a `text` column. */
+  val toks: String =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** Integer value of the first `n` hex nibbles of VARCHAR column `m`
+    * (DuckDB has no conv(); rebuild from instr arithmetic — exact in
+    * BIGINT for n ≤ 15). */
+  def hexNibbles(m: String, n: Int): String =
+    (1 to n)
+      .map(k => s"(instr('0123456789abcdef', $m[$k]) - 1) * ${1L << (4 * (n - k))}")
+      .mkString("(", " + ", ")")
+}

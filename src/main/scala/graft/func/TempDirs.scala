@@ -1,0 +1,21 @@
+package graft.func
+
+/** JVM-scoped temp directories with shutdown cleanup — shared by every
+  * fixture/sink path that materializes parquet under /tmp (Sinks,
+  * LogNested, CdcEnvelope), so no caller re-implements the cache
+  * without its cleanup half. */
+object TempDirs {
+  /** One directory per (prefix, JVM call-site key), recursively
+    * deleted at JVM exit. */
+  def scoped(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f): Unit)
+    }
+    p.toString
+  }
+}

@@ -17,8 +17,7 @@ import graft.Tables
   * scale discipline as [[TextAnalysis]].
   */
 object CorpusOps {
-  private val toksSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+  private val toksSql = graft.func.OracleSql.toks
 
   // ---- repetition signals -----------------------------------------
 
@@ -120,9 +119,7 @@ object CorpusOps {
           .otherwise("test"))
 
   val hashSplitOracle: String = {
-    val nib = (1 to 4)
-      .map(k => s"(instr('0123456789abcdef', m[$k]) - 1) * ${1L << (4 * (4 - k))}")
-      .mkString("(", " + ", ")")
+    val nib = graft.func.OracleSql.hexNibbles("m", 4)
     s"""WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m
        |           FROM documents)
        |SELECT doc_id, lang, CAST($nib % 100 AS BIGINT) AS bucket,
@@ -152,7 +149,7 @@ object CorpusOps {
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val split = hashSplit(spark, dir).select(col("doc_id"), col("split"))
-    val post = Dedup.shingleSets(docs).localCheckpoint(false)
+    val post = Dedup.shingleSetsShared(docs)
       .join(split, Seq("doc_id"))
       .select(col("doc_id"), col("split"), explode(col("shingles")).as("sh"))
     val rare = post.groupBy(col("sh"))
@@ -175,9 +172,7 @@ object CorpusOps {
   }
 
   val contaminationOracle: String = {
-    val nib = (1 to 4)
-      .map(k => s"(instr('0123456789abcdef', m[$k]) - 1) * ${1L << (4 * (4 - k))}")
-      .mkString("(", " + ", ")")
+    val nib = graft.func.OracleSql.hexNibbles("m", 4)
     s"""WITH sp AS (SELECT doc_id,
        |  CASE WHEN $nib % 100 < $TrainUpper THEN 'train'
        |       WHEN $nib % 100 < $ValidUpper THEN 'valid' ELSE 'test' END AS split
@@ -264,9 +259,18 @@ object CorpusOps {
     * executor's spill budget; at 100 TB swap in approx_percentile
     * (t-digest) behind the same output shape, as
     * [[graft.dws.ProductStats.approx]] does for distinct counts. */
-  def qualityQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val scored = TextAnalysis.qualityOf(docs)
+  def qualityQuantiles(spark: SparkSession, dir: String): DataFrame =
+    qualityQuantilesOf(Tables.documents(spark, dir))
+
+  /** [[qualityQuantiles]] over any (doc_id, text, lang) frame — public
+    * for tests. Zero-token documents are excluded up front: they have
+    * no defined quality score (the ppm ratios divide by token count),
+    * and engines disagree on where a NULL score ranks (Spark sorts
+    * nulls first, DuckDB last) — filtering is the portable contract. */
+  def qualityQuantilesOf(docs: DataFrame): DataFrame = {
+    val scoreable =
+      docs.filter(size(graft.func.Tokenizer.tokens(col("text"))) > 0)
+    val scored = TextAnalysis.qualityOf(scoreable)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("lang"), col("quality_ppm"))
     val ranked = scored
@@ -289,7 +293,7 @@ object CorpusOps {
        |        CAST(len(toks) AS BIGINT) AS n_tokens,
        |        CAST(len(list_filter(toks, t -> list_contains(${TextAnalysis.Stopwords.mkString("['", "', '", "']")}, t))) AS BIGINT) AS n_stop,
        |        CAST(list_reduce(list_prepend(0, list_transform(toks, x -> strlen(x))), (a,b) -> a+b) AS BIGINT) AS len_sum
-       |      FROM t),
+       |      FROM t WHERE len(toks) > 0),
        |r AS (SELECT lang,
        |        (1000000 * n_stop) // n_tokens AS stop_ppm,
        |        (1000000 * len_sum) // n_tokens AS mean_len_ppm,

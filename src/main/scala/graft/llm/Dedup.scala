@@ -67,8 +67,7 @@ object Dedup {
       s"range(1, len($toks) - 1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])) " +
       "ELSE [] END"
 
-  private val toksSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+  private val toksSql = graft.func.OracleSql.toks
 
   /** Exact dedup: documents grouped by content hash; rank 1 per group
     * is the keeper. One hash-shuffle on the 32-hex key — the exact
@@ -100,9 +99,13 @@ object Dedup {
   }
 
   /** Tokenizer-equivalent plain-Scala tokens (Locale.ROOT lower-case,
-    * ASCII-safe — matches Spark's locale-independent `lower`). */
+    * ASCII-safe — matches Spark's locale-independent `lower`). Null
+    * text tokenizes to empty, matching the Column form where
+    * `tokens(NULL)` is null and every downstream explode/when drops
+    * it — the typed passes must not trade that tolerance for an NPE. */
   private[llm] def tokensOf(text: String): Array[String] =
-    text.toLowerCase(java.util.Locale.ROOT)
+    if (text == null) Array.empty
+    else text.toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty)
 
   /** (doc_id, shingles[]) via a typed map: the Column-expression
@@ -134,7 +137,7 @@ object Dedup {
     * NOT reused across repeated invocations — bench timings stay
     * honest. Same shape at 100 TB: persist the shingle intermediate
     * before multi-way reuse instead of recomputing it per branch. */
-  private def shingleSetsShared(docs: DataFrame): DataFrame =
+  private[llm] def shingleSetsShared(docs: DataFrame): DataFrame =
     shingleSets(docs).localCheckpoint(false)
 
   /** Wide signature frame: doc_id, h0..h{K-1} (BIGINT minhashes). */
@@ -154,9 +157,7 @@ object Dedup {
   }
 
   /** DuckDB lacks conv(); rebuild the 48-bit value from hex nibbles. */
-  private val xNumSql: String = (1 to 12)
-    .map(k => s"(instr('0123456789abcdef', m[$k]) - 1) * ${1L << (4 * (12 - k))}")
-    .mkString("(", " + ", ")")
+  private val xNumSql: String = graft.func.OracleSql.hexNibbles("m", 12)
 
   private def signaturesWideSql: String = {
     val mins = (0 until K)

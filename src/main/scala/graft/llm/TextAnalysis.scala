@@ -30,8 +30,7 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 
-  private val toksSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+  private val toksSql = graft.func.OracleSql.toks
 
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t =>
@@ -197,20 +196,25 @@ object TextAnalysis {
           acc
         }
         it.map { case (id, text) =>
-          val fp = md5Hex(Dedup.tokensOf(text).distinct.sorted.mkString(" "))
-          val roll: Option[Long] =
-            if (text.length >= 8) {
-              var best = Long.MaxValue
-              var i = 0
-              while (i <= text.length - 8) {
-                val h = hash48(text.substring(i, i + 8))
-                if (h < best) best = h
-                i += 1
-              }
-              Some(best)
-            } else None
-          val bucket = java.lang.Long.parseLong(fp.substring(0, 4), 16) % 256
-          (id, fp, roll, bucket)
+          // null text → all-null row, matching the oracle's md5(NULL)
+          if (text == null)
+            (id, null: String, None: Option[Long], None: Option[Long])
+          else {
+            val fp = md5Hex(Dedup.tokensOf(text).distinct.sorted.mkString(" "))
+            val roll: Option[Long] =
+              if (text.length >= 8) {
+                var best = Long.MaxValue
+                var i = 0
+                while (i <= text.length - 8) {
+                  val h = hash48(text.substring(i, i + 8))
+                  if (h < best) best = h
+                  i += 1
+                }
+                Some(best)
+              } else None
+            val bucket = java.lang.Long.parseLong(fp.substring(0, 4), 16) % 256
+            (id, fp, roll, Some(bucket))
+          }
         }
       }.toDF("doc_id", "fp", "roll_fp", "fp_bucket")
   }

@@ -34,7 +34,17 @@ import graft.func.Exprs
   */
 object AsOf {
   /** Generic as-of join. `payload` columns from `right` are appended
-    * to every `left` row (null when no right row precedes it). */
+    * to every `left` row (all null when no right row precedes it).
+    *
+    * The payload travels as ONE struct column: `last(ignoreNulls)`
+    * applied per payload column would backfill a NULL field of the
+    * latest right row from OLDER right rows — a row that exists
+    * nowhere on the right. The struct is non-null exactly on right
+    * rows (even when every field inside is null), so the running last
+    * picks the latest right ROW atomically, matching ASOF-join
+    * semantics. Right rows with a null key are dropped up front (an
+    * equi-key never matches on null); null-key left rows survive with
+    * a null payload. */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
@@ -43,25 +53,27 @@ object AsOf {
     require(payload.forall(c => !leftCols.contains(c)),
       s"payload ${payload.mkString(",")} collides with left columns")
     val lSchema = left.schema
-    val rSchema = right.schema
+    val payloadStruct = struct(payload.map(col): _*)
     val lSide = left.select(
       col(leftKey).as("__k") +: col(leftTime).as("__t") +:
-        lit(1).as("__side") +: (leftCols.map(col) ++
-        payload.map(c => lit(null).cast(rSchema(c).dataType).as(c))): _*)
-    val rSide = right.select(
+        lit(1).as("__side") +: (leftCols.map(col) :+
+        lit(null).cast(right.select(payloadStruct).schema.head.dataType)
+          .as("__p")): _*)
+    val rSide = right.filter(col(rightKey).isNotNull).select(
       col(rightKey).as("__k") +: col(rightTime).as("__t") +:
         lit(0).as("__side") +:
-        (leftCols.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
-          payload.map(col)): _*)
+        (leftCols.map(c => lit(null).cast(lSchema(c).dataType).as(c)) :+
+          payloadStruct.as("__p")): _*)
     // right rows (side 0) sort before left rows at equal time, so an
     // exactly-simultaneous right row is visible to the left row (<=).
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide)
-      .select(col("__side") +: (leftCols.map(col) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
+      .select(col("__side") +: (leftCols.map(col) :+
+        last(col("__p"), ignoreNulls = true).over(w).as("__p")): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__p.$c").as(c)): _*)
   }
 
   /** Concrete query: each behavior event joined as-of to the user's

@@ -104,17 +104,7 @@ object Sinks {
     * timing then measures the write path, not filesystem accumulation. */
   private val tmpDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def tmpDir(tag: String): String =
-    tmpDirs.getOrElseUpdate(tag, {
-      val p = java.nio.file.Files.createTempDirectory(s"graft_sink_$tag")
-      sys.addShutdownHook {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        if (Files.exists(p))
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f): Unit)
-      }
-      p.toString
-    })
+    tmpDirs.getOrElseUpdate(tag, graft.func.TempDirs.scoped(s"graft_sink_$tag"))
 
   /** K3/K4 (q_sink_dedup_latest): three deterministic versions per
     * order — v1/v3 tie on the max ts, v2 trails — written through the

@@ -25,6 +25,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r3.getLong(1) === 2L && r3.getLong(4) === 0L)
   }
 
+  test("typed passes tolerate null text like the Column forms did") {
+    val docs = Seq((1L, "a b a b c"), (2L, null: String))
+      .toDF("doc_id", "text")
+    // repetition: null text -> all-zero signal row
+    val rep = CorpusOps.repetitionOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert((1 to 5).forall(i => rep(2L).getLong(i) === 0L))
+    // simhash: null text has no tokens -> doc absent (explode-form parity)
+    assert(Dedup.simhashOf(docs).collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // fingerprint: null text -> all-null row (oracle md5(NULL) parity)
+    val fp = TextAnalysis.fingerprintOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(fp(2L).isNullAt(1) && fp(2L).isNullAt(2) && fp(2L).isNullAt(3))
+  }
+
   test("hash split: deterministic, in-range, boundaries respected") {
     val out = CorpusOps.hashSplit(spark, Sf)
     val rows = out.select("bucket", "split").as[(Long, String)].collect()
@@ -77,31 +92,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
-  test("quality quantiles: rank formula on a hand-built corpus") {
-    // single lang, 4 docs -> ceil(p*4/100): q25->rank 1, q50->2, q75->3, q90->4
+  test("quality quantiles: operator output equals hand-ranked values") {
+    // single lang, 4 scoreable docs + 1 zero-token doc (excluded).
+    // ceil(p*4/100): q25 -> rank 1, q50 -> 2, q75 -> 3, q90 -> 4.
     val docs = Seq(
       (1L, "the of and to in is on for the a", "en"),   // all stopwords
       (2L, "zz yy xx ww vv uu tt ss rr qq", "en"),      // none
       (3L, "the the the zz yy xx ww vv uu tt", "en"),
-      (4L, "aaaa bbbb cccc dddd the of and to in is", "en")
+      (4L, "aaaa bbbb cccc dddd the of and to in is", "en"),
+      (5L, "!!! ...", "en")                             // zero tokens
     ).toDF("doc_id", "text", "lang")
-    val scored = TextAnalysis.qualityOf(docs)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val scored = TextAnalysis.qualityOf(docs.filter(col("doc_id") <= 4))
       .select("quality_ppm").as[Long].collect().sorted
-    val out = CorpusOps.qualityQuantiles(spark, Sf)
-    assert(out.columns.toSeq === Seq("lang", "n_docs", "q25", "q50", "q75", "q90"))
-    // quantiles are values from the corpus and monotone per lang
-    val rows = out.collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val qs = (2 to 5).map(r.getLong)
-      assert(qs === qs.sorted, s"non-monotone quantiles in ${r}")
+    val out = CorpusOps.qualityQuantilesOf(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "en")
+    assert(r.getLong(1) === 4L) // zero-token doc excluded from n_docs
+    assert((2 to 5).map(r.getLong) === scored.toSeq) // q25..q90 = ranks 1..4
+    // the real corpus: shape + per-lang monotonicity
+    val corpus = CorpusOps.qualityQuantiles(spark, Sf)
+    assert(corpus.columns.toSeq === Seq("lang", "n_docs", "q25", "q50", "q75", "q90"))
+    corpus.collect().foreach { row =>
+      val qs = (2 to 5).map(row.getLong)
+      assert(qs === qs.sorted, s"non-monotone quantiles in ${row}")
     }
-    // and the rank formula itself, on the tiny frame
-    val tiny = {
-      val ranked = scored.zipWithIndex.map { case (v, i) => (i + 1, v) }.toMap
-      Seq(25, 50, 75, 90).map(p => ranked((4 * p + 99) / 100))
-    }
-    assert(tiny === Seq(scored(0), scored(1), scored(2), scored(3)))
   }
 }

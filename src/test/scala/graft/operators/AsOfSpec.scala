@@ -28,6 +28,24 @@ class AsOfSpec extends SparkSpec {
     assert(out("e4").isEmpty)
   }
 
+  test("asOf takes the latest right ROW atomically; null keys never match") {
+    val left = Seq(
+      (Some(1L), 20L, "e1"),  // latest right row has b=null: must NOT backfill
+      (None: Option[Long], 20L, "e2")  // null key: no match ever
+    ).toDF("k", "t", "ev")
+    val right = Seq(
+      (Some(1L), 5L, Some(1L), Some(2L)),
+      (Some(1L), 10L, Some(9L), None),  // latest for k=1: (a=9, b=null)
+      (None: Option[Long], 10L, Some(7L), Some(7L))  // null key: dropped
+    ).toDF("rk", "rt", "a", "b")
+
+    val out = AsOf.asOf(left, right, "k", "rk", "t", "rt", Seq("a", "b"))
+      .select("ev", "a", "b").as[(String, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("e1") === ((Some(9L), None)))  // not (9, 2) column-mixing
+    assert(out("e2") === ((None, None)))
+  }
+
   test("asOf equals the join+row_number reference form on real tables") {
     val got = AsOf.latestOrderQuery(spark, Sf)
     // reference form: explode all qualifying (event, order) pairs,
