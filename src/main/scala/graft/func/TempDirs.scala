@@ -5,8 +5,12 @@ package graft.func
   * LogNested, CdcEnvelope), so no caller re-implements the cache
   * without its cleanup half. */
 object TempDirs {
-  /** One directory per (prefix, JVM call-site key), recursively
-    * deleted at JVM exit. */
+  /** A FRESH directory per call, recursively deleted at JVM exit.
+    * Callers that need one directory per logical key must cache the
+    * returned path (Sinks/LogNested/CdcEnvelope each keep a
+    * per-key map whose miss branch also writes the content) — calling
+    * this per query invocation would accumulate a directory and a
+    * shutdown hook per call. */
   def scoped(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {

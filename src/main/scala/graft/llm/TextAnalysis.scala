@@ -220,10 +220,8 @@ object TextAnalysis {
   }
 
   val fingerprintOracle: String = {
-    // portable hex-nibble → int (both engines agree on instr/strpos)
-    val gramNum = (1 to 12)
-      .map(k => s"(instr('0123456789abcdef', substr(md5(substr(text, i, 8)), $k, 1)) - 1) * ${1L << (4 * (12 - k))}")
-      .mkString(" + ")
+    val gramNum =
+      graft.func.OracleSql.hexNibbles("md5(substr(text, i, 8))", 12)
     s"""WITH t AS (SELECT doc_id, text,
        |             md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
        |           FROM documents)
@@ -232,10 +230,7 @@ object TextAnalysis {
        |         list_min(list_transform(range(1, strlen(text) - 6),
        |           i -> CAST($gramNum AS BIGINT)))
        |       END AS roll_fp,
-       |       ((instr('0123456789abcdef', fp[1]) - 1) * 4096
-       |      + (instr('0123456789abcdef', fp[2]) - 1) * 256
-       |      + (instr('0123456789abcdef', fp[3]) - 1) * 16
-       |      + (instr('0123456789abcdef', fp[4]) - 1)) % 256 AS fp_bucket
+       |       ${graft.func.OracleSql.hexNibbles("fp", 4)} % 256 AS fp_bucket
        |FROM t""".stripMargin
   }
 }

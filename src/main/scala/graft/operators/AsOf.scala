@@ -42,9 +42,11 @@ object AsOf {
     * nowhere on the right. The struct is non-null exactly on right
     * rows (even when every field inside is null), so the running last
     * picks the latest right ROW atomically, matching ASOF-join
-    * semantics. Right rows with a null key are dropped up front (an
-    * equi-key never matches on null); null-key left rows survive with
-    * a null payload. */
+    * semantics. Right rows with a null key OR null time are dropped up
+    * front (an equi-key never matches on null, and `t >= null` is
+    * never true — nulls-first window order would otherwise make such a
+    * row everyone's oldest match); null-key left rows survive with a
+    * null payload. */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
@@ -59,7 +61,9 @@ object AsOf {
         lit(1).as("__side") +: (leftCols.map(col) :+
         lit(null).cast(right.select(payloadStruct).schema.head.dataType)
           .as("__p")): _*)
-    val rSide = right.filter(col(rightKey).isNotNull).select(
+    val rSide = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
       col(rightKey).as("__k") +: col(rightTime).as("__t") +:
         lit(0).as("__side") +:
         (leftCols.map(c => lit(null).cast(lSchema(c).dataType).as(c)) :+

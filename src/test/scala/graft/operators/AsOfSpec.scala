@@ -34,9 +34,10 @@ class AsOfSpec extends SparkSpec {
       (None: Option[Long], 20L, "e2")  // null key: no match ever
     ).toDF("k", "t", "ev")
     val right = Seq(
-      (Some(1L), 5L, Some(1L), Some(2L)),
-      (Some(1L), 10L, Some(9L), None),  // latest for k=1: (a=9, b=null)
-      (None: Option[Long], 10L, Some(7L), Some(7L))  // null key: dropped
+      (Some(1L), Some(5L), Some(1L), Some(2L)),
+      (Some(1L), Some(10L), Some(9L), None), // latest for k=1: (a=9, b=null)
+      (None: Option[Long], Some(10L), Some(7L), Some(7L)), // null key: dropped
+      (Some(1L), None: Option[Long], Some(8L), Some(8L))   // null time: dropped
     ).toDF("rk", "rt", "a", "b")
 
     val out = AsOf.asOf(left, right, "k", "rk", "t", "rt", Seq("a", "b"))
