@@ -105,4 +105,25 @@ class PropertiesSpec extends SparkSpec {
         expect)
     }
   }
+
+  test("asOf equals the per-left-row max-preceding reference on random data") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 10).foreach { _ =>
+      val lefts = (1 to (5 + rnd.nextInt(25))).map(i =>
+        (i.toLong, 1L + rnd.nextInt(4), rnd.nextInt(50).toLong))
+      val rights = (1 to (3 + rnd.nextInt(20))).map(i =>
+        (1L + rnd.nextInt(4), rnd.nextInt(50).toLong, 1000L + i))
+        // asOf contract: unique (key, time) on the right
+        .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val got = operators.AsOf.asOf(
+          lefts.toDF("id", "k", "t"), rights.toDF("rk", "rt", "p"),
+          "k", "rk", "t", "rt", Seq("p"))
+        .select("id", "p").as[(Long, Option[Long])].collect().toMap
+      val want = lefts.map { case (id, k, t) =>
+        val prec = rights.filter(r => r._1 == k && r._2 <= t)
+        id -> (if (prec.isEmpty) None else Some(prec.maxBy(_._2)._3))
+      }.toMap
+      assert(got === want)
+    }
+  }
 }
