@@ -35,6 +35,8 @@ object SparkEntry {
     "q_dwm_payment_wide"   -> (dwm.OrderWide.paymentWide(_, _)),
     // As-of join (point-in-time lookup; J1/J2's unbounded-lower limit)
     "q_asof_latest_order"  -> (operators.AsOf.latestOrderQuery(_, _)),
+    // Skew mitigation: salted fact×dim join, result-invisible salt
+    "q_skew_salted_agg"    -> (func.Skew.saltedJoinQuery(_, _)),
     // DWS — windowed stats (§2.6)
     "q_dws_visitor_stats"  -> (dws.VisitorStats(_, _)),
     "q_dws_product_stats"  -> (dws.ProductStats(_, _)),
@@ -107,6 +109,7 @@ object SparkEntry {
     "q_dwm_order_wide_dims" -> dwm.OrderWide.withDimsOracle,
     "q_dwm_payment_wide"   -> dwm.OrderWide.paymentWideOracle,
     "q_asof_latest_order"  -> operators.AsOf.latestOrderOracle,
+    "q_skew_salted_agg"    -> func.Skew.saltedJoinOracle,
     "q_dws_visitor_stats"  -> dws.VisitorStats.oracle,
     "q_dws_product_stats"  -> dws.ProductStats.oracle,
     "q_dws_keyword_stats"  -> dws.KeywordStats.oracle,

@@ -1,6 +1,6 @@
 package graft.func
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation utilities for hot-key joins at 100 TB.
@@ -32,4 +32,26 @@ object Skew {
         salted("__salt") === replicated("__salt"))
       .drop("__salt")
   }
+
+  /** Driver-checkable salted-join query: lineitem×supplier through the
+    * salted path, rolled up per supplier nation. Salting must be
+    * RESULT-INVISIBLE — the oracle is the plain equi-join (no salt
+    * anywhere), so any row duplicated or dropped by the
+    * salt/replicate/join plumbing fails the hash compare. */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+    val sup = graft.Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    saltedEquiJoin(li, sup, "l_suppkey", "s_suppkey", col("l_orderkey"), 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("li_ct"),
+        Exprs.sumCents(col("l_quantity")).as("qty_cents"))
+  }
+
+  val saltedJoinOracle: String =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS li_ct,
+      |       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY 1""".stripMargin
 }
