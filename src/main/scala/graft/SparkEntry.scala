@@ -61,6 +61,7 @@ object SparkEntry {
     "q_sink_dedup_latest" -> (sinks.Sinks.dedupLatestQuery(_, _)),
     "q_sink_route"        -> (sinks.Sinks.routeQuery(_, _)),
     "q_sink_republish"    -> (sinks.Sinks.republishQuery(_, _)),
+    "q_sink_bucketed_join" -> (sinks.Sinks.bucketedJoinQuery(_, _)),
     // LLM-data-pipeline operators (brief north star): dedup,
     // similarity search, text analysis, multimodal plumbing
     "q_llm_exact_dedup"     -> (llm.Dedup.exact(_, _)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "q_sink_dedup_latest" -> sinks.Sinks.dedupLatestOracle,
     "q_sink_route"        -> sinks.Sinks.routeOracle,
     "q_sink_republish"    -> sinks.Sinks.republishOracle,
+    "q_sink_bucketed_join" -> sinks.Sinks.bucketedJoinOracle,
     // q_llm_ann_ivf is intentionally absent: centroid means are an
     // unordered float sum, not SQL-reproducible — rows-only check;
     // recall vs q_llm_ann_topk is asserted in the test suite.

@@ -73,6 +73,35 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Driver-checkable bucketed-join query: orders and customer written
+    * through [[writeBucketed]] on their join key (8 buckets), then
+    * joined table-to-table and rolled up per nation. Bucketing must be
+    * RESULT-INVISIBLE — the oracle is the plain join on the raw
+    * parquet — while the physical plan joins bucket-to-bucket with no
+    * shuffle exchange (asserted in SinksSpec; the pre-shuffled layout
+    * is the 100-TB pattern for repeated joins on one key). */
+  def bucketedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.func.Exprs._
+    writeBucketed(graft.Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_totalprice")),
+      Seq("o_custkey"), 8, "graft_q_orders_b")
+    writeBucketed(graft.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+      Seq("c_custkey"), 8, "graft_q_customer_b")
+    spark.table("graft_q_orders_b")
+      .join(spark.table("graft_q_customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("order_ct"),
+        sumCents(col("o_totalprice")).as("amount_cents"))
+  }
+
+  val bucketedJoinOracle: String =
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS order_ct,
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS amount_cents
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1""".stripMargin
+
   /** K5: stats re-publish — the same frame written to its primary
     * store AND re-published for downstream SQL consumers (reference
     * app/dws2/ProductStatsApp.java:421-424). The input is computed
