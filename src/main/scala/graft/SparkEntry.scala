@@ -89,7 +89,8 @@ object SparkEntry {
     "q_llm_hash_split"      -> (llm.CorpusOps.hashSplit(_, _)),
     "q_llm_quality_quantiles" -> (llm.CorpusOps.qualityQuantiles(_, _)),
     "q_llm_packing"         -> (llm.CorpusOps.packing(_, _)),
-    "q_llm_contamination"   -> (llm.CorpusOps.contamination(_, _))
+    "q_llm_contamination"   -> (llm.CorpusOps.contamination(_, _)),
+    "q_llm_top_quality"     -> (llm.CorpusOps.topQuality(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -155,6 +156,7 @@ object SparkEntry {
     "q_llm_hash_split"      -> llm.CorpusOps.hashSplitOracle,
     "q_llm_quality_quantiles" -> llm.CorpusOps.qualityQuantilesOracle,
     "q_llm_packing"         -> llm.CorpusOps.packingOracle,
-    "q_llm_contamination"   -> llm.CorpusOps.contaminationOracle
+    "q_llm_contamination"   -> llm.CorpusOps.contaminationOracle,
+    "q_llm_top_quality"     -> llm.CorpusOps.topQualityOracle
   )
 }

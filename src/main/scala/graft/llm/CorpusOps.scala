@@ -284,6 +284,53 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), qs: _*)
   }
 
+  /** Rows kept per language by [[topQuality]]. */
+  val TopKPerLang = 5
+
+  /** Best-k documents per language by quality score (deterministic
+    * doc_id tiebreak) — the selection pass a curation pipeline runs
+    * after scoring ("keep the k best examples per stratum").
+    *
+    * Scale shape: `row_number <= k` over a window is rewritten by
+    * Spark 4's WindowGroupLimit rule into a per-partition top-k
+    * (map-side k-row heaps before the shuffle), so the full per-lang
+    * sort never materializes — the reason to state top-k THIS way
+    * rather than sort+limit per group. Zero-token docs are excluded
+    * exactly as in [[qualityQuantilesOf]] (null scores order
+    * differently across engines). */
+  def topQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scoreable =
+      docs.filter(size(graft.func.Tokenizer.tokens(col("text"))) > 0)
+    TextAnalysis.qualityOf(scoreable)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), col("doc_id"), col("quality_ppm"))
+      .withColumn("rk", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("quality_ppm").desc, col("doc_id"))))
+      .filter(col("rk") <= TopKPerLang)
+  }
+
+  val topQualityOracle: String =
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |c AS (SELECT doc_id, lang,
+       |        CAST(len(toks) AS BIGINT) AS n_tokens,
+       |        CAST(len(list_filter(toks, t -> list_contains(${TextAnalysis.Stopwords.mkString("['", "', '", "']")}, t))) AS BIGINT) AS n_stop,
+       |        CAST(list_reduce(list_prepend(0, list_transform(toks, x -> strlen(x))), (a,b) -> a+b) AS BIGINT) AS len_sum
+       |      FROM t WHERE len(toks) > 0),
+       |r AS (SELECT doc_id, lang,
+       |        (1000000 * n_stop) // n_tokens AS stop_ppm,
+       |        (1000000 * len_sum) // n_tokens AS mean_len_ppm,
+       |        CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1000000 ELSE 300000 END AS len_ok
+       |      FROM c),
+       |q AS (SELECT doc_id, lang,
+       |        (stop_ppm + mean_len_ppm // 10 + len_ok) // 3 AS quality_ppm FROM r),
+       |rk AS (SELECT lang, doc_id, quality_ppm,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY quality_ppm DESC, doc_id) AS rk
+       |       FROM q)
+       |SELECT lang, doc_id, quality_ppm, CAST(rk AS INTEGER) AS rk
+       |FROM rk WHERE rk <= $TopKPerLang""".stripMargin
+
   val qualityQuantilesOracle: String = {
     val qs = QuantilePoints.map(p =>
       s"max(CASE WHEN rn = (n * $p + 99) // 100 THEN quality_ppm END) AS q$p")

@@ -80,8 +80,29 @@ object Sinks {
     * parquet — while the physical plan joins bucket-to-bucket with no
     * shuffle exchange (asserted in SinksSpec; the pre-shuffled layout
     * is the 100-TB pattern for repeated joins on one key). */
+  /** Reset a managed table across JVMs: the in-memory catalog starts
+    * empty each session, but the table's warehouse directory survives
+    * — and `saveAsTable` refuses to create a managed table over a
+    * non-empty leftover location (overwrite only applies to tables the
+    * CATALOG knows). Drop both halves so the query is re-runnable. */
+  private def resetManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val base = java.nio.file.Paths.get(
+      if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh)
+    val loc = base.resolve(table.toLowerCase(java.util.Locale.ROOT))
+    if (java.nio.file.Files.exists(loc)) {
+      import java.util.Comparator
+      java.nio.file.Files.walk(loc)
+        .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f): Unit)
+    }
+  }
+
   def bucketedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     import graft.func.Exprs._
+    resetManagedTable(spark, "graft_q_orders_b")
+    resetManagedTable(spark, "graft_q_customer_b")
     writeBucketed(graft.Tables.orders(spark, dir)
         .select(col("o_custkey"), col("o_totalprice")),
       Seq("o_custkey"), 8, "graft_q_orders_b")

@@ -78,6 +78,23 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("topQuality: k best per lang, plan uses WindowGroupLimit") {
+    val out = CorpusOps.topQuality(spark, Sf)
+    val rows = out.select("lang", "doc_id", "quality_ppm", "rk")
+      .as[(String, Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, perLang) =>
+      assert(perLang.length <= CorpusOps.TopKPerLang)
+      // ranks dense from 1; scores non-increasing along ranks
+      val byRank = perLang.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1 to perLang.length))
+      assert(byRank.map(_._3).toSeq === byRank.map(_._3).sorted(Ordering[Long].reverse))
+    }
+    // the rank-limit form must compile to per-partition top-k
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "expected WindowGroupLimit in the physical plan")
+  }
+
   test("contamination: only test docs reported, counts consistent") {
     val out = CorpusOps.contamination(spark, Sf)
     val rows = out.select("doc_id", "shared_ct", "contaminated")
