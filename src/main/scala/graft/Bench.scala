@@ -2,7 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at the given scale
-  * factor and prints ONE JSON line. A query that throws is reported
+  * factor and prints one JSON line with the total and the per-query
+  * map, then a short total-only JSON line (truncation-proof headline —
+  * see below). A query that throws is reported
   * with `-1` in the per-query map AND fails the whole run (nonzero
   * exit) — a silent `-1` once masked 12 broken queries.
   *
@@ -84,6 +86,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The full line above grows with the query count and harvesters that
+    // keep only the head+tail of program output can truncate it mid-map
+    // (round 4 lost the headline total exactly this way). Repeat the
+    // headline in a short trailing line so the LAST line always parses.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

@@ -86,12 +86,12 @@ object CorpusOps {
        |SELECT d.doc_id,
        |       CAST(coalesce(a2.total2, 0) AS BIGINT) AS n_bigrams,
        |       CAST(coalesce(a2.top2, 0) AS BIGINT) AS top_bigram_ct,
-       |       CASE WHEN coalesce(a2.total2, 0) > 0
-       |            THEN (1000000 * a2.top2) // a2.total2 ELSE 0 END AS top_bigram_ppm,
-       |       CASE WHEN coalesce(a2.total2, 0) > 0
-       |            THEN (1000000 * (a2.total2 - a2.dist2)) // a2.total2 ELSE 0 END AS dup2_ppm,
-       |       CASE WHEN coalesce(a3.total3, 0) > 0
-       |            THEN (1000000 * (a3.total3 - a3.dist3)) // a3.total3 ELSE 0 END AS dup3_ppm
+       |       CAST(CASE WHEN coalesce(a2.total2, 0) > 0
+       |            THEN (1000000 * a2.top2) // a2.total2 ELSE 0 END AS BIGINT) AS top_bigram_ppm,
+       |       CAST(CASE WHEN coalesce(a2.total2, 0) > 0
+       |            THEN (1000000 * (a2.total2 - a2.dist2)) // a2.total2 ELSE 0 END AS BIGINT) AS dup2_ppm,
+       |       CAST(CASE WHEN coalesce(a3.total3, 0) > 0
+       |            THEN (1000000 * (a3.total3 - a3.dist3)) // a3.total3 ELSE 0 END AS BIGINT) AS dup3_ppm
        |FROM documents d
        |LEFT JOIN a2 ON d.doc_id = a2.doc_id
        |LEFT JOIN a3 ON d.doc_id = a3.doc_id""".stripMargin
@@ -238,8 +238,8 @@ object CorpusOps {
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
        |      FROM t)
        |SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
-       |       (cum_tokens - n_tokens) // $PackCapacity AS pack_id,
-       |       (cum_tokens - n_tokens) % $PackCapacity AS pack_offset
+       |       CAST((cum_tokens - n_tokens) // $PackCapacity AS BIGINT) AS pack_id,
+       |       CAST((cum_tokens - n_tokens) % $PackCapacity AS BIGINT) AS pack_offset
        |FROM c""".stripMargin
 
   // ---- per-language quality quantiles -----------------------------
@@ -311,19 +311,7 @@ object CorpusOps {
   }
 
   val topQualityOracle: String =
-    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-       |c AS (SELECT doc_id, lang,
-       |        CAST(len(toks) AS BIGINT) AS n_tokens,
-       |        CAST(len(list_filter(toks, t -> list_contains(${TextAnalysis.Stopwords.mkString("['", "', '", "']")}, t))) AS BIGINT) AS n_stop,
-       |        CAST(list_reduce(list_prepend(0, list_transform(toks, x -> strlen(x))), (a,b) -> a+b) AS BIGINT) AS len_sum
-       |      FROM t WHERE len(toks) > 0),
-       |r AS (SELECT doc_id, lang,
-       |        (1000000 * n_stop) // n_tokens AS stop_ppm,
-       |        (1000000 * len_sum) // n_tokens AS mean_len_ppm,
-       |        CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1000000 ELSE 300000 END AS len_ok
-       |      FROM c),
-       |q AS (SELECT doc_id, lang,
-       |        (stop_ppm + mean_len_ppm // 10 + len_ok) // 3 AS quality_ppm FROM r),
+    s"""WITH ${TextAnalysis.qualityCtesSql(withLang = true, nonEmptyOnly = true)},
        |rk AS (SELECT lang, doc_id, quality_ppm,
        |         row_number() OVER (PARTITION BY lang
        |           ORDER BY quality_ppm DESC, doc_id) AS rk
@@ -335,18 +323,7 @@ object CorpusOps {
     val qs = QuantilePoints.map(p =>
       s"max(CASE WHEN rn = (n * $p + 99) // 100 THEN quality_ppm END) AS q$p")
       .mkString(",\n       |       ")
-    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-       |c AS (SELECT doc_id, lang,
-       |        CAST(len(toks) AS BIGINT) AS n_tokens,
-       |        CAST(len(list_filter(toks, t -> list_contains(${TextAnalysis.Stopwords.mkString("['", "', '", "']")}, t))) AS BIGINT) AS n_stop,
-       |        CAST(list_reduce(list_prepend(0, list_transform(toks, x -> strlen(x))), (a,b) -> a+b) AS BIGINT) AS len_sum
-       |      FROM t WHERE len(toks) > 0),
-       |r AS (SELECT lang,
-       |        (1000000 * n_stop) // n_tokens AS stop_ppm,
-       |        (1000000 * len_sum) // n_tokens AS mean_len_ppm,
-       |        CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1000000 ELSE 300000 END AS len_ok
-       |      FROM c),
-       |q AS (SELECT lang, (stop_ppm + mean_len_ppm // 10 + len_ok) // 3 AS quality_ppm FROM r),
+    s"""WITH ${TextAnalysis.qualityCtesSql(withLang = true, nonEmptyOnly = true)},
        |rk AS (SELECT lang, quality_ppm,
        |         row_number() OVER (PARTITION BY lang ORDER BY quality_ppm) AS rn,
        |         count(*) OVER (PARTITION BY lang) AS n

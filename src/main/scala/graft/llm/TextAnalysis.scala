@@ -104,21 +104,41 @@ object TextAnalysis {
         "quality_ppm")
   }
 
-  val qualityOracle: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |c AS (SELECT doc_id,
+  /** The quality-score pipeline as shared DuckDB CTE text ending in a
+    * CTE `q(doc_id[, lang], n_tokens, n_stop, stop_ppm, mean_len_ppm,
+    * quality_ppm)`. ONE source of oracle truth for the formula in
+    * [[qualityOf]] — [[qualityOracle]], [[CorpusOps.topQualityOracle]]
+    * and [[CorpusOps.qualityQuantilesOracle]] all splice this in, so a
+    * change to the Spark-side score cannot silently desync one of them
+    * (the drift hazard [[graft.func.OracleSql]] exists to prevent).
+    *
+    * @param withLang      carry the `lang` column through every CTE
+    * @param nonEmptyOnly  drop zero-token docs (they have no defined
+    *                      score and engines rank NULLs differently —
+    *                      the window-consumers' portable contract) */
+  def qualityCtesSql(withLang: Boolean, nonEmptyOnly: Boolean): String = {
+    val lang = if (withLang) ", lang" else ""
+    val where = if (nonEmptyOnly) " WHERE len(toks) > 0" else ""
+    s"""t AS (SELECT doc_id$lang, $toksSql AS toks FROM documents),
+       |c AS (SELECT doc_id$lang,
        |        CAST(len(toks) AS BIGINT) AS n_tokens,
        |        ${hitsSql(Stopwords)} AS n_stop,
        |        CAST(list_reduce(list_prepend(0, list_transform(toks, x -> strlen(x))), (a,b) -> a+b) AS BIGINT) AS len_sum
-       |      FROM t),
-       |r AS (SELECT doc_id, n_tokens, n_stop,
+       |      FROM t$where),
+       |r AS (SELECT doc_id$lang, n_tokens, n_stop,
        |        (1000000 * n_stop) // n_tokens AS stop_ppm,
        |        (1000000 * len_sum) // n_tokens AS mean_len_ppm,
        |        CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1000000 ELSE 300000 END AS len_ok
-       |      FROM c)
-       |SELECT doc_id, n_tokens, n_stop, stop_ppm, mean_len_ppm,
-       |       (stop_ppm + mean_len_ppm // 10 + len_ok) // 3 AS quality_ppm
-       |FROM r""".stripMargin
+       |      FROM c),
+       |q AS (SELECT doc_id$lang, n_tokens, n_stop, stop_ppm, mean_len_ppm,
+       |        (stop_ppm + mean_len_ppm // 10 + len_ok) // 3 AS quality_ppm
+       |      FROM r)""".stripMargin
+  }
+
+  val qualityOracle: String =
+    s"""WITH ${qualityCtesSql(withLang = false, nonEmptyOnly = false)}
+       |SELECT doc_id, n_tokens, n_stop, stop_ppm, mean_len_ppm, quality_ppm
+       |FROM q""".stripMargin
 
   /** BPE-ish pre-tokenizer pattern (GPT-2 style, lower-case corpus):
     * letter runs, digit runs, punctuation runs, each with optional

@@ -54,6 +54,13 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(payload.forall(c => !leftCols.contains(c)),
       s"payload ${payload.mkString(",")} collides with left columns")
+    // the internal tag/key columns would be silently shadowed (wrong
+    // results, not an analyzer error) if either input already uses them
+    val reserved = Seq("__k", "__t", "__side", "__p")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with asOf-internal " +
+        s"names (${reserved.mkString(",")}) — rename them before joining")
     val lSchema = left.schema
     val payloadStruct = struct(payload.map(col): _*)
     val lSide = left.select(
