@@ -74,6 +74,7 @@ object SparkEntry {
     "q_llm_simhash_dups"    -> (llm.Dedup.simhashDuplicates(_, _)),
     "q_llm_ann_topk"        -> (llm.Similarity.bruteTopK(_, _)),
     "q_llm_ann_ivf"         -> (llm.Similarity.ivfTopK(_, _)),
+    "q_llm_ann_recall"      -> (llm.Similarity.ivfRecall(_, _)),
     "q_llm_embed_neardup"   -> (llm.Similarity.lshNearDup(_, _)),
     "q_llm_lang_id"         -> (llm.TextAnalysis.langId(_, _)),
     "q_llm_quality"         -> (llm.TextAnalysis.qualityScore(_, _)),
@@ -88,7 +89,11 @@ object SparkEntry {
     "q_llm_repetition"      -> (llm.CorpusOps.repetition(_, _)),
     "q_llm_hash_split"      -> (llm.CorpusOps.hashSplit(_, _)),
     "q_llm_quality_quantiles" -> (llm.CorpusOps.qualityQuantiles(_, _)),
+    // approximate-percentile scale variant (rows-only check; sketch
+    // estimates are not oracle-comparable — ProductStats.approx precedent)
+    "q_llm_quality_quantiles_approx" -> (llm.CorpusOps.qualityQuantilesApprox(_, _)),
     "q_llm_packing"         -> (llm.CorpusOps.packing(_, _)),
+    "q_llm_packing_sharded" -> (llm.CorpusOps.packingSharded(_, _)),
     "q_llm_contamination"   -> (llm.CorpusOps.contamination(_, _)),
     "q_llm_top_quality"     -> (llm.CorpusOps.topQuality(_, _))
   )
@@ -133,7 +138,10 @@ object SparkEntry {
     "q_sink_bucketed_join" -> sinks.Sinks.bucketedJoinOracle,
     // q_llm_ann_ivf is intentionally absent: centroid means are an
     // unordered float sum, not SQL-reproducible — rows-only check;
-    // recall vs q_llm_ann_topk is asserted in the test suite.
+    // q_llm_ann_recall makes the IVF path driver-decidable anyway (the
+    // oracle pins per-query recall-floor flags the quantizer must hit),
+    // and aggregate recall vs q_llm_ann_topk is asserted in the suite.
+    "q_llm_ann_recall"      -> llm.Similarity.ivfRecallOracle,
     "q_llm_exact_dedup"     -> llm.Dedup.exactOracle,
     "q_llm_minhash_sig"     -> llm.Dedup.minhashOracle,
     "q_llm_lsh_dups"        -> llm.Dedup.lshOracle,
@@ -155,7 +163,9 @@ object SparkEntry {
     "q_llm_repetition"      -> llm.CorpusOps.repetitionOracle,
     "q_llm_hash_split"      -> llm.CorpusOps.hashSplitOracle,
     "q_llm_quality_quantiles" -> llm.CorpusOps.qualityQuantilesOracle,
+    // q_llm_quality_quantiles_approx intentionally absent (estimates)
     "q_llm_packing"         -> llm.CorpusOps.packingOracle,
+    "q_llm_packing_sharded" -> llm.CorpusOps.packingShardedOracle,
     "q_llm_contamination"   -> llm.CorpusOps.contaminationOracle,
     "q_llm_top_quality"     -> llm.CorpusOps.topQualityOracle
   )

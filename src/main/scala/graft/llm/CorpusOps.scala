@@ -212,13 +212,21 @@ object CorpusOps {
     * trade-off; bin-packing heuristics that reorder lose determinism.)
     *
     * Scale note: the running sum is one window shuffle per `lang`
-    * partition. At 100 TB the partition key becomes (lang, shard) with
-    * shard = a hash bucket of doc_id — same plan shape, bounded
-    * partitions, still deterministic. */
-  def packing(spark: SparkSession, dir: String): DataFrame = {
+    * partition — a handful of languages means a handful of reducers,
+    * each serializing its language's whole corpus. [[packingSharded]]
+    * is the 100-TB form: partition key (lang, shard), bounded
+    * partitions, still deterministic. This sequential form stays as
+    * the oracle-checked calibration path and the per-shard reference
+    * (property-tested equal shard-by-shard in CorpusOpsSpec). */
+  def packing(spark: SparkSession, dir: String): DataFrame =
+    packingOf(Tables.documents(spark, dir))
+
+  /** [[packing]] over any (doc_id, lang, text) frame — public for the
+    * shard-equivalence property test. */
+  def packingOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"),
         size(graft.func.Tokenizer.tokens(col("text"))).cast("long")
           .as("n_tokens"))
@@ -241,6 +249,63 @@ object CorpusOps {
        |       CAST((cum_tokens - n_tokens) // $PackCapacity AS BIGINT) AS pack_id,
        |       CAST((cum_tokens - n_tokens) % $PackCapacity AS BIGINT) AS pack_offset
        |FROM c""".stripMargin
+
+  /** Shard count for [[packingSharded]]. Test-scale 8; at 100 TB this
+    * is sized so one (lang, shard) slice fits a reducer's spill budget
+    * (the shard key is a pure function of doc_id, so growing the count
+    * re-buckets deterministically — no layout state to migrate). */
+  val PackShards = 8L
+
+  /** The 100-TB form of [[packing]]: the running token sum is keyed by
+    * (lang, shard) where shard = md5-bucket of doc_id — the same
+    * deterministic-hash trick as [[hashSplit]], so DuckDB can state
+    * the identical window. Each shard is an independent pack stream
+    * (pack ids are shard-local): what a 1000-executor layout actually
+    * wants, since a global pack numbering would chain every shard
+    * behind a prefix-sum barrier for no training benefit — packs are
+    * consumed as unordered files. Plan shape is unchanged from
+    * [[packing]] (one window shuffle + partition-local sort), but the
+    * partition count is langs × [[PackShards]] instead of langs, so no
+    * reducer ever holds a whole language.
+    *
+    * Shard-local totals are property-tested against the sequential
+    * form: filtering [[packing]]'s input to one shard's docs yields
+    * exactly this operator's rows for that shard. */
+  def packingSharded(spark: SparkSession, dir: String): DataFrame =
+    packingShardedOf(Tables.documents(spark, dir))
+
+  /** [[packingSharded]] over any (doc_id, lang, text) frame — public
+    * for the shard-equivalence property test. */
+  def packingShardedOf(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        expr(s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % $PackShards")
+          .as("shard"),
+        size(graft.func.Tokenizer.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_tokens) DIV $PackCapacity"))
+      .withColumn("pack_offset",
+        expr(s"(cum_tokens - n_tokens) % $PackCapacity"))
+  }
+
+  val packingShardedOracle: String = {
+    val nib = graft.func.OracleSql.hexNibbles("md5(CAST(doc_id AS VARCHAR))", 4)
+    s"""WITH t AS (SELECT doc_id, lang, CAST($nib % $PackShards AS BIGINT) AS shard,
+       |             CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, lang, shard, n_tokens,
+       |        sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |      FROM t)
+       |SELECT doc_id, lang, shard, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |       CAST((cum_tokens - n_tokens) // $PackCapacity AS BIGINT) AS pack_id,
+       |       CAST((cum_tokens - n_tokens) % $PackCapacity AS BIGINT) AS pack_offset
+       |FROM c""".stripMargin
+  }
 
   // ---- per-language quality quantiles -----------------------------
 
@@ -281,6 +346,39 @@ object CorpusOps {
       max(when(expr(s"rn = (n * $p + 99) DIV 100"), col("quality_ppm")))
         .as(s"q$p"))
     ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), qs: _*)
+  }
+
+  /** [[percentile_approx]] accuracy for [[qualityQuantilesApprox]] —
+    * error bound is 1/accuracy of the rank range, so 10⁴ keeps the
+    * reported value within 0.01 % of the true rank while the sketch
+    * stays a few KB per language. */
+  val ApproxAccuracy = 10000
+
+  /** The 100-TB form of [[qualityQuantiles]]: Spark's
+    * `percentile_approx` (a mergeable rank sketch) behind the SAME
+    * output shape — one map-side-combinable aggregate, no per-language
+    * window, no partition-local sort, so a language's volume never
+    * serializes through one reducer. Estimates are not
+    * oracle-comparable (rows-only driver check, the
+    * [[graft.dws.ProductStats.approx]] precedent); the exact form
+    * stays the hash-checked calibration path, and the spec bounds the
+    * approx values' rank error against it. */
+  def qualityQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    qualityQuantilesApproxOf(Tables.documents(spark, dir))
+
+  /** [[qualityQuantilesApprox]] over any (doc_id, text, lang) frame —
+    * public for tests. Same zero-token exclusion as the exact form. */
+  def qualityQuantilesApproxOf(docs: DataFrame): DataFrame = {
+    val scoreable =
+      docs.filter(size(graft.func.Tokenizer.tokens(col("text"))) > 0)
+    val scored = TextAnalysis.qualityOf(scoreable)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), col("quality_ppm"))
+    val qs = QuantilePoints.map(p =>
+      percentile_approx(col("quality_ppm"), lit(p / 100.0),
+        lit(ApproxAccuracy)).as(s"q$p"))
+    scored.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), qs: _*)
   }
 

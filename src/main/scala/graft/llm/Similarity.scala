@@ -236,6 +236,48 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_ppm")
   }
 
+  /** Per-query IVF recall floor, ppm of [[TopK]]: every query must
+    * recover at least this fraction of its true cosine top-k through
+    * the probed cells. 100000 ppm = at least 1 of the top 10 — the
+    * floor is a SANITY contract (a broken quantizer, probe join, or
+    * scoring path yields zero-hit queries), not a quality target;
+    * quality (aggregate recall ≥ 0.3 at nprobe=2/10) is asserted in
+    * SimilaritySpec. Measured per-query minima: 3/10 at sf0.001 and
+    * sf0.01, 1/10 at sf0.1 — the floor holds at every shipped sf. */
+  val RecallFloorPpm = 100000L
+
+  /** Driver-decidable IVF recall check: one row per query vector in
+    * the deterministic [[bruteTopK]] population with
+    * `meets_floor` = (IVF∩brute hits ≥ [[RecallFloorPpm]] of
+    * [[TopK]]). The k-means is deterministic (fixed seeds, pinned
+    * IEEE order), so the oracle can state the full contract — the
+    * exact query-id list, all `meets_floor = 1` — even though SQL
+    * cannot run the quantizer itself: any IVF regression surfaces as
+    * a 0 in a column the oracle pins to 1 (hash-red), and a lost
+    * query row breaks the row count. */
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = bruteTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val ivf = ivfTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hit_ct"))
+    // left-join from the query population, not from `hits`: a query
+    // with ZERO recovered neighbors must still appear (as a 0 row)
+    val qids = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % QueryStride === 0 &&
+        col("vec_id") < QueryStride * MaxQueries)
+      .select(col("vec_id").as("query_id"))
+    qids.join(hits, Seq("query_id"), "left")
+      .withColumn("recall_ppm",
+        expr(s"(1000000 * coalesce(hit_ct, 0L)) DIV $TopK"))
+      .select(col("query_id"),
+        (col("recall_ppm") >= RecallFloorPpm).cast("int").as("meets_floor"))
+  }
+
+  val ivfRecallOracle: String =
+    s"""SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS meets_floor
+       |FROM embeddings
+       |WHERE vec_id % $QueryStride = 0 AND vec_id < ${QueryStride * MaxQueries}""".stripMargin
+
   /** JVM-side vector helpers for the typed k-means/IVF passes — the
     * same ascending-index IEEE fold as [[VecDot]], so typed and
     * expression paths agree bit-for-bit. */

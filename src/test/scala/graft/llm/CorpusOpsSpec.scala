@@ -78,6 +78,60 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("packingSharded: per-shard streams equal the sequential form") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val sharded = CorpusOps.packingShardedOf(docs)
+      .select("shard", "lang", "doc_id", "n_tokens", "cum_tokens",
+        "pack_id", "pack_offset")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    assert(sharded.nonEmpty)
+    assert(sharded.forall(r => r._1 >= 0 && r._1 < CorpusOps.PackShards))
+    assert(sharded.map(_._1).distinct.length > 1, "shards actually split")
+    // every shard's pack stream is exactly the sequential operator run
+    // on that shard's documents alone (shard-local totals property)
+    sharded.groupBy(_._1).foreach { case (_, rows) =>
+      val ids = rows.map(_._3).toSet
+      val seq = CorpusOps.packingOf(docs.filter(col("doc_id").isInCollection(ids)))
+        .select("lang", "doc_id", "n_tokens", "cum_tokens", "pack_id",
+          "pack_offset")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(rows.map(r => (r._2, r._3, r._4, r._5, r._6, r._7)).toSet === seq)
+    }
+  }
+
+  test("approx quality quantiles: same shape, rank-accurate vs exact") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val approx = CorpusOps.qualityQuantilesApproxOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = CorpusOps.qualityQuantilesOf(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    assert(approx.values.head.schema.fieldNames.toSeq ===
+      Seq("lang", "n_docs", "q25", "q50", "q75", "q90"))
+    val scoreable =
+      docs.filter(size(graft.func.Tokenizer.tokens(col("text"))) > 0)
+    val scores = TextAnalysis.qualityOf(scoreable)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select("lang", "quality_ppm").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { case (lang, row) =>
+      assert(row.getLong(1) === exact(lang).getLong(1), "n_docs identical")
+      val s = scores(lang)
+      val n = s.length
+      CorpusOps.QuantilePoints.zipWithIndex.foreach { case (p, i) =>
+        val v = row.getLong(2 + i)
+        assert(s.contains(v), s"$lang q$p=$v is not an observed score")
+        // rank error bound: n/accuracy, plus 1 for the rank convention
+        val target = (n * p + 99) / 100
+        val lo = s.indexOf(v) + 1
+        val hi = s.lastIndexOf(v) + 1
+        val tol = 1L + n / CorpusOps.ApproxAccuracy
+        assert(target >= lo - tol && target <= hi + tol,
+          s"$lang q$p=$v occupies ranks [$lo,$hi], target $target of $n")
+      }
+    }
+  }
+
   test("topQuality: k best per lang, plan uses WindowGroupLimit") {
     val out = CorpusOps.topQuality(spark, Sf)
     val rows = out.select("lang", "doc_id", "quality_ppm", "rk")

@@ -37,6 +37,19 @@ class SimilaritySpec extends SparkSpec {
       s"IVF nprobe=${Similarity.NProbe} recall vs brute was $recall")
   }
 
+  test("ivfRecall: full query population, every query meets the floor") {
+    val rec = Similarity.ivfRecall(spark, Sf)
+      .as[(Long, Int)].collect().toMap
+    val expected = graft.Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") % Similarity.QueryStride === 0 &&
+        col("vec_id") < Similarity.QueryStride * Similarity.MaxQueries)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rec.keySet == expected, "one row per deterministic query id")
+    assert(rec.values.forall(_ == 1),
+      s"queries under the ${Similarity.RecallFloorPpm} ppm floor: " +
+        rec.filter(_._2 != 1).keys.mkString(","))
+  }
+
   test("lshNearDup: 100% precision (every pair verified ≥ threshold)") {
     val pairs = Similarity.lshNearDup(spark, Sf)
       .select("cos_ppm").as[Long].collect()
