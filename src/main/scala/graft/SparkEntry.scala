@@ -21,6 +21,7 @@ object SparkEntry {
     "q_dwd_log_split"      -> (dwd.LogSplit.demux(_, _)),
     "q_dwd_is_new_repair"  -> (dwd.LogSplit.isNewRepair(_, _)),
     "q_dwd_db_route"       -> (dwd.DbRouter(_, _)),
+    "q_dwd_dim_autocreate" -> (dwd.DbRouter.dimAutoCreate(_, _)),
     "q_dwd_start_split"    -> (dwd.LogNested.startSplit(_, _)),
     "q_dwd_display_explode" -> (dwd.LogNested.displayExplode(_, _)),
     "q_dwd_action_explode"  -> (dwd.LogNested.actionExplode(_, _)),
@@ -95,6 +96,9 @@ object SparkEntry {
     "q_llm_packing"         -> (llm.CorpusOps.packing(_, _)),
     "q_llm_packing_sharded" -> (llm.CorpusOps.packingSharded(_, _)),
     "q_llm_contamination"   -> (llm.CorpusOps.contamination(_, _)),
+    // bloom-semijoin scale form — bit-identical output (no false
+    // negatives + exact verify), so it shares the exact form's oracle
+    "q_llm_contamination_bloom" -> (llm.CorpusOps.contaminationBloom(_, _)),
     "q_llm_top_quality"     -> (llm.CorpusOps.topQuality(_, _))
   )
 
@@ -104,6 +108,7 @@ object SparkEntry {
     "q_dwd_log_split"      -> dwd.LogSplit.demuxOracle,
     "q_dwd_is_new_repair"  -> dwd.LogSplit.isNewRepairOracle,
     "q_dwd_db_route"       -> dwd.DbRouter.oracle,
+    "q_dwd_dim_autocreate" -> dwd.DbRouter.dimAutoCreateOracle,
     "q_dwd_start_split"    -> dwd.LogNested.startSplitOracle,
     "q_dwd_display_explode" -> dwd.LogNested.displayExplodeOracle,
     "q_dwd_action_explode"  -> dwd.LogNested.actionExplodeOracle,
@@ -167,6 +172,7 @@ object SparkEntry {
     "q_llm_packing"         -> llm.CorpusOps.packingOracle,
     "q_llm_packing_sharded" -> llm.CorpusOps.packingShardedOracle,
     "q_llm_contamination"   -> llm.CorpusOps.contaminationOracle,
+    "q_llm_contamination_bloom" -> llm.CorpusOps.contaminationOracle,
     "q_llm_top_quality"     -> llm.CorpusOps.topQualityOracle
   )
 }

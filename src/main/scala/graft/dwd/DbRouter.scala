@@ -60,4 +60,61 @@ object DbRouter {
        |CAST(${cols.split(",").length} AS INTEGER) AS col_ct,
        |count(*) AS row_ct FROM $src""".stripMargin.replace("\n", " ")
   }.mkString("", " UNION ALL ", " ORDER BY sink_table")
+
+  // ---- dim table auto-create (P6 tail) ----------------------------
+
+  /** Idempotent dim auto-create — the reference's `checkTable` issues
+    * `CREATE TABLE IF NOT EXISTS <sink_table>(cols varchar, pk varchar
+    * primary key)` against Phoenix the first time the config routes a
+    * dim record there (gmall-time/src/main/java/com/atguigu/gmall/
+    * realtime/app/func/TableProcessFunction.java:126-175). Spark
+    * analog: when `table` is absent from the catalog, create it EMPTY
+    * with the routed schema (`limit 0` write — DDL only, no data job
+    * beyond a schema commit); when present, no-op. Returns whether it
+    * created — callers that must observe first-sight semantics can
+    * assert on it. Unlike the reference (all-varchar Phoenix columns),
+    * the routed parquet schema keeps source types — nothing here needs
+    * the lowest-common-denominator cast. */
+  def ensureDimTable(spark: SparkSession, table: String,
+      schemaOf: DataFrame): Boolean =
+    if (!spark.catalog.tableExists(table)) {
+      schemaOf.limit(0).write.format("parquet").saveAsTable(table)
+      true
+    } else false
+
+  /** Driver-checkable auto-create round trip, one per routed `hbase`
+    * dim: reset (cross-JVM re-runnability, same machinery as the
+    * bucketed sink) → ensure (must create) → append the routed batch →
+    * ensure again (must no-op — the IF NOT EXISTS contract) → read the
+    * CATALOG table back and emit (sink_table, col_ct, row_ct). The
+    * oracle recomputes the counts from the source tables, so a
+    * mis-created schema, lost append, or non-idempotent ensure all
+    * surface as a red row. */
+  def dimAutoCreate(spark: SparkSession, dir: String): DataFrame = {
+    val summaries = config.filter(_._2 == "hbase").map {
+      case (src, _, sinkTable, cols) =>
+        val table = s"graft_$sinkTable"
+        graft.sinks.Sinks.resetManagedTable(spark, table)
+        val frame = Tables.read(spark, dir, src)
+          .select(cols.split(",").map(col).toIndexedSeq: _*)
+        require(ensureDimTable(spark, table, frame),
+          s"$table absent after reset — ensure must create it")
+        frame.write.mode("append").format("parquet").saveAsTable(table)
+        require(!ensureDimTable(spark, table, frame),
+          s"$table exists — ensure must no-op, not recreate")
+        spark.table(table).agg(count(lit(1)).as("row_ct"))
+          .select(
+            lit(sinkTable).as("sink_table"),
+            lit(cols.split(",").length).cast("int").as("col_ct"),
+            col("row_ct"))
+    }
+    summaries.reduce(_.unionByName(_)).orderBy("sink_table")
+  }
+
+  val dimAutoCreateOracle: String = config.filter(_._2 == "hbase").map {
+    case (src, _, sinkTable, cols) =>
+      s"""SELECT '$sinkTable' AS sink_table,
+         |CAST(${cols.split(",").length} AS INTEGER) AS col_ct,
+         |count(*) AS row_ct FROM $src""".stripMargin.replace("\n", " ")
+  }.mkString("", " UNION ALL ", " ORDER BY sink_table")
 }

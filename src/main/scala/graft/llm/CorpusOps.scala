@@ -147,6 +147,20 @@ object CorpusOps {
     * the join, so the probe carries set-membership rows, not doc pairs
     * — |test postings| × membership, never |test| × |train|. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val (split, pruned) = splitAndPrunedPostings(spark, dir)
+    val trainSh = pruned.filter(col("split") === "train")
+      .select(col("sh")).distinct()
+    val shared = pruned.filter(col("split") === "test")
+      .join(trainSh, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("shared_ct"))
+    contaminationVerdicts(split, shared)
+  }
+
+  /** The shared front of both contamination forms: the split frame and
+    * the df-pruned (doc_id, split, sh) posting list. */
+  private def splitAndPrunedPostings(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val split = hashSplit(spark, dir).select(col("doc_id"), col("split"))
     val post = Dedup.shingleSetsShared(docs)
@@ -156,19 +170,60 @@ object CorpusOps {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= Dedup.MaxDf)
       .select(col("sh"))
-    val pruned = post.join(rare, Seq("sh"))
-    val trainSh = pruned.filter(col("split") === "train")
-      .select(col("sh")).distinct()
-    val shared = pruned.filter(col("split") === "test")
-      .join(trainSh, Seq("sh"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("sh")).as("shared_ct"))
+    (split, post.join(rare, Seq("sh")))
+  }
+
+  /** The shared tail: every test doc left-joined to its shared-shingle
+    * count, flagged against [[ContaminationMinShared]]. */
+  private def contaminationVerdicts(split: DataFrame,
+      shared: DataFrame): DataFrame =
     split.filter(col("split") === "test").select(col("doc_id"))
       .join(shared, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("shared_ct"), lit(0L)).as("shared_ct"))
       .withColumn("contaminated",
         (col("shared_ct") >= ContaminationMinShared).cast("int"))
+
+  /** False-positive probability for [[contaminationBloom]]'s filter. */
+  val BloomFpp = 0.01
+
+  /** The corpus-scale form of [[contamination]]: a Bloom filter over
+    * the distinct train shingles pre-filters the test postings BEFORE
+    * the membership join — semijoin reduction, the standard fix when
+    * train ≫ test makes the probe join's shuffled test side the
+    * bottleneck. Bloom filters have no false negatives, and the
+    * survivors still go through the exact membership join (false
+    * positives verified away), so the OUTPUT is bit-identical to the
+    * exact form — same oracle, hash-checkable, asserted equal in
+    * CorpusOpsSpec.
+    *
+    * Scale shape: the filter ships once per executor (broadcast, ~1.2
+    * bytes/item at 1 % fpp) and rejects (1 - fpp) of the non-shared
+    * test postings map-side, so the shuffle carries only plausible
+    * matches. The driver-resident filter is the remaining memory
+    * hazard when the train side grows past ~10⁹ distinct shingles —
+    * at that point shard the filter by shingle hash bucket (one bloom
+    * per bucket, probe against the matching shard), same plan shape. */
+  def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (split, pruned) = splitAndPrunedPostings(spark, dir)
+    // materialized once (eager localCheckpoint, lineage-free): it feeds
+    // the count, the bloom aggregate, and the exact verify join
+    val trainSh = pruned.filter(col("split") === "train")
+      .select(col("sh")).distinct().localCheckpoint()
+    val bloom = trainSh.stat.bloomFilter("sh",
+      math.max(trainSh.count(), 1000L), BloomFpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val candidates = pruned.filter(col("split") === "test")
+      .select(col("doc_id"), col("sh")).as[(Long, String)]
+      .mapPartitions { it =>
+        val b = bc.value
+        it.filter { case (_, sh) => b.mightContain(sh) }
+      }.toDF("doc_id", "sh")
+    val shared = candidates.join(trainSh, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("shared_ct"))
+    contaminationVerdicts(split, shared)
   }
 
   val contaminationOracle: String = {

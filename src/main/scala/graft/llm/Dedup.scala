@@ -381,7 +381,15 @@ object Dedup {
     * plan (measured: minutes of driver CPU on a 60-node chain) even
     * though execution reuses the cache. Checkpointing pins each round
     * to a LogicalRDD, keeping analysis O(1) per round. */
-  def closureKeepers(pairs: DataFrame): DataFrame = {
+  def closureKeepers(pairs: DataFrame): DataFrame =
+    closureKeepersCounted(pairs)._1
+
+  /** [[closureKeepers]] plus the number of propagation rounds it took —
+    * exposed so the O(log diameter) convergence claim is empirically
+    * testable (DedupSpec runs a 1000-node path graph and asserts the
+    * round count stays logarithmic, where one-hop propagation would
+    * need ~1000 rounds and blow the [[ClosureMaxRounds]] cap). */
+  private[llm] def closureKeepersCounted(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
@@ -427,7 +435,7 @@ object Dedup {
       throw new IllegalStateException(
         s"closureKeepers did not converge in $ClosureMaxRounds rounds " +
           s"($moved labels still moving) — component diameter beyond 2^$ClosureMaxRounds?")
-    labels
+    (labels, rounds)
   }
 
   /** DuckDB states the same closure with a recursive CTE (reach-set per

@@ -85,7 +85,7 @@ object Sinks {
     * — and `saveAsTable` refuses to create a managed table over a
     * non-empty leftover location (overwrite only applies to tables the
     * CATALOG knows). Drop both halves so the query is re-runnable. */
-  private def resetManagedTable(spark: SparkSession, table: String): Unit = {
+  private[graft] def resetManagedTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val base = java.nio.file.Paths.get(

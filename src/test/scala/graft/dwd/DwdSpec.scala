@@ -54,4 +54,25 @@ class DwdSpec extends SparkSpec {
       assert(routed(sink).columns.toSeq == cols.split(",").toSeq)
     }
   }
+
+  test("dim auto-create: creates once, appends, catalog schema pruned") {
+    val out = DbRouter.dimAutoCreate(spark, Sf)
+      .select("sink_table", "col_ct", "row_ct")
+      .as[(String, Int, Long)].collect()
+      .map { case (t, c, n) => t -> ((c, n)) }.toMap
+    val dims = DbRouter.config.filter(_._2 == "hbase")
+    assert(out.keySet == dims.map(_._3).toSet)
+    // counts and schema match the routed source exactly
+    dims.foreach { case (src, _, sinkTable, cols) =>
+      val srcCt = graft.Tables.read(spark, Sf, src).count()
+      assert(out(sinkTable) == ((cols.split(",").length, srcCt)))
+      val catalogCols = spark.table(s"graft_$sinkTable").columns.toSeq
+      assert(catalogCols == cols.split(",").toSeq, "routed schema, pruned")
+    }
+    // ensure is a no-op on an existing table even with a WIDER frame
+    val widened = graft.Tables.read(spark, Sf, dims.head._1)
+    assert(!DbRouter.ensureDimTable(spark, s"graft_${dims.head._3}", widened))
+    assert(spark.table(s"graft_${dims.head._3}").columns.toSeq ==
+      dims.head._4.split(",").toSeq)
+  }
 }

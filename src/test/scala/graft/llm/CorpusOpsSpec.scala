@@ -163,6 +163,16 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("contamination bloom form is bit-identical to the exact form") {
+    // no false negatives (bloom) + exact verify join (false positives
+    // removed) ⇒ the semijoin reduction must not change a single row
+    val exact = CorpusOps.contamination(spark, Sf)
+      .as[(Long, Long, Int)].collect().toSet
+    val bloom = CorpusOps.contaminationBloom(spark, Sf)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(bloom == exact)
+  }
+
   test("quality quantiles: operator output equals hand-ranked values") {
     // single lang, 4 scoreable docs + 1 zero-token doc (excluded).
     // ceil(p*4/100): q25 -> rank 1, q50 -> 2, q75 -> 3, q90 -> 4.

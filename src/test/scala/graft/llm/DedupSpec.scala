@@ -62,15 +62,19 @@ class DedupSpec extends SparkSpec {
     assert(keepers == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
-  test("closure keepers: a 60-hop chain converges inside the round cap") {
-    // Diameter 59 — one-hop propagation would need 59 rounds (past the
-    // cap of 20); pointer doubling reaches the fixpoint in ~log2(59)
+  test("closure keepers: 1000-node path converges in O(log n) rounds") {
+    // Diameter 999 — one-hop propagation would need ~999 rounds (50×
+    // past the cap of 20); pointer doubling squares the jump distance
+    // per round, so the fixpoint lands within ~log2(999)+1 ≈ 11
     // rounds. This is the incremental-edit-lineage shape at corpus
-    // scale: doc k is a near-dup of doc k+1 only.
-    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val keepers = Dedup.closureKeepers(chain).collect()
+    // scale (doc k a near-dup of doc k+1 only), and the empirical
+    // proof of the O(log diameter) claim in the scaladoc.
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.closureKeepersCounted(chain)
+    val keepers = labels.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(keepers == (1L to 60L).map(_ -> 1L).toMap)
+    assert(keepers == (1L to 1000L).map(_ -> 1L).toMap)
+    assert(rounds <= 12, s"expected ~log2(999)+1 rounds, took $rounds")
   }
 
   test("ngram jaccard: inverted index finds the near-dup, prunes the rest") {
