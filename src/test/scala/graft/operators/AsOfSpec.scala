@@ -28,6 +28,20 @@ class AsOfSpec extends SparkSpec {
     assert(out("e4").isEmpty)
   }
 
+  test("asOf fails fast when an input carries a reserved internal name") {
+    val left = Seq((1L, 5L, "x")).toDF("k", "t", "__side")
+    val right = Seq((1L, 5L, 9L)).toDF("rk", "rt", "payload")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asOf(left, right, "k", "rk", "t", "rt", Seq("payload"))
+    }
+    assert(e.getMessage.contains("__side"))
+    val rightBad = Seq((1L, 5L, 9L)).toDF("rk", "rt", "__p")
+    intercept[IllegalArgumentException] {
+      AsOf.asOf(left.withColumnRenamed("__side", "ev"), rightBad,
+        "k", "rk", "t", "rt", Seq("__p"))
+    }
+  }
+
   test("asOf takes the latest right ROW atomically; null keys never match") {
     val left = Seq(
       (Some(1L), 20L, "e1"),  // latest right row has b=null: must NOT backfill
