@@ -99,6 +99,9 @@ object SparkEntry {
     // bloom-semijoin scale form — bit-identical output (no false
     // negatives + exact verify), so it shares the exact form's oracle
     "q_llm_contamination_bloom" -> (llm.CorpusOps.contaminationBloom(_, _)),
+    "q_llm_mixture_sample"  -> (llm.CorpusOps.mixtureSample(_, _)),
+    "q_llm_chunking"        -> (llm.CorpusOps.chunk(_, _)),
+    "q_llm_quantize_int8"   -> (llm.Similarity.quantizeInt8(_, _)),
     "q_llm_top_quality"     -> (llm.CorpusOps.topQuality(_, _))
   )
 
@@ -173,6 +176,9 @@ object SparkEntry {
     "q_llm_packing_sharded" -> llm.CorpusOps.packingShardedOracle,
     "q_llm_contamination"   -> llm.CorpusOps.contaminationOracle,
     "q_llm_contamination_bloom" -> llm.CorpusOps.contaminationOracle,
+    "q_llm_mixture_sample"  -> llm.CorpusOps.mixtureSampleOracle,
+    "q_llm_chunking"        -> llm.CorpusOps.chunkOracle,
+    "q_llm_quantize_int8"   -> llm.Similarity.quantizeInt8Oracle,
     "q_llm_top_quality"     -> llm.CorpusOps.topQualityOracle
   )
 }

@@ -129,6 +129,107 @@ object CorpusOps {
        |FROM h""".stripMargin
   }
 
+  // ---- deterministic mixture sampling -----------------------------
+
+  /** Per-language sampling rates (ppm) for [[mixtureSample]] — the
+    * data-mixing weight table a training run tunes (upsample
+    * low-resource languages, downsample the dominant one). Literal
+    * config here, the same role as [[graft.dwd.DbRouter.config]]. */
+  val MixRates: Seq[(String, Long)] = Seq(
+    "de" -> 850000L, "en" -> 400000L, "es" -> 700000L,
+    "fr" -> 900000L, "zh" -> 800000L)
+
+  /** Rate applied to a language absent from [[MixRates]]. */
+  val MixDefaultPpm = 500000L
+
+  /** Deterministic mixture sampling: doc kept iff its hash bucket (24
+    * bits of md5("mix:"+doc_id), mod 10⁶) falls below its language's
+    * rate. The data-mixing primitive every pretraining run needs,
+    * with the properties random sampling lacks at corpus scale: a
+    * doc's verdict never depends on other docs (stable under corpus
+    * growth and re-partitioning), reruns are bit-identical, and the
+    * realized rate converges to the configured ppm by uniformity of
+    * md5. The salt decouples these buckets from [[hashSplit]]'s, so
+    * sampling is independent of split assignment. Pure projection —
+    * zero shuffle, embarrassingly parallel at any scale. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = MixRates.foldLeft(lit(MixDefaultPpm)) {
+      case (rest, (l, r)) => when(col("lang") === l, r).otherwise(rest)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000000")
+          .as("mix_bucket"),
+        rate.as("rate_ppm"))
+      .withColumn("sampled",
+        (col("mix_bucket") < col("rate_ppm")).cast("int"))
+  }
+
+  val mixtureSampleOracle: String = {
+    val nib = graft.func.OracleSql.hexNibbles(
+      "md5('mix:' || CAST(doc_id AS VARCHAR))", 6)
+    val rate = MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $MixDefaultPpm END")
+    s"""SELECT doc_id, lang,
+       |       CAST($nib % 1000000 AS BIGINT) AS mix_bucket,
+       |       CAST($rate AS BIGINT) AS rate_ppm,
+       |       CAST($nib % 1000000 < $rate AS INTEGER) AS sampled
+       |FROM documents""".stripMargin
+  }
+
+  // ---- sliding-window chunking ------------------------------------
+
+  /** Tokens per training chunk and the stride between chunk starts
+    * (overlap = size - stride). */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Sliding-window chunking: each document's token sequence is cut
+    * into [[ChunkSize]]-token windows starting every [[ChunkStride]]
+    * tokens — the context-window layout for documents LONGER than the
+    * training sequence (the complement of [[packing]], which groups
+    * documents shorter than it). Chunk count = 1 + ceil(max(n-size,0)
+    * / stride), so every token lands in ≥ 1 chunk and consecutive
+    * chunks overlap by size - stride tokens for continuity.
+    *
+    * Scale shape: one narrow projection + a bounded explode (≈
+    * n/stride output rows per doc) — no shuffle, no state; the
+    * sequence/slice/array_join chain is all codegen'd built-ins. */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkOf(Tables.documents(spark, dir))
+
+  /** [[chunk]] over any (doc_id, text) frame — public for tests. */
+  def chunkOf(docs: DataFrame): DataFrame = {
+    val toks = graft.func.Tokenizer.tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"),
+        size(toks).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_chunks",
+        expr(s"1L + (CASE WHEN n_tokens > $ChunkSize THEN n_tokens - $ChunkSize ELSE 0L END + ${ChunkStride - 1}) DIV $ChunkStride"))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .withColumn("start", col("chunk_id") * ChunkStride)
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(ChunkSize.toLong), col("n_tokens") - col("start"))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("toks"), (col("start") + 1).cast("int"),
+          lit(ChunkSize)), " ").as("chunk_text"))
+  }
+
+  val chunkOracle: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |        1 + (CASE WHEN len(toks) > $ChunkSize THEN len(toks) - $ChunkSize ELSE 0 END + ${ChunkStride - 1}) // $ChunkStride AS n_chunks
+       |      FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks, n_tokens,
+       |        CAST(u.i AS BIGINT) AS chunk_id, u.i * $ChunkStride AS start
+       |      FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) u)
+       |SELECT doc_id, chunk_id,
+       |       CAST(least($ChunkSize, n_tokens - start) AS BIGINT) AS n_chunk_tokens,
+       |       array_to_string(list_slice(toks, start + 1, start + $ChunkSize), ' ') AS chunk_text
+       |FROM c""".stripMargin
+
   // ---- benchmark decontamination ----------------------------------
 
   /** A test doc is flagged contaminated when it shares at least this

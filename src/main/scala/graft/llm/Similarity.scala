@@ -33,6 +33,11 @@ import graft.Tables
   * ppm value, so ordering cannot hinge on a final ulp.
   */
 object Similarity {
+  /** Embedding width of the `embeddings` table. Declared FIRST: oracle
+    * vals below splice it into SQL text at object-init time, so it
+    * must be initialized before any of them. */
+  val Dim = 64
+
   /** Every `QueryStride`-th vector is a query (deterministic subset). */
   val QueryStride = 50
   val TopK = 10
@@ -305,10 +310,53 @@ object Similarity {
       cs.indices.map(j => (-dotJ(v, cs(j)), j)).sorted.take(n).map(_._2)
   }
 
+  // ---- int8 scalar quantization -----------------------------------
+
+  /** Per-vector affine int8 quantization: code_i = floor((x_i - vmin)
+    * · 255 / (vmax - vmin)) with the vector's own min/max as the
+    * range (codes 0..255; a constant vector quantizes to all-0 with
+    * scale 0). The memory scale path for ANN serving — 4× smaller
+    * than float32, so a 100 TB embedding store's IVF cells hold 4× as
+    * many candidates per executor; [[ivfTopK]]-style probing then
+    * rescores survivors against the full-precision column.
+    *
+    * Emitted EXPLODED — (vec_id, pos, code) scalar rows — because
+    * that is the oracle-hashable projection; the array form is one
+    * `transform` away and the spec reconstructs it to bound the
+    * dequantization error. Determinism: min/max/subtract/multiply/
+    * divide run the same IEEE-754 double sequence in both engines
+    * (floats widen exactly), and `floor` pins the code, so the
+    * integer output is bit-portable — same discipline as the cosine
+    * ppm floor. Narrow projection + bounded explode (×[[Dim]]), no
+    * shuffle. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("vmin"), array_max(col("v")).as("vmax"))
+    e.select(col("vec_id"),
+        posexplode(col("v")).as(Seq("pos0", "x")),
+        col("vmin"), col("vmax"))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        when(col("vmax") === col("vmin"), 0L)
+          .otherwise(floor((col("x") - col("vmin")) * 255.0 /
+            (col("vmax") - col("vmin"))).cast("long"))
+          .as("code"))
+  }
+
+  val quantizeInt8Oracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e)
+       |SELECT vec_id, CAST(u.i AS BIGINT) AS pos,
+       |       CASE WHEN vmax = vmin THEN 0
+       |            ELSE CAST(floor((v[u.i] - vmin) * 255.0 / (vmax - vmin)) AS BIGINT)
+       |       END AS code
+       |FROM m, LATERAL (SELECT unnest(range(1, ${Dim + 1})) AS i) u""".stripMargin
+
   // ---- random-hyperplane LSH --------------------------------------
 
   val Planes = 32
-  val Dim = 64
   // 8 bands × 4 bits: recall for cos ≥ 0.35 pairs ≈ 1-(1-p^4)^8 ≈ 0.70
   // (p = 1 - θ/π ≈ 0.61) vs 0.45 for 4×4 — and 16-way buckets per band
   // keep the candidate join bounded.

@@ -163,6 +163,62 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixture sampling: deterministic, bucket-consistent, rate-true") {
+    val rows = CorpusOps.mixtureSample(spark, Sf)
+      .select("lang", "mix_bucket", "rate_ppm", "sampled")
+      .as[(String, Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    val rates = CorpusOps.MixRates.toMap
+    rows.foreach { case (lang, b, r, s) =>
+      assert(b >= 0 && b < 1000000L)
+      assert(r === rates.getOrElse(lang, CorpusOps.MixDefaultPpm))
+      assert(s === (if (b < r) 1 else 0))
+    }
+    // realized rate tracks the configured ppm (binomial tolerance on
+    // the small per-lang doc counts at this sf)
+    rows.groupBy(_._1).foreach { case (lang, perLang) =>
+      val realized = perLang.count(_._4 == 1).toDouble / perLang.length
+      val configured = rates(lang) / 1e6
+      assert(math.abs(realized - configured) < 0.2,
+        s"$lang realized $realized vs configured $configured")
+    }
+    // rerun is bit-identical (pure projection of doc_id)
+    val again = CorpusOps.mixtureSample(spark, Sf)
+      .select("lang", "mix_bucket", "rate_ppm", "sampled")
+      .as[(String, Long, Long, Int)].collect()
+    assert(rows.sorted.sameElements(again.sorted))
+  }
+
+  test("chunking: sliding windows cover every token with stride overlap") {
+    val size = CorpusOps.ChunkSize
+    val stride = CorpusOps.ChunkStride
+    val toks33 = (1 to 33).map(i => s"w$i")
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // single short chunk
+      (2L, toks33.mkString(" ")),                     // straddles one stride
+      (3L, "")                                        // zero tokens: no rows
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.chunkOf(docs)
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(!out.contains(3L))
+    assert(out(1L).map(r => (r._2, r._3)) === Seq((0L, 10L)))
+    assert(out(1L).head._4 === (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(out(2L).map(r => (r._2, r._3)) === Seq((0L, size.toLong), (1L, 33L - stride)))
+    assert(out(2L)(0)._4 === toks33.take(size).mkString(" "))
+    assert(out(2L)(1)._4 === toks33.drop(stride).mkString(" "))
+    // real corpus: every token position covered, overlaps consistent
+    CorpusOps.chunk(spark, Sf).select("doc_id", "chunk_id", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).foreach { case (_, chunks) =>
+        val sorted = chunks.sortBy(_._2)
+        assert(sorted.map(_._2) === (0L until sorted.length).toSeq)
+        sorted.init.foreach(c => assert(c._3 === size.toLong))
+        assert(sorted.last._3 > 0 && sorted.last._3 <= size)
+      }
+  }
+
   test("contamination bloom form is bit-identical to the exact form") {
     // no false negatives (bloom) + exact verify join (false positives
     // removed) ⇒ the semijoin reduction must not change a single row

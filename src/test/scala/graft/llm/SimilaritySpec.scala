@@ -50,6 +50,32 @@ class SimilaritySpec extends SparkSpec {
         rec.filter(_._2 != 1).keys.mkString(","))
   }
 
+  test("quantizeInt8: codes in range, dequantization error bounded") {
+    val codes = Similarity.quantizeInt8(spark, Sf)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, pos, c) => (id, pos) -> c }.toMap
+    val vecs = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    assert(codes.size === vecs.length * Similarity.Dim)
+    assert(codes.values.forall(c => c >= 0 && c <= 255))
+    vecs.foreach { case (id, emb) =>
+      val v = emb.map(_.toDouble)
+      val (vmin, vmax) = (v.min, v.max)
+      val scale = vmax - vmin
+      v.zipWithIndex.foreach { case (x, i) =>
+        val c = codes((id, i + 1L))
+        if (scale == 0.0) assert(c === 0L)
+        else {
+          // floor((x-vmin)·255/scale) ⇒ the code's cell contains x
+          val lo = vmin + c * scale / 255.0
+          assert(x >= lo - 1e-9 && x <= lo + scale / 255.0 + 1e-9,
+            s"vec $id pos ${i + 1}: x=$x outside cell of code $c")
+        }
+      }
+    }
+  }
+
   test("lshNearDup: 100% precision (every pair verified ≥ threshold)") {
     val pairs = Similarity.lshNearDup(spark, Sf)
       .select("cos_ppm").as[Long].collect()
