@@ -219,6 +219,20 @@ class CorpusOpsSpec extends SparkSpec {
       }
   }
 
+  test("mixture/chunk scans are pruned to exactly the consumed columns") {
+    // column pruning must reach the parquet scan: a curation pass that
+    // drags `text` (or the full row) through a projection-only operator
+    // reads the whole corpus body for nothing at 100 TB
+    val mixPlan = CorpusOps.mixtureSample(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(mixPlan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"mixtureSample should scan only (doc_id, lang):\n$mixPlan")
+    val chunkPlan = CorpusOps.chunk(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(chunkPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"chunk should scan only (doc_id, text):\n$chunkPlan")
+  }
+
   test("contamination bloom form is bit-identical to the exact form") {
     // no false negatives (bloom) + exact verify join (false positives
     // removed) ⇒ the semijoin reduction must not change a single row

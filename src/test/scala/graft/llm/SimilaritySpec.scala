@@ -74,6 +74,10 @@ class SimilaritySpec extends SparkSpec {
         }
       }
     }
+    val plan = Similarity.quantizeInt8(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"quantizeInt8 should scan only (vec_id, embedding):\n$plan")
   }
 
   test("lshNearDup: 100% precision (every pair verified ≥ threshold)") {
