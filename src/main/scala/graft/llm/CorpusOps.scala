@@ -177,6 +177,48 @@ object CorpusOps {
        |FROM documents""".stripMargin
   }
 
+  // ---- corpus report (data card) ----------------------------------
+
+  /** Per-(lang, source) corpus report — the "data card" aggregate a
+    * mixture designer reads before setting [[MixRates]]: document /
+    * token / char volumes plus the mean quality score per stratum.
+    * Every doc contributes to the counts; the quality mean is over
+    * scoreable (non-zero-token) docs, floor-divided so the output
+    * stays integer and bit-portable. The group key space is bounded
+    * (langs × sources), so this is one map-side-combinable aggregate
+    * whose shuffle carries a handful of rows per map task — the
+    * cheapest possible full-corpus pass at any scale. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scoreable =
+      docs.filter(size(graft.func.Tokenizer.tokens(col("text"))) > 0)
+    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(TextAnalysis.qualityOf(scoreable)
+        .select(col("doc_id"), col("n_tokens"), col("quality_ppm")),
+        Seq("doc_id"), "left")
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("doc_ct"),
+        count(col("quality_ppm")).as("scoreable_ct"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("token_sum"),
+        sum(col("n_chars")).as("char_sum"),
+        // integer floor division on BOTH engines: a float `/` + cast
+        // would round in DuckDB but truncate in Spark
+        expr("sum(quality_ppm) DIV count(quality_ppm)")
+          .as("mean_quality_ppm"))
+  }
+
+  val corpusReportOracle: String =
+    s"""WITH ${TextAnalysis.qualityCtesSql(withLang = false, nonEmptyOnly = true)}
+       |SELECT d.lang, d.source,
+       |       count(*) AS doc_ct,
+       |       count(q.quality_ppm) AS scoreable_ct,
+       |       CAST(coalesce(sum(q.n_tokens), 0) AS BIGINT) AS token_sum,
+       |       CAST(sum(d.n_chars) AS BIGINT) AS char_sum,
+       |       CAST(sum(q.quality_ppm) // count(q.quality_ppm) AS BIGINT) AS mean_quality_ppm
+       |FROM documents d LEFT JOIN q ON d.doc_id = q.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   // ---- sliding-window chunking ------------------------------------
 
   /** Tokens per training chunk and the stride between chunk starts

@@ -189,6 +189,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
+  test("corpus report: volumes and mean quality per stratum") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val out = CorpusOps.corpusReport(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val base = docs.select("doc_id", "lang", "source", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+    val quality = TextAnalysis.qualityOf(
+        docs.filter(size(graft.func.Tokenizer.tokens(col("text"))) > 0))
+      .select("doc_id", "n_tokens", "quality_ppm")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val grouped = base.groupBy(r => (r._2, r._3))
+    assert(out.keySet == grouped.keySet)
+    grouped.foreach { case (k, rows) =>
+      val r = out(k)
+      val qs = rows.flatMap(x => quality.get(x._1))
+      assert(r.getLong(2) === rows.length)          // doc_ct
+      assert(r.getLong(3) === qs.length)            // scoreable_ct
+      assert(r.getLong(4) === qs.map(_._1).sum)     // token_sum
+      assert(r.getLong(5) === rows.map(_._4).sum)   // char_sum
+      assert(r.getLong(6) === qs.map(_._2).sum / qs.length)
+    }
+  }
+
   test("chunking: sliding windows cover every token with stride overlap") {
     val size = CorpusOps.ChunkSize
     val stride = CorpusOps.ChunkStride
