@@ -152,11 +152,18 @@ object CorpusOps {
     * md5. The salt decouples these buckets from [[hashSplit]]'s, so
     * sampling is independent of split assignment. Pure projection —
     * zero shuffle, embarrassingly parallel at any scale. */
-  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSampleOf(Tables.documents(spark, dir))
+
+  /** [[mixtureSample]] over any (doc_id, lang) frame — public for
+    * tests, and streaming-safe (a stateless projection: the SAME body
+    * runs unchanged over a documents stream — ingest-time sampling —
+    * with parity asserted in StreamingSpec). */
+  def mixtureSampleOf(docs: DataFrame): DataFrame = {
     val rate = MixRates.foldLeft(lit(MixDefaultPpm)) {
       case (rest, (l, r)) => when(col("lang") === l, r).otherwise(rest)
     }
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"),
         expr("CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000000")
           .as("mix_bucket"),

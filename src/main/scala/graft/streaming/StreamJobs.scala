@@ -63,6 +63,21 @@ object StreamJobs {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** File-source stream over the documents table (stand-in for the
+    * ingest topic a live corpus pipeline consumes). The LLM curation
+    * projections ([[graft.llm.CorpusOps.mixtureSampleOf]],
+    * [[graft.llm.TextAnalysis.qualityOf]], `langIdOf`) are stateless
+    * single-select transforms, so they run on this stream UNCHANGED —
+    * ingest-time filtering with no watermark, no state, no shuffle;
+    * each micro-batch is embarrassingly parallel. Batch/stream parity
+    * is asserted in StreamingSpec. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
   /** T2 streaming: daily unique visitors. Same SET as the batch
     * row_number()==1 formulation, emitted at first sighting. A (mid,
     * day) duplicate's event times are at most one day apart, so the

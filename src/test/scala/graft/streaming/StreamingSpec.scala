@@ -190,4 +190,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_._1).toSeq.sorted == Seq(1L, 1L, 2L).sorted ||
       batch.size == 3)
   }
+
+  test("streamed curation projections match their batch operators") {
+    // ingest-time curation: the stateless mixture-sampling and quality
+    // projections run UNCHANGED on the documents file stream
+    val mixQ = graft.llm.CorpusOps
+      .mixtureSampleOf(StreamJobs.documentsStream(spark, Sf))
+      .writeStream.format("memory").queryName("mix_stream_out")
+      .outputMode("append").start()
+    mixQ.processAllAvailable()
+    mixQ.stop()
+    val mixStreamed = spark.table("mix_stream_out")
+      .as[(Long, String, Long, Long, Int)].collect().toSet
+    val mixBatch = graft.llm.CorpusOps.mixtureSample(spark, Sf)
+      .as[(Long, String, Long, Long, Int)].collect().toSet
+    assert(mixStreamed == mixBatch && mixStreamed.nonEmpty)
+
+    val qQ = graft.llm.TextAnalysis
+      .qualityOf(StreamJobs.documentsStream(spark, Sf))
+      .writeStream.format("memory").queryName("q_stream_out")
+      .outputMode("append").start()
+    qQ.processAllAvailable()
+    qQ.stop()
+    val qStreamed = spark.table("q_stream_out")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val qBatch = graft.llm.TextAnalysis.qualityScore(spark, Sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(qStreamed == qBatch && qStreamed.nonEmpty)
+  }
 }
