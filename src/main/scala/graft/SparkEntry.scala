@@ -101,6 +101,7 @@ object SparkEntry {
     "q_llm_contamination_bloom" -> (llm.CorpusOps.contaminationBloom(_, _)),
     "q_llm_mixture_sample"  -> (llm.CorpusOps.mixtureSample(_, _)),
     "q_llm_corpus_report"   -> (llm.CorpusOps.corpusReport(_, _)),
+    "q_llm_vocab_report"    -> (llm.CorpusOps.vocabReport(_, _)),
     "q_llm_chunking"        -> (llm.CorpusOps.chunk(_, _)),
     "q_llm_quantize_int8"   -> (llm.Similarity.quantizeInt8(_, _)),
     "q_llm_top_quality"     -> (llm.CorpusOps.topQuality(_, _))
@@ -179,6 +180,7 @@ object SparkEntry {
     "q_llm_contamination_bloom" -> llm.CorpusOps.contaminationOracle,
     "q_llm_mixture_sample"  -> llm.CorpusOps.mixtureSampleOracle,
     "q_llm_corpus_report"   -> llm.CorpusOps.corpusReportOracle,
+    "q_llm_vocab_report"    -> llm.CorpusOps.vocabReportOracle,
     "q_llm_chunking"        -> llm.CorpusOps.chunkOracle,
     "q_llm_quantize_int8"   -> llm.Similarity.quantizeInt8Oracle,
     "q_llm_top_quality"     -> llm.CorpusOps.topQualityOracle

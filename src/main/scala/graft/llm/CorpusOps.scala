@@ -226,6 +226,44 @@ object CorpusOps {
        |FROM documents d LEFT JOIN q ON d.doc_id = q.doc_id
        |GROUP BY 1, 2""".stripMargin
 
+  // ---- vocabulary report ------------------------------------------
+
+  /** Terms reported per language by [[vocabReport]]. */
+  val VocabTopK = 10
+
+  /** Per-language top-k terms by document frequency — the vocabulary
+    * diagnostic a curation pass reads to build stopword lists and
+    * sanity-check language labels (a term's df, not its raw count:
+    * per-doc distinct first, so one spammy document cannot promote a
+    * term). Plan shape at 100 TB: the explode feeds ONE map-side-
+    * combinable (lang, token) aggregate, so the shuffle carries
+    * partial counts, not token instances; the rank-limit then runs
+    * over the vocabulary-sized aggregate and Spark 4's
+    * WindowGroupLimit keeps it map-side top-k heaps (same rewrite as
+    * [[topQuality]], asserted in spec). */
+  def vocabReport(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(array_distinct(graft.func.Tokenizer.tokens(col("text"))))
+          .as("token"))
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("df").desc, col("token"))))
+      .filter(col("rk") <= VocabTopK)
+  }
+
+  val vocabReportOracle: String =
+    s"""WITH t AS (SELECT lang, list_distinct($toksSql) AS toks FROM documents),
+       |e AS (SELECT lang, unnest(toks) AS token FROM t),
+       |c AS (SELECT lang, token, count(*) AS df FROM e GROUP BY 1, 2),
+       |rk AS (SELECT lang, token, df,
+       |         row_number() OVER (PARTITION BY lang
+       |           ORDER BY df DESC, token) AS rk
+       |       FROM c)
+       |SELECT lang, token, df, CAST(rk AS INTEGER) AS rk
+       |FROM rk WHERE rk <= $VocabTopK""".stripMargin
+
   // ---- sliding-window chunking ------------------------------------
 
   /** Tokens per training chunk and the stride between chunk starts

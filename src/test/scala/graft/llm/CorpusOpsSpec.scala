@@ -213,6 +213,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocab report: df-ranked top terms per lang, WindowGroupLimit plan") {
+    val out = CorpusOps.vocabReport(spark, Sf)
+    val rows = out.select("lang", "token", "df", "rk")
+      .as[(String, String, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, perLang) =>
+      assert(perLang.length <= CorpusOps.VocabTopK)
+      val byRank = perLang.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1 to perLang.length))
+      assert(byRank.map(_._3).toSeq ===
+        byRank.map(_._3).sorted(Ordering[Long].reverse), s"$lang df desc")
+    }
+    // df is DOCUMENT frequency: per-doc distinct first, so df ≤ doc count
+    val docCt = graft.Tables.documents(spark, Sf)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    rows.foreach { case (lang, _, df, _) => assert(df <= docCt(lang)) }
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("chunking: sliding windows cover every token with stride overlap") {
     val size = CorpusOps.ChunkSize
     val stride = CorpusOps.ChunkStride
