@@ -90,7 +90,11 @@ object Bench {
     // keep only the head+tail of program output can truncate it mid-map
     // (round 4 lost the headline total exactly this way). Repeat the
     // headline in a short trailing line so the LAST line always parses.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // n_queries counts only the timings inside `value` — a failed query
+    // contributes to neither, and the failed count is its own field so
+    // a partial run can't masquerade as a fast complete one.
+    val ok = results.count(_._2 >= 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$ok,"failed":${results.size - ok},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

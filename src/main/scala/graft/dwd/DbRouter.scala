@@ -55,11 +55,20 @@ object DbRouter {
     counts.reduce(_.unionByName(_)).orderBy("sink_table")
   }
 
-  val oracle: String = config.map { case (src, sinkType, sinkTable, cols) =>
-    s"""SELECT '$sinkTable' AS sink_table, '$sinkType' AS sink_type,
-       |CAST(${cols.split(",").length} AS INTEGER) AS col_ct,
-       |count(*) AS row_ct FROM $src""".stripMargin.replace("\n", " ")
+  /** One oracle builder for both routing summaries: per config row, a
+    * SELECT of its sink name / pruned column count / source row count,
+    * UNION ALL'd and ordered — kept in ONE place so a quoting or cast
+    * fix cannot drift between [[oracle]] and [[dimAutoCreateOracle]]. */
+  private def countOracle(rows: Seq[(String, String, String, String)],
+      withSinkType: Boolean): String = rows.map {
+    case (src, sinkType, sinkTable, cols) =>
+      val st = if (withSinkType) s"'$sinkType' AS sink_type, " else ""
+      s"""SELECT '$sinkTable' AS sink_table, $st
+         |CAST(${cols.split(",").length} AS INTEGER) AS col_ct,
+         |count(*) AS row_ct FROM $src""".stripMargin.replace("\n", " ")
   }.mkString("", " UNION ALL ", " ORDER BY sink_table")
+
+  val oracle: String = countOracle(config, withSinkType = true)
 
   // ---- dim table auto-create (P6 tail) ----------------------------
 
@@ -111,10 +120,6 @@ object DbRouter {
     summaries.reduce(_.unionByName(_)).orderBy("sink_table")
   }
 
-  val dimAutoCreateOracle: String = config.filter(_._2 == "hbase").map {
-    case (src, _, sinkTable, cols) =>
-      s"""SELECT '$sinkTable' AS sink_table,
-         |CAST(${cols.split(",").length} AS INTEGER) AS col_ct,
-         |count(*) AS row_ct FROM $src""".stripMargin.replace("\n", " ")
-  }.mkString("", " UNION ALL ", " ORDER BY sink_table")
+  val dimAutoCreateOracle: String =
+    countOracle(config.filter(_._2 == "hbase"), withSinkType = false)
 }

@@ -63,4 +63,21 @@ object Exprs {
   def ratio(num: Column, den: Column, scale: Long = 100L): Column =
     when(den === 0, lit(0.0))
       .otherwise(floor(num.cast("double") * scale / den.cast("double")) / scale)
+
+  /** Deterministic md5 bucket: integer value of the first `nibbles`
+    * hex nibbles of md5(salt ++ id), mod `mod` — the Spark half of the
+    * hash trick [[OracleSql.hexNibbles]] states for DuckDB; keep the
+    * two in sync. ONE definition for every operator that buckets by
+    * md5 (hash splits, shard keys, sampling verdicts) so a nibble-
+    * width or salt change cannot drift per call site. Exact for
+    * nibbles ≤ 15 (60 bits < a BIGINT). Modulo bias is (2^(4·nibbles)
+    * mod `mod`) / 2^(4·nibbles) relative — pick nibbles so that is
+    * negligible for the use (4 → ~10⁻³ for mod 100; 10 → ~10⁻⁶ for
+    * mod 10⁶). */
+  def md5Bucket(id: Column, salt: String, nibbles: Int, mod: Long): Column = {
+    require(nibbles >= 1 && nibbles <= 15, s"nibbles $nibbles not in 1..15")
+    val key = if (salt.isEmpty) id.cast("string")
+      else concat(lit(salt), id.cast("string"))
+    conv(substring(md5(key), 1, nibbles), 16, 10).cast("long") % mod
+  }
 }

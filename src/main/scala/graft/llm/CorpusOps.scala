@@ -111,7 +111,7 @@ object CorpusOps {
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 100")
+        graft.func.Exprs.md5Bucket(col("doc_id"), "", 4, 100L)
           .as("bucket"))
       .withColumn("split",
         when(col("bucket") < TrainUpper, "train")
@@ -142,16 +142,20 @@ object CorpusOps {
   /** Rate applied to a language absent from [[MixRates]]. */
   val MixDefaultPpm = 500000L
 
-  /** Deterministic mixture sampling: doc kept iff its hash bucket (24
+  /** Deterministic mixture sampling: doc kept iff its hash bucket (40
     * bits of md5("mix:"+doc_id), mod 10⁶) falls below its language's
     * rate. The data-mixing primitive every pretraining run needs,
     * with the properties random sampling lacks at corpus scale: a
     * doc's verdict never depends on other docs (stable under corpus
     * growth and re-partitioning), reruns are bit-identical, and the
     * realized rate converges to the configured ppm by uniformity of
-    * md5. The salt decouples these buckets from [[hashSplit]]'s, so
-    * sampling is independent of split assignment. Pure projection —
-    * zero shuffle, embarrassingly parallel at any scale. */
+    * md5 — 10 nibbles, NOT fewer, because rate accuracy is this
+    * operator's contract and the modulo bias is (2^40 mod 10⁶)/2^40 ≈
+    * 6·10⁻⁷ relative (a 24-bit prefix would oversample every language
+    * by up to 1.3 %). The salt decouples these buckets from
+    * [[hashSplit]]'s, so sampling is independent of split assignment.
+    * Pure projection — zero shuffle, embarrassingly parallel at any
+    * scale. */
   def mixtureSample(spark: SparkSession, dir: String): DataFrame =
     mixtureSampleOf(Tables.documents(spark, dir))
 
@@ -165,7 +169,7 @@ object CorpusOps {
     }
     docs
       .select(col("doc_id"), col("lang"),
-        expr("CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000000")
+        graft.func.Exprs.md5Bucket(col("doc_id"), "mix:", 10, 1000000L)
           .as("mix_bucket"),
         rate.as("rate_ppm"))
       .withColumn("sampled",
@@ -174,7 +178,7 @@ object CorpusOps {
 
   val mixtureSampleOracle: String = {
     val nib = graft.func.OracleSql.hexNibbles(
-      "md5('mix:' || CAST(doc_id AS VARCHAR))", 6)
+      "md5('mix:' || CAST(doc_id AS VARCHAR))", 10)
     val rate = MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
       .mkString("CASE ", " ", s" ELSE $MixDefaultPpm END")
     s"""SELECT doc_id, lang,
@@ -209,9 +213,11 @@ object CorpusOps {
         count(col("quality_ppm")).as("scoreable_ct"),
         coalesce(sum(col("n_tokens")), lit(0L)).as("token_sum"),
         sum(col("n_chars")).as("char_sum"),
-        // integer floor division on BOTH engines: a float `/` + cast
-        // would round in DuckDB but truncate in Spark
-        expr("sum(quality_ppm) DIV count(quality_ppm)")
+        // integer floor division on BOTH engines (a float `/` + cast
+        // would round in DuckDB but truncate in Spark), guarded: a
+        // stratum with zero scoreable docs must yield NULL, not the
+        // DIVIDE_BY_ZERO that Spark's default ANSI mode throws
+        expr("CASE WHEN count(quality_ppm) > 0 THEN sum(quality_ppm) DIV count(quality_ppm) END")
           .as("mean_quality_ppm"))
   }
 
@@ -222,7 +228,8 @@ object CorpusOps {
        |       count(q.quality_ppm) AS scoreable_ct,
        |       CAST(coalesce(sum(q.n_tokens), 0) AS BIGINT) AS token_sum,
        |       CAST(sum(d.n_chars) AS BIGINT) AS char_sum,
-       |       CAST(sum(q.quality_ppm) // count(q.quality_ppm) AS BIGINT) AS mean_quality_ppm
+       |       CAST(CASE WHEN count(q.quality_ppm) > 0
+       |            THEN sum(q.quality_ppm) // count(q.quality_ppm) END AS BIGINT) AS mean_quality_ppm
        |FROM documents d LEFT JOIN q ON d.doc_id = q.doc_id
        |GROUP BY 1, 2""".stripMargin
 
@@ -524,7 +531,7 @@ object CorpusOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"), col("lang"),
-        expr(s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % $PackShards")
+        graft.func.Exprs.md5Bucket(col("doc_id"), "", 4, PackShards)
           .as("shard"),
         size(graft.func.Tokenizer.tokens(col("text"))).cast("long")
           .as("n_tokens"))
@@ -570,18 +577,27 @@ object CorpusOps {
   def qualityQuantiles(spark: SparkSession, dir: String): DataFrame =
     qualityQuantilesOf(Tables.documents(spark, dir))
 
-  /** [[qualityQuantiles]] over any (doc_id, text, lang) frame — public
-    * for tests. Zero-token documents are excluded up front: they have
-    * no defined quality score (the ppm ratios divide by token count),
-    * and engines disagree on where a NULL score ranks (Spark sorts
-    * nulls first, DuckDB last) — filtering is the portable contract. */
-  def qualityQuantilesOf(docs: DataFrame): DataFrame = {
+  /** (lang, doc_id, quality_ppm) with zero-token documents excluded —
+    * the ONE definition of "scoreable corpus" every quality aggregate
+    * below consumes (exact and approx quantiles, top-k). Zero-token
+    * documents are excluded up front: they have no defined quality
+    * score (the ppm ratios divide by token count), and engines
+    * disagree on where a NULL score ranks (Spark sorts nulls first,
+    * DuckDB last) — filtering is the portable contract, and sharing
+    * the helper is what keeps the exact/approx pair's documented
+    * equivalence from drifting. */
+  private[llm] def scoredByLang(docs: DataFrame): DataFrame = {
     val scoreable =
       docs.filter(size(graft.func.Tokenizer.tokens(col("text"))) > 0)
-    val scored = TextAnalysis.qualityOf(scoreable)
+    TextAnalysis.qualityOf(scoreable)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("lang"), col("quality_ppm"))
-    val ranked = scored
+      .select(col("lang"), col("doc_id"), col("quality_ppm"))
+  }
+
+  /** [[qualityQuantiles]] over any (doc_id, text, lang) frame — public
+    * for tests. Scoreable-corpus contract: see [[scoredByLang]]. */
+  def qualityQuantilesOf(docs: DataFrame): DataFrame = {
+    val ranked = scoredByLang(docs).select("lang", "quality_ppm")
       .withColumn("rn", row_number()
         .over(Window.partitionBy("lang").orderBy("quality_ppm")).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
@@ -611,17 +627,13 @@ object CorpusOps {
     qualityQuantilesApproxOf(Tables.documents(spark, dir))
 
   /** [[qualityQuantilesApprox]] over any (doc_id, text, lang) frame —
-    * public for tests. Same zero-token exclusion as the exact form. */
+    * public for tests. Same scoreable-corpus front as the exact form
+    * BY CONSTRUCTION ([[scoredByLang]]). */
   def qualityQuantilesApproxOf(docs: DataFrame): DataFrame = {
-    val scoreable =
-      docs.filter(size(graft.func.Tokenizer.tokens(col("text"))) > 0)
-    val scored = TextAnalysis.qualityOf(scoreable)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("lang"), col("quality_ppm"))
     val qs = QuantilePoints.map(p =>
       percentile_approx(col("quality_ppm"), lit(p / 100.0),
         lit(ApproxAccuracy)).as(s"q$p"))
-    scored.groupBy("lang")
+    scoredByLang(docs).groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), qs: _*)
   }
 
@@ -639,17 +651,11 @@ object CorpusOps {
     * rather than sort+limit per group. Zero-token docs are excluded
     * exactly as in [[qualityQuantilesOf]] (null scores order
     * differently across engines). */
-  def topQuality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val scoreable =
-      docs.filter(size(graft.func.Tokenizer.tokens(col("text"))) > 0)
-    TextAnalysis.qualityOf(scoreable)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("lang"), col("doc_id"), col("quality_ppm"))
+  def topQuality(spark: SparkSession, dir: String): DataFrame =
+    scoredByLang(Tables.documents(spark, dir))
       .withColumn("rk", row_number().over(Window.partitionBy("lang")
         .orderBy(col("quality_ppm").desc, col("doc_id"))))
       .filter(col("rk") <= TopKPerLang)
-  }
 
   val topQualityOracle: String =
     s"""WITH ${TextAnalysis.qualityCtesSql(withLang = true, nonEmptyOnly = true)},

@@ -86,7 +86,12 @@ object TextAnalysis {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityOf(Tables.documents(spark, dir))
 
-  /** [[qualityScore]] over any (doc_id, text) frame — public for tests. */
+  /** [[qualityScore]] over any (doc_id, text) frame — public for tests.
+    * Zero-token documents (empty / punctuation-only text — certain to
+    * occur somewhere in a real corpus) score NULL ppm, matching the
+    * oracle's `x // 0 = NULL`: the divisions are CASE-guarded because
+    * Spark 4's default ANSI mode otherwise THROWS on the first such
+    * row and kills the whole job (spec-locked on a zero-token doc). */
   def qualityOf(docs: DataFrame): DataFrame = {
     val toks = Tokenizer.tokens(col("text"))
     docs
@@ -94,8 +99,10 @@ object TextAnalysis {
         size(toks).cast("long").as("n_tokens"),
         hits(toks, Stopwords).as("n_stop"),
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("len_sum"))
-      .withColumn("stop_ppm", expr("(1000000 * n_stop) DIV n_tokens"))
-      .withColumn("mean_len_ppm", expr("(1000000 * len_sum) DIV n_tokens"))
+      .withColumn("stop_ppm",
+        expr("CASE WHEN n_tokens > 0 THEN (1000000 * n_stop) DIV n_tokens END"))
+      .withColumn("mean_len_ppm",
+        expr("CASE WHEN n_tokens > 0 THEN (1000000 * len_sum) DIV n_tokens END"))
       .withColumn("len_ok",
         when(col("n_tokens").between(20, 80), 1000000L).otherwise(300000L))
       .withColumn("quality_ppm",
@@ -148,9 +155,13 @@ object TextAnalysis {
 
   /** Token counting: regex word tokens, whitespace tokens, BPE-ish
     * pre-tokens, distinct tokens, type-token ratio (ppm) — per doc. */
-  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    tokenStatsOf(Tables.documents(spark, dir))
+
+  /** [[tokenStats]] over any (doc_id, text) frame — public for tests. */
+  def tokenStatsOf(docs: DataFrame): DataFrame = {
     val toks = Tokenizer.tokens(col("text"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(toks).cast("long").as("n_tokens"),
@@ -158,7 +169,9 @@ object TextAnalysis {
         regexp_count(lower(col("text")), lit(BpePattern)).cast("long")
           .as("n_bpe_tokens"),
         size(array_distinct(toks)).cast("long").as("n_types"))
-      .withColumn("ttr_ppm", expr("(1000000 * n_types) DIV n_tokens"))
+      // same ANSI zero-guard as [[qualityOf]]: NULL, not a job kill
+      .withColumn("ttr_ppm",
+        expr("CASE WHEN n_tokens > 0 THEN (1000000 * n_types) DIV n_tokens END"))
   }
 
   val tokenStatsOracle: String =

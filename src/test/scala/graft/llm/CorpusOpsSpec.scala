@@ -209,7 +209,8 @@ class CorpusOpsSpec extends SparkSpec {
       assert(r.getLong(3) === qs.length)            // scoreable_ct
       assert(r.getLong(4) === qs.map(_._1).sum)     // token_sum
       assert(r.getLong(5) === rows.map(_._4).sum)   // char_sum
-      assert(r.getLong(6) === qs.map(_._2).sum / qs.length)
+      if (qs.nonEmpty) assert(r.getLong(6) === qs.map(_._2).sum / qs.length)
+      else assert(r.isNullAt(6), "no scoreable docs -> NULL mean")
     }
   }
 

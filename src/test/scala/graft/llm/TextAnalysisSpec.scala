@@ -6,6 +6,28 @@ import graft.SparkSpec
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("zero-token docs score NULL ppm instead of killing the job (ANSI)") {
+    // empty/punctuation-only text WILL occur in a real corpus; under
+    // Spark 4's default ANSI mode an unguarded `DIV n_tokens` throws
+    // DIVIDE_BY_ZERO on the first such row — the guarded forms must
+    // emit NULL, matching the DuckDB oracle's `x // 0 = NULL`
+    val docs = Seq((1L, "the of data"), (2L, "!!! ..."), (3L, ""))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.qualityOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getLong(3) > 0)
+    Seq(2L, 3L).foreach { id =>
+      assert(q(id).getLong(1) === 0L, "n_tokens 0")
+      assert(q(id).isNullAt(3) && q(id).isNullAt(4) && q(id).isNullAt(5),
+        s"doc $id ppm columns must be NULL")
+    }
+    val t = TextAnalysis.tokenStatsOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(t(2L).isNullAt(6), "ttr_ppm NULL for zero-token doc")
+  }
+
+  import spark.implicits._
+
   test("langId: marker hits pick the language, lexicographic tiebreak") {
     val d = Seq(
       (1L, "the cat and the dog of the house", "en"),
