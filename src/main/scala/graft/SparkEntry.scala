@@ -76,6 +76,9 @@ object SparkEntry {
     "q_llm_ann_topk"        -> (llm.Similarity.bruteTopK(_, _)),
     "q_llm_ann_ivf"         -> (llm.Similarity.ivfTopK(_, _)),
     "q_llm_ann_recall"      -> (llm.Similarity.ivfRecall(_, _)),
+    // full-probe identity: IVF at nprobe=KCells must equal bruteTopK
+    // bit-for-bit — shares the brute oracle (hash check)
+    "q_llm_ann_fullprobe"   -> (llm.Similarity.ivfTopKFullProbe(_, _)),
     "q_llm_embed_neardup"   -> (llm.Similarity.lshNearDup(_, _)),
     "q_llm_lang_id"         -> (llm.TextAnalysis.langId(_, _)),
     "q_llm_quality"         -> (llm.TextAnalysis.qualityScore(_, _)),
@@ -95,6 +98,7 @@ object SparkEntry {
     "q_llm_quality_quantiles_approx" -> (llm.CorpusOps.qualityQuantilesApprox(_, _)),
     "q_llm_packing"         -> (llm.CorpusOps.packing(_, _)),
     "q_llm_packing_sharded" -> (llm.CorpusOps.packingSharded(_, _)),
+    "q_llm_pack_payload"    -> (llm.CorpusOps.packPayload(_, _)),
     "q_llm_contamination"   -> (llm.CorpusOps.contamination(_, _)),
     // bloom-semijoin scale form — bit-identical output (no false
     // negatives + exact verify), so it shares the exact form's oracle
@@ -152,6 +156,7 @@ object SparkEntry {
     // oracle pins per-query recall-floor flags the quantizer must hit),
     // and aggregate recall vs q_llm_ann_topk is asserted in the suite.
     "q_llm_ann_recall"      -> llm.Similarity.ivfRecallOracle,
+    "q_llm_ann_fullprobe"   -> llm.Similarity.bruteTopKOracle,
     "q_llm_exact_dedup"     -> llm.Dedup.exactOracle,
     "q_llm_minhash_sig"     -> llm.Dedup.minhashOracle,
     "q_llm_lsh_dups"        -> llm.Dedup.lshOracle,
@@ -176,6 +181,7 @@ object SparkEntry {
     // q_llm_quality_quantiles_approx intentionally absent (estimates)
     "q_llm_packing"         -> llm.CorpusOps.packingOracle,
     "q_llm_packing_sharded" -> llm.CorpusOps.packingShardedOracle,
+    "q_llm_pack_payload"    -> llm.CorpusOps.packPayloadOracle,
     "q_llm_contamination"   -> llm.CorpusOps.contaminationOracle,
     "q_llm_contamination_bloom" -> llm.CorpusOps.contaminationOracle,
     "q_llm_mixture_sample"  -> llm.CorpusOps.mixtureSampleOracle,

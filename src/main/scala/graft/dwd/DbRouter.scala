@@ -83,13 +83,25 @@ object DbRouter {
     * created — callers that must observe first-sight semantics can
     * assert on it. Unlike the reference (all-varchar Phoenix columns),
     * the routed parquet schema keeps source types — nothing here needs
-    * the lowest-common-denominator cast. */
+    * the lowest-common-denominator cast.
+    *
+    * Concurrency: the reference's single `CREATE TABLE IF NOT EXISTS`
+    * statement is atomic; catalog-check-then-save is not (TOCTOU). A
+    * concurrent creator that wins the race surfaces as
+    * TableAlreadyExists from `saveAsTable` — caught and reported as
+    * `false` (someone ensured it), so two racing callers both see the
+    * IF NOT EXISTS contract hold. */
   def ensureDimTable(spark: SparkSession, table: String,
       schemaOf: DataFrame): Boolean =
-    if (!spark.catalog.tableExists(table)) {
-      schemaOf.limit(0).write.format("parquet").saveAsTable(table)
-      true
-    } else false
+    if (spark.catalog.tableExists(table)) false
+    else
+      try {
+        schemaOf.limit(0).write.format("parquet").saveAsTable(table)
+        true
+      } catch {
+        case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+          false
+      }
 
   /** Driver-checkable auto-create round trip, one per routed `hbase`
     * dim: reset (cross-JVM re-runnability, same machinery as the

@@ -506,6 +506,14 @@ object CorpusOps {
     * re-buckets deterministically — no layout state to migrate). */
   val PackShards = 8L
 
+  /** Salt for the packing shard hash. Salted for the same reason as
+    * [[mixtureSample]]'s "mix:": the UNSALTED md5 prefix is what
+    * [[hashSplit]] reduces mod 100, and gcd(8, 100) = 4 means a given
+    * split bucket could only ever land in 2 of 8 unsalted shards — a
+    * hidden correlation if packing runs on a split-filtered corpus.
+    * The salt makes shard assignment independent of split assignment. */
+  val PackShardSalt = "shard:"
+
   /** The 100-TB form of [[packing]]: the running token sum is keyed by
     * (lang, shard) where shard = md5-bucket of doc_id — the same
     * deterministic-hash trick as [[hashSplit]], so DuckDB can state
@@ -531,7 +539,7 @@ object CorpusOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"), col("lang"),
-        graft.func.Exprs.md5Bucket(col("doc_id"), "", 4, PackShards)
+        graft.func.Exprs.md5Bucket(col("doc_id"), PackShardSalt, 4, PackShards)
           .as("shard"),
         size(graft.func.Tokenizer.tokens(col("text"))).cast("long")
           .as("n_tokens"))
@@ -543,7 +551,8 @@ object CorpusOps {
   }
 
   val packingShardedOracle: String = {
-    val nib = graft.func.OracleSql.hexNibbles("md5(CAST(doc_id AS VARCHAR))", 4)
+    val nib = graft.func.OracleSql.hexNibbles(
+      s"md5('$PackShardSalt' || CAST(doc_id AS VARCHAR))", 4)
     s"""WITH t AS (SELECT doc_id, lang, CAST($nib % $PackShards AS BIGINT) AS shard,
        |             CAST(len($toksSql) AS BIGINT) AS n_tokens
        |           FROM documents),
@@ -555,6 +564,74 @@ object CorpusOps {
        |       CAST((cum_tokens - n_tokens) // $PackCapacity AS BIGINT) AS pack_id,
        |       CAST((cum_tokens - n_tokens) % $PackCapacity AS BIGINT) AS pack_offset
        |FROM c""".stripMargin
+  }
+
+  // ---- packed-sequence payloads -----------------------------------
+
+  /** The consumable artifact [[packingSharded]] only assigns: one row
+    * per (lang, shard, pack_id) with the ordered concatenated token
+    * payload and its token fill count — what a training loader
+    * actually reads (the assignment alone is an index, not data; same
+    * materialize-then-consume discipline as the sink layer,
+    * [[graft.sinks.Sinks]]). Documents are laid out inside the pack in
+    * doc_id order — exactly the order the running-sum assignment
+    * walked — via `array_sort(collect_list(struct(doc_id, text)))`,
+    * so the concat is deterministic under any partitioning. A doc that
+    * straddles its pack boundary (next-fit) contributes its whole text
+    * to the pack it STARTS in, so `fill_tokens` may exceed
+    * [[PackCapacity]] on straddle packs — the loader's cursor, not a
+    * bug; the companion `pack_offset` column in [[packingSharded]]
+    * locates the straddle.
+    *
+    * Scale shape: one extra hash shuffle on (lang, shard, pack_id)
+    * after the packing window — keys are ~corpus_tokens/[[PackCapacity]]
+    * packs, values bounded by a pack's worth of text (+ one straddling
+    * doc), so no reducer hot-spots. The window itself is the
+    * [[packingSharded]] plan unchanged. */
+  def packPayload(spark: SparkSession, dir: String): DataFrame =
+    packPayloadOf(Tables.documents(spark, dir))
+
+  /** [[packPayload]] over any (doc_id, lang, text) frame — public for
+    * tests. */
+  def packPayloadOf(docs: DataFrame): DataFrame = {
+    val toks = graft.func.Tokenizer.tokens(col("text"))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        graft.func.Exprs.md5Bucket(col("doc_id"), PackShardSalt, 4, PackShards)
+          .as("shard"),
+        size(toks).cast("long").as("n_tokens"),
+        array_join(toks, " ").as("text_norm"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_tokens) DIV $PackCapacity"))
+      .groupBy("lang", "shard", "pack_id")
+      .agg(
+        count(lit(1)).as("doc_ct"),
+        sum(col("n_tokens")).as("fill_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text_norm")))),
+          s => s.getField("text_norm")), " ").as("payload"))
+  }
+
+  val packPayloadOracle: String = {
+    val nib = graft.func.OracleSql.hexNibbles(
+      s"md5('$PackShardSalt' || CAST(doc_id AS VARCHAR))", 4)
+    s"""WITH t AS (SELECT doc_id, lang, CAST($nib % $PackShards AS BIGINT) AS shard,
+       |             CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |             array_to_string($toksSql, ' ') AS text_norm
+       |           FROM documents),
+       |c AS (SELECT doc_id, lang, shard, n_tokens, text_norm,
+       |        sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |      FROM t)
+       |SELECT lang, shard,
+       |       CAST((cum_tokens - n_tokens) // $PackCapacity AS BIGINT) AS pack_id,
+       |       count(*) AS doc_ct,
+       |       CAST(sum(n_tokens) AS BIGINT) AS fill_tokens,
+       |       string_agg(text_norm, ' ' ORDER BY doc_id) AS payload
+       |FROM c GROUP BY 1, 2, 3""".stripMargin
   }
 
   // ---- per-language quality quantiles -----------------------------

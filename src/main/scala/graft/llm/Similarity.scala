@@ -198,7 +198,25 @@ object Similarity {
     * [[bruteTopK]] on shared pairs. Centroid means are an unordered
     * float sum, so this operator has no SQL oracle (driver rows-only
     * check); recall vs [[bruteTopK]] is asserted in the test suite. */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKProbes(spark, dir, NProbe)
+
+  /** [[ivfTopK]] at nprobe = [[KCells]]: every query probes EVERY
+    * cell, so the candidate set is the full corpus and the output must
+    * be bit-identical to [[bruteTopK]] (cells partition the vectors —
+    * full probing loses nothing; scoring reuses the raw-embedding
+    * norms, so cos_ppm agrees pairwise). Registered with the brute
+    * oracle as a HASH check: it pins the quantizer's partition
+    * property, the probe join, and the scoring path exactly —
+    * far stronger than the [[RecallFloorPpm]] sanity floor, and
+    * data-independent (no re-measuring after fixture regeneration).
+    * A check query, not a serving path: full probe is brute force
+    * with extra steps, priced accordingly. */
+  def ivfTopKFullProbe(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKProbes(spark, dir, KCells)
+
+  private def ivfTopKProbes(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
@@ -215,7 +233,7 @@ object Similarity {
         val cs = bc.value
         it.map { case (id, emb, nrm, nv) =>
           (id, emb, nrm, VecOps.nearestCell(nv, cs),
-            VecOps.probeCells(nv, cs, NProbe))
+            VecOps.probeCells(nv, cs, nprobe))
         }
       }.toDF("vec_id", "embedding", "nrm", "cell", "probes")
 
@@ -248,7 +266,15 @@ object Similarity {
     * scoring path yields zero-hit queries), not a quality target;
     * quality (aggregate recall ≥ 0.3 at nprobe=2/10) is asserted in
     * SimilaritySpec. Measured per-query minima: 3/10 at sf0.001 and
-    * sf0.01, 1/10 at sf0.1 — the floor holds at every shipped sf. */
+    * sf0.01, 1/10 at sf0.1 — the floor holds at every shipped sf, but
+    * at sf0.1 with ZERO headroom (the minimum IS the floor). This is a
+    * measured, data-dependent contract: re-measure the per-query
+    * minima and re-validate this floor whenever the embeddings
+    * fixtures are regenerated or the k-means seeding/order changes —
+    * a red [[ivfRecall]] row after such a change means the floor
+    * moved, not necessarily that IVF broke. The probe-join mechanics
+    * are pinned independently (and data-independently) by the
+    * full-probe identity query [[ivfTopKFullProbe]]. */
   val RecallFloorPpm = 100000L
 
   /** Driver-decidable IVF recall check: one row per query vector in

@@ -37,6 +37,17 @@ class SimilaritySpec extends SparkSpec {
       s"IVF nprobe=${Similarity.NProbe} recall vs brute was $recall")
   }
 
+  test("ivfTopKFullProbe: nprobe=KCells is bit-identical to bruteTopK") {
+    // cells partition the vectors, so probing every cell must recover
+    // the exact brute-force answer — quantizer/probe-join/scoring
+    // pinned data-independently (the registered oracle is the brute one)
+    val brute = Similarity.bruteTopK(spark, Sf)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val full = Similarity.ivfTopKFullProbe(spark, Sf)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(full === brute)
+  }
+
   test("ivfRecall: full query population, every query meets the floor") {
     val rec = Similarity.ivfRecall(spark, Sf)
       .as[(Long, Int)].collect().toMap
