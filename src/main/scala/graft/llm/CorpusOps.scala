@@ -21,17 +21,34 @@ object CorpusOps {
 
   // ---- repetition signals -----------------------------------------
 
-  /** Per-doc n-gram repetition signals: bigram total / top-bigram
-    * count / top-bigram fraction (ppm), and the duplicated-bigram and
-    * duplicated-trigram fractions (occurrences beyond each gram's
-    * first, over total grams — the Gopher "duplicate n-gram" filter
-    * shape). Docs with fewer than n tokens score 0, not null.
+  /** Smallest / largest n for the duplicated-n-gram CHARACTER
+    * fractions ([[repetition]]'s dup5..dup10 columns). */
+  val DupCharMinN = 5
+  val DupCharMaxN = 10
+
+  /** Per-doc n-gram repetition signals — the full public Gopher filter
+    * family (Rae et al. 2021 §A1.1):
+    *  - top-n-gram fractions for n = 2, 3, 4 (ppm of total n-grams
+    *    taken by the single most frequent one), plus the bigram
+    *    total/top counts the fractions derive from;
+    *  - duplicated-n-gram fractions for n = 2, 3 (occurrences beyond
+    *    each gram's first, over total grams);
+    *  - duplicated-n-gram CHARACTER fractions for n = 5..10: the ppm
+    *    of token characters lying inside ANY occurrence of an n-gram
+    *    that appears ≥ 2 times — each token position counted once
+    *    however many duplicated grams overlap it (Gopher's
+    *    "taking care not to count characters more than once"),
+    *    character-weighted so one long duplicated run scores what it
+    *    costs. Docs with fewer than n tokens (or zero characters)
+    *    score 0, not null.
     *
     * Typed partition-local pass (the [[Dedup.shingleSets]] escalation):
-    * gram counting is doc-local, so a per-doc hash map beats the
-    * explode → two-level-aggregate form — zero shuffle, and no
-    * interpreted higher-order functions on the hot path. Linear in
-    * corpus size, embarrassingly parallel at any scale. */
+    * gram counting and position marking are doc-local, so a per-doc
+    * hash map + boolean cover array beat the explode →
+    * two-level-aggregate form — zero shuffle, and no interpreted
+    * higher-order functions on the hot path. Linear in corpus size
+    * (9 gram widths ⇒ 9 linear sweeps per doc), embarrassingly
+    * parallel at any scale. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionOf(Tables.documents(spark, dir))
 
@@ -41,6 +58,13 @@ object CorpusOps {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val toks = Dedup.tokensOf(text)
+        val totalChars = { var s = 0L; toks.foreach(s += _.length); s }
+        def gramAt(i: Int, n: Int): String = {
+          val sb = new StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          sb.toString
+        }
         // (total, distinct, topCount) for word n-grams of size n
         def gramStats(n: Int): (Long, Long, Long) =
           if (toks.length < n) (0L, 0L, 0L)
@@ -49,52 +73,114 @@ object CorpusOps {
             var top = 0L
             var i = 0
             while (i <= toks.length - n) {
-              val sb = new StringBuilder(toks(i))
-              var j = 1
-              while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-              val g = sb.toString
-              val c = counts.getOrElse(g, 0L) + 1L
-              counts(g) = c
+              val c = counts.getOrElse(gramAt(i, n), 0L) + 1L
+              counts(gramAt(i, n)) = c
               if (c > top) top = c
               i += 1
             }
             (toks.length.toLong - n + 1, counts.size.toLong, top)
           }
-        val (t2, d2, top2) = gramStats(2)
-        val (t3, d3, _) = gramStats(3)
+        // chars under any occurrence of a duplicated n-gram, each
+        // token position counted once (overlap-safe cover array)
+        def dupChars(n: Int): Long =
+          if (toks.length < n) 0L
+          else {
+            val m = toks.length - n + 1
+            val grams = new Array[String](m)
+            val counts = scala.collection.mutable.HashMap.empty[String, Int]
+            var i = 0
+            while (i < m) {
+              grams(i) = gramAt(i, n)
+              counts(grams(i)) = counts.getOrElse(grams(i), 0) + 1
+              i += 1
+            }
+            val covered = new Array[Boolean](toks.length)
+            i = 0
+            while (i < m) {
+              if (counts(grams(i)) >= 2) {
+                var j = i
+                while (j < i + n) { covered(j) = true; j += 1 }
+              }
+              i += 1
+            }
+            var cc = 0L
+            var k = 0
+            while (k < toks.length) {
+              if (covered(k)) cc += toks(k).length
+              k += 1
+            }
+            cc
+          }
         def ppm(num: Long, den: Long): Long =
           if (den > 0) 1000000L * num / den else 0L
-        (id, t2, top2, ppm(top2, t2), ppm(t2 - d2, t2), ppm(t3 - d3, t3))
+        val (t2, d2, top2) = gramStats(2)
+        val (t3, d3, top3) = gramStats(3)
+        val (t4, _, top4) = gramStats(4)
+        val dup = (DupCharMinN to DupCharMaxN)
+          .map(n => ppm(dupChars(n), totalChars))
+        (id, t2, top2, ppm(top2, t2), ppm(top3, t3), ppm(top4, t4),
+          ppm(t2 - d2, t2), ppm(t3 - d3, t3),
+          dup(0), dup(1), dup(2), dup(3), dup(4), dup(5))
       }).toDF("doc_id", "n_bigrams", "top_bigram_ct", "top_bigram_ppm",
-        "dup2_ppm", "dup3_ppm")
+        "top3_ppm", "top4_ppm", "dup2_ppm", "dup3_ppm",
+        "dup5_char_ppm", "dup6_char_ppm", "dup7_char_ppm",
+        "dup8_char_ppm", "dup9_char_ppm", "dup10_char_ppm")
   }
 
-  val repetitionOracle: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |g2 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
-       |       FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
-       |       WHERE len(toks) >= 2),
-       |c2 AS (SELECT doc_id, g, count(*) AS ct FROM g2 GROUP BY 1, 2),
-       |a2 AS (SELECT doc_id, sum(ct) AS total2, count(*) AS dist2,
-       |              max(ct) AS top2 FROM c2 GROUP BY doc_id),
-       |g3 AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
-       |       FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i) u
-       |       WHERE len(toks) >= 3),
-       |c3 AS (SELECT doc_id, g, count(*) AS ct FROM g3 GROUP BY 1, 2),
-       |a3 AS (SELECT doc_id, sum(ct) AS total3, count(*) AS dist3
-       |       FROM c3 GROUP BY doc_id)
+  val repetitionOracle: String = {
+    // per-n CTE family: g{n} = positioned grams, c{n} = gram counts,
+    // a{n} = per-doc totals, cov{n} = chars under duplicated grams
+    // (distinct positions first — the overlap-once rule)
+    def gramExpr(n: Int): String =
+      (0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    def gCte(n: Int): String =
+      s"""g$n AS (SELECT doc_id, i, ${gramExpr(n)} AS g
+         |       FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${n - 2})) AS i) u
+         |       WHERE len(toks) >= $n)""".stripMargin
+    def cCte(n: Int): String =
+      s"c$n AS (SELECT doc_id, g, count(*) AS ct FROM g$n GROUP BY 1, 2)"
+    def aCte(n: Int): String =
+      s"""a$n AS (SELECT doc_id, sum(ct) AS total$n, count(*) AS dist$n,
+         |              max(ct) AS top$n FROM c$n GROUP BY doc_id)""".stripMargin
+    def covCte(n: Int): String =
+      s"""cov$n AS (SELECT o.doc_id, sum(length(t.toks[o.p])) AS cc
+         |       FROM (SELECT DISTINCT gg.doc_id, q.p
+         |             FROM (SELECT g$n.doc_id, g$n.i FROM g$n
+         |                   JOIN c$n ON g$n.doc_id = c$n.doc_id AND g$n.g = c$n.g
+         |                   WHERE c$n.ct >= 2) gg,
+         |                  LATERAL (SELECT unnest(range(gg.i, gg.i + $n)) AS p) q) o
+         |       JOIN t ON o.doc_id = t.doc_id GROUP BY 1)""".stripMargin
+    def topPpm(n: Int): String =
+      s"""CAST(CASE WHEN coalesce(a$n.total$n, 0) > 0
+         |            THEN (1000000 * a$n.top$n) // a$n.total$n ELSE 0 END AS BIGINT)""".stripMargin
+    def dupPpm(n: Int): String =
+      s"""CAST(CASE WHEN coalesce(a$n.total$n, 0) > 0
+         |            THEN (1000000 * (a$n.total$n - a$n.dist$n)) // a$n.total$n ELSE 0 END AS BIGINT)""".stripMargin
+    def dupCharPpm(n: Int): String =
+      s"""CAST(CASE WHEN coalesce(tc.total_chars, 0) > 0
+         |            THEN (1000000 * coalesce(cov$n.cc, 0)) // tc.total_chars ELSE 0 END AS BIGINT)""".stripMargin
+    val charNs = DupCharMinN to DupCharMaxN
+    val ctes = (Seq("t AS (SELECT doc_id, " + toksSql + " AS toks FROM documents)",
+      "tc AS (SELECT doc_id, coalesce(length(array_to_string(toks, '')), 0) AS total_chars FROM t)") ++
+      (2 to 4).flatMap(n => Seq(gCte(n), cCte(n), aCte(n))) ++
+      charNs.flatMap(n => Seq(gCte(n), cCte(n), covCte(n)))).mkString(",\n")
+    val joins = ((2 to 4).map(n => s"LEFT JOIN a$n ON d.doc_id = a$n.doc_id") ++
+      charNs.map(n => s"LEFT JOIN cov$n ON d.doc_id = cov$n.doc_id"))
+      .mkString("\n")
+    s"""WITH $ctes
        |SELECT d.doc_id,
        |       CAST(coalesce(a2.total2, 0) AS BIGINT) AS n_bigrams,
        |       CAST(coalesce(a2.top2, 0) AS BIGINT) AS top_bigram_ct,
-       |       CAST(CASE WHEN coalesce(a2.total2, 0) > 0
-       |            THEN (1000000 * a2.top2) // a2.total2 ELSE 0 END AS BIGINT) AS top_bigram_ppm,
-       |       CAST(CASE WHEN coalesce(a2.total2, 0) > 0
-       |            THEN (1000000 * (a2.total2 - a2.dist2)) // a2.total2 ELSE 0 END AS BIGINT) AS dup2_ppm,
-       |       CAST(CASE WHEN coalesce(a3.total3, 0) > 0
-       |            THEN (1000000 * (a3.total3 - a3.dist3)) // a3.total3 ELSE 0 END AS BIGINT) AS dup3_ppm
+       |       ${topPpm(2)} AS top_bigram_ppm,
+       |       ${topPpm(3)} AS top3_ppm,
+       |       ${topPpm(4)} AS top4_ppm,
+       |       ${dupPpm(2)} AS dup2_ppm,
+       |       ${dupPpm(3)} AS dup3_ppm,
+       |       ${charNs.map(n => s"${dupCharPpm(n)} AS dup${n}_char_ppm").mkString(",\n       ")}
        |FROM documents d
-       |LEFT JOIN a2 ON d.doc_id = a2.doc_id
-       |LEFT JOIN a3 ON d.doc_id = a3.doc_id""".stripMargin
+       |LEFT JOIN tc ON d.doc_id = tc.doc_id
+       |$joins""".stripMargin
+  }
 
   // ---- deterministic hash split -----------------------------------
 

@@ -7,22 +7,39 @@ import graft.SparkSpec
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("repetition: hand-computed gram fractions") {
-    // "a b a b": bigrams [a b, b a, a b] -> total 3, distinct 2, top 2
-    //            trigrams [a b a, b a b] -> total 2, distinct 2
-    val docs = Seq((1L, "a b a b"), (2L, "x"), (3L, "p q r")).toDF("doc_id", "text")
+  test("repetition: hand-computed gram fractions (full Gopher set)") {
+    // doc 1 "a b a b": bigrams [a b, b a, a b] -> total 3, distinct 2, top 2
+    //                  trigrams [a b a, b a b] -> total 2, distinct 2, top 1
+    //                  4-grams [a b a b] -> total 1, top 1
+    // doc 4: the 5-gram "x1..x5" occurs twice (positions 0-4 and 6-10);
+    //        covered = 10 of 11 tokens (z uncovered), chars 20 of 21
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "x"), (3L, "p q r"),
+      (4L, "x1 x2 x3 x4 x5 z x1 x2 x3 x4 x5")
+    ).toDF("doc_id", "text")
     val out = CorpusOps.repetitionOf(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
     val r1 = out(1L)
-    assert(r1.getLong(1) === 3L)              // n_bigrams
-    assert(r1.getLong(2) === 2L)              // top_bigram_ct
-    assert(r1.getLong(3) === 1000000L * 2 / 3) // top_bigram_ppm
-    assert(r1.getLong(4) === 1000000L * 1 / 3) // dup2_ppm (3 - 2 distinct)
-    assert(r1.getLong(5) === 0L)              // dup3_ppm (2 - 2)
+    assert(r1.getAs[Long]("n_bigrams") === 3L)
+    assert(r1.getAs[Long]("top_bigram_ct") === 2L)
+    assert(r1.getAs[Long]("top_bigram_ppm") === 1000000L * 2 / 3)
+    assert(r1.getAs[Long]("top3_ppm") === 1000000L * 1 / 2)
+    assert(r1.getAs[Long]("top4_ppm") === 1000000L)
+    assert(r1.getAs[Long]("dup2_ppm") === 1000000L * 1 / 3) // 3 - 2 distinct
+    assert(r1.getAs[Long]("dup3_ppm") === 0L)               // 2 - 2
+    assert((5 to 10).forall(n =>                            // < 5 tokens
+      r1.getAs[Long](s"dup${n}_char_ppm") === 0L))
     val r2 = out(2L)                          // single token: no grams
-    assert((1 to 5).forall(i => r2.getLong(i) === 0L))
+    assert((1 until r2.length).forall(i => r2.getLong(i) === 0L))
     val r3 = out(3L)                          // all grams unique
-    assert(r3.getLong(1) === 2L && r3.getLong(4) === 0L)
+    assert(r3.getAs[Long]("n_bigrams") === 2L)
+    assert(r3.getAs[Long]("dup2_ppm") === 0L)
+    val r4 = out(4L)
+    assert(r4.getAs[Long]("dup5_char_ppm") === 1000000L * 20 / 21)
+    // 6-grams and wider all occur once -> 0
+    assert((6 to 10).forall(n => r4.getAs[Long](s"dup${n}_char_ppm") === 0L))
+    // top bigram "x1 x2" (and others) occur twice of 10 bigrams
+    assert(r4.getAs[Long]("top_bigram_ppm") === 1000000L * 2 / 10)
   }
 
   test("typed passes tolerate null text like the Column forms did") {
@@ -31,7 +48,7 @@ class CorpusOpsSpec extends SparkSpec {
     // repetition: null text -> all-zero signal row
     val rep = CorpusOps.repetitionOf(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
-    assert((1 to 5).forall(i => rep(2L).getLong(i) === 0L))
+    assert((1 until rep(2L).length).forall(i => rep(2L).getLong(i) === 0L))
     // simhash: null text has no tokens -> doc absent (explode-form parity)
     assert(Dedup.simhashOf(docs).collect().map(_.getLong(0)).toSeq === Seq(1L))
     // fingerprint: null text -> all-null row (oracle md5(NULL) parity)
