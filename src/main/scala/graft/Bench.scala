@@ -33,6 +33,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // 1-minute load average — recorded in the artifact so a round timed
+    // under machine contention self-identifies (the round-5 official
+    // total was inflated ~42% by sandbox load and only an out-of-band
+    // re-run could adjudicate it). -1.0 when unreadable (non-Linux).
+    def load1: Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    val loadStart = load1
+
     // Full-tuple consumption: materialize every output row (all columns
     // codegen'd and rendered to InternalRow), without collect()ing to
     // the driver.
@@ -85,7 +96,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadEnd = load1
+    val load = s""""load1_start":$loadStart,"load1_end":$loadEnd"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$load,"sf":"$sfDir"}""")
     // The full line above grows with the query count and harvesters that
     // keep only the head+tail of program output can truncate it mid-map
     // (round 4 lost the headline total exactly this way). Repeat the
@@ -94,7 +107,7 @@ object Bench {
     // contributes to neither, and the failed count is its own field so
     // a partial run can't masquerade as a fast complete one.
     val ok = results.count(_._2 >= 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$ok,"failed":${results.size - ok},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$ok,"failed":${results.size - ok},$load,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

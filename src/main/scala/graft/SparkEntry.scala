@@ -22,6 +22,7 @@ object SparkEntry {
     "q_dwd_is_new_repair"  -> (dwd.LogSplit.isNewRepair(_, _)),
     "q_dwd_db_route"       -> (dwd.DbRouter(_, _)),
     "q_dwd_dim_autocreate" -> (dwd.DbRouter.dimAutoCreate(_, _)),
+    "q_dwd_dim_upsert"     -> (dwd.DbRouter.dimUpsert(_, _)),
     "q_dwd_start_split"    -> (dwd.LogNested.startSplit(_, _)),
     "q_dwd_display_explode" -> (dwd.LogNested.displayExplode(_, _)),
     "q_dwd_action_explode"  -> (dwd.LogNested.actionExplode(_, _)),
@@ -103,7 +104,11 @@ object SparkEntry {
     // bloom-semijoin scale form — bit-identical output (no false
     // negatives + exact verify), so it shares the exact form's oracle
     "q_llm_contamination_bloom" -> (llm.CorpusOps.contaminationBloom(_, _)),
+    // per-bucket bloom shards (the ≫10⁹-shingle form) — also
+    // bit-identical, also shares the exact oracle
+    "q_llm_contamination_bloom_sharded" -> (llm.CorpusOps.contaminationBloomSharded(_, _)),
     "q_llm_mixture_sample"  -> (llm.CorpusOps.mixtureSample(_, _)),
+    "q_llm_mixture_sample_strat" -> (llm.CorpusOps.mixtureSampleStratified(_, _)),
     "q_llm_corpus_report"   -> (llm.CorpusOps.corpusReport(_, _)),
     "q_llm_vocab_report"    -> (llm.CorpusOps.vocabReport(_, _)),
     "q_llm_chunking"        -> (llm.CorpusOps.chunk(_, _)),
@@ -118,6 +123,7 @@ object SparkEntry {
     "q_dwd_is_new_repair"  -> dwd.LogSplit.isNewRepairOracle,
     "q_dwd_db_route"       -> dwd.DbRouter.oracle,
     "q_dwd_dim_autocreate" -> dwd.DbRouter.dimAutoCreateOracle,
+    "q_dwd_dim_upsert"     -> dwd.DbRouter.dimUpsertOracle,
     "q_dwd_start_split"    -> dwd.LogNested.startSplitOracle,
     "q_dwd_display_explode" -> dwd.LogNested.displayExplodeOracle,
     "q_dwd_action_explode"  -> dwd.LogNested.actionExplodeOracle,
@@ -184,7 +190,9 @@ object SparkEntry {
     "q_llm_pack_payload"    -> llm.CorpusOps.packPayloadOracle,
     "q_llm_contamination"   -> llm.CorpusOps.contaminationOracle,
     "q_llm_contamination_bloom" -> llm.CorpusOps.contaminationOracle,
+    "q_llm_contamination_bloom_sharded" -> llm.CorpusOps.contaminationOracle,
     "q_llm_mixture_sample"  -> llm.CorpusOps.mixtureSampleOracle,
+    "q_llm_mixture_sample_strat" -> llm.CorpusOps.mixtureSampleStratifiedOracle,
     "q_llm_corpus_report"   -> llm.CorpusOps.corpusReportOracle,
     "q_llm_vocab_report"    -> llm.CorpusOps.vocabReportOracle,
     "q_llm_chunking"        -> llm.CorpusOps.chunkOracle,

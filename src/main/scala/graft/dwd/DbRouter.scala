@@ -134,4 +134,70 @@ object DbRouter {
 
   val dimAutoCreateOracle: String =
     countOracle(config.filter(_._2 == "hbase"), withSinkType = false)
+
+  // ---- dim upsert (CDC update batch through the catalog path) -----
+
+  /** The reference `DimSink.invoke` upsert analog over a catalog dim
+    * table (gmall-time/.../app/func/DimSink.java:41-75 upserts each
+    * CDC record by primary key): merge = keep-latest of
+    * (current table ∪ batch) per key, overwritten in place. Unseen
+    * keys insert, seen keys replace iff the batch row's ts wins — the
+    * Phoenix UPSERT / ReplacingMergeTree contract
+    * ([[graft.sinks.Sinks.dedupLatest]]), now composed with the
+    * catalog tables [[ensureDimTable]] creates. `localCheckpoint`
+    * materializes the current state eagerly so the overwrite does not
+    * read from the table it replaces.
+    *
+    * Scale shape: one window shuffle on the pk over (table ∪ batch) —
+    * and the batch is a CDC micro-batch, so the union is dominated by
+    * the table scan; at 100 TB the dim tables this path serves are
+    * the bounded ones (the reference stores them in Phoenix/HBase,
+    * not the fact store). */
+  def upsertDimTable(spark: SparkSession, table: String, batch: DataFrame,
+      keys: Seq[String], tsCol: String): Unit = {
+    ensureDimTable(spark, table, batch)
+    val current = spark.table(table).localCheckpoint()
+    graft.sinks.Sinks.dedupLatest(current.unionByName(batch), keys, tsCol)
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  /** Driver-checkable upsert round trip: bootstrap-insert the customer
+    * dim (ts 1000), then route one CDC update batch (ts 2000) carrying
+    * BOTH flavors the reference's invoke handles — updates (every
+    * c_custkey % 3 = 0 row, renamed payload) and inserts (brand-new
+    * keys shifted by 10⁷) — and read the CATALOG table back. The
+    * oracle recomputes the expected keep-latest state from the source
+    * table, so a lost update, a dropped new key, a duplicated pk, or a
+    * stale survivor all surface as a red row. */
+  def dimUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val table = "graft_dim_customer_upsert"
+    graft.sinks.Sinks.resetManagedTable(spark, table)
+    val base = Tables.read(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_name"), col("c_nationkey"))
+    val inserts = base.withColumn("ts", lit(1000L))
+    require(ensureDimTable(spark, table, inserts),
+      s"$table absent after reset — ensure must create it")
+    inserts.write.mode("append").format("parquet").saveAsTable(table)
+    val updates = base.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_name", concat(lit("u:"), col("c_name")))
+      .unionByName(base.filter(col("c_custkey") % 5 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(lit("new:"), col("c_name")).as("c_name"),
+          col("c_nationkey")))
+      .withColumn("ts", lit(2000L))
+    upsertDimTable(spark, table, updates, Seq("c_custkey"), "ts")
+    spark.table(table)
+  }
+
+  val dimUpsertOracle: String =
+    """SELECT c_custkey,
+      |       CASE WHEN c_custkey % 3 = 0 THEN 'u:' || c_name ELSE c_name END AS c_name,
+      |       c_nationkey,
+      |       CAST(CASE WHEN c_custkey % 3 = 0 THEN 2000 ELSE 1000 END AS BIGINT) AS ts
+      |FROM customer
+      |UNION ALL
+      |SELECT CAST(c_custkey + 10000000 AS BIGINT), 'new:' || c_name, c_nationkey,
+      |       CAST(2000 AS BIGINT)
+      |FROM customer WHERE c_custkey % 5 = 0""".stripMargin
 }

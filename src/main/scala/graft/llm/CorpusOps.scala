@@ -262,12 +262,66 @@ object CorpusOps {
         (col("mix_bucket") < col("rate_ppm")).cast("int"))
   }
 
+  /** The lang-rate CASE both mixture oracles share. */
+  private def mixLangRateSql: String =
+    MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $MixDefaultPpm END")
+
   val mixtureSampleOracle: String = {
     val nib = graft.func.OracleSql.hexNibbles(
       "md5('mix:' || CAST(doc_id AS VARCHAR))", 10)
-    val rate = MixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
-      .mkString("CASE ", " ", s" ELSE $MixDefaultPpm END")
+    val rate = mixLangRateSql
     s"""SELECT doc_id, lang,
+       |       CAST($nib % 1000000 AS BIGINT) AS mix_bucket,
+       |       CAST($rate AS BIGINT) AS rate_ppm,
+       |       CAST($nib % 1000000 < $rate AS INTEGER) AS sampled
+       |FROM documents""".stripMargin
+  }
+
+  /** (lang, source)-level rate overrides for [[mixtureSampleStratified]]
+    * — real mixing weights strata, not just languages (a books-like
+    * source upsampled, a noisy crawl slice downsampled, within the
+    * same language). Literal config, like [[MixRates]]. */
+  val MixStratumRates: Seq[((String, String), Long)] = Seq(
+    ("en", "src0") -> 150000L, ("en", "src1") -> 950000L,
+    ("zh", "src2") -> 250000L, ("de", "src3") -> 990000L)
+
+  /** [[mixtureSample]] with a per-stratum rate cascade:
+    * (lang, source) override → lang rate → default. The SAME salted
+    * bucket as the lang-only form, so a doc's verdict changes only
+    * where its stratum's rate does — re-tuning weights never
+    * re-rolls the dice (the reproducibility property a curation run
+    * audits against). Still a pure projection: zero shuffle, verdicts
+    * independent of other docs, stable under corpus growth. */
+  def mixtureSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    mixtureSampleStratifiedOf(Tables.documents(spark, dir))
+
+  /** [[mixtureSampleStratified]] over any (doc_id, lang, source) frame
+    * — public for tests. */
+  def mixtureSampleStratifiedOf(docs: DataFrame): DataFrame = {
+    val langRate = MixRates.foldLeft(lit(MixDefaultPpm)) {
+      case (rest, (l, r)) => when(col("lang") === l, r).otherwise(rest)
+    }
+    val rate = MixStratumRates.foldLeft(langRate) {
+      case (rest, ((l, s), r)) =>
+        when(col("lang") === l && col("source") === s, r).otherwise(rest)
+    }
+    docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.func.Exprs.md5Bucket(col("doc_id"), "mix:", 10, 1000000L)
+          .as("mix_bucket"),
+        rate.as("rate_ppm"))
+      .withColumn("sampled",
+        (col("mix_bucket") < col("rate_ppm")).cast("int"))
+  }
+
+  val mixtureSampleStratifiedOracle: String = {
+    val nib = graft.func.OracleSql.hexNibbles(
+      "md5('mix:' || CAST(doc_id AS VARCHAR))", 10)
+    val rate = MixStratumRates.map { case ((l, s), r) =>
+      s"WHEN lang = '$l' AND source = '$s' THEN $r"
+    }.mkString("CASE ", " ", s" ELSE $mixLangRateSql END")
+    s"""SELECT doc_id, lang, source,
        |       CAST($nib % 1000000 AS BIGINT) AS mix_bucket,
        |       CAST($rate AS BIGINT) AS rate_ppm,
        |       CAST($nib % 1000000 < $rate AS INTEGER) AS sampled
@@ -481,10 +535,9 @@ object CorpusOps {
     * Scale shape: the filter ships once per executor (broadcast, ~1.2
     * bytes/item at 1 % fpp) and rejects (1 - fpp) of the non-shared
     * test postings map-side, so the shuffle carries only plausible
-    * matches. The driver-resident filter is the remaining memory
-    * hazard when the train side grows past ~10⁹ distinct shingles —
-    * at that point shard the filter by shingle hash bucket (one bloom
-    * per bucket, probe against the matching shard), same plan shape. */
+    * matches. The driver-resident filter becomes a memory hazard when
+    * the train side grows past ~10⁹ distinct shingles —
+    * [[contaminationBloomSharded]] is the form that removes it. */
   def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (split, pruned) = splitAndPrunedPostings(spark, dir)
@@ -501,6 +554,81 @@ object CorpusOps {
         val b = bc.value
         it.filter { case (_, sh) => b.mightContain(sh) }
       }.toDF("doc_id", "sh")
+    val shared = candidates.join(trainSh, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("shared_ct"))
+    contaminationVerdicts(split, shared)
+  }
+
+  /** Shingle-hash bucket count for [[contaminationBloomSharded]].
+    * Test-scale 4; at 100 TB sized so one bucket's distinct-shingle
+    * filter (~1.2 bytes/item at 1 % fpp) fits one executor's memory —
+    * the bucket key is a pure hash of the shingle, so growing the
+    * count re-buckets deterministically. */
+  val BloomShardCount = 4
+
+  /** The ≫10⁹-shingle form of [[contaminationBloom]]: one Bloom
+    * filter per shingle-hash bucket instead of one filter over all
+    * train shingles. Closes the single-bloom form's documented memory
+    * hazard — there, the full-corpus filter is an aggregate whose
+    * whole-size partial state passes through every task AND ends up
+    * driver-resident. Here:
+    *  - each bucket's filter is built on ONE executor
+    *    (`groupByKey(bucket).mapGroups`), so no aggregation buffer,
+    *    executor, or the driver ever holds more than 1/S of the bits;
+    *  - the probe co-partitions test postings with the filters on the
+    *    SAME bucket partitioner and zips partitions, so each filter
+    *    crosses the cluster exactly once (partition-to-partition, not
+    *    per row, and never through the driver) and every shingle is
+    *    checked only against its own shard's filter.
+    * RDD `zipPartitions` is the one genuinely per-partition imperative
+    * step ("give this partition its one filter"); everything around it
+    * stays declarative. Bloom filters have no false negatives and the
+    * survivors still pass the exact membership join, so the OUTPUT is
+    * bit-identical to [[contamination]] / [[contaminationBloom]] —
+    * same oracle, asserted equal in CorpusOpsSpec. */
+  def contaminationBloomSharded(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.util.sketch.BloomFilter
+    val (split, pruned) = splitAndPrunedPostings(spark, dir)
+    val bucket = pmod(hash(col("sh")), lit(BloomShardCount))
+    // materialized once: feeds the size aggregate, the per-bucket
+    // builds, and the exact verify join
+    val trainSh = pruned.filter(col("split") === "train")
+      .select(col("sh")).distinct().localCheckpoint()
+    val trainB = trainSh.select(col("sh"), bucket.as("bucket"))
+    // per-bucket cardinalities size each filter: S scalars to the
+    // driver (coordination, not data — the k-means precedent)
+    val sizes = trainB.groupBy("bucket").count().as[(Int, Long)]
+      .collect().toMap
+    val bcSizes = spark.sparkContext.broadcast(sizes)
+    val blooms = trainB.as[(String, Int)]
+      .groupByKey(_._2)
+      .mapGroups { (b, it) =>
+        val f = BloomFilter.create(math.max(bcSizes.value(b), 1000L), BloomFpp)
+        it.foreach { case (sh, _) => f.putString(sh) }
+        val bos = new java.io.ByteArrayOutputStream()
+        f.writeTo(bos)
+        (b, bos.toByteArray)
+      }
+    val part = new org.apache.spark.HashPartitioner(BloomShardCount)
+    val bloomRdd = blooms.rdd.partitionBy(part)
+    val probeRdd = pruned.filter(col("split") === "test")
+      .select(col("doc_id"), col("sh"), bucket.as("bucket"))
+      .as[(Long, String, Int)].rdd
+      .map { case (id, sh, b) => (b, (id, sh)) }
+      .partitionBy(part)
+    val candidates = bloomRdd.zipPartitions(probeRdd) { (fit, pit) =>
+      // ≤ 1 filter per partition (bucket b → partition b mod S, and
+      // buckets are distinct in 0..S-1); an absent filter means the
+      // bucket holds no train shingles, so nothing here can match
+      fit.toSeq.headOption match {
+        case None => Iterator.empty
+        case Some((_, bytes)) =>
+          val f = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+          pit.collect { case (_, (id, sh)) if f.mightContain(sh) => (id, sh) }
+      }
+    }.toDF("doc_id", "sh")
     val shared = candidates.join(trainSh, Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("sh")).as("shared_ct"))

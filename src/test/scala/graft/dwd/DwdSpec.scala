@@ -75,4 +75,30 @@ class DwdSpec extends SparkSpec {
     assert(spark.table(s"graft_${dims.head._3}").columns.toSeq ==
       dims.head._4.split(",").toSeq)
   }
+
+  test("dim upsert: updates replace, new keys insert, others persist") {
+    val out = DbRouter.dimUpsert(spark, Sf)
+      .select("c_custkey", "c_name", "ts")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val src = graft.Tables.read(spark, Sf, "customer")
+      .select(col("c_custkey").cast("long"), col("c_name"))
+      .as[(Long, String)].collect().toMap
+    // one row per pk: originals + the shifted inserts
+    val newKeys = src.keySet.filter(_ % 5 == 0).map(_ + 10000000L)
+    assert(out.keySet === src.keySet ++ newKeys)
+    src.foreach { case (k, name) =>
+      if (k % 3 == 0) assert(out(k) === (("u:" + name, 2000L)), s"update $k")
+      else assert(out(k) === ((name, 1000L)), s"untouched $k")
+    }
+    newKeys.foreach { k =>
+      assert(out(k) === (("new:" + src(k - 10000000L), 2000L)), s"insert $k")
+    }
+    // idempotence: replaying the same update batch changes nothing
+    val replayed = DbRouter.dimUpsert(spark, Sf)
+      .select("c_custkey", "c_name", "ts")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(replayed === out)
+  }
 }

@@ -234,6 +234,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.sorted.sameElements(again.sorted))
   }
 
+  test("stratified mixture: cascade rates, same dice as lang-only form") {
+    val rows = CorpusOps.mixtureSampleStratified(spark, Sf)
+      .select("doc_id", "lang", "source", "mix_bucket", "rate_ppm", "sampled")
+      .as[(Long, String, String, Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    val stratum = CorpusOps.MixStratumRates.toMap
+    val langs = CorpusOps.MixRates.toMap
+    rows.foreach { case (_, l, s, b, r, smp) =>
+      val expected = stratum.getOrElse((l, s),
+        langs.getOrElse(l, CorpusOps.MixDefaultPpm))
+      assert(r === expected, s"cascade rate for ($l, $s)")
+      assert(smp === (if (b < r) 1 else 0))
+    }
+    // at least one overridden stratum exists in the corpus
+    assert(rows.exists(r => stratum.contains((r._2, r._3))))
+    // identical salted bucket as the lang-only form: re-tuning weights
+    // never re-rolls the dice, so non-overridden strata agree exactly
+    val langOnly = CorpusOps.mixtureSample(spark, Sf)
+      .select("doc_id", "mix_bucket", "sampled")
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.foreach { case (id, l, s, b, _, smp) =>
+      assert(langOnly(id)._1 === b, s"bucket drift for doc $id")
+      if (!stratum.contains((l, s)))
+        assert(langOnly(id)._2 === smp, s"verdict drift for doc $id")
+    }
+  }
+
   test("corpus report: volumes and mean quality per stratum") {
     val docs = graft.Tables.documents(spark, Sf)
     val out = CorpusOps.corpusReport(spark, Sf).collect()
@@ -322,14 +350,18 @@ class CorpusOpsSpec extends SparkSpec {
       s"chunk should scan only (doc_id, text):\n$chunkPlan")
   }
 
-  test("contamination bloom form is bit-identical to the exact form") {
+  test("contamination bloom forms are bit-identical to the exact form") {
     // no false negatives (bloom) + exact verify join (false positives
-    // removed) ⇒ the semijoin reduction must not change a single row
+    // removed) ⇒ the semijoin reduction must not change a single row,
+    // whether the filter is one bloom or one per shingle-hash bucket
     val exact = CorpusOps.contamination(spark, Sf)
       .as[(Long, Long, Int)].collect().toSet
     val bloom = CorpusOps.contaminationBloom(spark, Sf)
       .as[(Long, Long, Int)].collect().toSet
     assert(bloom == exact)
+    val sharded = CorpusOps.contaminationBloomSharded(spark, Sf)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(sharded == exact)
   }
 
   test("quality quantiles: operator output equals hand-ranked values") {
