@@ -73,8 +73,9 @@ object CorpusOps {
             var top = 0L
             var i = 0
             while (i <= toks.length - n) {
-              val c = counts.getOrElse(gramAt(i, n), 0L) + 1L
-              counts(gramAt(i, n)) = c
+              val g = gramAt(i, n)
+              val c = counts.getOrElse(g, 0L) + 1L
+              counts(g) = c
               if (c > top) top = c
               i += 1
             }

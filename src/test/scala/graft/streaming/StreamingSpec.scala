@@ -217,5 +217,32 @@ class StreamingSpec extends SparkSpec {
     val qBatch = graft.llm.TextAnalysis.qualityScore(spark, Sf)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(qStreamed == qBatch && qStreamed.nonEmpty)
+
+    // the round-6 additions are equally stateless: the stratified
+    // rate cascade and the sliding-window chunker (a bounded explode
+    // is still per-row work — no watermark, no state)
+    val stratQ = graft.llm.CorpusOps
+      .mixtureSampleStratifiedOf(StreamJobs.documentsStream(spark, Sf))
+      .writeStream.format("memory").queryName("strat_stream_out")
+      .outputMode("append").start()
+    stratQ.processAllAvailable()
+    stratQ.stop()
+    val stratStreamed = spark.table("strat_stream_out")
+      .as[(Long, String, String, Long, Long, Int)].collect().toSet
+    val stratBatch = graft.llm.CorpusOps.mixtureSampleStratified(spark, Sf)
+      .as[(Long, String, String, Long, Long, Int)].collect().toSet
+    assert(stratStreamed == stratBatch && stratStreamed.nonEmpty)
+
+    val chunkQ = graft.llm.CorpusOps
+      .chunkOf(StreamJobs.documentsStream(spark, Sf))
+      .writeStream.format("memory").queryName("chunk_stream_out")
+      .outputMode("append").start()
+    chunkQ.processAllAvailable()
+    chunkQ.stop()
+    val chunkStreamed = spark.table("chunk_stream_out")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val chunkBatch = graft.llm.CorpusOps.chunk(spark, Sf)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(chunkStreamed == chunkBatch && chunkStreamed.nonEmpty)
   }
 }
