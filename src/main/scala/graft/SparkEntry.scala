@@ -43,6 +43,9 @@ object SparkEntry {
     "q_dws_visitor_stats"  -> (dws.VisitorStats(_, _)),
     "q_dws_product_stats"  -> (dws.ProductStats(_, _)),
     "q_dws_keyword_stats"  -> (dws.KeywordStats(_, _)),
+    // dictionary-shaped segmenter (FMM + bigram fallback) — identical
+    // ASCII contract, so it shares the regex form's oracle
+    "q_dws_keyword_stats_dict" -> (dws.KeywordStats.dictForm(_, _)),
     "q_dws_keyword_c2r"    -> (dws.KeywordStats.productC2R(_, _)),
     "q_dws_province_stats" -> (dws.ProvinceStats(_, _)),
     // approximate-distinct bench variant (rows-only check; HLL estimates
@@ -140,6 +143,7 @@ object SparkEntry {
     "q_dws_visitor_stats"  -> dws.VisitorStats.oracle,
     "q_dws_product_stats"  -> dws.ProductStats.oracle,
     "q_dws_keyword_stats"  -> dws.KeywordStats.oracle,
+    "q_dws_keyword_stats_dict" -> dws.KeywordStats.oracle,
     "q_dws_keyword_c2r"    -> dws.KeywordStats.productC2ROracle,
     "q_dws_province_stats" -> dws.ProvinceStats.oracle,
     "q_ads_gmv_day"          -> ads.Queries.gmvDayOracle,

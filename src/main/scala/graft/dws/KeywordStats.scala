@@ -39,6 +39,27 @@ object KeywordStats {
       |GROUP BY keyword
       |ORDER BY keyword""".stripMargin
 
+  /** A6 through the dictionary-shaped segmenter
+    * ([[graft.func.DictTokenizer]]): forward-maximum-matching CJK path
+    * with the SAME ASCII contract as [[graft.func.Tokenizer]], so on
+    * this corpus the output — and therefore the oracle — is identical
+    * to [[apply]] (a driver-decidable guard that the dict path does
+    * not corrupt the ASCII contract; the CJK behavior itself is
+    * spec-tested on synthetic strings). Typed flatMap by nature
+    * (per-char dictionary scan); linear, zero shuffle before the
+    * partial+final aggregate. */
+  def dictForm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("text")).as[String]
+      .flatMap(graft.func.DictTokenizer.segment)
+      .toDF("keyword")
+      .groupBy(col("keyword"))
+      .agg(count(lit(1)).as("ct"))
+      .select(col("keyword"), lit("SEARCH").as("source"), col("ct"))
+      .orderBy("keyword")
+  }
+
   /** U2 + A7: per-sku metric triple exploded to (keyword, source, ct)
     * rows with ct > 0 — keyword = the sku dim's brand, sources CLICK /
     * CART / ORDER (constants GmallConstant.java:70-73). */
