@@ -821,13 +821,24 @@ object CorpusOps {
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .withColumn("pack_id",
         expr(s"(cum_tokens - n_tokens) DIV $PackCapacity"))
+      .withColumn("pack_offset",
+        expr(s"(cum_tokens - n_tokens) % $PackCapacity"))
       .groupBy("lang", "shard", "pack_id")
       .agg(
         count(lit(1)).as("doc_ct"),
         sum(col("n_tokens")).as("fill_tokens"),
+        // one sorted struct list feeds both the payload concat and the
+        // doc-boundary offsets (the attention-reset points a loader
+        // masks at) — doc_id leads the struct, so array_sort orders
+        // both projections identically
         array_join(transform(
-          array_sort(collect_list(struct(col("doc_id"), col("text_norm")))),
-          s => s.getField("text_norm")), " ").as("payload"))
+          array_sort(collect_list(struct(col("doc_id"), col("text_norm"),
+            col("pack_offset")))),
+          s => s.getField("text_norm")), " ").as("payload"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text_norm"),
+            col("pack_offset")))),
+          s => s.getField("pack_offset").cast("string")), ",").as("doc_offsets"))
   }
 
   val packPayloadOracle: String = {
@@ -845,7 +856,9 @@ object CorpusOps {
        |       CAST((cum_tokens - n_tokens) // $PackCapacity AS BIGINT) AS pack_id,
        |       count(*) AS doc_ct,
        |       CAST(sum(n_tokens) AS BIGINT) AS fill_tokens,
-       |       string_agg(text_norm, ' ' ORDER BY doc_id) AS payload
+       |       string_agg(text_norm, ' ' ORDER BY doc_id) AS payload,
+       |       string_agg(CAST((cum_tokens - n_tokens) % $PackCapacity AS VARCHAR),
+       |                  ',' ORDER BY doc_id) AS doc_offsets
        |FROM c GROUP BY 1, 2, 3""".stripMargin
   }
 

@@ -116,32 +116,43 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
-  test("packPayload: ordered concat + fill per (lang, shard, pack)") {
+  test("packPayload: ordered concat + fill + offsets per (lang, shard, pack)") {
     val docs = graft.Tables.documents(spark, Sf)
     val assign = CorpusOps.packingShardedOf(docs)
-      .select("lang", "shard", "pack_id", "doc_id", "n_tokens")
-      .as[(String, Long, Long, Long, Long)].collect()
+      .select("lang", "shard", "pack_id", "doc_id", "n_tokens", "pack_offset")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
     val normText = docs.select(col("doc_id"),
         array_join(graft.func.Tokenizer.tokens(col("text")), " "))
       .as[(Long, String)].collect().toMap
-    val out = CorpusOps.packPayloadOf(docs)
-      .select("lang", "shard", "pack_id", "doc_ct", "fill_tokens", "payload")
-      .as[(String, Long, Long, Long, Long, String)].collect()
+    val frame = CorpusOps.packPayloadOf(docs)
+    val out = frame
+      .select("lang", "shard", "pack_id", "doc_ct", "fill_tokens",
+        "payload", "doc_offsets")
+      .as[(String, Long, Long, Long, Long, String, String)].collect()
       .map(r => (r._1, r._2, r._3) -> r).toMap
     // every assigned pack materializes exactly once, with the pack's
-    // docs concatenated in doc_id order and fill = sum of token counts
+    // docs concatenated in doc_id order, fill = sum of token counts,
+    // and doc boundaries = the assignment's pack offsets in the same order
     val expected = assign.groupBy(r => (r._1, r._2, r._3))
     assert(out.keySet === expected.keySet)
     expected.foreach { case (k, rows) =>
       val r = out(k)
+      val inOrder = rows.sortBy(_._4)
       assert(r._4 === rows.length, s"$k doc_ct")
       assert(r._5 === rows.map(_._5).sum, s"$k fill_tokens")
-      assert(r._6 === rows.sortBy(_._4).map(x => normText(x._4)).mkString(" "),
+      assert(r._6 === inOrder.map(x => normText(x._4)).mkString(" "),
         s"$k payload")
+      assert(r._7 === inOrder.map(_._6).mkString(","), s"$k doc_offsets")
     }
     // non-straddle packs fill to at most capacity + one straddling doc
     assert(out.values.exists(_._5 >= CorpusOps.PackCapacity),
       "at least one full pack at this sf")
+    // the pack aggregate must REUSE the window's (lang, shard)
+    // partitioning — (lang, shard) ⊆ (lang, shard, pack_id), so a
+    // second exchange would be pure waste at corpus scale
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(frame.queryExecution.executedPlan.toString).length
+    assert(exchanges === 1, "window shuffle only — groupBy co-partitioned")
   }
 
   test("approx quality quantiles: same shape, rank-accurate vs exact") {
