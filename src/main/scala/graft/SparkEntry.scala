@@ -115,6 +115,9 @@ object SparkEntry {
     "q_llm_corpus_report"   -> (llm.CorpusOps.corpusReport(_, _)),
     "q_llm_vocab_report"    -> (llm.CorpusOps.vocabReport(_, _)),
     "q_llm_chunking"        -> (llm.CorpusOps.chunk(_, _)),
+    // composed pipeline: chunk long docs, pack the chunks — the whole
+    // two-stage layout restated in one oracle (hash-checked end to end)
+    "q_llm_chunk_pack"      -> (llm.CorpusOps.chunkThenPack(_, _)),
     "q_llm_quantize_int8"   -> (llm.Similarity.quantizeInt8(_, _)),
     "q_llm_top_quality"     -> (llm.CorpusOps.topQuality(_, _))
   )
@@ -200,6 +203,7 @@ object SparkEntry {
     "q_llm_corpus_report"   -> llm.CorpusOps.corpusReportOracle,
     "q_llm_vocab_report"    -> llm.CorpusOps.vocabReportOracle,
     "q_llm_chunking"        -> llm.CorpusOps.chunkOracle,
+    "q_llm_chunk_pack"      -> llm.CorpusOps.chunkThenPackOracle,
     "q_llm_quantize_int8"   -> llm.Similarity.quantizeInt8Oracle,
     "q_llm_top_quality"     -> llm.CorpusOps.topQualityOracle
   )

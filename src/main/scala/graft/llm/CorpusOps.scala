@@ -433,23 +433,28 @@ object CorpusOps {
   def chunk(spark: SparkSession, dir: String): DataFrame =
     chunkOf(Tables.documents(spark, dir))
 
-  /** [[chunk]] over any (doc_id, text) frame — public for tests. */
-  def chunkOf(docs: DataFrame): DataFrame = {
+  /** [[chunk]] over any (doc_id, text) frame — public for tests.
+    * `keep` names extra input columns carried through unchanged (e.g.
+    * `lang` for a downstream per-language layout) — passthrough, not a
+    * join, so composing stays shuffle-free. */
+  def chunkOf(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val toks = graft.func.Tokenizer.tokens(col("text"))
+    val kept = keep.map(col)
     docs
-      .select(col("doc_id"), toks.as("toks"),
-        size(toks).cast("long").as("n_tokens"))
+      .select(Seq(col("doc_id"), toks.as("toks"),
+        size(toks).cast("long").as("n_tokens")) ++ kept: _*)
       .filter(col("n_tokens") > 0)
       .withColumn("n_chunks",
         expr(s"1L + (CASE WHEN n_tokens > $ChunkSize THEN n_tokens - $ChunkSize ELSE 0L END + ${ChunkStride - 1}) DIV $ChunkStride"))
-      .select(col("doc_id"), col("toks"), col("n_tokens"),
-        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(Seq(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id")) ++
+        kept: _*)
       .withColumn("start", col("chunk_id") * ChunkStride)
-      .select(col("doc_id"), col("chunk_id"),
+      .select(Seq(col("doc_id"), col("chunk_id"),
         least(lit(ChunkSize.toLong), col("n_tokens") - col("start"))
           .as("n_chunk_tokens"),
         array_join(slice(col("toks"), (col("start") + 1).cast("int"),
-          lit(ChunkSize)), " ").as("chunk_text"))
+          lit(ChunkSize)), " ").as("chunk_text")) ++ kept: _*)
   }
 
   val chunkOracle: String =
@@ -464,6 +469,63 @@ object CorpusOps {
        |       CAST(least($ChunkSize, n_tokens - start) AS BIGINT) AS n_chunk_tokens,
        |       array_to_string(list_slice(toks, start + 1, start + $ChunkSize), ' ') AS chunk_text
        |FROM c""".stripMargin
+
+  // ---- composed pipeline: chunk → pack -----------------------------
+
+  /** Pseudo-doc key stride for [[chunkThenPack]]: pseudo_id = doc_id ·
+    * span + chunk_id. Valid while every document has fewer chunks than
+    * the span — at [[ChunkStride]] 24 that is documents under ~2.4 M
+    * tokens, far beyond any web document; guarded in spec. */
+  val ChunkKeySpan = 100000L
+
+  /** The end-to-end "make training shards" composition: documents are
+    * cut to ≤ [[ChunkSize]]-token windows ([[chunkOf]], long docs),
+    * each chunk becomes a pseudo-document with the deterministic key
+    * doc_id · [[ChunkKeySpan]] + chunk_id, and the chunks are packed
+    * by the sharded next-fit layout ([[packingShardedOf]], short
+    * docs) — the two complements composed the way a real pipeline
+    * runs them, proving the curation operators chain without glue.
+    *
+    * Plan shape: chunking is a shuffle-free projection + bounded
+    * explode carrying `lang` through (passthrough, not a join), so
+    * the composition's ONE shuffle is the packing window's
+    * (lang, shard) exchange — identical to packing alone. The oracle
+    * restates the whole two-stage pipeline in SQL, so the composition
+    * is hash-checked end to end. */
+  def chunkThenPack(spark: SparkSession, dir: String): DataFrame = {
+    val pseudo = chunkOf(Tables.documents(spark, dir), keep = Seq("lang"))
+      .select(
+        (col("doc_id") * ChunkKeySpan + col("chunk_id")).as("doc_id"),
+        col("lang"), col("chunk_text").as("text"))
+    packingShardedOf(pseudo)
+  }
+
+  // lazy: splices PackShardSalt/PackShards/PackCapacity, which are
+  // declared further down the object — eager init would read 0/null
+  // (the Similarity.Dim declaration-order hazard)
+  lazy val chunkThenPackOracle: String = {
+    val nib = graft.func.OracleSql.hexNibbles(
+      s"md5('$PackShardSalt' || CAST(doc_id AS VARCHAR))", 4)
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |n AS (SELECT doc_id, lang, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |        1 + (CASE WHEN len(toks) > $ChunkSize THEN len(toks) - $ChunkSize ELSE 0 END + ${ChunkStride - 1}) // $ChunkStride AS n_chunks
+       |      FROM t WHERE len(toks) > 0),
+       |ch AS (SELECT doc_id, lang, CAST(u.i AS BIGINT) AS chunk_id,
+       |         CAST(least($ChunkSize, n_tokens - u.i * $ChunkStride) AS BIGINT) AS n_tokens
+       |       FROM n, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) u),
+       |p AS (SELECT CAST(doc_id * $ChunkKeySpan + chunk_id AS BIGINT) AS doc_id,
+       |             lang, n_tokens FROM ch),
+       |s AS (SELECT doc_id, lang, CAST($nib % $PackShards AS BIGINT) AS shard,
+       |             n_tokens FROM p),
+       |c AS (SELECT doc_id, lang, shard, n_tokens,
+       |        sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |      FROM s)
+       |SELECT doc_id, lang, shard, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |       CAST((cum_tokens - n_tokens) // $PackCapacity AS BIGINT) AS pack_id,
+       |       CAST((cum_tokens - n_tokens) % $PackCapacity AS BIGINT) AS pack_offset
+       |FROM c""".stripMargin
+  }
 
   // ---- benchmark decontamination ----------------------------------
 

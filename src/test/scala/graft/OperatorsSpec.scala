@@ -79,4 +79,21 @@ class OperatorsSpec extends SparkSpec {
       .as[Long].head()
     assert(t % 10 == 0 && t <= 1616320807L && t > 1616320807L - 10)
   }
+
+  test("oracle SQL carries no uninitialized constant splices") {
+    // an oracle val declared above the constants it interpolates reads
+    // their pre-init defaults (0 for Long, null for String) — DuckDB
+    // then computes NULL columns while the row count still matches
+    // (caught live in chunkThenPackOracle). Scala's forward-reference
+    // rules don't flag cross-section object vals, so guard the whole
+    // contract surface instead.
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      Seq("% 0 ", "// 0 ", "% 0\n", "// 0\n", "'null'", " null)", "* 0 +")
+        .foreach { bad =>
+          assert(!sql.contains(bad), s"$name oracle contains '$bad'")
+        }
+    }
+    // and every declared oracle key has a matching query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
 }

@@ -347,6 +347,39 @@ class CorpusOpsSpec extends SparkSpec {
       }
   }
 
+  test("chunkThenPack: composition equals packing run on the chunk set") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val out = CorpusOps.chunkThenPack(spark, Sf)
+      .select("doc_id", "lang", "shard", "n_tokens", "cum_tokens",
+        "pack_id", "pack_offset")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // pseudo-keys decompose back to valid (doc, chunk) pairs
+    val chunks = CorpusOps.chunkOf(docs)
+      .select("doc_id", "chunk_id", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect()
+      .map(c => (c._1 * CorpusOps.ChunkKeySpan + c._2) -> c._3).toMap
+    assert(chunks.keySet === out.map(_._1).toSet,
+      "one packed row per chunk, keyed doc_id*span + chunk_id")
+    out.foreach { case (id, _, _, n, _, _, _) =>
+      assert(n === chunks(id), s"pseudo-doc $id token count")
+    }
+    // span guard: the key encoding never collides at this corpus shape
+    assert(CorpusOps.chunkOf(docs).agg(max("chunk_id")).as[Long].head()
+      < CorpusOps.ChunkKeySpan)
+    // every pack is filled by construction: pack_offset < capacity and
+    // shard-local running sums restart per (lang, shard)
+    out.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, _, n, c, pid, off) =>
+        assert(c === cum + n)
+        assert(pid === cum / CorpusOps.PackCapacity)
+        assert(off === cum % CorpusOps.PackCapacity)
+        cum = c
+      }
+    }
+  }
+
   test("mixture/chunk scans are pruned to exactly the consumed columns") {
     // column pruning must reach the parquet scan: a curation pass that
     // drags `text` (or the full row) through a projection-only operator
