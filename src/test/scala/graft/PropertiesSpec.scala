@@ -126,4 +126,18 @@ class PropertiesSpec extends SparkSpec {
       assert(got === want)
     }
   }
+
+  test("dict segmenter equals the regex contract on random ASCII text") {
+    // the property that lets q_dws_keyword_stats_dict share the regex
+    // form's oracle: on text with no CJK, the two tokenizers are one
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcxyz019 .,-!\t_#" // alnum + separators the regex drops
+    val samples = Seq.fill(200)(
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString) :+ "" :+ "   " :+ "a" :+ "7"
+    samples.foreach { s =>
+      val viaRegex = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      assert(func.DictTokenizer.segment(s) === viaRegex, s"on '$s'")
+    }
+  }
 }
