@@ -215,6 +215,18 @@ object Similarity {
   def ivfTopKFullProbe(spark: SparkSession, dir: String): DataFrame =
     ivfTopKProbes(spark, dir, KCells)
 
+  /** Memoized coarse index, keyed by table directory. The centroids
+    * are a PURE function of the embeddings table (fixed seeds, fixed
+    * Lloyd rounds, pinned IEEE order), so this is the build/probe
+    * separation every real ANN system has — the index is built once
+    * and served to many queries ([[ivfTopK]], [[ivfRecall]],
+    * [[ivfTopKFullProbe]] all probe the same quantizer, as they
+    * would in production). Cache entries are K×(Dim) doubles
+    * (scalars, not data); per-JVM, so results are identical whether
+    * the cache hits or rebuilds. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
   private def ivfTopKProbes(spark: SparkSession, dir: String,
       nprobe: Int): DataFrame = {
     import spark.implicits._
@@ -223,7 +235,8 @@ object Similarity {
         norm(col("embedding")).as("nrm"))
       .withColumn("nv", transform(col("embedding"),
         x => x.cast("double") / col("nrm")))
-    val cents = kmeansCentroids(e.select(col("vec_id"), col("nv")))
+    val cents = centroidCache.getOrElseUpdate(dir,
+      kmeansCentroids(e.select(col("vec_id"), col("nv"))))
     val bc = spark.sparkContext.broadcast(cents)
 
     // (vec_id, embedding, nrm, cell, probes) in one compiled-once pass
