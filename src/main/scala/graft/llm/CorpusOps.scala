@@ -493,11 +493,14 @@ object CorpusOps {
     * restates the whole two-stage pipeline in SQL, so the composition
     * is hash-checked end to end. */
   def chunkThenPack(spark: SparkSession, dir: String): DataFrame = {
+    // n_chunk_tokens feeds the packer directly ([[packingShardedTokens]])
+    // — re-tokenizing chunk_text would pay a second full pass over the
+    // corpus just to recount what the chunker already knows
     val pseudo = chunkOf(Tables.documents(spark, dir), keep = Seq("lang"))
       .select(
         (col("doc_id") * ChunkKeySpan + col("chunk_id")).as("doc_id"),
-        col("lang"), col("chunk_text").as("text"))
-    packingShardedOf(pseudo)
+        col("lang"), col("n_chunk_tokens").as("n_tokens"))
+    packingShardedTokens(pseudo)
   }
 
   // lazy: splices PackShardSalt/PackShards/PackCapacity, which are
@@ -811,15 +814,24 @@ object CorpusOps {
 
   /** [[packingSharded]] over any (doc_id, lang, text) frame — public
     * for the shard-equivalence property test. */
-  def packingShardedOf(docs: DataFrame): DataFrame = {
+  def packingShardedOf(docs: DataFrame): DataFrame =
+    packingShardedTokens(docs.select(col("doc_id"), col("lang"),
+      size(graft.func.Tokenizer.tokens(col("text"))).cast("long")
+        .as("n_tokens")))
+
+  /** The sharded packer over a frame that ALREADY carries its token
+    * counts (doc_id, lang, n_tokens) — the composition entry point:
+    * an upstream stage that just produced the counts (e.g.
+    * [[chunkOf]]'s n_chunk_tokens) must not pay a second full
+    * tokenization pass over the corpus. */
+  def packingShardedTokens(counted: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    counted
       .select(col("doc_id"), col("lang"),
         graft.func.Exprs.md5Bucket(col("doc_id"), PackShardSalt, 4, PackShards)
           .as("shard"),
-        size(graft.func.Tokenizer.tokens(col("text"))).cast("long")
-          .as("n_tokens"))
+        col("n_tokens"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .withColumn("pack_id",
         expr(s"(cum_tokens - n_tokens) DIV $PackCapacity"))

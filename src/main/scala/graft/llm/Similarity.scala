@@ -223,7 +223,11 @@ object Similarity {
     * [[ivfTopKFullProbe]] all probe the same quantizer, as they
     * would in production). Cache entries are K×(Dim) doubles
     * (scalars, not data); per-JVM, so results are identical whether
-    * the cache hits or rebuilds. */
+    * the cache hits or rebuilds — PROVIDED the table at `dir` is
+    * immutable, which driver-generated testdata is. A deployment that
+    * rewrites embeddings in place must key the index by a table
+    * version (or drop the cache), exactly as any external ANN index
+    * must be rebuilt when its base table changes. */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 

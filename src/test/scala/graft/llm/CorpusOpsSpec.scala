@@ -40,6 +40,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert((6 to 10).forall(n => r4.getAs[Long](s"dup${n}_char_ppm") === 0L))
     // top bigram "x1 x2" (and others) occur twice of 10 bigrams
     assert(r4.getAs[Long]("top_bigram_ppm") === 1000000L * 2 / 10)
+    // NOTE coverage: the shipped fixtures contain no duplicated 5-grams
+    // (dup5..dup10 are all-zero corpus-wide), so the nonzero cover-array
+    // path lives on these synthetic docs — doc 5 exercises the widest
+    // window: "w1..w10 z w1..w10" repeats its 10-gram (and every sub-gram),
+    // so EVERY dup-n column 5..10 covers 20 of 21 tokens = 42 of 43 chars
+    // (w1..w9 are 2 chars, w10 is 3, z is 1)
+    val docs5 = Seq((5L,
+      ((1 to 10).map(i => s"w$i") ++ Seq("z") ++ (1 to 10).map(i => s"w$i"))
+        .mkString(" "))).toDF("doc_id", "text")
+    val r5 = CorpusOps.repetitionOf(docs5).collect().head
+    (5 to 10).foreach { n =>
+      assert(r5.getAs[Long](s"dup${n}_char_ppm") === 1000000L * 42 / 43,
+        s"dup$n on the repeated 10-gram doc")
+    }
   }
 
   test("typed passes tolerate null text like the Column forms did") {
