@@ -103,6 +103,9 @@ object SparkEntry {
     "q_llm_packing"         -> (llm.CorpusOps.packing(_, _)),
     "q_llm_packing_sharded" -> (llm.CorpusOps.packingSharded(_, _)),
     "q_llm_pack_payload"    -> (llm.CorpusOps.packPayload(_, _)),
+    // payloads written as a (lang, shard)-partitioned directory and
+    // read back — the durable training-shard layout, manifest-checked
+    "q_llm_shard_export"    -> (llm.CorpusOps.shardExport(_, _)),
     "q_llm_contamination"   -> (llm.CorpusOps.contamination(_, _)),
     // bloom-semijoin scale form — bit-identical output (no false
     // negatives + exact verify), so it shares the exact form's oracle
@@ -195,6 +198,7 @@ object SparkEntry {
     "q_llm_packing"         -> llm.CorpusOps.packingOracle,
     "q_llm_packing_sharded" -> llm.CorpusOps.packingShardedOracle,
     "q_llm_pack_payload"    -> llm.CorpusOps.packPayloadOracle,
+    "q_llm_shard_export"    -> llm.CorpusOps.shardExportOracle,
     "q_llm_contamination"   -> llm.CorpusOps.contaminationOracle,
     "q_llm_contamination_bloom" -> llm.CorpusOps.contaminationOracle,
     "q_llm_contamination_bloom_sharded" -> llm.CorpusOps.contaminationOracle,

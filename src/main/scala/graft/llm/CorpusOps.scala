@@ -936,6 +936,63 @@ object CorpusOps {
        |FROM c GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** One export directory per (JVM, tag) — the Sinks temp-dir pattern:
+    * overwrite-mode re-writes reuse the directory, so bench reruns
+    * time the write path, not filesystem accumulation. */
+  private val tmpDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def tmpDir(tag: String): String =
+    tmpDirs.getOrElseUpdate(tag, graft.func.TempDirs.scoped(s"graft_llm_$tag"))
+
+  /** The final hop of the curation pipeline: [[packPayload]] rows
+    * materialized as a consumable shard DIRECTORY — one parquet
+    * partition per (lang, shard), the layout a training loader lists,
+    * shuffles, and reads ([[graft.sinks.Sinks.writeRouted]]'s
+    * dynamic-fan-out discipline applied to the curation artifact).
+    * Write → read the directory back → per-shard manifest (pack
+    * count, token volume, payload bytes), so the driver checks
+    * DURABLE state: a lost partition, a dropped pack, or a mangled
+    * payload string all surface as a red manifest row.
+    *
+    * Scale shape: the write adds no shuffle ([[packPayload]]'s
+    * aggregate already leaves rows grouped by pack key); the manifest
+    * is one bounded-key aggregate over the read-back. Partition
+    * values round-trip as directory names, so `shard` is re-cast to
+    * its written type. */
+  def shardExport(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmpDir("shard_export")
+    packPayload(spark, dir).write.mode("overwrite")
+      .partitionBy("lang", "shard").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("lang"), col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("pack_ct"),
+        sum(col("fill_tokens")).as("token_sum"),
+        sum(length(col("payload")).cast("long")).as("payload_chars"))
+  }
+
+  lazy val shardExportOracle: String = {
+    val nib = graft.func.OracleSql.hexNibbles(
+      s"md5('$PackShardSalt' || CAST(doc_id AS VARCHAR))", 4)
+    s"""WITH t AS (SELECT doc_id, lang, CAST($nib % $PackShards AS BIGINT) AS shard,
+       |             CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |             array_to_string($toksSql, ' ') AS text_norm
+       |           FROM documents),
+       |c AS (SELECT doc_id, lang, shard, n_tokens, text_norm,
+       |        sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |      FROM t),
+       |packs AS (SELECT lang, shard,
+       |            (cum_tokens - n_tokens) // $PackCapacity AS pack_id,
+       |            sum(n_tokens) AS fill_tokens,
+       |            string_agg(text_norm, ' ' ORDER BY doc_id) AS payload
+       |          FROM c GROUP BY 1, 2, 3)
+       |SELECT lang, shard, count(*) AS pack_ct,
+       |       CAST(sum(fill_tokens) AS BIGINT) AS token_sum,
+       |       CAST(sum(length(payload)) AS BIGINT) AS payload_chars
+       |FROM packs GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- per-language quality quantiles -----------------------------
 
   /** Quantile points (percent) reported per language. */

@@ -361,6 +361,26 @@ class CorpusOpsSpec extends SparkSpec {
       }
   }
 
+  test("shardExport: read-back manifest equals the in-memory payloads") {
+    val manifest = CorpusOps.shardExport(spark, Sf)
+      .select("lang", "shard", "pack_ct", "token_sum", "payload_chars")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val payloads = CorpusOps.packPayloadOf(graft.Tables.documents(spark, Sf))
+      .select("lang", "shard", "fill_tokens", "payload")
+      .as[(String, Long, Long, String)].collect()
+    val expected = payloads.groupBy(p => (p._1, p._2)).view.mapValues(ps =>
+      (ps.length.toLong, ps.map(_._3).sum, ps.map(_._4.length.toLong).sum))
+      .toMap
+    assert(manifest === expected)
+    // overwrite-idempotent: re-export re-writes the SAME directory
+    val again = CorpusOps.shardExport(spark, Sf)
+      .select("lang", "shard", "pack_ct", "token_sum", "payload_chars")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(again === manifest)
+  }
+
   test("chunkThenPack: composition equals packing run on the chunk set") {
     val docs = graft.Tables.documents(spark, Sf)
     val out = CorpusOps.chunkThenPack(spark, Sf)
