@@ -77,6 +77,8 @@ object SparkEntry {
     "q_llm_ngram_jaccard"   -> (llm.Dedup.ngramJaccard(_, _)),
     "q_llm_simhash"         -> (llm.Dedup.simhash(_, _)),
     "q_llm_simhash_dups"    -> (llm.Dedup.simhashDuplicates(_, _)),
+    // exact-substring family: per-doc coverage by cross-doc repeated spans
+    "q_llm_span_coverage"   -> (llm.Dedup.spanCoverage(_, _)),
     "q_llm_ann_topk"        -> (llm.Similarity.bruteTopK(_, _)),
     "q_llm_ann_ivf"         -> (llm.Similarity.ivfTopK(_, _)),
     "q_llm_ann_recall"      -> (llm.Similarity.ivfRecall(_, _)),
@@ -181,6 +183,7 @@ object SparkEntry {
     "q_llm_ngram_jaccard"   -> llm.Dedup.ngramJaccardOracle,
     "q_llm_simhash"         -> llm.Dedup.simhashOracle,
     "q_llm_simhash_dups"    -> llm.Dedup.simhashDupOracle,
+    "q_llm_span_coverage"   -> llm.Dedup.spanCoverageOracle,
     "q_llm_ann_topk"        -> llm.Similarity.bruteTopKOracle,
     "q_llm_embed_neardup"   -> llm.Similarity.lshNearDupOracle,
     "q_llm_lang_id"         -> llm.TextAnalysis.langIdOracle,

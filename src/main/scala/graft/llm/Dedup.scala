@@ -574,4 +574,87 @@ object Dedup {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2""".stripMargin
   }
+
+  // ---- cross-document repeated spans (exact-substring family) ------
+
+  /** Span width (tokens) for [[spanCoverage]]. Small at this corpus
+    * shape (random word soup repeats short spans only); a web corpus
+    * runs wider windows (Lee et al. use 50 tokens) — the plan shape is
+    * width-independent. */
+  val SpanK = 3
+
+  /** Cross-document repeated-span coverage — the exact-substring dedup
+    * signal (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", public paper): for every document, the
+    * fraction of token positions lying inside any [[SpanK]]-gram that
+    * ALSO occurs in at least one OTHER document. Boilerplate, license
+    * headers, and templates repeat verbatim across documents; a doc
+    * mostly covered by cross-doc spans is a strip/remove candidate
+    * even when no whole-doc near-dup fires — the complement of the
+    * pairwise family above, and the cross-doc complement of
+    * [[CorpusOps.repetition]]'s within-doc signals.
+    *
+    * Shape at 100 TB: positioned postings (one row per token, like the
+    * decontamination posting list but carrying `pos`), ONE map-side-
+    * combinable distinct-doc count per span, a semijoin back to the
+    * postings, and a bounded position explode (×[[SpanK]]) before the
+    * per-doc count — never doc×doc, never all-pairs. A full suffix
+    * array (the paper's single-node structure) does not distribute;
+    * fixed-width span postings are the standard cluster restatement. */
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame =
+    spanCoverageOf(graft.Tables.documents(spark, dir))
+
+  /** [[spanCoverage]] over any (doc_id, text) frame — public for tests. */
+  def spanCoverageOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // positioned postings, typed (the shingleSets escalation): 1-based
+    // pos so the DuckDB range arithmetic is identical
+    val post = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val toks = tokensOf(t)
+        (0 to toks.length - SpanK).iterator.map { i =>
+          (id, i + 1L, toks.slice(i, i + SpanK).mkString(" "))
+        }
+      }).toDF("doc_id", "pos", "g")
+      .localCheckpoint(false) // feeds the df count AND the semijoin
+    val crossDoc = post.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("docs"))
+      .filter(col("docs") >= 2)
+      .select(col("g"))
+    val covered = post.join(crossDoc, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanK - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("covered_ct"))
+    docs.select(col("doc_id"),
+        coalesce(size(graft.func.Tokenizer.tokens(col("text"))).cast("long"),
+          lit(0L)).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_ct"), lit(0L)).as("covered_ct"))
+      .withColumn("span_dup_ppm",
+        expr("CASE WHEN n_tokens > 0 THEN (1000000 * covered_ct) DIV n_tokens ELSE 0 END"))
+  }
+
+  val spanCoverageOracle: String = {
+    val toksSql = graft.func.OracleSql.toks
+    val gram = (0 until SpanK).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, $gram AS g
+       |      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - ${SpanK - 2})) AS i) u
+       |      WHERE len(toks) >= $SpanK),
+       |cr AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT g.doc_id, q.p
+       |        FROM g JOIN cr USING (g),
+       |             LATERAL (SELECT unnest(range(g.pos, g.pos + $SpanK)) AS p) q),
+       |cc AS (SELECT doc_id, count(*) AS covered_ct FROM cov GROUP BY 1),
+       |n AS (SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS n_tokens FROM t)
+       |SELECT n.doc_id, n.n_tokens,
+       |       CAST(coalesce(cc.covered_ct, 0) AS BIGINT) AS covered_ct,
+       |       CAST(CASE WHEN n.n_tokens > 0
+       |            THEN (1000000 * coalesce(cc.covered_ct, 0)) // n.n_tokens
+       |            ELSE 0 END AS BIGINT) AS span_dup_ppm
+       |FROM n LEFT JOIN cc ON n.doc_id = cc.doc_id""".stripMargin
+  }
 }

@@ -112,4 +112,37 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == out(2L), "order-invariant")
     assert(out(1L) != out(3L), "distinct content should differ (w.h.p.)")
   }
+
+  test("spanCoverage: cross-doc repeated spans cover, within-doc don't") {
+    // docs 1 & 2 share the 3-gram "a b c" → positions 1-3 covered in
+    // doc 1 (of 5 tokens) and 3-5 in doc 2 (of 5); doc 3's repeated
+    // WITHIN-doc span must NOT count (distinct-doc test); doc 4 shares
+    // nothing; doc 5 is too short for any span
+    val d = docs(
+      (1L, "a b c p q"), (2L, "x y a b c"),
+      (3L, "m n o m n o m n o"), (4L, "t u v w"), (5L, "zz"))
+    val out = Dedup.spanCoverageOf(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((5L, 3L, 1000000L * 3 / 5)))
+    assert(out(2L) === ((5L, 3L, 1000000L * 3 / 5)))
+    assert(out(3L) === ((9L, 0L, 0L)), "within-doc repeats are not cross-doc")
+    assert(out(4L) === ((4L, 0L, 0L)))
+    assert(out(5L) === ((1L, 0L, 0L)), "short docs appear with zero coverage")
+    // overlap counts once: docs 6/7 share two overlapping spans
+    // "a b c" + "b c d" → doc 6 covers positions 1-4 of 4
+    val d2 = docs((6L, "a b c d"), (7L, "a b c d z"))
+    val out2 = Dedup.spanCoverageOf(d2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out2(6L) === 4L)
+    // corpus smoke: signal exists at this sf (random soup repeats
+    // SHORT spans across docs) and ppm is well-formed
+    val corpus = Dedup.spanCoverage(spark, Sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "covered ≤ tokens")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+    assert(corpus.exists(_.getLong(2) > 0), "some cross-doc span fires")
+  }
 }
