@@ -123,6 +123,9 @@ object SparkEntry {
     // composed pipeline: chunk long docs, pack the chunks — the whole
     // two-stage layout restated in one oracle (hash-checked end to end)
     "q_llm_chunk_pack"      -> (llm.CorpusOps.chunkThenPack(_, _)),
+    // master pipeline: dedup keep-list → mixture → split → volume
+    // report, all four stages restated in one oracle
+    "q_llm_curation_pipeline" -> (llm.CorpusOps.curationPipeline(_, _)),
     "q_llm_quantize_int8"   -> (llm.Similarity.quantizeInt8(_, _)),
     "q_llm_top_quality"     -> (llm.CorpusOps.topQuality(_, _))
   )
@@ -211,6 +214,7 @@ object SparkEntry {
     "q_llm_vocab_report"    -> llm.CorpusOps.vocabReportOracle,
     "q_llm_chunking"        -> llm.CorpusOps.chunkOracle,
     "q_llm_chunk_pack"      -> llm.CorpusOps.chunkThenPackOracle,
+    "q_llm_curation_pipeline" -> llm.CorpusOps.curationPipelineOracle,
     "q_llm_quantize_int8"   -> llm.Similarity.quantizeInt8Oracle,
     "q_llm_top_quality"     -> llm.CorpusOps.topQualityOracle
   )

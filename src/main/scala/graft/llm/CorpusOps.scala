@@ -470,6 +470,70 @@ object CorpusOps {
        |       array_to_string(list_slice(toks, start + 1, start + $ChunkSize), ' ') AS chunk_text
        |FROM c""".stripMargin
 
+  // ---- composed pipeline: dedup → sample → split → report ----------
+
+  /** The master curation pipeline as ONE query — the end-to-end pass a
+    * pretraining data run executes, chained from four operator
+    * families with no glue code:
+    *   1. near-dup dedup keep-list ([[Dedup.keepList]], MinHash-LSH);
+    *   2. deterministic mixture sampling over the survivors
+    *      ([[mixtureSampleOf]]);
+    *   3. deterministic hash split ([[hashSplit]]);
+    *   4. a per-(split, lang) volume report of what remains.
+    * The output is the table a run reviews before training starts:
+    * how many documents and tokens survive curation, per stratum. The
+    * DuckDB oracle restates ALL FOUR stages (the keep-list's full LSH
+    * CTE chain included), so the composition is hash-checked end to
+    * end — operators that each verify alone can still disagree when
+    * chained (column drift, verdict semantics); this pins the chain.
+    *
+    * Scale shape: the LSH keep-list dominates (its own audited plan);
+    * sampling and splitting are pure projections on the survivor set;
+    * the report is one bounded-key map-side-combinable aggregate. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val kept = Dedup.keepList(spark, dir).filter(col("kept") === 1)
+    val sampled = mixtureSampleOf(kept.select(col("doc_id"), col("lang")))
+      .filter(col("sampled") === 1)
+      .select(col("doc_id"), col("lang"))
+    val split = hashSplit(spark, dir).select(col("doc_id"), col("split"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        coalesce(size(graft.func.Tokenizer.tokens(col("text"))).cast("long"),
+          lit(0L)).as("n_tokens"))
+    sampled
+      .join(split, Seq("doc_id"))
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("doc_ct"), sum(col("n_tokens")).as("token_sum"))
+  }
+
+  lazy val curationPipelineOracle: String = {
+    val mixNib = graft.func.OracleSql.hexNibbles(
+      "md5('mix:' || CAST(doc_id AS VARCHAR))", 10)
+    val splitNib = graft.func.OracleSql.hexNibbles(
+      "md5(CAST(doc_id AS VARCHAR))", 4)
+    val keepInner = Dedup.keepListOracle.replace("\n", "\n  ")
+    s"""WITH kl AS (
+       |  $keepInner
+       |),
+       |surv AS (SELECT doc_id, lang FROM kl
+       |         WHERE kept = 1 AND $mixNib % 1000000 < $mixLangRateSql),
+       |sp AS (SELECT doc_id,
+       |         CASE WHEN $splitNib % 100 < $TrainUpper THEN 'train'
+       |              WHEN $splitNib % 100 < $ValidUpper THEN 'valid'
+       |              ELSE 'test' END AS split
+       |       FROM documents),
+       |tok AS (SELECT doc_id,
+       |          CAST(coalesce(len($toksSql), 0) AS BIGINT) AS n_tokens
+       |        FROM documents)
+       |SELECT sp.split, s.lang, count(*) AS doc_ct,
+       |       CAST(sum(tok.n_tokens) AS BIGINT) AS token_sum
+       |FROM surv s
+       |JOIN sp ON s.doc_id = sp.doc_id
+       |JOIN tok ON s.doc_id = tok.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- composed pipeline: chunk → pack -----------------------------
 
   /** Pseudo-doc key stride for [[chunkThenPack]]: pseudo_id = doc_id ·

@@ -381,6 +381,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again === manifest)
   }
 
+  test("curationPipeline: report equals the stage-by-stage recompute") {
+    val out = CorpusOps.curationPipeline(spark, Sf)
+      .select("split", "lang", "doc_ct", "token_sum")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out.nonEmpty)
+    // recompute the chain from the individual operators' outputs
+    val keptIds = Dedup.keepList(spark, Sf)
+      .filter(col("kept") === 1).select("doc_id").as[Long].collect().toSet
+    val sampledIds = CorpusOps.mixtureSample(spark, Sf)
+      .filter(col("sampled") === 1).select("doc_id").as[Long].collect().toSet
+    val split = CorpusOps.hashSplit(spark, Sf)
+      .select("doc_id", "lang", "split")
+      .as[(Long, String, String)].collect()
+    val toks = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        size(graft.func.Tokenizer.tokens(col("text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expected = split
+      .filter(r => keptIds(r._1) && sampledIds(r._1))
+      .groupBy(r => (r._3, r._2)).view
+      .mapValues(rs => (rs.length.toLong, rs.map(r => toks(r._1)).sum)).toMap
+    assert(out === expected)
+    // the pipeline actually filters: survivors < corpus
+    assert(out.values.map(_._1).sum < split.length)
+  }
+
   test("chunkThenPack: composition equals packing run on the chunk set") {
     val docs = graft.Tables.documents(spark, Sf)
     val out = CorpusOps.chunkThenPack(spark, Sf)
