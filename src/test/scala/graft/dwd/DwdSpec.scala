@@ -116,5 +116,22 @@ class DwdSpec extends SparkSpec {
       .as[(Long, String, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(replayed === out, "replaying the batch must not change state")
+
+    // the Redis-delete analog (reference DimSink invalidates the
+    // cached dim row on update so no reader serves stale data,
+    // app/func/DimSink.java): a CACHED catalog table must reflect the
+    // upsert, not the pre-update snapshot — Spark uncaches the table
+    // on overwrite, and this pins that contract
+    spark.table(table).cache().count()
+    assert(spark.table(table).filter(col("c_name").startsWith("u2:"))
+      .count() === 0L)
+    val bump = base.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_name", concat(lit("u2:"), col("c_name")))
+      .withColumn("ts", lit(3000L))
+    val expectedBumped = bump.count()
+    DbRouter.upsertDimTable(spark, table, bump, Seq("c_custkey"), "ts")
+    assert(spark.table(table).filter(col("c_name").startsWith("u2:"))
+      .count() === expectedBumped, "cached readers must see the update")
+    spark.catalog.clearCache()
   }
 }
