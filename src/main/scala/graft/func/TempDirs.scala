@@ -5,12 +5,20 @@ package graft.func
   * LogNested, CdcEnvelope), so no caller re-implements the cache
   * without its cleanup half. */
 object TempDirs {
+  /** One directory per (JVM, tag), created on first use — the cache
+    * half every overwrite-mode sink path needs (bench reruns re-write
+    * the SAME directory, so timing measures the write path, not
+    * filesystem accumulation). Hoisted here so no caller re-implements
+    * it and forgets the cleanup. */
+  private val cachedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def cached(tag: String): String =
+    cachedDirs.getOrElseUpdate(tag, scoped(tag))
+
   /** A FRESH directory per call, recursively deleted at JVM exit.
-    * Callers that need one directory per logical key must cache the
-    * returned path (Sinks/LogNested/CdcEnvelope each keep a
-    * per-key map whose miss branch also writes the content) — calling
-    * this per query invocation would accumulate a directory and a
-    * shutdown hook per call. */
+    * Callers that need one directory per logical key should use
+    * [[cached]] — calling this per query invocation would accumulate
+    * a directory and a shutdown hook per call. */
   def scoped(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     sys.addShutdownHook {

@@ -200,10 +200,15 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"),
         graft.func.Exprs.md5Bucket(col("doc_id"), "", 4, 100L)
           .as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < TrainUpper, "train")
-          .when(col("bucket") < ValidUpper, "valid")
-          .otherwise("test"))
+      .withColumn("split", splitOf(col("bucket")))
+
+  /** bucket → split label; ONE definition shared by [[hashSplit]] and
+    * the compositions that inline the split to avoid a second
+    * documents scan ([[curationPipeline]]). */
+  private[llm] def splitOf(bucket: org.apache.spark.sql.Column) =
+    when(bucket < TrainUpper, "train")
+      .when(bucket < ValidUpper, "valid")
+      .otherwise("test")
 
   val hashSplitOracle: String = {
     val nib = graft.func.OracleSql.hexNibbles("m", 4)
@@ -489,20 +494,23 @@ object CorpusOps {
     *
     * Scale shape: the LSH keep-list dominates (its own audited plan);
     * sampling and splitting are pure projections on the survivor set;
-    * the report is one bounded-key map-side-combinable aggregate. */
+    * the report is one bounded-key map-side-combinable aggregate.
+    * split and n_tokens are per-row projections of the SAME documents
+    * scan, so they are computed in one pass and joined once — not one
+    * scan + join each. */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val kept = Dedup.keepList(spark, dir).filter(col("kept") === 1)
     val sampled = mixtureSampleOf(kept.select(col("doc_id"), col("lang")))
       .filter(col("sampled") === 1)
       .select(col("doc_id"), col("lang"))
-    val split = hashSplit(spark, dir).select(col("doc_id"), col("split"))
-    val toks = Tables.documents(spark, dir)
+    val meta = Tables.documents(spark, dir)
       .select(col("doc_id"),
+        splitOf(graft.func.Exprs.md5Bucket(col("doc_id"), "", 4, 100L))
+          .as("split"),
         coalesce(size(graft.func.Tokenizer.tokens(col("text"))).cast("long"),
           lit(0L)).as("n_tokens"))
     sampled
-      .join(split, Seq("doc_id"))
-      .join(toks, Seq("doc_id"))
+      .join(meta, Seq("doc_id"))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("doc_ct"), sum(col("n_tokens")).as("token_sum"))
   }
@@ -1000,14 +1008,6 @@ object CorpusOps {
        |FROM c GROUP BY 1, 2, 3""".stripMargin
   }
 
-  /** One export directory per (JVM, tag) — the Sinks temp-dir pattern:
-    * overwrite-mode re-writes reuse the directory, so bench reruns
-    * time the write path, not filesystem accumulation. */
-  private val tmpDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def tmpDir(tag: String): String =
-    tmpDirs.getOrElseUpdate(tag, graft.func.TempDirs.scoped(s"graft_llm_$tag"))
-
   /** The final hop of the curation pipeline: [[packPayload]] rows
     * materialized as a consumable shard DIRECTORY — one parquet
     * partition per (lang, shard), the layout a training loader lists,
@@ -1021,14 +1021,19 @@ object CorpusOps {
     * Scale shape: the write adds no shuffle ([[packPayload]]'s
     * aggregate already leaves rows grouped by pack key); the manifest
     * is one bounded-key aggregate over the read-back. Partition
-    * values round-trip as directory names, so `shard` is re-cast to
-    * its written type. */
+    * values round-trip as directory NAMES, so both keys are re-cast
+    * to their written types on read-back (a numeric-looking lang
+    * would otherwise infer as INT); empty/null partition values are
+    * out of this operator's contract — they round-trip as
+    * __HIVE_DEFAULT_PARTITION__/NULL, which no lang column a curation
+    * pass emits should contain. */
   def shardExport(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmpDir("shard_export")
+    val path = graft.func.TempDirs.cached("graft_llm_shard_export")
     packPayload(spark, dir).write.mode("overwrite")
       .partitionBy("lang", "shard").parquet(path)
     spark.read.parquet(path)
-      .groupBy(col("lang"), col("shard").cast("long").as("shard"))
+      .groupBy(col("lang").cast("string").as("lang"),
+        col("shard").cast("long").as("shard"))
       .agg(
         count(lit(1)).as("pack_ct"),
         sum(col("fill_tokens")).as("token_sum"),

@@ -147,14 +147,13 @@ object Sinks {
   // the oracle compares durable state, not an in-memory transform.
   // ---------------------------------------------------------------------
 
-  /** One temp directory per (tag, JVM), recursively deleted at JVM
-    * exit. The writes below are all mode("overwrite"), so re-running a
-    * sink query (bench does warmup + two timed runs) re-writes the SAME
+  /** One temp directory per (tag, JVM) — [[graft.func.TempDirs.cached]].
+    * The writes below are all mode("overwrite"), so re-running a sink
+    * query (bench does warmup + two timed runs) re-writes the SAME
     * directory instead of leaking a fresh parquet tree per invocation —
     * timing then measures the write path, not filesystem accumulation. */
-  private val tmpDirs = scala.collection.concurrent.TrieMap.empty[String, String]
   private def tmpDir(tag: String): String =
-    tmpDirs.getOrElseUpdate(tag, graft.func.TempDirs.scoped(s"graft_sink_$tag"))
+    graft.func.TempDirs.cached(s"graft_sink_$tag")
 
   /** K3/K4 (q_sink_dedup_latest): three deterministic versions per
     * order — v1/v3 tie on the max ts, v2 trails — written through the

@@ -123,15 +123,21 @@ class DwdSpec extends SparkSpec {
     // upsert, not the pre-update snapshot — Spark uncaches the table
     // on overwrite, and this pins that contract
     spark.table(table).cache().count()
-    assert(spark.table(table).filter(col("c_name").startsWith("u2:"))
-      .count() === 0L)
-    val bump = base.filter(col("c_custkey") % 7 === 0)
-      .withColumn("c_name", concat(lit("u2:"), col("c_name")))
-      .withColumn("ts", lit(3000L))
-    val expectedBumped = bump.count()
-    DbRouter.upsertDimTable(spark, table, bump, Seq("c_custkey"), "ts")
-    assert(spark.table(table).filter(col("c_name").startsWith("u2:"))
-      .count() === expectedBumped, "cached readers must see the update")
-    spark.catalog.clearCache()
+    try {
+      assert(spark.table(table).filter(col("c_name").startsWith("u2:"))
+        .count() === 0L)
+      val bump = base.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_name", concat(lit("u2:"), col("c_name")))
+        .withColumn("ts", lit(3000L))
+      val expectedBumped = bump.count()
+      DbRouter.upsertDimTable(spark, table, bump, Seq("c_custkey"), "ts")
+      assert(spark.table(table).filter(col("c_name").startsWith("u2:"))
+        .count() === expectedBumped, "cached readers must see the update")
+    } finally {
+      // scoped cleanup (not clearCache: the session is shared across
+      // parallel suites); on the success path the overwrite already
+      // invalidated this entry, on failure this drops the stale one
+      spark.table(table).unpersist(): Unit
+    }
   }
 }
