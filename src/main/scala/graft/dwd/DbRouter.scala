@@ -101,6 +101,11 @@ object DbRouter {
       } catch {
         case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
           false
+        // some catalog paths surface a losing CREATE race as a generic
+        // AnalysisException instead of the typed subclass — treat it as
+        // "already exists" only when the catalog confirms, else rethrow
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (spark.catalog.tableExists(table)) false else throw e
       }
 
   /** Driver-checkable auto-create round trip, one per routed `hbase`

@@ -13,7 +13,30 @@ object TempDirs {
   private val cachedDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
   def cached(tag: String): String =
-    cachedDirs.getOrElseUpdate(tag, scoped(tag))
+    cachedDirs.get(tag) match {
+      case Some(p) => p
+      case None =>
+        // TrieMap.getOrElseUpdate is not atomic: two first-use racers
+        // would both mint a directory and one path would leak. CAS via
+        // putIfAbsent; the loser deletes its directory now (its
+        // shutdown hook stays registered but no-ops on the missing
+        // path).
+        val fresh = scoped(tag)
+        cachedDirs.putIfAbsent(tag, fresh) match {
+          case None => fresh
+          case Some(winner) =>
+            deleteRecursively(java.nio.file.Paths.get(fresh))
+            winner
+        }
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f): Unit)
+  }
 
   /** A FRESH directory per call, recursively deleted at JVM exit.
     * Callers that need one directory per logical key should use
@@ -21,13 +44,7 @@ object TempDirs {
     * a directory and a shutdown hook per call. */
   def scoped(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f): Unit)
-    }
+    sys.addShutdownHook { deleteRecursively(p) }
     p.toString
   }
 }

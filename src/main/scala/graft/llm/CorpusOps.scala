@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -547,8 +547,25 @@ object CorpusOps {
   /** Pseudo-doc key stride for [[chunkThenPack]]: pseudo_id = doc_id ·
     * span + chunk_id. Valid while every document has fewer chunks than
     * the span — at [[ChunkStride]] 24 that is documents under ~2.4 M
-    * tokens, far beyond any web document; guarded in spec. */
+    * tokens, far beyond any web document; enforced at runtime by
+    * [[chunkPseudoKey]]'s raise_error guard (and in spec). */
   val ChunkKeySpan = 100000L
+
+  /** The injective pseudo-doc key doc_id · [[ChunkKeySpan]] + chunk_id
+    * — with a runtime guard (not just a spec-scale check): the key is
+    * collision- and overflow-free only while chunk_id < span and
+    * doc_id fits the remaining Long headroom, and a corpus violating
+    * either would silently wrap/collide, so the row fails the job
+    * instead. The guard is one comparison per row, inside codegen. */
+  def chunkPseudoKey(docId: Column, chunkId: Column): Column = {
+    val maxDocId = (Long.MaxValue - (ChunkKeySpan - 1)) / ChunkKeySpan
+    when(chunkId >= ChunkKeySpan || chunkId < 0L ||
+        docId < 0L || docId > maxDocId,
+      raise_error(concat(
+        lit(s"chunk pseudo-key out of range (span=$ChunkKeySpan): doc_id="),
+        docId, lit(" chunk_id="), chunkId)).cast("long"))
+      .otherwise(docId * ChunkKeySpan + chunkId)
+  }
 
   /** The end-to-end "make training shards" composition: documents are
     * cut to ≤ [[ChunkSize]]-token windows ([[chunkOf]], long docs),
@@ -569,8 +586,7 @@ object CorpusOps {
     // — re-tokenizing chunk_text would pay a second full pass over the
     // corpus just to recount what the chunker already knows
     val pseudo = chunkOf(Tables.documents(spark, dir), keep = Seq("lang"))
-      .select(
-        (col("doc_id") * ChunkKeySpan + col("chunk_id")).as("doc_id"),
+      .select(chunkPseudoKey(col("doc_id"), col("chunk_id")).as("doc_id"),
         col("lang"), col("n_chunk_tokens").as("n_tokens"))
     packingShardedTokens(pseudo)
   }
@@ -1028,7 +1044,11 @@ object CorpusOps {
     * __HIVE_DEFAULT_PARTITION__/NULL, which no lang column a curation
     * pass emits should contain. */
   def shardExport(spark: SparkSession, dir: String): DataFrame = {
-    val path = graft.func.TempDirs.cached("graft_llm_shard_export")
+    // keyed by input dir: the returned frame lazily reads this path,
+    // so a shared tag would let a run for another scale factor
+    // overwrite the directory under a deferred consumer
+    val path = graft.func.TempDirs.cached(
+      s"graft_llm_shard_export_${Integer.toHexString(dir.hashCode)}")
     packPayload(spark, dir).write.mode("overwrite")
       .partitionBy("lang", "shard").parquet(path)
     spark.read.parquet(path)

@@ -41,7 +41,7 @@ object Sinks {
     * shape here. */
   def dedupLatest(df: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
     val payload = df.columns.filterNot(c => keys.contains(c) || c == tsCol)
-    val ordering = col(tsCol).desc +: payload.map(col(_).desc)
+    val ordering = col(tsCol).desc +: payload.toIndexedSeq.map(col(_).desc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -495,4 +495,26 @@ class CorpusOpsSpec extends SparkSpec {
       assert(qs === qs.sorted, s"non-monotone quantiles in ${row}")
     }
   }
+
+  test("chunkPseudoKey: in-range encodes, out-of-range fails the job") {
+    val key = CorpusOps.chunkPseudoKey(col("d"), col("c"))
+    val maxDoc = (Long.MaxValue - (CorpusOps.ChunkKeySpan - 1)) /
+      CorpusOps.ChunkKeySpan
+    val ok = Seq((0L, 0L), (7L, 42L), (maxDoc, CorpusOps.ChunkKeySpan - 1))
+      .toDF("d", "c").select(key).as[Long].collect()
+    assert(ok === Array(0L, 7L * CorpusOps.ChunkKeySpan + 42L,
+      maxDoc * CorpusOps.ChunkKeySpan + CorpusOps.ChunkKeySpan - 1))
+    // each violation class raises instead of silently wrapping/colliding
+    Seq((1L, CorpusOps.ChunkKeySpan), (maxDoc + 1, 0L), (-1L, 0L))
+      .foreach { case (d, c) =>
+        val e = intercept[Exception] {
+          Seq((d, c)).toDF("d", "c").select(key).collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ msgs(x.getCause))
+        assert(msgs(e).exists(_.contains("pseudo-key out of range")),
+          s"($d, $c) must raise the guard error")
+      }
+  }
 }
