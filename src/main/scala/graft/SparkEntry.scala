@@ -117,6 +117,10 @@ object SparkEntry {
     "q_llm_contamination_bloom_sharded" -> (llm.CorpusOps.contaminationBloomSharded(_, _)),
     "q_llm_mixture_sample"  -> (llm.CorpusOps.mixtureSample(_, _)),
     "q_llm_mixture_sample_strat" -> (llm.CorpusOps.mixtureSampleStratified(_, _)),
+    // data-driven rates: temperature sampling over per-lang token mass
+    "q_llm_mixture_temperature" -> (llm.CorpusOps.mixtureTemperature(_, _)),
+    // per-rule rejection counts + survivors, one typed pass
+    "q_llm_filter_funnel"   -> (llm.CorpusOps.filterFunnel(_, _)),
     "q_llm_corpus_report"   -> (llm.CorpusOps.corpusReport(_, _)),
     "q_llm_vocab_report"    -> (llm.CorpusOps.vocabReport(_, _)),
     "q_llm_chunking"        -> (llm.CorpusOps.chunk(_, _)),
@@ -210,6 +214,8 @@ object SparkEntry {
     "q_llm_contamination_bloom_sharded" -> llm.CorpusOps.contaminationOracle,
     "q_llm_mixture_sample"  -> llm.CorpusOps.mixtureSampleOracle,
     "q_llm_mixture_sample_strat" -> llm.CorpusOps.mixtureSampleStratifiedOracle,
+    "q_llm_mixture_temperature" -> llm.CorpusOps.mixtureTemperatureOracle,
+    "q_llm_filter_funnel"   -> llm.CorpusOps.filterFunnelOracle,
     "q_llm_corpus_report"   -> llm.CorpusOps.corpusReportOracle,
     "q_llm_vocab_report"    -> llm.CorpusOps.vocabReportOracle,
     "q_llm_chunking"        -> llm.CorpusOps.chunkOracle,

@@ -183,6 +183,153 @@ object CorpusOps {
        |$joins""".stripMargin
   }
 
+  // ---- quality filter funnel --------------------------------------
+
+  /** [[filterFunnel]] thresholds — the C4/Gopher-style rule set
+    * (Raffel et al. 2020 §2.2, Rae et al. 2021 §A1.1), tuned to the
+    * corpus envelope: token count in [25, 90], ≥ 2 stopword hits,
+    * top-bigram and duplicated-bigram fractions ≤ 10 %, and language-ID
+    * agreement with the label. */
+  val FunnelMinTokens = 25L
+  val FunnelMaxTokens = 90L
+  val FunnelMinStopHits = 2L
+  val FunnelTopBigramPpm = 100000L
+  val FunnelDupBigramPpm = 100000L
+
+  /** The filter FUNNEL every curation run reports before training:
+    * per language, how many documents each quality rule would reject
+    * (counted independently, so a rule's bite is visible even when
+    * another rule also fires), how many pass every rule, and the
+    * surviving token volume. Composes the [[TextAnalysis]] length /
+    * stopword / language-ID signals with [[repetition]]'s bigram
+    * fractions into one decision table — the artifact a mixture
+    * designer reads next to [[corpusReport]].
+    *
+    * Scale shape: ONE corpus scan, zero joins — all five signals are
+    * doc-local, so one typed partition pass (the [[repetitionOf]]
+    * escalation) computes every flag, and the only shuffle is the
+    * map-side-combinable aggregate over bounded lang keys. The
+    * equivalent Column-expression form would be three scans of
+    * `documents` joined on doc_id — this is the fused plan a 100-TB
+    * run needs. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame =
+    filterFunnelOf(Tables.documents(spark, dir))
+
+  /** [[filterFunnel]] over any (doc_id, lang, text) frame — public for
+    * tests and streaming parity (stateless per-doc flags + an
+    * aggregate). */
+  def filterFunnelOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val stopSet = TextAnalysis.Stopwords.toSet
+    val markerSets = TextAnalysis.Markers.map { case (l, ws) => (l, ws.toSet) }
+    val flags = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (_, lang, text) =>
+        val toks = Dedup.tokensOf(text)
+        val n = toks.length.toLong
+        var nStop = 0L
+        toks.foreach(t => if (stopSet(t)) nStop += 1)
+        // language-ID: occurrence hits per marker list, argmax with
+        // the lexicographic tie-break ([[TextAnalysis.langIdOf]]'s
+        // contract — Markers is declared sorted)
+        val hits = markerSets.map { case (l, ws) =>
+          var h = 0L; toks.foreach(t => if (ws(t)) h += 1); (l, h)
+        }
+        val mx = hits.iterator.map(_._2).max
+        val pred = if (mx == 0L) "und" else hits.find(_._2 == mx).get._1
+        // bigram total / distinct / top ([[repetitionOf]]'s gramStats
+        // shape at n = 2)
+        var total2 = 0L; var dist2 = 0L; var top2 = 0L
+        if (toks.length >= 2) {
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          var i = 0
+          while (i < toks.length - 1) {
+            val g = toks(i) + " " + toks(i + 1)
+            val c = counts.getOrElse(g, 0L) + 1L
+            counts(g) = c
+            if (c > top2) top2 = c
+            i += 1
+          }
+          total2 = toks.length - 1L
+          dist2 = counts.size.toLong
+        }
+        def ppm(num: Long, den: Long): Long =
+          if (den > 0) 1000000L * num / den else 0L
+        def b(x: Boolean): Long = if (x) 1L else 0L
+        val failLen = n < FunnelMinTokens || n > FunnelMaxTokens
+        val failStop = nStop < FunnelMinStopHits
+        val failTop = ppm(top2, total2) > FunnelTopBigramPpm
+        val failDup = ppm(total2 - dist2, total2) > FunnelDupBigramPpm
+        val failLang = pred != lang
+        val pass = !(failLen || failStop || failTop || failDup || failLang)
+        (lang, b(failLen), b(failStop), b(failTop), b(failDup), b(failLang),
+          b(pass), if (pass) n else 0L)
+      })
+      .toDF("lang", "fail_len", "fail_stop", "fail_topgram",
+        "fail_dupgram", "fail_langid", "pass_all", "kept")
+    flags.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("fail_len").as("fail_len"),
+      sum("fail_stop").as("fail_stop"),
+      sum("fail_topgram").as("fail_topgram"),
+      sum("fail_dupgram").as("fail_dupgram"),
+      sum("fail_langid").as("fail_langid"),
+      sum("pass_all").as("pass_all"),
+      sum("kept").as("kept_tokens"))
+  }
+
+  lazy val filterFunnelOracle: String = {
+    def hitsSql(words: Seq[String]): String =
+      s"CAST(len(list_filter(toks, t -> list_contains(${words.mkString("['", "', '", "']")}, t))) AS BIGINT)"
+    val markerCols = TextAnalysis.Markers
+      .map { case (l, ws) => s"${hitsSql(ws)} AS h_$l" }.mkString(", ")
+    val mx = TextAnalysis.Markers.map { case (l, _) => s"h_$l" }
+      .mkString("greatest(", ", ", ")")
+    val pred = TextAnalysis.Markers.map { case (l, _) =>
+      s"WHEN h_$l = mx AND mx > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |        ${hitsSql(TextAnalysis.Stopwords)} AS n_stop,
+       |        $markerCols
+       |      FROM t),
+       |sm AS (SELECT *, $mx AS mx FROM s),
+       |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+       |      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+       |      WHERE len(toks) >= 2),
+       |c AS (SELECT doc_id, g, count(*) AS ct FROM g GROUP BY 1, 2),
+       |a AS (SELECT doc_id, sum(ct) AS total2, count(*) AS dist2,
+       |             max(ct) AS top2 FROM c GROUP BY 1),
+       |f AS (SELECT sm.lang, sm.n_tokens, sm.n_stop,
+       |        $pred AS pred,
+       |        CASE WHEN coalesce(a.total2, 0) > 0
+       |             THEN 1000000 * a.top2 // a.total2 ELSE 0 END AS top_ppm,
+       |        CASE WHEN coalesce(a.total2, 0) > 0
+       |             THEN 1000000 * (a.total2 - a.dist2) // a.total2
+       |             ELSE 0 END AS dup_ppm
+       |      FROM sm LEFT JOIN a ON sm.doc_id = a.doc_id),
+       |v AS (SELECT lang, n_tokens,
+       |        CAST(n_tokens < $FunnelMinTokens OR n_tokens > $FunnelMaxTokens AS BIGINT) AS fail_len,
+       |        CAST(n_stop < $FunnelMinStopHits AS BIGINT) AS fail_stop,
+       |        CAST(top_ppm > $FunnelTopBigramPpm AS BIGINT) AS fail_topgram,
+       |        CAST(dup_ppm > $FunnelDupBigramPpm AS BIGINT) AS fail_dupgram,
+       |        CAST(pred <> lang AS BIGINT) AS fail_langid
+       |      FROM f)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(fail_len) AS BIGINT) AS fail_len,
+       |       CAST(sum(fail_stop) AS BIGINT) AS fail_stop,
+       |       CAST(sum(fail_topgram) AS BIGINT) AS fail_topgram,
+       |       CAST(sum(fail_dupgram) AS BIGINT) AS fail_dupgram,
+       |       CAST(sum(fail_langid) AS BIGINT) AS fail_langid,
+       |       CAST(sum(CASE WHEN fail_len + fail_stop + fail_topgram
+       |                        + fail_dupgram + fail_langid = 0
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+       |       CAST(sum(CASE WHEN fail_len + fail_stop + fail_topgram
+       |                        + fail_dupgram + fail_langid = 0
+       |                     THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM v GROUP BY 1""".stripMargin
+  }
+
   // ---- deterministic hash split -----------------------------------
 
   /** Split-bucket boundaries out of 100: [0,80) train, [80,90) valid,
@@ -332,6 +479,84 @@ object CorpusOps {
        |       CAST($rate AS BIGINT) AS rate_ppm,
        |       CAST($nib % 1000000 < $rate AS INTEGER) AS sampled
        |FROM documents""".stripMargin
+  }
+
+  // ---- temperature-scaled mixture ---------------------------------
+
+  /** Mixing exponent α = 1/T for [[mixtureTemperature]], as thousandths
+    * (α = 0.5, i.e. T = 2 — the multilingual-pretraining standard:
+    * target language mass ∝ n^α, upsampling low-resource languages;
+    * Conneau & Lample 2019 §3.1, Xue et al. 2021 §3.2). α = 0.5 is
+    * also the one exponent whose rate math stays bit-portable across
+    * engines: the keep-rate reduces to a sqrt, and IEEE 754 REQUIRES
+    * sqrt/·/÷ to be correctly rounded, so Spark and the DuckDB oracle
+    * compute the identical double — a general pow() carries no such
+    * guarantee. */
+  val MixAlphaThousandths = 500L
+
+  /** [[mixtureSample]] with DATA-DRIVEN rates instead of a literal
+    * table: per-language token counts feed temperature sampling with
+    * target mass ∝ tokens^α. Realizing that by per-doc keep/drop means
+    * rate_l ∝ tokens_l^(α-1), normalized so the scarcest language
+    * keeps 100 %: rate_ppm = ⌊10⁶·√(min_tokens / tokens_l)⌋ at α = ½.
+    * The SAME salted md5 bucket as the static forms, so switching
+    * between literal and temperature-derived weights never re-rolls
+    * any doc's dice.
+    *
+    * Scale shape: one map-side-combinable aggregate over bounded lang
+    * keys, a broadcast of that handful of (lang, rate) rows back onto
+    * the corpus scan, and a pure projection — the rate table is the
+    * only coordination, and it is O(langs), not O(docs). Languages
+    * with zero tokens have no defined target mass and are excluded
+    * (inner join), matching the oracle's HAVING. */
+  def mixtureTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixtureTemperatureOf(Tables.documents(spark, dir))
+
+  /** [[mixtureTemperature]] over any (doc_id, lang, text) frame —
+    * public for tests. */
+  def mixtureTemperatureOf(docs: DataFrame): DataFrame = {
+    require(MixAlphaThousandths == 500L,
+      "rate formula below is the α = 1/2 (sqrt) specialization")
+    val langTokens = docs
+      .select(col("lang"),
+        size(graft.func.Tokenizer.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+      .filter(col("lang_tokens") > 0L)
+    val minTokens = langTokens.agg(min("lang_tokens").as("min_tokens"))
+    val rates = langTokens.crossJoin(broadcast(minTokens))
+      .select(col("lang"), col("lang_tokens"),
+        floor(lit(1000000d) *
+          sqrt(col("min_tokens").cast("double") /
+            col("lang_tokens").cast("double")))
+          .cast("long").as("rate_ppm"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        graft.func.Exprs.md5Bucket(col("doc_id"), "mix:", 10, 1000000L)
+          .as("mix_bucket"))
+      .join(broadcast(rates), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lang_tokens"),
+        col("rate_ppm"), col("mix_bucket"),
+        (col("mix_bucket") < col("rate_ppm")).cast("int").as("sampled"))
+  }
+
+  val mixtureTemperatureOracle: String = {
+    val nib = graft.func.OracleSql.hexNibbles(
+      "md5('mix:' || CAST(doc_id AS VARCHAR))", 10)
+    s"""WITH t AS (SELECT doc_id, lang,
+       |             CAST(coalesce(len($toksSql), 0) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |l AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+       |      FROM t GROUP BY 1 HAVING sum(n_tokens) > 0),
+       |m AS (SELECT min(lang_tokens) AS min_tokens FROM l),
+       |r AS (SELECT lang, lang_tokens,
+       |        CAST(floor(1000000 * sqrt(CAST(min_tokens AS DOUBLE) /
+       |          CAST(lang_tokens AS DOUBLE))) AS BIGINT) AS rate_ppm
+       |      FROM l, m)
+       |SELECT d.doc_id, d.lang, r.lang_tokens, r.rate_ppm,
+       |       CAST($nib % 1000000 AS BIGINT) AS mix_bucket,
+       |       CAST($nib % 1000000 < r.rate_ppm AS INTEGER) AS sampled
+       |FROM documents d JOIN r ON d.lang = r.lang""".stripMargin
   }
 
   // ---- corpus report (data card) ----------------------------------

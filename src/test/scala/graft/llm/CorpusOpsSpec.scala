@@ -496,6 +496,93 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixtureTemperature: sqrt rates, same dice, realized mass flattens") {
+    val out = CorpusOps.mixtureTemperature(spark, Sf)
+    val rates = out.select("lang", "lang_tokens", "rate_ppm")
+      .distinct().as[(String, Long, Long)].collect()
+      .map { case (l, t, r) => l -> ((t, r)) }.toMap
+    assert(rates.nonEmpty)
+    val minTok = rates.values.map(_._1).min
+    rates.foreach { case (l, (t, r)) =>
+      // the α = 1/2 rate formula, recomputed independently
+      assert(r === math.floor(
+        1000000d * math.sqrt(minTok.toDouble / t.toDouble)).toLong,
+        s"rate for $l")
+    }
+    // the scarcest language keeps everything; bigger langs keep less
+    assert(rates.values.map(_._2).max === 1000000L)
+    assert(rates.toSeq.sortBy(_._2._1).map(_._2._2).reverse ===
+      rates.toSeq.sortBy(_._2._1).map(_._2._2).sorted)
+    // SAME dice as the static mixture: identical buckets per doc
+    val dice = CorpusOps.mixtureSample(spark, Sf)
+      .select("doc_id", "mix_bucket").as[(Long, Long)].collect().toMap
+    out.select("doc_id", "mix_bucket").as[(Long, Long)].collect()
+      .foreach { case (d, b) => assert(dice(d) === b, s"doc $d bucket") }
+    // temperature flattens the distribution: the dominant language's
+    // sampled token share shrinks vs its raw share
+    val docs = graft.Tables.documents(spark, Sf)
+    val toks = docs.select(col("doc_id"),
+      size(graft.func.Tokenizer.tokens(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val kept = out.filter(col("sampled") === 1)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val keptByLang = kept.groupBy(_._2).view
+      .mapValues(_.map(r => toks(r._1)).sum).toMap
+    val rawTop = rates.maxBy(_._2._1)
+    val rawShare = rawTop._2._1.toDouble / rates.values.map(_._1).sum
+    val keptShare =
+      keptByLang(rawTop._1).toDouble / keptByLang.values.sum
+    assert(keptShare < rawShare,
+      s"dominant ${rawTop._1}: kept share $keptShare vs raw $rawShare")
+  }
+
+  test("filterFunnel: per-rule counts equal a driver-side recompute") {
+    val out = CorpusOps.filterFunnel(spark, Sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // independent recompute from the raw docs, same tokenizer contract
+    val docs = graft.Tables.documents(spark, Sf)
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val stop = TextAnalysis.Stopwords.toSet
+    val markers = TextAnalysis.Markers.map { case (l, w) => (l, w.toSet) }
+    val expected = docs.groupBy(_._2).map { case (lang, rows) =>
+      var fl = 0L; var fs = 0L; var ft = 0L; var fd = 0L; var fg = 0L
+      var pass = 0L; var keptT = 0L
+      rows.foreach { case (_, l, text) =>
+        val t = Dedup.tokensOf(text)
+        val n = t.length.toLong
+        val ns = t.count(stop).toLong
+        val hits = markers.map { case (m, ws) => (m, t.count(ws).toLong) }
+        val mx = hits.map(_._2).max
+        val pred = if (mx == 0) "und" else hits.find(_._2 == mx).get._1
+        val bigrams = t.sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSeq
+        val counts = bigrams.groupBy(identity).view.mapValues(_.size).toMap
+        val total2 = bigrams.size.toLong
+        def ppm(a: Long, b: Long) = if (b > 0) 1000000L * a / b else 0L
+        val topPpm =
+          ppm(if (counts.isEmpty) 0L else counts.values.max.toLong, total2)
+        val dupPpm = ppm(total2 - counts.size.toLong, total2)
+        val fails = Seq(
+          n < CorpusOps.FunnelMinTokens || n > CorpusOps.FunnelMaxTokens,
+          ns < CorpusOps.FunnelMinStopHits,
+          topPpm > CorpusOps.FunnelTopBigramPpm,
+          dupPpm > CorpusOps.FunnelDupBigramPpm,
+          pred != l)
+        fl += (if (fails(0)) 1 else 0); fs += (if (fails(1)) 1 else 0)
+        ft += (if (fails(2)) 1 else 0); fd += (if (fails(3)) 1 else 0)
+        fg += (if (fails(4)) 1 else 0)
+        if (!fails.exists(identity)) { pass += 1; keptT += n }
+      }
+      lang -> ((lang, rows.length.toLong, fl, fs, ft, fd, fg, pass, keptT))
+    }
+    assert(out === expected)
+    // the funnel bites at this corpus shape: some rejects, some pass
+    assert(out.values.map(_._8).sum > 0, "nothing passes — thresholds wrong")
+    assert(out.values.exists(r => r._3 + r._4 + r._5 + r._6 + r._7 > 0),
+      "nothing rejected — funnel is vacuous")
+  }
+
   test("chunkPseudoKey: in-range encodes, out-of-range fails the job") {
     val key = CorpusOps.chunkPseudoKey(col("d"), col("c"))
     val maxDoc = (Long.MaxValue - (CorpusOps.ChunkKeySpan - 1)) /
