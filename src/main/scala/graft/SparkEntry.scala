@@ -86,10 +86,16 @@ object SparkEntry {
     // bit-for-bit — shares the brute oracle (hash check)
     "q_llm_ann_fullprobe"   -> (llm.Similarity.ivfTopKFullProbe(_, _)),
     "q_llm_embed_neardup"   -> (llm.Similarity.lshNearDup(_, _)),
+    // PQ-ADC + exact rescore (rows-only: float scores; quality is
+    // adjudicated by the hash-green recall query below)
+    "q_llm_ann_pq"          -> (llm.Similarity.pqTopK(_, _)),
+    "q_llm_ann_pq_recall"   -> (llm.Similarity.pqRecall(_, _)),
     "q_llm_lang_id"         -> (llm.TextAnalysis.langId(_, _)),
     "q_llm_quality"         -> (llm.TextAnalysis.qualityScore(_, _)),
     "q_llm_token_stats"     -> (llm.TextAnalysis.tokenStats(_, _)),
     "q_llm_fingerprint"     -> (llm.TextAnalysis.fingerprint(_, _)),
+    // integer TF-DF ranking: top-k keywords per doc, WindowGroupLimit
+    "q_llm_doc_keywords"    -> (llm.TextAnalysis.docKeywords(_, _)),
     "q_llm_multimodal_meta" -> (llm.Multimodal.metaQuery(_, _)),
     "q_llm_mm_resize"       -> (llm.Multimodal.resizeQuery(_, _)),
     "q_llm_mm_frames"       -> (llm.Multimodal.frameSample(_, _)),
@@ -197,6 +203,8 @@ object SparkEntry {
     "q_llm_quality"         -> llm.TextAnalysis.qualityOracle,
     "q_llm_token_stats"     -> llm.TextAnalysis.tokenStatsOracle,
     "q_llm_fingerprint"     -> llm.TextAnalysis.fingerprintOracle,
+    "q_llm_ann_pq_recall"   -> llm.Similarity.pqRecallOracle,
+    "q_llm_doc_keywords"    -> llm.TextAnalysis.docKeywordsOracle,
     "q_llm_multimodal_meta" -> llm.Multimodal.metaOracle,
     "q_llm_mm_resize"       -> llm.Multimodal.resizeOracle,
     "q_llm_mm_frames"       -> llm.Multimodal.frameSampleOracle,

@@ -351,6 +351,39 @@ object Similarity {
     /** Top-n cells by (dot desc, cell asc). */
     def probeCells(v: Seq[Double], cs: Array[Array[Double]], n: Int): Seq[Int] =
       cs.indices.map(j => (-dotJ(v, cs(j)), j)).sorted.take(n).map(_._2)
+    /** Array×array dot, ascending-index IEEE fold. */
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var t = 0
+      while (t < a.length) { acc += a(t) * b(t); t += 1 }
+      acc
+    }
+    /** dot of the subvector v[off, off + c.length) with c. */
+    def dotSub(v: Seq[Double], off: Int, c: Array[Double]): Double = {
+      var acc = 0.0
+      var t = 0
+      while (t < c.length) { acc += v(off + t) * c(t); t += 1 }
+      acc
+    }
+    /** argmin L2 of v[off, ...) over codebook entries; ulp-ties keep
+      * the lowest code (strict <). */
+    def nearestSub(v: Seq[Double], off: Int,
+        cs: Array[Array[Double]]): Int = {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)
+        var d = 0.0
+        var t = 0
+        while (t < c.length) {
+          val diff = v(off + t) - c(t); d += diff * diff; t += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      best
+    }
   }
 
   // ---- int8 scalar quantization -----------------------------------
@@ -396,6 +429,246 @@ object Similarity {
        |            ELSE CAST(floor((v[u.i] - vmin) * 255.0 / (vmax - vmin)) AS BIGINT)
        |       END AS code
        |FROM m, LATERAL (SELECT unnest(range(1, ${Dim + 1})) AS i) u""".stripMargin
+
+  // ---- product quantization (PQ-ADC) ------------------------------
+
+  /** PQ geometry: [[Dim]] split into [[PqM]] contiguous subspaces of
+    * [[PqSubDim]] dims, each quantized to one of [[PqK]] codebook
+    * entries — [[PqK]]^[[PqM]] = 65 536 distinct reconstructions from
+    * [[PqM]] bytes per vector (16× smaller than float32; Jégou,
+    * Douze & Schmid 2011, "Product Quantization for Nearest Neighbor
+    * Search" §II). */
+  val PqM = 8
+  val PqSubDim: Int = Dim / PqM
+  val PqK = 16
+  val PqLloydIters = 3
+
+  /** ADC candidates kept per query for the exact-rescore stage. */
+  val PqRescoreDepth = 100
+
+  /** Deterministic per-subspace PQ codebooks: for every subspace,
+    * seeds = the [[PqK]] lowest vec_ids' raw subvectors, then exactly
+    * [[PqLloydIters]] plain Lloyd rounds (L2 assignment, arithmetic
+    * mean — PQ quantizes RAW subvectors, so no spherical
+    * renormalization, unlike [[kmeansCentroids]]). All [[PqM]]
+    * subspaces train in the SAME typed pass per round — one scan
+    * trains the whole codebook set, emitting M×K×(SubDim+1) partial
+    * scalars per partition (coordination, not data). Cells that lose
+    * every member keep their previous centroid; L2 ulp-ties keep the
+    * lowest code. */
+  def pqCodebooks(env: DataFrame): Array[Array[Array[Double]]] = {
+    import env.sparkSession.implicits._
+    val typed = env.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+    val seeds = typed.filter(_._1 < PqK).collect().sortBy(_._1)
+    require(seeds.nonEmpty,
+      s"pqCodebooks: no seed vectors with vec_id < $PqK — empty or " +
+        "renumbered embeddings table; seed ids must start at 0")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
+      seeds.map { case (_, v) =>
+        v.slice(m * PqSubDim, (m + 1) * PqSubDim).toArray }
+    }
+    for (_ <- 1 to PqLloydIters) {
+      val bc = env.sparkSession.sparkContext.broadcast(books)
+      val partials = typed.mapPartitions { it =>
+        val bks = bc.value
+        val sums = Array.fill(PqM, bks(0).length)(new Array[Double](PqSubDim))
+        val cnt = Array.ofDim[Long](PqM, bks(0).length)
+        it.foreach { case (_, v) =>
+          var m = 0
+          while (m < PqM) {
+            val best = VecOps.nearestSub(v, m * PqSubDim, bks(m))
+            val s = sums(m)(best)
+            var t = 0
+            while (t < PqSubDim) { s(t) += v(m * PqSubDim + t); t += 1 }
+            cnt(m)(best) += 1
+            m += 1
+          }
+        }
+        (for {
+          m <- (0 until PqM).iterator
+          j <- bks(m).indices.iterator if cnt(m)(j) > 0
+        } yield ((m, j), cnt(m)(j), sums(m)(j).toSeq))
+      }.collect()
+      val byCell = partials.groupBy(_._1)
+      books = Array.tabulate(PqM) { m =>
+        books(m).zipWithIndex.map { case (old, j) =>
+          byCell.get((m, j)) match {
+            case Some(rows) =>
+              val n = rows.map(_._2).sum.toDouble
+              (0 until PqSubDim).map(t => rows.map(_._3(t)).sum / n).toArray
+            case None => old
+          }
+        }
+      }
+      bc.destroy()
+    }
+    books
+  }
+
+  /** Memoized PQ codebooks — the same build/probe separation (and the
+    * same immutable-path assumption) as [[centroidCache]]. */
+  private val pqBookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  private def pqBooksFor(spark: SparkSession, dir: String) = {
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    pqBookCache.getOrElseUpdate(dir, pqCodebooks(raw))
+  }
+
+  /** PQ top-k with asymmetric distance computation (ADC) + exact
+    * rescore: the corpus is stored as [[PqM]]-nibble codes; each
+    * query computes ONE M×K lookup table of subspace dots against
+    * the codebooks, and every candidate's approximate dot is then
+    * [[PqM]] table lookups + adds instead of [[Dim]] multiplies (the
+    * asymmetry: the query stays full-precision, only the database
+    * side is quantized — Jégou et al. §III). Approximate cosine
+    * divides by the exact query norm × the RECONSTRUCTION norm
+    * (√Σ‖c_{m,code}‖²). The ADC scan keeps [[PqRescoreDepth]]
+    * candidates per query, which are then rescored against the
+    * full-precision column — the two-stage serving shape every PQ
+    * deployment runs (coarse ADC ranks cheaply; exact rescore
+    * removes the quantization error from the final [[TopK]]), and
+    * final cos_ppm agrees bit-for-bit with [[bruteTopK]] on
+    * recovered pairs (same expression path).
+    *
+    * Scale shape: the ADC pass is one typed scan of the code rows
+    * with the bounded query set (≤ [[MaxQueries]]) broadcast; each
+    * partition keeps a per-query HEAP of [[PqRescoreDepth]] and
+    * emits only queries × depth rows (selection under a total order
+    * is partition-stable, so partition-local top-k loses nothing) —
+    * the candidate window ranks partitions × queries × depth rows,
+    * NOT queries × corpus, and the rescore joins a broadcast-sized
+    * candidate list back to the vector column. Exhaustive-scan ADC
+    * by design: it pins the PQ mechanics alone; production composes
+    * it with [[ivfTopK]]'s cell probing (IVFADC) so the scanned set
+    * also shrinks by KCells/NProbe. Float-derived scores ⇒ rows-only
+    * driver check (the [[ivfTopK]] precedent); quality is
+    * adjudicated by the hash-green [[pqRecall]]. */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val books = pqBooksFor(spark, dir)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        norm(col("embedding")).as("nrm"))
+    // corpus side: M-nibble codes, one typed pass
+    val codes = e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val bks = bcBooks.value
+        it.map { case (id, v) =>
+          (id, Array.tabulate(PqM)(m =>
+            VecOps.nearestSub(v, m * PqSubDim, bks(m))))
+        }
+      }
+    // query side: bounded population (the bruteTopK contract), exact
+    // norms, broadcast to every partition
+    val queryPop = e.filter(col("vec_id") % QueryStride === 0 &&
+      col("vec_id") < QueryStride * MaxQueries)
+    val queries = queryPop.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    val bcQueries = spark.sparkContext.broadcast(queries)
+    val adc = codes.mapPartitions { it =>
+      val bks = bcBooks.value
+      val qs = bcQueries.value
+      // per-query ADC lookup tables + per-code reconstruction norms,
+      // built once per partition
+      val cn2 = Array.tabulate(PqM, PqK) { (m, j) =>
+        VecOps.dotA(bks(m)(j), bks(m)(j)) }
+      val luts = qs.map { case (_, qv, _) =>
+        Array.tabulate(PqM, PqK) { (m, j) =>
+          VecOps.dotSub(qv, m * PqSubDim, bks(m)(j)) }
+      }
+      // (adc_ppm desc, neighbor_id asc) bounded min-heaps
+      val ord = Ordering.by[(Long, Long), (Long, Long)] {
+        case (ppm, nid) => (-ppm, nid) }
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord))
+      it.foreach { case (id, code) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, _, qn) = qs(qi)
+          if (id != qid) {
+            var d = 0.0; var rn2 = 0.0
+            var m = 0
+            while (m < PqM) {
+              d += luts(qi)(m)(code(m)); rn2 += cn2(m)(code(m)); m += 1
+            }
+            val ppm = math.floor(d / (qn * math.sqrt(rn2)) * 1e6).toLong
+            val h = heaps(qi)
+            if (h.size < PqRescoreDepth) h.enqueue((ppm, id))
+            else if (ord.lt((ppm, id), h.head)) {
+              h.dequeue(); h.enqueue((ppm, id))
+            }
+          }
+          qi += 1
+        }
+      }
+      (for {
+        qi <- qs.indices.iterator
+        (ppm, nid) <- heaps(qi).iterator
+      } yield (qs(qi)._1, nid, ppm))
+    }.toDF("query_id", "neighbor_id", "adc_ppm")
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_ppm").desc, col("neighbor_id"))
+    val candidates = adc
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= PqRescoreDepth)
+      .select("query_id", "neighbor_id")
+    // exact rescore: same expression path as bruteTopK, so cos_ppm is
+    // bit-identical on recovered pairs
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_ppm").desc, col("neighbor_id"))
+    candidates
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv_emb"), col("nrm").as("nn")), Seq("neighbor_id"))
+      .join(broadcast(queryPop.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), col("nrm").as("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(dot(col("qv"), col("nv_emb")) / (col("qn") * col("nn")) * 1e6)
+          .cast("long").as("cos_ppm"))
+      .withColumn("rank", row_number().over(wTop).cast("int"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "rank", "neighbor_id", "cos_ppm")
+  }
+
+  /** Per-query PQ recall floor vs [[bruteTopK]], ppm of [[TopK]] —
+    * [[RecallFloorPpm]]'s role for the ADC path. Measured per-query
+    * minima at 8×16 codebooks with depth-100 exact rescore: 7/10 at
+    * sf0.001 and sf0.01, 4/10 at sf0.1 (zero-hit queries: none at any
+    * sf) — the 2/10 floor holds everywhere with ≥ 2 hits of headroom
+    * (re-measure on fixture regeneration, the [[RecallFloorPpm]]
+    * discipline). Without the rescore stage the raw ADC ranking
+    * bottomed out at 0/10 — the measurement that made the two-stage
+    * shape the shipped one, not an optimization note. */
+  val PqRecallFloorPpm = 200000L
+
+  /** Driver-decidable PQ quality contract: one row per query in the
+    * deterministic population, `meets_floor` = (ADC∩brute ≥
+    * [[PqRecallFloorPpm]] of [[TopK]]) — the oracle pins every row to
+    * 1 (hash check), the [[ivfRecall]] pattern. */
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = bruteTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val pq = pqTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = pq.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hit_ct"))
+    val qids = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % QueryStride === 0 &&
+        col("vec_id") < QueryStride * MaxQueries)
+      .select(col("vec_id").as("query_id"))
+    qids.join(hits, Seq("query_id"), "left")
+      .withColumn("recall_ppm",
+        expr(s"(1000000 * coalesce(hit_ct, 0L)) DIV $TopK"))
+      .select(col("query_id"),
+        (col("recall_ppm") >= PqRecallFloorPpm).cast("int").as("meets_floor"))
+  }
+
+  val pqRecallOracle: String =
+    s"""SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS meets_floor
+       |FROM embeddings
+       |WHERE vec_id % $QueryStride = 0 AND vec_id < ${QueryStride * MaxQueries}""".stripMargin
 
   // ---- random-hyperplane LSH --------------------------------------
 

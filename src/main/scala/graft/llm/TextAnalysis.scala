@@ -266,4 +266,57 @@ object TextAnalysis {
        |       ${graft.func.OracleSql.hexNibbles("fp", 4)} % 256 AS fp_bucket
        |FROM t""".stripMargin
   }
+
+  // ---- per-doc keyword extraction ---------------------------------
+
+  /** Keywords reported per document by [[docKeywords]]. */
+  val KeywordsPerDoc = 3
+
+  /** Per-document keyword extraction, the TF-IDF idea restated in
+    * integers: rank a doc's terms by (tf DESC, df ASC, term ASC) —
+    * high in-doc frequency first, corpus-common terms (high document
+    * frequency) demoted — and keep the top [[KeywordsPerDoc]]. The
+    * integer ordering is a monotone surrogate for tf·idf that needs
+    * no log/float, so the output is bit-portable to the oracle, and
+    * the (df, term) tie-breaks make the ranking a total order (terms
+    * are distinct within a doc).
+    *
+    * Scale shape: tf is one (doc_id, term) hash aggregate; df reduces
+    * tf (already distinct per doc) by term — vocabulary-bounded, far
+    * smaller than the corpus; the df join back is term-keyed (skew on
+    * ultra-common terms is bounded by each doc contributing one row
+    * per distinct term, and AQE splits what remains); the final
+    * per-doc top-k runs as WindowGroupLimit — map-side heaps, no full
+    * sort of any partition. */
+  def docKeywords(spark: SparkSession, dir: String): DataFrame =
+    docKeywordsOf(Tables.documents(spark, dir))
+
+  /** [[docKeywords]] over any (doc_id, text) frame — public for
+    * tests. */
+  def docKeywordsOf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), Tokenizer.explodeTokens(col("text")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KeywordsPerDoc)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"))
+  }
+
+  val docKeywordsOracle: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |        row_number() OVER (PARTITION BY tf.doc_id
+       |          ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+       |      FROM tf JOIN df USING (term))
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+       |FROM r WHERE rank <= $KeywordsPerDoc""".stripMargin
 }

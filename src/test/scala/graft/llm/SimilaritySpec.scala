@@ -61,6 +61,53 @@ class SimilaritySpec extends SparkSpec {
         rec.filter(_._2 != 1).keys.mkString(","))
   }
 
+  test("pqCodebooks: deterministic, one codebook per subspace") {
+    val raw = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = Similarity.pqCodebooks(raw)
+    val b = Similarity.pqCodebooks(raw)
+    assert(a.length === Similarity.PqM)
+    a.foreach { book =>
+      assert(book.length === Similarity.PqK)
+      book.foreach(c => assert(c.length === Similarity.PqSubDim))
+    }
+    // two builds from the same frame are bit-identical (fixed seeds,
+    // fixed rounds, pinned IEEE order)
+    assert(a.flatten.flatten.toSeq === b.flatten.flatten.toSeq)
+  }
+
+  test("pqTopK: exact-rescore scores agree with brute on shared pairs") {
+    val brute = Similarity.bruteTopK(spark, Sf)
+      .select("query_id", "neighbor_id", "cos_ppm")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val pq = Similarity.pqTopK(spark, Sf)
+      .select("query_id", "neighbor_id", "cos_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(pq.nonEmpty)
+    // recovered pairs carry the EXACT cosine ppm (same expression path)
+    pq.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(bc => assert(bc === c, s"pair ($q, $n)"))
+    }
+    // per-query output is exactly TopK, ranks 1..k
+    val byQ = pq.groupBy(_._1)
+    byQ.values.foreach(rows => assert(rows.length === Similarity.TopK))
+  }
+
+  test("pqRecall: full query population, every query meets the floor") {
+    val rec = Similarity.pqRecall(spark, Sf)
+      .as[(Long, Int)].collect().toMap
+    val expected = graft.Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") % Similarity.QueryStride === 0 &&
+        col("vec_id") < Similarity.QueryStride * Similarity.MaxQueries)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rec.keySet == expected, "one row per deterministic query id")
+    assert(rec.values.forall(_ == 1),
+      s"queries under the ${Similarity.PqRecallFloorPpm} ppm floor: " +
+        rec.filter(_._2 != 1).keys.mkString(","))
+  }
+
   test("quantizeInt8: codes in range, dequantization error bounded") {
     val codes = Similarity.quantizeInt8(spark, Sf)
       .as[(Long, Long, Long)].collect()

@@ -66,4 +66,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall { case (nt, ty, ttr) => ty <= nt && ttr <= 1000000L })
   }
+
+  test("docKeywords: tf-first ranking, common terms demoted by df") {
+    // doc 1: 'rare' and 'common' both tf=2; 'common' is in every doc
+    // (df=3) so 'rare' (df=1) must outrank it at equal tf
+    val d = Seq(
+      (1L, "rare rare common common x y"),
+      (2L, "common z"),
+      (3L, "common w")).toDF("doc_id", "text")
+    val out = TextAnalysis.docKeywordsOf(d)
+      .select("doc_id", "rank", "term", "tf", "df")
+      .as[(Long, Long, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out(1L).map(r => (r._3, r._4, r._5)) ===
+      Seq(("rare", 2L, 1L), ("common", 2L, 3L), ("x", 1L, 1L)))
+    // ranks are 1..k, k bounded, and every doc appears
+    assert(out.keySet === Set(1L, 2L, 3L))
+    out.values.foreach { rows =>
+      assert(rows.map(_._2) === (1L to rows.length))
+      assert(rows.length <= TextAnalysis.KeywordsPerDoc)
+    }
+    // WindowGroupLimit must be in the plan (map-side top-k, not a
+    // full per-partition sort at corpus scale)
+    val plan = TextAnalysis.docKeywords(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
 }
