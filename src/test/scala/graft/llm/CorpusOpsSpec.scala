@@ -453,6 +453,24 @@ class CorpusOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(chunkPlan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"chunk should scan only (doc_id, text):\n$chunkPlan")
+    // funnel's typed pass: exactly (doc_id, lang, text), never the
+    // full row (source/n_chars would ride the deserializer for nothing)
+    val funnelPlan = CorpusOps.filterFunnel(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(funnelPlan.contains(
+      "ReadSchema: struct<doc_id:bigint,text:string,lang:string>") ||
+      funnelPlan.contains(
+        "ReadSchema: struct<doc_id:bigint,lang:string,text:string>"),
+      s"filterFunnel should scan only (doc_id, lang, text):\n$funnelPlan")
+    // temperature mixture: the doc-side scan must NOT read text (only
+    // the rate side tokenizes); both scans stay pruned
+    val tempPlan = CorpusOps.mixtureTemperature(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(tempPlan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"mixtureTemperature doc side should scan only (doc_id, lang):\n$tempPlan")
+    assert(tempPlan.contains("ReadSchema: struct<text:string,lang:string>") ||
+      tempPlan.contains("ReadSchema: struct<lang:string,text:string>"),
+      s"mixtureTemperature rate side should scan only (lang, text):\n$tempPlan")
   }
 
   test("contamination bloom forms are bit-identical to the exact form") {
