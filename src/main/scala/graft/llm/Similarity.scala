@@ -611,14 +611,24 @@ object Similarity {
         (ppm, nid) <- heaps(qi).iterator
       } yield (qs(qi)._1, nid, ppm))
     }.toDF("query_id", "neighbor_id", "adc_ppm")
+    exactRescoreTopK(adc, e, queryPop)
+  }
+
+  /** Shared second stage of the quantized ANN paths: keep the
+    * [[PqRescoreDepth]] best approximate candidates per query, rescore
+    * them against the full-precision column with the SAME expression
+    * path as [[bruteTopK]] (so cos_ppm is bit-identical on recovered
+    * pairs), and emit the exact-ranked [[TopK]]. `approx` carries
+    * (query_id, neighbor_id, adc_ppm); `e` carries (vec_id, embedding,
+    * nrm); `queryPop` is the bounded query population. */
+  private def exactRescoreTopK(approx: DataFrame, e: DataFrame,
+      queryPop: DataFrame): DataFrame = {
     val wCand = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_ppm").desc, col("neighbor_id"))
-    val candidates = adc
+    val candidates = approx
       .withColumn("crank", row_number().over(wCand))
       .filter(col("crank") <= PqRescoreDepth)
       .select("query_id", "neighbor_id")
-    // exact rescore: same expression path as bruteTopK, so cos_ppm is
-    // bit-identical on recovered pairs
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_ppm").desc, col("neighbor_id"))
     candidates
@@ -666,6 +676,120 @@ object Similarity {
   }
 
   val pqRecallOracle: String =
+    s"""SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS meets_floor
+       |FROM embeddings
+       |WHERE vec_id % $QueryStride = 0 AND vec_id < ${QueryStride * MaxQueries}""".stripMargin
+
+  // ---- IVFADC: coarse cells × PQ codes ----------------------------
+
+  /** Cells probed by [[ivfPqTopK]] — wider than [[NProbe]] because the
+    * composition stacks two approximation losses (cells drop
+    * candidates, ADC mis-ranks within them); 4 of [[KCells]] is the
+    * measured knob that keeps the recall floor clear at every sf. */
+  val IvfPqNProbe = 4
+
+  /** IVFADC — the composition both indexes exist for (Jégou et al.
+    * §IV, the architecture of every production PQ deployment): the
+    * coarse quantizer restricts each query to [[IvfPqNProbe]] cells
+    * (candidates shrink ~KCells/nprobe), PQ makes every surviving
+    * distance [[PqM]] lookup-adds instead of [[Dim]] multiplies, and
+    * the shared exact-rescore stage fixes the final ranks from the
+    * full-precision column.
+    *
+    * Scale shape: ONE fused typed pass assigns every vector its cell
+    * AND its PQ code (both quantizers broadcast — scalars); the only
+    * corpus-scale shuffle is the cell-keyed candidate join, which
+    * carries (vec_id, cell, code) rows — [[PqM]] ints of payload, not
+    * embeddings. Query LUTs are built once on the driver (bounded
+    * population × M×K doubles) and broadcast; the ADC pass is a
+    * narrow typed map over the joined rows. Float-derived ⇒ rows-only
+    * driver check; quality adjudicated by the hash-green
+    * [[ivfPqRecall]]. */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val books = pqBooksFor(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        norm(col("embedding")).as("nrm"))
+      .withColumn("nv", transform(col("v"), _ / col("nrm")))
+    val cents = centroidCache.getOrElseUpdate(dir,
+      kmeansCentroids(e.select(col("vec_id"), col("nv"))))
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    // fused assignment: coarse cell + PQ code in one compiled-once pass
+    val assigned = e.select(col("vec_id"), col("v"), col("nv"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .mapPartitions { it =>
+        val cs = bcCents.value; val bks = bcBooks.value
+        it.map { case (id, v, nv) =>
+          (id, VecOps.nearestCell(nv, cs),
+            Array.tabulate(PqM)(m => VecOps.nearestSub(v, m * PqSubDim, bks(m))))
+        }
+      }.toDF("vec_id", "cell", "code")
+    val queryPop = e.filter(col("vec_id") % QueryStride === 0 &&
+      col("vec_id") < QueryStride * MaxQueries)
+    val queries = queryPop.select(col("vec_id"), col("v"), col("nrm"), col("nv"))
+      .as[(Long, Seq[Double], Double, Seq[Double])].collect().sortBy(_._1)
+    // driver-built per-query ADC tables: bounded population × M×K
+    // doubles — scalars, the same coordination class as the centroids
+    val luts: Map[Long, Array[Array[Double]]] = queries.map {
+      case (qid, qv, _, _) =>
+        qid -> Array.tabulate(PqM, PqK) { (m, j) =>
+          VecOps.dotSub(qv, m * PqSubDim, books(m)(j)) }
+    }.toMap
+    val cn2 = Array.tabulate(PqM, PqK) { (m, j) =>
+      VecOps.dotA(books(m)(j), books(m)(j)) }
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val bcCn2 = spark.sparkContext.broadcast(cn2)
+    val probes = queries.flatMap { case (qid, _, qn, nv) =>
+      VecOps.probeCells(nv, cents, IvfPqNProbe).map(c => (qid, qn, c))
+    }.toSeq.toDF("query_id", "qn", "cell")
+    val adc = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qn"), col("vec_id"), col("code"))
+      .as[(Long, Double, Long, Seq[Int])]
+      .mapPartitions { it =>
+        val ls = bcLuts.value; val c2 = bcCn2.value
+        it.map { case (qid, qn, nid, code) =>
+          val lut = ls(qid)
+          var d = 0.0; var rn2 = 0.0
+          var m = 0
+          while (m < PqM) { d += lut(m)(code(m)); rn2 += c2(m)(code(m)); m += 1 }
+          (qid, nid, math.floor(d / (qn * math.sqrt(rn2)) * 1e6).toLong)
+        }
+      }.toDF("query_id", "neighbor_id", "adc_ppm")
+    exactRescoreTopK(adc, e, queryPop)
+  }
+
+  /** Per-query IVFADC recall floor vs [[bruteTopK]]. Measured minima
+    * at nprobe 4/[[KCells]] with depth-100 rescore: 5/10 at sf0.001,
+    * 4/10 at sf0.01, 2/10 at sf0.1, zero-hit-free — the 1/10 floor
+    * holds everywhere with ≥ 1 hit of headroom (re-measure on fixture
+    * regeneration). Lower than [[PqRecallFloorPpm]] because the cell
+    * stage also drops candidates ([[RecallFloorPpm]]'s regime);
+    * nprobe is the serving knob that trades it back. */
+  val IvfPqRecallFloorPpm = 100000L
+
+  /** [[pqRecall]]'s contract for the composed path: oracle pins every
+    * query's `meets_floor` to 1 (hash check). */
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = bruteTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val ivfpq = ivfPqTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = ivfpq.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hit_ct"))
+    val qids = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % QueryStride === 0 &&
+        col("vec_id") < QueryStride * MaxQueries)
+      .select(col("vec_id").as("query_id"))
+    qids.join(hits, Seq("query_id"), "left")
+      .withColumn("recall_ppm",
+        expr(s"(1000000 * coalesce(hit_ct, 0L)) DIV $TopK"))
+      .select(col("query_id"),
+        (col("recall_ppm") >= IvfPqRecallFloorPpm).cast("int").as("meets_floor"))
+  }
+
+  val ivfPqRecallOracle: String =
     s"""SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS meets_floor
        |FROM embeddings
        |WHERE vec_id % $QueryStride = 0 AND vec_id < ${QueryStride * MaxQueries}""".stripMargin
@@ -792,5 +916,53 @@ object Similarity {
        |           ON a.band = b.band AND a.nib = b.nib AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, CAST(floor($dotNv * 1e6) AS BIGINT) AS cos_ppm
        |FROM cand WHERE CAST(floor($dotNv * 1e6) AS BIGINT) >= $NearDupPpm""".stripMargin
+  }
+
+  // ---- embedding-space dedup keep-list ----------------------------
+
+  /** End-to-end SEMANTIC dedup — the embedding-space analog of
+    * [[Dedup.dedupClosure]] (the SemDeDup idea, Abbas et al. 2023:
+    * near-duplicate meaning, not near-duplicate text): [[lshNearDup]]
+    * pairs → connected components ([[Dedup.closureKeepers]]'s pointer
+    * doubling, O(log diameter) rounds) → keep the lowest vec_id per
+    * component. One row per embedding with its component keeper and
+    * the keep verdict — the list a curation pass anti-joins against.
+    *
+    * Scale shape: inherits both parents' — candidate generation is
+    * banded (never all-pairs), the closure shuffles only the pair
+    * graph (≪ corpus), and the final verdict join is one left join
+    * from the embeddings scan pruned to vec_id. The oracle restates
+    * the WHOLE chain: the sign-LSH pipeline as CTEs feeding a
+    * recursive-CTE reachability walk — hash-exact end to end. */
+  def embedKeepList(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshNearDup(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(Dedup.closureKeepers(pairs)
+        .withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("keeper"), col("vec_id")).as("keeper"),
+        when(col("keeper").isNull || col("keeper") === col("vec_id"), 1)
+          .otherwise(0).cast("int").as("kept"))
+  }
+
+  lazy val embedKeepListOracle: String = {
+    val inner = lshNearDupOracle.replace("\n", "\n  ")
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT vec_a, vec_b FROM (
+       |  $inner
+       |  ) p),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |          UNION SELECT vec_b, vec_a FROM pairs),
+       |walk(src, reach) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+       |label AS (SELECT src AS vec_id, min(reach) AS keeper FROM walk GROUP BY src)
+       |SELECT emb.vec_id,
+       |       coalesce(l.keeper, emb.vec_id) AS keeper,
+       |       CAST(CASE WHEN l.keeper IS NULL OR l.keeper = emb.vec_id
+       |            THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM embeddings emb LEFT JOIN label l ON emb.vec_id = l.vec_id""".stripMargin
   }
 }

@@ -108,6 +108,67 @@ class SimilaritySpec extends SparkSpec {
         rec.filter(_._2 != 1).keys.mkString(","))
   }
 
+  test("ivfPqTopK: candidates come only from probed cells, exact rescored") {
+    val brute = Similarity.bruteTopK(spark, Sf)
+      .select("query_id", "neighbor_id", "cos_ppm")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, n, c) => (q, n) -> c }.toMap
+    val out = Similarity.ivfPqTopK(spark, Sf)
+      .select("query_id", "neighbor_id", "cos_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // rescored pairs carry the EXACT cosine ppm on brute-shared pairs
+    out.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(bc => assert(bc === c, s"pair ($q, $n)"))
+    }
+    // wider probing than plain IVF: the composed path must recall at
+    // least what the spec demands of ivfTopK
+    val bruteSet = brute.keySet
+    val got = out.map { case (q, n, _) => (q, n) }.toSet
+    val recall = (bruteSet intersect got).size.toDouble / bruteSet.size
+    assert(recall >= 0.3, s"IVFADC recall vs brute was $recall")
+  }
+
+  test("ivfPqRecall: full query population, every query meets the floor") {
+    val rec = Similarity.ivfPqRecall(spark, Sf)
+      .as[(Long, Int)].collect().toMap
+    val expected = graft.Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") % Similarity.QueryStride === 0 &&
+        col("vec_id") < Similarity.QueryStride * Similarity.MaxQueries)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rec.keySet == expected, "one row per deterministic query id")
+    assert(rec.values.forall(_ == 1),
+      s"queries under the ${Similarity.IvfPqRecallFloorPpm} ppm floor: " +
+        rec.filter(_._2 != 1).keys.mkString(","))
+  }
+
+  test("embedKeepList: keepers are component minima of the near-dup graph") {
+    val pairs = Similarity.lshNearDup(spark, Sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val out = Similarity.embedKeepList(spark, Sf)
+      .as[(Long, Long, Int)].collect()
+      .map { case (v, k, kept) => v -> ((k, kept)) }.toMap
+    // driver-side union-find over the same pair set
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allVecs = graft.Tables.embeddings(spark, Sf)
+      .select("vec_id").as[Long].collect()
+    assert(out.keySet === allVecs.toSet, "one verdict per embedding")
+    allVecs.foreach { v =>
+      val keeper = find(v)
+      assert(out(v) === ((keeper, if (keeper == v) 1 else 0)), s"vec $v")
+    }
+    // the list actually deduplicates at this corpus shape
+    assert(out.values.exists(_._2 == 0), "no drops — vacuous keep-list")
+  }
+
   test("quantizeInt8: codes in range, dequantization error bounded") {
     val codes = Similarity.quantizeInt8(spark, Sf)
       .as[(Long, Long, Long)].collect()
