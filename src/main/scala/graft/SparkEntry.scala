@@ -62,6 +62,10 @@ object SparkEntry {
     "q_ads_province_map"     -> (ads.Queries.provinceMap(_, _)),
     "q_ads_visitor_ratios"   -> (ads.Queries.visitorRatios(_, _)),
     "q_ads_hour_backfill"    -> (ads.Queries.hourBackfill(_, _)),
+    // event-sequence analytics: ordered conversion funnel + cohort
+    // retention (both integer epoch-ms/epoch-day arithmetic)
+    "q_ads_funnel"           -> (ads.EventFlows.funnel(_, _)),
+    "q_ads_retention"        -> (ads.EventFlows.retention(_, _)),
     // Sink layer (K2–K5): real write → read-back through each sink path
     "q_sink_dedup_latest" -> (sinks.Sinks.dedupLatestQuery(_, _)),
     "q_sink_route"        -> (sinks.Sinks.routeQuery(_, _)),
@@ -90,12 +94,21 @@ object SparkEntry {
     // adjudicated by the hash-green recall query below)
     "q_llm_ann_pq"          -> (llm.Similarity.pqTopK(_, _)),
     "q_llm_ann_pq_recall"   -> (llm.Similarity.pqRecall(_, _)),
+    // IVFADC: coarse cells x PQ codes x exact rescore (rows-only) +
+    // its hash-green recall adjudicator
+    "q_llm_ann_ivfpq"       -> (llm.Similarity.ivfPqTopK(_, _)),
+    "q_llm_ann_ivfpq_recall" -> (llm.Similarity.ivfPqRecall(_, _)),
+    // semantic dedup: sign-LSH pairs -> connected components -> keepers
+    "q_llm_embed_keeplist"  -> (llm.Similarity.embedKeepList(_, _)),
     "q_llm_lang_id"         -> (llm.TextAnalysis.langId(_, _)),
     "q_llm_quality"         -> (llm.TextAnalysis.qualityScore(_, _)),
     "q_llm_token_stats"     -> (llm.TextAnalysis.tokenStats(_, _)),
     "q_llm_fingerprint"     -> (llm.TextAnalysis.fingerprint(_, _)),
     // integer TF-DF ranking: top-k keywords per doc, WindowGroupLimit
     "q_llm_doc_keywords"    -> (llm.TextAnalysis.docKeywords(_, _)),
+    // lexical index structures: token->postings + exact-rational IDF
+    "q_llm_inverted_index"  -> (llm.Index.invertedIndex(_, _)),
+    "q_llm_idf_rarity"      -> (llm.Index.idfRarity(_, _)),
     "q_llm_multimodal_meta" -> (llm.Multimodal.metaQuery(_, _)),
     "q_llm_mm_resize"       -> (llm.Multimodal.resizeQuery(_, _)),
     "q_llm_mm_frames"       -> (llm.Multimodal.frameSample(_, _)),
@@ -177,6 +190,8 @@ object SparkEntry {
     "q_ads_province_map"     -> ads.Queries.provinceMapOracle,
     "q_ads_visitor_ratios"   -> ads.Queries.visitorRatiosOracle,
     "q_ads_hour_backfill"    -> ads.Queries.hourBackfillOracle,
+    "q_ads_funnel"           -> ads.EventFlows.funnelOracle,
+    "q_ads_retention"        -> ads.EventFlows.retentionOracle,
     "q_sink_dedup_latest" -> sinks.Sinks.dedupLatestOracle,
     "q_sink_route"        -> sinks.Sinks.routeOracle,
     "q_sink_republish"    -> sinks.Sinks.republishOracle,
@@ -204,7 +219,11 @@ object SparkEntry {
     "q_llm_token_stats"     -> llm.TextAnalysis.tokenStatsOracle,
     "q_llm_fingerprint"     -> llm.TextAnalysis.fingerprintOracle,
     "q_llm_ann_pq_recall"   -> llm.Similarity.pqRecallOracle,
+    "q_llm_ann_ivfpq_recall" -> llm.Similarity.ivfPqRecallOracle,
+    "q_llm_embed_keeplist"  -> llm.Similarity.embedKeepListOracle,
     "q_llm_doc_keywords"    -> llm.TextAnalysis.docKeywordsOracle,
+    "q_llm_inverted_index"  -> llm.Index.invertedIndexOracle,
+    "q_llm_idf_rarity"      -> llm.Index.idfRarityOracle,
     "q_llm_multimodal_meta" -> llm.Multimodal.metaOracle,
     "q_llm_mm_resize"       -> llm.Multimodal.resizeOracle,
     "q_llm_mm_frames"       -> llm.Multimodal.frameSampleOracle,

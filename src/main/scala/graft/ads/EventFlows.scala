@@ -1,0 +1,127 @@
+package graft.ads
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-sequence analytics over the behavior log (`events` stands in
+  * for the reference's `ods_base_log` stream): ordered conversion
+  * funnel and cohort retention — the two dashboard families the
+  * reference's Sugar API implies but never ships (it stops at
+  * per-window visitor counts, gmall-publisher2 SugarController.java);
+  * both are standard ADS-layer extensions of the same data.
+  *
+  * Everything is integer arithmetic on epoch milliseconds / epoch
+  * days — bit-portable to the DuckDB oracle at any parallelism.
+  */
+object EventFlows {
+  /** Ordered funnel stages, first-touch semantics: the first `view`,
+    * the first `click` strictly after it, the first `purchase`
+    * strictly after that. */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Conversion funnel, one row per user: first-view / first-click-
+    * after-view / first-purchase-after-click epoch-ms (null where the
+    * user never reached the stage) and the reached depth 0..3.
+    *
+    * Scale shape: every aggregate and join is keyed on `user_id`, so
+    * one hash partitioning serves the whole chain (AQE reuses the
+    * exchange); each stage's input shrinks to users that survived the
+    * previous stage — the per-stage frames are filtered scans, never
+    * the full log re-shuffled on a new key. No windows, no
+    * collect-per-user lists: state per user is three longs. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(Tables.events(spark, dir))
+
+  /** [[funnel]] over any (user_id, event_type, ts) frame. */
+  def funnelOf(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val v = ev.filter(col("event_type") === FunnelStages(0))
+      .groupBy("user_id").agg(min("ms").as("view_ms"))
+    val c = ev.filter(col("event_type") === FunnelStages(1))
+      .join(v, "user_id").filter(col("ms") > col("view_ms"))
+      .groupBy("user_id").agg(min("ms").as("click_ms"))
+    val p = ev.filter(col("event_type") === FunnelStages(2))
+      .join(c, "user_id").filter(col("ms") > col("click_ms"))
+      .groupBy("user_id").agg(min("ms").as("purchase_ms"))
+    ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ms"), col("click_ms"),
+        col("purchase_ms"),
+        (col("view_ms").isNotNull.cast("int") +
+          col("click_ms").isNotNull.cast("int") +
+          col("purchase_ms").isNotNull.cast("int")).as("depth"))
+  }
+
+  lazy val funnelOracle: String = {
+    val Seq(s0, s1, s2) = FunnelStages
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+       |v AS (SELECT user_id, min(ms) AS view_ms FROM ev
+       |      WHERE event_type = '$s0' GROUP BY 1),
+       |c AS (SELECT ev.user_id, min(ms) AS click_ms FROM ev JOIN v USING (user_id)
+       |      WHERE event_type = '$s1' AND ms > view_ms GROUP BY 1),
+       |p AS (SELECT ev.user_id, min(ms) AS purchase_ms FROM ev JOIN c USING (user_id)
+       |      WHERE event_type = '$s2' AND ms > click_ms GROUP BY 1)
+       |SELECT u.user_id, view_ms, click_ms, purchase_ms,
+       |       CAST(CASE WHEN view_ms IS NOT NULL THEN 1 ELSE 0 END
+       |          + CASE WHEN click_ms IS NOT NULL THEN 1 ELSE 0 END
+       |          + CASE WHEN purchase_ms IS NOT NULL THEN 1 ELSE 0 END
+       |          AS INTEGER) AS depth
+       |FROM (SELECT DISTINCT user_id FROM ev) u
+       |LEFT JOIN v USING (user_id)
+       |LEFT JOIN c USING (user_id)
+       |LEFT JOIN p USING (user_id)""".stripMargin
+  }
+
+  /** Cohort retention: users bucketed by first-active epoch-day, then
+    * for every (cohort_day, day_offset) the distinct active users and
+    * the retention rate vs the cohort's day-0 size (ppm, integer DIV).
+    * Day arithmetic is pure epoch-ms integer division — no calendar
+    * functions to disagree across engines.
+    *
+    * Scale shape: the distinct-activity projection collapses the log
+    * to ≤ users×days rows FIRST (map-side combine on the distinct),
+    * and everything after runs on that collapsed frame: first-day agg
+    * and activity join share the `user_id` partitioning, the final
+    * count groups by (cohort, offset) — tiny. The day-0 denominator
+    * comes from a window over the already-aggregated counts (cohort
+    * cardinality, not event cardinality). */
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    retentionOf(Tables.events(spark, dir))
+
+  /** [[retention]] over any (user_id, ts) frame. */
+  def retentionOf(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"), expr("unix_millis(ts) DIV 86400000").as("day"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val counts = act.join(first, "user_id")
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .groupBy("cohort_day", "day_offset").agg(count(lit(1)).as("users"))
+    // offset 0 always exists (the first active day is in `act`), so the
+    // max-over-cohort window always finds the denominator
+    val wc = Window.partitionBy("cohort_day")
+    counts
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("users"))).over(wc))
+      .withColumn("retained_ppm", expr("(1000000 * users) DIV cohort_size"))
+      .select("cohort_day", "day_offset", "users", "retained_ppm")
+  }
+
+  lazy val retentionOracle: String =
+    """WITH act AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1),
+      |c AS (SELECT cohort_day, day - cohort_day AS day_offset,
+      |             CAST(count(*) AS BIGINT) AS users
+      |      FROM act JOIN f USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_day, day_offset, users,
+      |       (1000000 * users) //
+      |         (max(CASE WHEN day_offset = 0 THEN users END)
+      |            OVER (PARTITION BY cohort_day)) AS retained_ppm
+      |FROM c""".stripMargin
+}

@@ -1,0 +1,86 @@
+package graft.ads
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EventFlowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.map { case (u, t, ms) => (u, t, new Timestamp(ms)) }
+      .toDF("user_id", "event_type", "ts")
+
+  test("funnel: stages must be reached strictly in order, first-touch") {
+    val out = EventFlows.funnelOf(ev(
+      // full path; the click BEFORE the first view must not count
+      (1L, "click", 50L), (1L, "view", 100L), (1L, "click", 200L),
+      (1L, "click", 300L), (1L, "purchase", 400L),
+      // purchase before click-after-view: depth stops at 2
+      (2L, "view", 100L), (2L, "purchase", 150L), (2L, "click", 200L),
+      // never viewed: clicks and purchases are orphans, depth 0
+      (3L, "click", 100L), (3L, "purchase", 200L),
+      // view only
+      (4L, "view", 900L)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 100L)
+    assert(out(1L).getLong(2) === 200L, "first click AFTER the view")
+    assert(out(1L).getLong(3) === 400L)
+    assert(out(1L).getInt(4) === 3)
+    assert(out(2L).getLong(2) === 200L)
+    assert(out(2L).isNullAt(3), "purchase before click doesn't convert")
+    assert(out(2L).getInt(4) === 2)
+    assert(out(3L).isNullAt(1) && out(3L).getInt(4) === 0)
+    assert(out(4L).getInt(4) === 1)
+  }
+
+  test("funnel at Sf: depth is monotone-consistent with stage nulls") {
+    val rows = EventFlows.funnel(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val reached = Seq(1, 2, 3).map(i => !r.isNullAt(i))
+      // once a stage is missed, all later stages are missed
+      assert(reached === reached.sorted.reverse, s"user ${r.getLong(0)}")
+      assert(r.getInt(4) === reached.count(identity))
+    }
+    assert(rows.exists(_.getInt(4) === 3), "some user converts fully")
+  }
+
+  test("retention: cohort day-0 is the cohort size, offsets count distinct days") {
+    val day = 86400000L
+    val out = EventFlows.retentionOf(ev(
+      // user 1: first day 0, active days 0, 1, 3 (two events on day 1)
+      (1L, "view", 10L), (1L, "view", day + 1L), (1L, "click", day + 2L),
+      (1L, "view", 3 * day + 5L),
+      // user 2: also cohort 0, only day 0
+      (2L, "view", 20L),
+      // user 3: cohort day 1, active days 1 and 3 (offset 2)
+      (3L, "view", day + 50L), (3L, "view", 3 * day + 60L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((0L, 0L)) === ((2L, 1000000L)))
+    assert(out((0L, 1L)) === ((1L, 500000L)), "double events on one day count once")
+    assert(out((0L, 3L)) === ((1L, 500000L)))
+    assert(out((1L, 0L)) === ((1L, 1000000L)))
+    assert(out((1L, 2L)) === ((1L, 1000000L)))
+    assert(out.size === 5)
+  }
+
+  test("retention at Sf: day-0 rows are 1e6 ppm and dominate every offset") {
+    val rows = EventFlows.retention(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1._1)
+    byCohort.foreach { case (cohort, rs) =>
+      val m = rs.map { case ((_, off), v) => off -> v }.toMap
+      assert(m.contains(0L), s"cohort $cohort has a day-0 row")
+      assert(m(0L)._2 === 1000000L)
+      val size = m(0L)._1
+      m.foreach { case (off, (users, ppm)) =>
+        assert(users <= size, s"cohort $cohort offset $off")
+        assert(ppm === 1000000L * users / size)
+      }
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("invertedIndex: df counts docs (not occurrences), head is bounded and ascending") {
+    val docs = Seq(
+      (10L, "alpha beta beta gamma"),
+      (2L, "alpha alpha delta"),
+      (7L, "alpha gamma"),
+      (1L, "")).toDF("doc_id", "text")
+    val out = Index.invertedIndexOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // repetition inside a doc must not inflate df
+    assert(out("alpha") === ((3L, "2,7,10")))
+    assert(out("beta") === ((1L, "10")))
+    assert(out("gamma") === ((2L, "7,10")))
+    assert(out("delta") === ((1L, "2")))
+    assert(!out.contains(""), "empty tokens filtered")
+  }
+
+  test("invertedIndex: posting head truncates at PostingHead lowest doc_ids") {
+    val docs = (1L to 20L).map(i => (i, "tok")).toDF("doc_id", "text")
+    val Array(row) = Index.invertedIndexOf(docs).collect()
+    assert(row.getLong(1) === 20L, "df counts all docs")
+    assert(row.getString(2) ===
+      (1L to Index.PostingHead.toLong).mkString(","),
+      "head keeps the lowest ids only")
+  }
+
+  test("invertedIndex at Sf: df sums to total distinct-token mass") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val out = Index.invertedIndexOf(docs)
+    val dfSum = out.agg(sum("df")).as[Long].head()
+    val pairCt = docs.select(col("doc_id"),
+        explode(array_distinct(graft.func.Tokenizer.tokens(col("text")))))
+      .count()
+    assert(dfSum === pairCt)
+  }
+
+  test("idfRarity: exact-rational IDF, occurrence-weighted, null-safe on empty docs") {
+    val docs = Seq(
+      (1L, "common common rare"), // common df=2, rare df=1
+      (2L, "common"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Index.idfRarityOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 2*(1e6 DIV 2) + 1*(1e6 DIV 1) = 2000000; DIV 3 tokens
+    assert(out(1L).getLong(1) === 3L)
+    assert(out(1L).getLong(2) === 2000000L)
+    assert(out(1L).getLong(3) === 666666L)
+    // doc 2: pure common vocabulary scores lower than doc 1
+    assert(out(2L).getLong(3) === 500000L)
+    assert(out(1L).getLong(3) > out(2L).getLong(3))
+    // empty doc survives with zero tokens and NULL score
+    assert(out(3L).getLong(1) === 0L)
+    assert(out(3L).isNullAt(2) && out(3L).isNullAt(3))
+  }
+}
