@@ -374,13 +374,17 @@ object Dedup {
     * the property that makes deep near-dup chains (incremental-edit
     * lineages at corpus scale) converge inside the round cap.
     *
-    * Every round ends in `localCheckpoint` (eager), NOT `cache`: the
-    * round's plan references the previous labels twice and the hop
+    * Every round ends in ONE `localCheckpoint` (eager), NOT `cache`:
+    * the round's plan references the previous labels twice and the hop
     * frame twice, so without truncation the LOGICAL plan grows 4× per
     * round — by round 7 the analyzer walks ~16k copies of the seed
     * plan (measured: minutes of driver CPU on a 60-node chain) even
-    * though execution reuses the cache. Checkpointing pins each round
-    * to a LogicalRDD, keeping analysis O(1) per round. */
+    * though execution reuses the cache. Checkpointing the round's
+    * fused output pins it to a LogicalRDD, keeping analysis O(1) per
+    * round while running exactly one materialization job per round
+    * (neighbor-min and pointer doubling are composed in one plan, and
+    * the checkpointed frame carries `prev_keeper` so the convergence
+    * count is a scan of the materialized RDD, not a second join). */
   def closureKeepers(pairs: DataFrame): DataFrame =
     closureKeepersCounted(pairs)._1
 
@@ -413,21 +417,23 @@ object Dedup {
       val hop = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("keeper"), coalesce(col("nbr_keeper"), col("keeper")))
-            .as("keeper"))
-        .localCheckpoint()
+            .as("keeper"),
+          col("keeper").as("prev_keeper"))
       // pointer doubling: keeper ids are themselves graph nodes, so
       // they carry a label row — chase one level (keeper := keeper's
       // keeper). Renamed projection, not an alias self-join, to stay
-      // clear of Spark's ambiguous-self-join detection.
+      // clear of Spark's ambiguous-self-join detection; `hop` is
+      // referenced twice but both references are within THIS round's
+      // plan, truncated by the single round-end checkpoint.
       val byId = hop.select(col("doc_id").as("k_id"), col("keeper").as("k_keeper"))
       val next = hop.join(byId, col("keeper") === col("k_id"), "left")
         .select(col("doc_id"),
           least(col("keeper"), coalesce(col("k_keeper"), col("keeper")))
-            .as("keeper"))
+            .as("keeper"),
+          col("prev_keeper"))
         .localCheckpoint()
-      moved = next.as("a").join(labels.as("b"), Seq("doc_id"))
-        .filter(col("a.keeper") =!= col("b.keeper")).count()
-      labels = next
+      moved = next.filter(col("keeper") =!= col("prev_keeper")).count()
+      labels = next.select("doc_id", "keeper")
       rounds += 1
     }
     edges.unpersist()
