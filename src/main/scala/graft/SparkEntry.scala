@@ -66,6 +66,7 @@ object SparkEntry {
     // retention (both integer epoch-ms/epoch-day arithmetic)
     "q_ads_funnel"           -> (ads.EventFlows.funnel(_, _)),
     "q_ads_retention"        -> (ads.EventFlows.retention(_, _)),
+    "q_ads_sessionize"       -> (ads.EventFlows.sessionize(_, _)),
     // Sink layer (K2–K5): real write → read-back through each sink path
     "q_sink_dedup_latest" -> (sinks.Sinks.dedupLatestQuery(_, _)),
     "q_sink_route"        -> (sinks.Sinks.routeQuery(_, _)),
@@ -192,6 +193,7 @@ object SparkEntry {
     "q_ads_hour_backfill"    -> ads.Queries.hourBackfillOracle,
     "q_ads_funnel"           -> ads.EventFlows.funnelOracle,
     "q_ads_retention"        -> ads.EventFlows.retentionOracle,
+    "q_ads_sessionize"       -> ads.EventFlows.sessionizeOracle,
     "q_sink_dedup_latest" -> sinks.Sinks.dedupLatestOracle,
     "q_sink_route"        -> sinks.Sinks.routeOracle,
     "q_sink_republish"    -> sinks.Sinks.republishOracle,

@@ -113,6 +113,59 @@ object EventFlows {
       .select("cohort_day", "day_offset", "users", "retained_ppm")
   }
 
+  /** Session gap: 30 minutes of inactivity closes a session — the same
+    * default as [[graft.streaming.StreamJobs.sessionBounces]]'s
+    * `session_window` gap, so the batch and streaming session notions
+    * agree. */
+  val SessionGapMs = 1800000L
+
+  /** Gap-based sessionization: per (user, session) ordinal, event
+    * count, bounds, and duration. The classic lag → boundary-flag →
+    * running-sum formulation: a session starts where the gap from the
+    * previous event exceeds [[SessionGapMs]].
+    *
+    * Scale shape: ONE shuffle. Both window frames run on the
+    * `user_id` hash partitioning, and the final groupBy keys
+    * (user_id, session_idx) — a superset of the partition key — so
+    * EnsureRequirements reuses the exchange instead of re-shuffling
+    * (hash(user_id) already co-locates every (user_id, session_idx)
+    * group). State per task is one sort run, spillable. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeOf(Tables.events(spark, dir))
+
+  /** [[sessionize]] over any (user_id, event_id, ts) frame. */
+  def sessionizeOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("prev_ms", lag("ms", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull ||
+          col("ms") - col("prev_ms") > SessionGapMs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ms").as("start_ms"), max("ms").as("end_ms"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+  }
+
+  lazy val sessionizeOracle: String =
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+       |f AS (SELECT user_id, event_id, ms,
+       |        CASE WHEN lag(ms) OVER w IS NULL
+       |               OR ms - lag(ms) OVER w > $SessionGapMs
+       |             THEN 1 ELSE 0 END AS new_s
+       |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+       |s AS (SELECT user_id, ms,
+       |        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |      FROM f)
+       |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+       |       min(ms) AS start_ms, max(ms) AS end_ms,
+       |       max(ms) - min(ms) AS duration_ms
+       |FROM s GROUP BY 1, 2""".stripMargin
+
   lazy val retentionOracle: String =
     """WITH act AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
       |f AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1),

@@ -186,6 +186,44 @@ object StreamJobs {
         col(rts) >= col(lts) - expr(s"INTERVAL $bound") &&
         col(rts) <= col(lts) + expr(s"INTERVAL $bound"))
 
+  /** Funnel streaming: the [[graft.ads.EventFlows.funnelOf]] state
+    * machine as keyed state — per user, first `view`, first `click`
+    * strictly after it, first `purchase` strictly after that. State is
+    * three Option[Long] per user (the reference's per-mid ValueState
+    * scale class); each batch emits the user's CURRENT stage
+    * timestamps + depth, so the latest row per user is the live funnel
+    * position. Within-batch rows are sorted by event time (same
+    * bounded-per-batch assumption as [[isNewRepair]]); cross-batch
+    * arrival skew is bounded by the source's out-of-orderness. Batch
+    * parity with `funnelOf` is asserted in StreamingSpec (unified
+    * API: identical transform body). */
+  def funnelState(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Option[Long], Option[Long], Option[Long]),
+        (Long, Option[Long], Option[Long], Option[Long], Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows,
+            state: GroupState[(Option[Long], Option[Long], Option[Long])]) =>
+          var (v, c, p) = state.getOption.getOrElse((None, None, None))
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, et, ms) =>
+            et match {
+              case "view" if v.isEmpty => v = Some(ms)
+              case "click" if c.isEmpty && v.exists(ms > _) => c = Some(ms)
+              case "purchase" if p.isEmpty && c.exists(ms > _) => p = Some(ms)
+              case _ =>
+            }
+          }
+          state.update((v, c, p))
+          Iterator((uid, v, c, p, v.size + c.size + p.size))
+      }
+      .toDF("user_id", "view_ms", "click_ms", "purchase_ms", "depth")
+  }
+
   /** T3 streaming: bounce = session with exactly one event. The same
     * expression runs in batch, where it must agree with the lag/lead
     * JumpDetect formulation (asserted in tests). */

@@ -67,6 +67,34 @@ class EventFlowsSpec extends SparkSpec {
     assert(out.size === 5)
   }
 
+  test("sessionize: gap splits sessions, bounds and counts are per-session") {
+    val g = EventFlows.SessionGapMs
+    val rows = Seq(
+      // user 1: two events 1 ms within gap, then a gap, then a single
+      (1L, "view", 1000L, 10L), (1L, "click", 1000L + g, 11L),
+      (1L, "view", 2 * g + 5000L, 12L),
+      // user 2: one event
+      (2L, "view", 500L, 20L))
+      .map { case (u, t, ms, id) => (u, t, new Timestamp(ms), id) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventFlows.sessionizeOf(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // gap boundary is STRICT >: an exactly-gap-later event stays in session
+    assert(out((1L, 1L)) === ((2L, 1000L, 1000L + g, g)))
+    assert(out((1L, 2L)) === ((1L, 2 * g + 5000L, 2 * g + 5000L, 0L)))
+    assert(out((2L, 1L)) === ((1L, 500L, 500L, 0L)))
+    assert(out.size === 3)
+  }
+
+  test("sessionize: one exchange — the session groupBy reuses the window partitioning") {
+    val plan = EventFlows.sessionize(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1,
+      s"expected the (user_id, session_idx) aggregate to reuse the user_id exchange:\n$plan")
+  }
+
   test("retention at Sf: day-0 rows are 1e6 ppm and dominate every offset") {
     val rows = EventFlows.retention(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))

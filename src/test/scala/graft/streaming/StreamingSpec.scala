@@ -245,4 +245,50 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSet
     assert(chunkStreamed == chunkBatch && chunkStreamed.nonEmpty)
   }
+
+  test("streamed funnel state machine matches the batch join-chain funnel") {
+    implicit val sc = spark.sqlContext
+    // in-order single batch: the keyed state machine must land on the
+    // same first-touch stage timestamps as the batch min/join form
+    val src = MemoryStream[Ev]
+    val q = StreamJobs.funnelState(src.toDF())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      Ev(1, 1, "click", 0, t("2021-03-21 09:00:00")), // pre-view click: orphan
+      Ev(2, 1, "view", 0, t("2021-03-21 10:00:00")),
+      Ev(3, 1, "click", 0, t("2021-03-21 10:05:00")),
+      Ev(4, 1, "click", 0, t("2021-03-21 10:07:00")), // later click ignored
+      Ev(5, 1, "purchase", 0, t("2021-03-21 10:10:00")),
+      Ev(6, 2, "view", 0, t("2021-03-21 10:00:00")),
+      Ev(7, 2, "purchase", 0, t("2021-03-21 10:01:00")), // no click: stops at 1
+      Ev(8, 3, "purchase", 0, t("2021-03-21 10:00:00"))) // nothing viewed
+    src.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_out")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> r).toMap
+    val batch = graft.ads.EventFlows.funnelOf(rows.toDF())
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(streamed === batch)
+    assert(batch(1L)._5 === 3 && batch(2L)._5 === 1 && batch(3L)._5 === 0)
+
+    // cross-batch: state carries — a purchase arriving in a LATER
+    // micro-batch completes the funnel opened earlier
+    val src2 = MemoryStream[Ev]
+    val q2 = StreamJobs.funnelState(src2.toDF())
+      .writeStream.format("memory").queryName("funnel_out2")
+      .outputMode("append").start()
+    src2.addData(Ev(1, 7, "view", 0, t("2021-03-21 10:00:00")),
+      Ev(2, 7, "click", 0, t("2021-03-21 10:01:00")))
+    q2.processAllAvailable()
+    src2.addData(Ev(3, 7, "purchase", 0, t("2021-03-21 10:02:00")))
+    q2.processAllAvailable()
+    q2.stop()
+    val last = spark.table("funnel_out2").as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().maxBy(_._5)
+    assert(last._5 === 3, "state persisted across micro-batches")
+  }
 }
