@@ -67,6 +67,7 @@ object SparkEntry {
     "q_ads_funnel"           -> (ads.EventFlows.funnel(_, _)),
     "q_ads_retention"        -> (ads.EventFlows.retention(_, _)),
     "q_ads_sessionize"       -> (ads.EventFlows.sessionize(_, _)),
+    "q_ads_active_users"     -> (ads.EventFlows.activeUsers(_, _)),
     // Sink layer (K2–K5): real write → read-back through each sink path
     "q_sink_dedup_latest" -> (sinks.Sinks.dedupLatestQuery(_, _)),
     "q_sink_route"        -> (sinks.Sinks.routeQuery(_, _)),
@@ -194,6 +195,7 @@ object SparkEntry {
     "q_ads_funnel"           -> ads.EventFlows.funnelOracle,
     "q_ads_retention"        -> ads.EventFlows.retentionOracle,
     "q_ads_sessionize"       -> ads.EventFlows.sessionizeOracle,
+    "q_ads_active_users"     -> ads.EventFlows.activeUsersOracle,
     "q_sink_dedup_latest" -> sinks.Sinks.dedupLatestOracle,
     "q_sink_route"        -> sinks.Sinks.routeOracle,
     "q_sink_republish"    -> sinks.Sinks.republishOracle,

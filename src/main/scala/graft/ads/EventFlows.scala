@@ -166,6 +166,58 @@ object EventFlows {
        |       max(ms) - min(ms) AS duration_ms
        |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** Trailing-window widths (days) for the active-user curve. */
+  val WauDays = 7L
+  val MauDays = 30L
+
+  /** Rolling active users: for every active epoch-day, the distinct
+    * users active that day (DAU), in the trailing [[WauDays]] window
+    * (WAU), and in the trailing [[MauDays]] window (MAU) — the
+    * engagement curve every analytics dashboard opens with.
+    *
+    * Scale shape: the log first collapses to distinct (user, day) —
+    * user×day cardinality, map-side combined — and every rolling
+    * window runs on THAT frame, never the raw log. The day list is
+    * O(history days): broadcast it and the trailing-window expansion
+    * is a broadcast range join (day, activity-day) whose output is
+    * bounded by user-days × window/actual-span, then one distinct
+    * count per (day, window). No window function over the corpus, no
+    * self-join of events. Grouping by (day, user) FIRST makes all
+    * three distinct counts plain sums/counts at the second level —
+    * three conditional countDistincts in one aggregate would go
+    * through Catalyst's 3-way expand (3× the shuffle rows, the
+    * documented [[graft.dws.ProductStats]] hazard). */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame =
+    activeUsersOf(Tables.events(spark, dir))
+
+  /** [[activeUsers]] over any (user_id, ts) frame. */
+  def activeUsersOf(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"), expr("unix_millis(ts) DIV 86400000").as("day"))
+      .distinct()
+    val days = act.select(col("day").as("d")).distinct()
+    val joined = broadcast(days).join(act,
+      col("day") <= col("d") && col("day") > col("d") - MauDays)
+    joined.groupBy(col("d"), col("user_id"))
+      .agg(
+        max(when(col("day") === col("d"), 1L).otherwise(0L)).as("is_dau"),
+        max(when(col("day") > col("d") - WauDays, 1L).otherwise(0L)).as("is_wau"))
+      .groupBy(col("d"))
+      .agg(sum("is_dau").as("dau"), sum("is_wau").as("wau"),
+        count(lit(1)).as("mau"))
+      .select(col("d").as("day"), col("dau"), col("wau"), col("mau"))
+  }
+
+  lazy val activeUsersOracle: String =
+    s"""WITH act AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+       |days AS (SELECT DISTINCT day AS d FROM act)
+       |SELECT d AS day,
+       |       CAST(count(DISTINCT CASE WHEN day = d THEN user_id END) AS BIGINT) AS dau,
+       |       CAST(count(DISTINCT CASE WHEN day > d - $WauDays THEN user_id END) AS BIGINT) AS wau,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+       |FROM days JOIN act ON day <= d AND day > d - $MauDays
+       |GROUP BY d""".stripMargin
+
   lazy val retentionOracle: String =
     """WITH act AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
       |f AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1),

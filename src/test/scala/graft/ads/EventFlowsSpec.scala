@@ -95,6 +95,34 @@ class EventFlowsSpec extends SparkSpec {
       s"expected the (user_id, session_idx) aggregate to reuse the user_id exchange:\n$plan")
   }
 
+  test("activeUsers: windows are trailing-inclusive, repeat days count once") {
+    val day = 86400000L
+    val out = EventFlows.activeUsersOf(ev(
+      // user 1 active days 0 and 8; user 2 active day 8 twice
+      (1L, "view", 10L), (1L, "view", 8 * day + 1L),
+      (2L, "view", 8 * day + 5L), (2L, "click", 8 * day + 9L)))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // day 0: only user 1
+    assert(out(0L) === ((1L, 1L, 1L)))
+    // day 8: both users today; user 1's day-0 activity is outside the
+    // 7-day window (8 > 8-7 fails... day 0 > 1 false) but inside 30
+    assert(out(8L) === ((2L, 2L, 2L)))
+    assert(out.size === 2)
+  }
+
+  test("activeUsers at Sf: dau <= wau <= mau, and mau spans the month") {
+    val rows = EventFlows.activeUsers(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, dau, wau, mau) =>
+      assert(dau >= 1 && dau <= wau && wau <= mau, s"day $d: $dau/$wau/$mau")
+    }
+    // late days accumulate more trailing history than their first day
+    val last = rows.maxBy(_._1)
+    assert(last._4 >= last._2)
+  }
+
   test("retention at Sf: day-0 rows are 1e6 ppm and dominate every offset") {
     val rows = EventFlows.retention(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
