@@ -111,6 +111,10 @@ object SparkEntry {
     // lexical index structures: token->postings + exact-rational IDF
     "q_llm_inverted_index"  -> (llm.Index.invertedIndex(_, _)),
     "q_llm_idf_rarity"      -> (llm.Index.idfRarity(_, _)),
+    // real BPE merge loop: corpus-weighted pair argmax x3, then the
+    // induced symbol vocabulary (oracle re-derives the merges in SQL)
+    "q_llm_bpe_merges"      -> (llm.Bpe.merges(_, _)),
+    "q_llm_bpe_vocab"       -> (llm.Bpe.vocab(_, _)),
     "q_llm_multimodal_meta" -> (llm.Multimodal.metaQuery(_, _)),
     "q_llm_mm_resize"       -> (llm.Multimodal.resizeQuery(_, _)),
     "q_llm_mm_frames"       -> (llm.Multimodal.frameSample(_, _)),
@@ -228,6 +232,8 @@ object SparkEntry {
     "q_llm_doc_keywords"    -> llm.TextAnalysis.docKeywordsOracle,
     "q_llm_inverted_index"  -> llm.Index.invertedIndexOracle,
     "q_llm_idf_rarity"      -> llm.Index.idfRarityOracle,
+    "q_llm_bpe_merges"      -> llm.Bpe.mergesOracle,
+    "q_llm_bpe_vocab"       -> llm.Bpe.vocabOracle,
     "q_llm_multimodal_meta" -> llm.Multimodal.metaOracle,
     "q_llm_mm_resize"       -> llm.Multimodal.resizeOracle,
     "q_llm_mm_frames"       -> llm.Multimodal.frameSampleOracle,

@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.OracleSql
+
+/** Byte-pair-encoding vocabulary induction (Sennrich et al. 2016) over
+  * the corpus — the real merge loop, not a stand-in: per round, count
+  * adjacent symbol pairs weighted by word frequency, merge the most
+  * frequent pair everywhere, repeat. [[MergeRounds]] is fixed so the
+  * derivation is restatable as chained SQL (one CTE block per round)
+  * and every output hash-checks.
+  *
+  * Scale shape: the corpus is touched ONCE — the word-frequency
+  * aggregate (one shuffle, map-side combined). Every merge round runs
+  * on the distinct-WORD vocabulary (bounded: vocabulary-sized, not
+  * corpus-sized), so the loop's per-round cost is independent of
+  * corpus size; the argmax per round is a 1-row driver collect
+  * (coordination, same class as the closure loop's moved-count).
+  *
+  * Determinism: ties on pair frequency break lexicographically; the
+  * merge application is string `replace` on a space-delimited symbol
+  * form, iterated [[ReplacePasses]] times to reach the left-to-right
+  * greedy fixpoint (a single non-overlapping replace pass misses
+  * merges whose boundary space was consumed by the previous match —
+  * " a b a b " needs a second pass; both engines iterate identically).
+  */
+object Bpe {
+  val MergeRounds = 3
+
+  /** Replace passes per merge: each pass lands every non-overlapping
+    * occurrence left-to-right, and only boundary-sharing chains (runs
+    * of the same pair) defer to the next pass — a run of k adjacent
+    * occurrences resolves in ≤ k passes, and k is bounded by
+    * word-length/2. 8 covers words up to 16 symbols; longer corpus
+    * words would need this raised in BOTH engines. */
+  val ReplacePasses = 8
+
+  /** End-of-word marker — keeps a word-final symbol distinct from the
+    * same characters word-internal (the standard BPE device). */
+  val Eow = "</w>"
+
+  /** (word, n) corpus word frequencies — the only corpus-wide pass. */
+  private def wordVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.func.Tokenizer.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Canonical segmentation string: symbols space-joined with leading
+    * and trailing spaces, so " a b " matches exactly one adjacent
+    * symbol pair. */
+  private val initSyms =
+    concat(lit(" "),
+      concat_ws(" ", expr("regexp_extract_all(word, '(.)', 1)")),
+      lit(s" $Eow "))
+
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .withColumn("a", split(trim(col("syms")), " "))
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, size(a) - 1), " +
+          "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")).as("pair"))
+      .groupBy("pair").agg(sum(col("n")).as("freq"))
+
+  /** The learned merge table plus the final segmentation — shared
+    * derivation for both queries. Returns (merges, final vocab). */
+  private def learn(docs: DataFrame): (Seq[(Int, String, Long)], DataFrame) = {
+    var vocab = wordVocab(docs).withColumn("syms", initSyms)
+      .localCheckpoint() // bounded (distinct words); pins the loop input
+    val merges = (1 to MergeRounds).map { r =>
+      val Array(row) = pairCounts(vocab)
+        .orderBy(col("freq").desc, col("pair")).limit(1).collect()
+      val (pair, freq) = (row.getString(0), row.getLong(1))
+      val merged = pair.replace(" ", "")
+      val applied = (1 to ReplacePasses).foldLeft(col("syms")) { (c, _) =>
+        call_function("replace", c, lit(s" $pair "), lit(s" $merged "))
+      }
+      vocab = vocab.withColumn("syms", applied).localCheckpoint()
+      (r, pair, freq)
+    }
+    (merges, vocab)
+  }
+
+  /** The merge table: (rank, pair, freq) — which pairs BPE learned, in
+    * order, with their corpus-weighted frequencies. */
+  def merges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (m, _) = learn(Tables.documents(spark, dir))
+    m.toDF("rank", "pair", "freq")
+      .select(col("rank").cast("int").as("rank"), col("pair"), col("freq"))
+  }
+
+  /** The symbol vocabulary after [[MergeRounds]] merges: every symbol
+    * with its corpus-weighted frequency — the artifact a tokenizer
+    * loads. Any wrong merge anywhere changes this table, so its hash
+    * check adjudicates the whole loop. */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    val (_, seg) = learn(Tables.documents(spark, dir))
+    seg.withColumn("a", split(trim(col("syms")), " "))
+      .select(col("n"), explode(col("a")).as("symbol"))
+      .groupBy("symbol").agg(sum(col("n")).as("freq"))
+  }
+
+  // ---- oracle ------------------------------------------------------
+
+  private def nestedReplace(sym: String, from: String, to: String): String =
+    (1 to ReplacePasses).foldLeft(sym)((s, _) => s"replace($s, $from, $to)")
+
+  /** One merge round as SQL: seg<k> -> (p<k> pair counts, m<k> argmax,
+    * seg<k+1> applied). The argmax pair enters the next CTE as scalar
+    * subqueries, so the SQL derives the merges itself — nothing is
+    * spliced from the Spark run. */
+  private def roundSql(k: Int): String = {
+    val prev = s"seg${k - 1}"
+    val search = s"(' ' || (SELECT pair FROM m$k) || ' ')"
+    val replc = s"(' ' || (SELECT replace(pair, ' ', '') FROM m$k) || ' ')"
+    s"""p$k AS MATERIALIZED (SELECT pair, CAST(sum(n) AS BIGINT) AS freq FROM (
+       |  SELECT n, unnest(list_transform(range(1, len(a)),
+       |                   i -> a[i] || ' ' || a[i + 1])) AS pair
+       |  FROM (SELECT n, string_split(trim(syms), ' ') AS a FROM $prev)
+       |) GROUP BY pair),
+       |m$k AS MATERIALIZED (SELECT pair, freq FROM p$k ORDER BY freq DESC, pair LIMIT 1),
+       |seg$k AS MATERIALIZED (SELECT word, n, ${nestedReplace("syms", search, replc)} AS syms
+       |          FROM $prev)""".stripMargin
+  }
+
+  private lazy val derivationSql: String = {
+    val toks = OracleSql.toks
+    val rounds = (1 to MergeRounds).map(roundSql).mkString(",\n")
+    s"""WITH wv AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest($toks) AS word FROM documents) GROUP BY word),
+       |seg0 AS MATERIALIZED (SELECT word, n,
+       |  ' ' || array_to_string(regexp_extract_all(word, '(.)', 1), ' ')
+       |      || ' $Eow ' AS syms FROM wv),
+       |$rounds""".stripMargin
+  }
+
+  lazy val mergesOracle: String =
+    derivationSql + "\n" +
+      (1 to MergeRounds)
+        .map(k => s"SELECT CAST($k AS INTEGER) AS rank, pair, freq FROM m$k")
+        .mkString("", "\nUNION ALL\n", "")
+
+  lazy val vocabOracle: String =
+    derivationSql +
+      s"""
+         |SELECT symbol, CAST(sum(n) AS BIGINT) AS freq FROM (
+         |  SELECT n, unnest(string_split(trim(syms), ' ')) AS symbol
+         |  FROM seg$MergeRounds)
+         |GROUP BY symbol""".stripMargin
+}

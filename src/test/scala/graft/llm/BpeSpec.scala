@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE on driver: word → symbol list, greedy left-to-right
+    * merge of the (freq desc, pair asc) argmax, [[Bpe.MergeRounds]]
+    * rounds. */
+  private def referenceBpe(wordCounts: Map[String, Long])
+      : (Seq[(Int, String, Long)], Map[String, Long]) = {
+    var seg: Map[String, (Vector[String], Long)] = wordCounts.map {
+      case (w, n) => w -> ((w.map(_.toString).toVector :+ Bpe.Eow, n))
+    }
+    def mergeRun(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val merges = (1 to Bpe.MergeRounds).map { r =>
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      seg.values.foreach { case (syms, n) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + n
+          case _ =>
+        }
+      }
+      val ((a, b), f) = counts.toSeq
+        .minBy { case ((x, y), c) => (-c, s"$x $y") }
+      seg = seg.map { case (w, (syms, n)) => w -> ((mergeRun(syms, a, b), n)) }
+      (r, s"$a $b", f)
+    }
+    val vocab = collection.mutable.Map.empty[String, Long]
+    seg.values.foreach { case (syms, n) =>
+      syms.foreach(s => vocab(s) = vocab.getOrElse(s, 0L) + n)
+    }
+    (merges, vocab.toMap)
+  }
+
+  test("bpe: classic low/lower/newest fixture matches the reference loop") {
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bpe_docs")
+    val wordCounts = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val (expMerges, expVocab) = referenceBpe(wordCounts)
+
+    // run the same derivation that merges()/vocab() use, on this frame
+    val m = classOf[Bpe.type].getDeclaredMethod("learn",
+      classOf[org.apache.spark.sql.DataFrame])
+    m.setAccessible(true)
+    val (gotMerges, segDf) = m.invoke(Bpe, docs)
+      .asInstanceOf[(Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame)]
+    assert(gotMerges === expMerges)
+    val gotVocab = segDf.withColumn("a", split(trim(col("syms")), " "))
+      .select(col("n"), explode(col("a")).as("symbol"))
+      .groupBy("symbol").agg(sum(col("n")).as("freq"))
+      .as[(String, Long)].collect().toMap
+    assert(gotVocab === expVocab)
+  }
+
+  test("bpe at Sf: merges and vocab agree with the driver reference") {
+    val wordCounts = graft.Tables.documents(spark, Sf)
+      .select(explode(graft.func.Tokenizer.tokens(col("text"))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val (expMerges, expVocab) = referenceBpe(wordCounts)
+    val gotMerges = Bpe.merges(spark, Sf)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(gotMerges === expMerges)
+    val gotVocab = Bpe.vocab(spark, Sf).as[(String, Long)].collect().toMap
+    assert(gotVocab === expVocab)
+    // merged symbols actually appear: round 1's pair exists in vocab
+    val sym0 = expMerges.head._2.replace(" ", "")
+    assert(gotVocab.contains(sym0), s"merged symbol $sym0 present")
+  }
+
+  test("bpe: repeated-pair runs resolve to the greedy left-to-right fixpoint") {
+    // 'aaaa' → run of 'a a a a </w>': merge (a,a) must produce
+    // 'aa aa </w>', not 'aa a a </w>' — the multi-pass replace contract
+    val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val m = classOf[Bpe.type].getDeclaredMethod("learn",
+      classOf[org.apache.spark.sql.DataFrame])
+    m.setAccessible(true)
+    val (gotMerges, segDf) = m.invoke(Bpe, docs)
+      .asInstanceOf[(Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame)]
+    assert(gotMerges.head._2 === "a a")
+    val (expMerges, expVocab) = referenceBpe(Map("aaaa" -> 3L))
+    assert(gotMerges === expMerges)
+    val gotVocab = segDf.withColumn("a", split(trim(col("syms")), " "))
+      .select(col("n"), explode(col("a")).as("symbol"))
+      .groupBy("symbol").agg(sum(col("n")).as("freq"))
+      .as[(String, Long)].collect().toMap
+    assert(gotVocab === expVocab)
+  }
+}
