@@ -115,6 +115,9 @@ object SparkEntry {
     // induced symbol vocabulary (oracle re-derives the merges in SQL)
     "q_llm_bpe_merges"      -> (llm.Bpe.merges(_, _)),
     "q_llm_bpe_vocab"       -> (llm.Bpe.vocab(_, _)),
+    "q_llm_bpe_tokenize"    -> (llm.Bpe.tokenize(_, _)),
+    // integer bigram-MLE fluency (the KenLM-perplexity filter family)
+    "q_llm_bigram_lm"       -> (llm.LangModel.bigramScore(_, _)),
     "q_llm_multimodal_meta" -> (llm.Multimodal.metaQuery(_, _)),
     "q_llm_mm_resize"       -> (llm.Multimodal.resizeQuery(_, _)),
     "q_llm_mm_frames"       -> (llm.Multimodal.frameSample(_, _)),
@@ -234,6 +237,8 @@ object SparkEntry {
     "q_llm_idf_rarity"      -> llm.Index.idfRarityOracle,
     "q_llm_bpe_merges"      -> llm.Bpe.mergesOracle,
     "q_llm_bpe_vocab"       -> llm.Bpe.vocabOracle,
+    "q_llm_bpe_tokenize"    -> llm.Bpe.tokenizeOracle,
+    "q_llm_bigram_lm"       -> llm.LangModel.bigramScoreOracle,
     "q_llm_multimodal_meta" -> llm.Multimodal.metaOracle,
     "q_llm_mm_resize"       -> llm.Multimodal.resizeOracle,
     "q_llm_mm_frames"       -> llm.Multimodal.frameSampleOracle,

@@ -102,6 +102,28 @@ object Bpe {
       .groupBy("symbol").agg(sum(col("n")).as("freq"))
   }
 
+  /** Apply the learned merges back to the corpus: per document, the
+    * word count and the BPE token count under the induced vocabulary —
+    * the number a packing/pricing pass would bill. The segmented word
+    * table IS the final loop state (vocabulary-bounded → broadcast);
+    * the corpus-side work is one explode + broadcast join + per-doc
+    * aggregate. */
+  def tokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, seg) = learn(docs)
+    val segmented = seg.select(col("word"),
+      size(split(trim(col("syms")), " ")).cast("long").as("n_syms"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(graft.func.Tokenizer.tokens(col("text"))).as("word"))
+      .join(broadcast(segmented), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        col("n_bpe_tokens"))
+  }
+
   // ---- oracle ------------------------------------------------------
 
   private def nestedReplace(sym: String, from: String, to: String): String =
@@ -150,4 +172,16 @@ object Bpe {
          |  SELECT n, unnest(string_split(trim(syms), ' ')) AS symbol
          |  FROM seg$MergeRounds)
          |GROUP BY symbol""".stripMargin
+
+  lazy val tokenizeOracle: String =
+    derivationSql +
+      s"""
+         |SELECT d.doc_id, coalesce(x.n_words, CAST(0 AS BIGINT)) AS n_words,
+         |       x.n_bpe_tokens
+         |FROM documents d LEFT JOIN (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(len(string_split(trim(syms), ' '))) AS BIGINT) AS n_bpe_tokens
+         |  FROM (SELECT doc_id, unnest(${OracleSql.toks}) AS word FROM documents) e
+         |  JOIN seg$MergeRounds USING (word)
+         |  GROUP BY doc_id) x USING (doc_id)""".stripMargin
 }

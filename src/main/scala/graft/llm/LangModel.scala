@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.{OracleSql, Tokenizer}
+
+/** Statistical language-model scoring over `documents`: a bigram
+  * maximum-likelihood fluency score — the integer-exact cousin of the
+  * KenLM-perplexity filter every public curation pipeline runs (CCNet,
+  * Gopher §A1.2). Instead of mean log-probability (transcendental,
+  * engine-dependent), each bigram contributes its exact-rational MLE
+  * conditional probability `1e6·c(a,b) DIV c(a)` and a document scores
+  * the integer mean — monotone in the same signal (frequent
+  * continuations score high, improbable ones drag the mean down) and
+  * bit-portable to the oracle.
+  *
+  * Scale shape: the unigram and bigram count tables are vocabulary-
+  * and vocabulary²-bounded — both broadcast; the occurrence stream
+  * never shuffles on token. The only corpus-scale shuffle is the
+  * per-doc aggregate (map-side combined). Docs with < 2 tokens
+  * survive via left join with null score.
+  */
+object LangModel {
+  def bigramScore(spark: SparkSession, dir: String): DataFrame =
+    bigramScoreOf(Tables.documents(spark, dir))
+
+  /** [[bigramScore]] over any (doc_id, text) frame — public for tests. */
+  def bigramScoreOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("text")).as("t"))
+    // guard size >= 2: Spark's sequence(1, 0) DESCENDS instead of
+    // emitting empty, so short docs must not reach the transform
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val uni = toks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scored = pairs
+      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(broadcast(uni), Seq("w1"))
+      .withColumn("p_ppm", expr("(1000000 * c2) DIV c1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_ppm").as("p_sum"))
+      .withColumn("fluency_ppm", expr("p_sum DIV n_bigrams"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("p_sum"), col("fluency_ppm"))
+  }
+
+  lazy val bigramScoreOracle: String = {
+    val toks = OracleSql.toks
+    s"""WITH t AS (SELECT doc_id, $toks AS t FROM documents),
+       |pp AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |           i -> {'w1': t[i], 'w2': t[i + 1]})) AS g
+       |  FROM t WHERE len(t) >= 2)),
+       |uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+       |        FROM (SELECT unnest(t) AS w1 FROM t) GROUP BY 1),
+       |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM pp GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |              CAST(sum((1000000 * c2) // c1) AS BIGINT) AS p_sum
+       |       FROM pp JOIN bi USING (w1, w2) JOIN uni USING (w1) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       |       p_sum, p_sum // n_bigrams AS fluency_ppm
+       |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+  }
+}

@@ -83,6 +83,31 @@ class BpeSpec extends SparkSpec {
     assert(gotVocab.contains(sym0), s"merged symbol $sym0 present")
   }
 
+  test("bpe tokenize: per-doc symbol counts follow the learned segmentation") {
+    val rows = Bpe.tokenize(spark, Sf).as[(Long, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    // BPE with merges can only SHORTEN char+eow segmentation: for every
+    // doc, n_words <= n_bpe_tokens <= chars + one eow per word
+    val docs = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), graft.func.Tokenizer.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    rows.foreach { case (id, nWords, nBpe) =>
+      val t = docs(id)
+      assert(nWords === t.size.toLong, s"doc $id word count")
+      if (t.isEmpty) assert(nBpe.isEmpty)
+      else {
+        val maxSyms = t.map(_.length + 1).sum.toLong // chars + </w> each
+        assert(nBpe.get >= nWords && nBpe.get <= maxSyms, s"doc $id: $nBpe")
+      }
+    }
+    // merges fire somewhere: the corpus-wide segmentation is shorter
+    // than the unmerged char+eow form
+    val totalBpe = rows.flatMap(_._3).sum
+    val totalMax = rows.map { case (id, _, _) =>
+      docs(id).map(_.length + 1).sum.toLong }.sum
+    assert(totalBpe < totalMax, "no merge ever applied — vacuous")
+  }
+
   test("bpe: repeated-pair runs resolve to the greedy left-to-right fixpoint") {
     // 'aaaa' → run of 'a a a a </w>': merge (a,a) must produce
     // 'aa aa </w>', not 'aa a a </w>' — the multi-pass replace contract
