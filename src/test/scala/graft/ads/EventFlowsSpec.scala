@@ -123,6 +123,16 @@ class EventFlowsSpec extends SparkSpec {
     assert(last._4 >= last._2)
   }
 
+  test("activeUsers plan: the trailing-window expansion is a broadcast join") {
+    val plan = EventFlows.activeUsers(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the O(history) day list must broadcast for the range predicate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no unbounded cartesian:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"(day, user)-first grouping must avoid the countDistinct expand:\n$plan")
+  }
+
   test("retention at Sf: day-0 rows are 1e6 ppm and dominate every offset") {
     val rows = EventFlows.retention(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))

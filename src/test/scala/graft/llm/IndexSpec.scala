@@ -41,6 +41,19 @@ class IndexSpec extends SparkSpec {
     assert(dfSum === pairCt)
   }
 
+  test("plans: inverted index runs on one token exchange; idf df-table broadcasts") {
+    val invPlan = Index.invertedIndex(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val tokenExchanges = "Exchange hashpartitioning\\(token".r
+      .findAllIn(invPlan).size
+    assert(tokenExchanges === 1,
+      s"df window, head window, and final groupBy must share ONE token partitioning:\n$invPlan")
+    val idfPlan = Index.idfRarity(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(idfPlan.contains("BroadcastHashJoin"),
+      s"vocabulary-sized df table must broadcast:\n$idfPlan")
+  }
+
   test("idfRarity: exact-rational IDF, occurrence-weighted, null-safe on empty docs") {
     val docs = Seq(
       (1L, "common common rare"), // common df=2, rare df=1
