@@ -68,6 +68,14 @@ object Bpe {
   private def learn(docs: DataFrame): (Seq[(Int, String, Long)], DataFrame) = {
     var vocab = wordVocab(docs).withColumn("syms", initSyms)
       .localCheckpoint() // bounded (distinct words); pins the loop input
+    // the ReplacePasses fixpoint bound assumes ≤ 2·passes symbols per
+    // word (char count + eow marker); a longer word would MISS merges
+    // silently and desync from the oracle — fail loudly instead
+    val tooLong = vocab
+      .filter(length(col("word")) + 1 > 2 * ReplacePasses).count()
+    require(tooLong == 0,
+      s"$tooLong corpus words exceed ${2 * ReplacePasses - 1} chars — " +
+        s"raise ReplacePasses in BOTH engines (Bpe.scala + oracle)")
     val merges = (1 to MergeRounds).map { r =>
       val Array(row) = pairCounts(vocab)
         .orderBy(col("freq").desc, col("pair")).limit(1).collect()

@@ -108,6 +108,18 @@ class BpeSpec extends SparkSpec {
     assert(totalBpe < totalMax, "no merge ever applied — vacuous")
   }
 
+  test("bpe: words beyond the replace-pass fixpoint bound fail loudly") {
+    val docs = Seq((1L, "a" * (2 * Bpe.ReplacePasses))).toDF("doc_id", "text")
+    val m = classOf[Bpe.type].getDeclaredMethod("learn",
+      classOf[org.apache.spark.sql.DataFrame])
+    m.setAccessible(true)
+    val e = intercept[java.lang.reflect.InvocationTargetException] {
+      m.invoke(Bpe, docs)
+    }
+    assert(e.getCause.isInstanceOf[IllegalArgumentException])
+    assert(e.getCause.getMessage.contains("ReplacePasses"))
+  }
+
   test("bpe: repeated-pair runs resolve to the greedy left-to-right fixpoint") {
     // 'aaaa' → run of 'a a a a </w>': merge (a,a) must produce
     // 'aa aa </w>', not 'aa a a </w>' — the multi-pass replace contract

@@ -246,6 +246,36 @@ class StreamingSpec extends SparkSpec {
     assert(chunkStreamed == chunkBatch && chunkStreamed.nonEmpty)
   }
 
+  test("session_window sessions agree with the batch lag-based sessionize") {
+    // the same 30-minute gap notion, two formulations: streaming
+    // session_window vs batch lag → flag → running sum. Per-session
+    // (user, start_ms, n_events) must be identical.
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = src.toDF()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("start_ms"),
+        col("n_events"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    src.addData(fixture: _*)
+    q.processAllAvailable()
+    src.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_out")
+      .filter(col("user_id") =!= 999)
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.ads.EventFlows.sessionizeOf(
+        fixture.toDF().withColumn("event_id", col("event_id")))
+      .select(col("user_id"), col("start_ms"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("streamed funnel state machine matches the batch join-chain funnel") {
     implicit val sc = spark.sqlContext
     // in-order single batch: the keyed state machine must land on the
