@@ -30,12 +30,17 @@ import graft.func.OracleSql
 object Bpe {
   val MergeRounds = 3
 
-  /** Replace passes per merge: each pass lands every non-overlapping
-    * occurrence left-to-right, and only boundary-sharing chains (runs
-    * of the same pair) defer to the next pass — a run of k adjacent
-    * occurrences resolves in ≤ k passes, and k is bounded by
-    * word-length/2. 8 covers words up to 16 symbols; longer corpus
-    * words would need this raised in BOTH engines. */
+  /** First-occurrence replace passes per merge. Each pass splices out
+    * exactly the LEFTMOST " a b " occurrence, which is precisely the
+    * greedy left-to-right BPE application when iterated: merging the
+    * leftmost pair can never create a match EARLIER than itself (the
+    * merged symbol "ab" is not the pair's right element), so repeated
+    * leftmost-merge ≡ one greedy scan. A whole-string replace would
+    * NOT be: its non-overlapping scan strands the middle of
+    * same-symbol runs (" a a a a a " → [aa, a, aa], greedy is
+    * [aa, aa, a]). A word of S symbols needs ≤ S/2 passes; 8 covers
+    * the guard's 16-symbol bound — longer corpus words must raise
+    * this in BOTH engines. */
   val ReplacePasses = 8
 
   /** End-of-word marker — keeps a word-final symbol distinct from the
@@ -81,10 +86,22 @@ object Bpe {
         .orderBy(col("freq").desc, col("pair")).limit(1).collect()
       val (pair, freq) = (row.getString(0), row.getLong(1))
       val merged = pair.replace(" ", "")
-      val applied = (1 to ReplacePasses).foldLeft(col("syms")) { (c, _) =>
-        call_function("replace", c, lit(s" $pair "), lit(s" $merged "))
+      val pat = s" $pair "
+      // one leftmost-occurrence splice per pass — greedy BPE; see
+      // [[ReplacePasses]] for why whole-string replace would be wrong.
+      // One withColumn per pass keeps each pass's 3 references to the
+      // string as ATTRIBUTE references (plan depth 8), not a 3^8
+      // nested expression tree.
+      def leftmostOnce(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val p = call_function("instr", c, lit(pat))
+        when(p === 0, c).otherwise(concat(
+          call_function("substring", c, lit(1), p - 1),
+          lit(s" $merged "),
+          call_function("substring", c, p + lit(pat.length), lit(Int.MaxValue))))
       }
-      vocab = vocab.withColumn("syms", applied).localCheckpoint()
+      vocab = (1 to ReplacePasses)
+        .foldLeft(vocab)((df, _) => df.withColumn("syms", leftmostOnce(col("syms"))))
+        .localCheckpoint()
       (r, pair, freq)
     }
     (merges, vocab)
@@ -134,25 +151,38 @@ object Bpe {
 
   // ---- oracle ------------------------------------------------------
 
-  private def nestedReplace(sym: String, from: String, to: String): String =
-    (1 to ReplacePasses).foldLeft(sym)((s, _) => s"replace($s, $from, $to)")
+  /** One leftmost-occurrence splice as SQL — the engine-equal twin of
+    * the Spark pass (strpos ≡ instr, both 1-based). Emitted as ONE
+    * line: this text is re-interpolated into outer stripMargin blocks,
+    * which would eat a line-leading `||` operator as margin pipes. */
+  private def spliceSql(from: String, to: String): String =
+    s"CASE WHEN strpos(syms, $from) = 0 THEN syms " +
+      s"ELSE substr(syms, 1, strpos(syms, $from) - 1) || $to || " +
+      s"substr(syms, strpos(syms, $from) + len($from)) END"
 
   /** One merge round as SQL: seg<k> -> (p<k> pair counts, m<k> argmax,
-    * seg<k+1> applied). The argmax pair enters the next CTE as scalar
-    * subqueries, so the SQL derives the merges itself — nothing is
-    * spliced from the Spark run. */
+    * one CTE per leftmost-splice pass, seg<k> = the last pass). The
+    * argmax pair enters the passes as scalar subqueries, so the SQL
+    * derives the merges itself — nothing is spliced from the Spark
+    * run. One MATERIALIZED CTE per pass keeps the text linear where a
+    * nested CASE (3 self-references per level) would be 3^passes. */
   private def roundSql(k: Int): String = {
     val prev = s"seg${k - 1}"
     val search = s"(' ' || (SELECT pair FROM m$k) || ' ')"
     val replc = s"(' ' || (SELECT replace(pair, ' ', '') FROM m$k) || ' ')"
+    val passes = (1 to ReplacePasses).map { p =>
+      val src = if (p == 1) prev else s"s${k}_p${p - 1}"
+      s"""s${k}_p$p AS MATERIALIZED (SELECT word, n,
+         |  ${spliceSql(search, replc)} AS syms FROM $src)""".stripMargin
+    }.mkString(",\n")
     s"""p$k AS MATERIALIZED (SELECT pair, CAST(sum(n) AS BIGINT) AS freq FROM (
        |  SELECT n, unnest(list_transform(range(1, len(a)),
        |                   i -> a[i] || ' ' || a[i + 1])) AS pair
        |  FROM (SELECT n, string_split(trim(syms), ' ') AS a FROM $prev)
        |) GROUP BY pair),
        |m$k AS MATERIALIZED (SELECT pair, freq FROM p$k ORDER BY freq DESC, pair LIMIT 1),
-       |seg$k AS MATERIALIZED (SELECT word, n, ${nestedReplace("syms", search, replc)} AS syms
-       |          FROM $prev)""".stripMargin
+       |$passes,
+       |seg$k AS MATERIALIZED (SELECT word, n, syms FROM s${k}_p$ReplacePasses)""".stripMargin
   }
 
   private lazy val derivationSql: String = {

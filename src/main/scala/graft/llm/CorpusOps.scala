@@ -279,8 +279,10 @@ object CorpusOps {
   }
 
   lazy val filterFunnelOracle: String = {
-    def hitsSql(words: Seq[String]): String =
-      s"CAST(len(list_filter(toks, t -> list_contains(${words.mkString("['", "', '", "']")}, t))) AS BIGINT)"
+    // ONE source of truth for the hit-count SQL: TextAnalysis owns the
+    // language-ID contract; restating it here would let the funnel's
+    // fail_langid silently drift from q_llm_lang_id
+    import TextAnalysis.hitsSql
     val markerCols = TextAnalysis.Markers
       .map { case (l, ws) => s"${hitsSql(ws)} AS h_$l" }.mkString(", ")
     val mx = TextAnalysis.Markers.map { case (l, _) => s"h_$l" }
@@ -288,7 +290,8 @@ object CorpusOps {
     val pred = TextAnalysis.Markers.map { case (l, _) =>
       s"WHEN h_$l = mx AND mx > 0 THEN '$l'"
     }.mkString("CASE ", " ", " ELSE 'und' END")
-    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+    s"""WITH d0 AS (SELECT doc_id, lang, coalesce(text, '') AS text FROM documents),
+       |t AS (SELECT doc_id, lang, $toksSql AS toks FROM d0),
        |s AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
        |        ${hitsSql(TextAnalysis.Stopwords)} AS n_stop,
        |        $markerCols
@@ -1269,11 +1272,14 @@ object CorpusOps {
     * __HIVE_DEFAULT_PARTITION__/NULL, which no lang column a curation
     * pass emits should contain. */
   def shardExport(spark: SparkSession, dir: String): DataFrame = {
-    // keyed by input dir: the returned frame lazily reads this path,
-    // so a shared tag would let a run for another scale factor
-    // overwrite the directory under a deferred consumer
+    // keyed by the FULL input dir (sanitized, not hashed): the
+    // returned frame lazily reads this path, so a shared tag would let
+    // a run for another scale factor overwrite the directory under a
+    // deferred consumer — and a 32-bit hashCode key would reintroduce
+    // exactly that bug for colliding dir strings
     val path = graft.func.TempDirs.cached(
-      s"graft_llm_shard_export_${Integer.toHexString(dir.hashCode)}")
+      s"graft_llm_shard_export_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+        s"_${Integer.toHexString(dir.hashCode)}")
     packPayload(spark, dir).write.mode("overwrite")
       .partitionBy("lang", "shard").parquet(path)
     spark.read.parquet(path)

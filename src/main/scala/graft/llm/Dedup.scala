@@ -383,9 +383,11 @@ object Dedup {
     * (neighbor-min and pointer doubling are composed in one plan, and
     * the checkpointed frame carries `prev_keeper` so the convergence
     * count is a scan of the materialized RDD, not a second join). */
-  /** Edge-count ceiling for the driver union-find shortcut in
-    * [[closureKeepers]]. 4M undirected edges is ~64 MB of Long pairs —
-    * trivial driver heap and milliseconds of union-find — while the
+  /** Undirected-edge ceiling for the driver union-find shortcut in
+    * [[closureKeepers]] (compared against HALF the doubled-direction
+    * row count). 4M undirected edges collects as ~8M boxed tuples —
+    * a few hundred MB of driver heap for milliseconds of union-find —
+    * while the
     * distributed loop at ANY size pays several multi-stage shuffle
     * rounds (measured: 7 rounds ≈ 8 s on a 3k-edge graph at 32-way
     * parallelism, overhead only). LSH banding exists precisely to keep
@@ -397,7 +399,9 @@ object Dedup {
   def closureKeepers(pairs: DataFrame): DataFrame = {
     val edges = undirectedEdges(pairs).cache()
     try {
-      if (edges.count() <= DriverClosureMaxEdges) driverClosure(edges)
+      // undirectedEdges doubles every pair into both directions, so
+      // the row count is 2× the undirected edge count the bound names
+      if (edges.count() <= 2 * DriverClosureMaxEdges) driverClosure(edges)
       else loopOnEdges(edges)._1
     } finally { edges.unpersist(); () }
   }

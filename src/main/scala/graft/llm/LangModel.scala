@@ -16,10 +16,14 @@ import graft.func.{OracleSql, Tokenizer}
   * continuations score high, improbable ones drag the mean down) and
   * bit-portable to the oracle.
   *
-  * Scale shape: the unigram and bigram count tables are vocabulary-
-  * and vocabulary²-bounded — both broadcast; the occurrence stream
-  * never shuffles on token. The only corpus-scale shuffle is the
-  * per-doc aggregate (map-side combined). Docs with < 2 tokens
+  * Scale shape: the unigram table is vocabulary-bounded — broadcast.
+  * The BIGRAM table is NOT: distinct bigram types grow ~linearly with
+  * a natural-language corpus, so forcing it to broadcast would OOM at
+  * scale; its join stays unhinted — the pairs frame is already
+  * grouped on (w1, w2) to build the counts, so the scoring join
+  * reuses that partitioning, and AQE still picks broadcast when the
+  * table is actually small. The only other corpus-scale shuffle is
+  * the per-doc aggregate (map-side combined). Docs with < 2 tokens
   * survive via left join with null score.
   */
 object LangModel {
@@ -41,7 +45,7 @@ object LangModel {
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val scored = pairs
-      .join(broadcast(bi), Seq("w1", "w2"))
+      .join(bi, Seq("w1", "w2"))
       .join(broadcast(uni), Seq("w1"))
       .withColumn("p_ppm", expr("(1000000 * c2) DIV c1"))
       .groupBy("doc_id")

@@ -303,28 +303,45 @@ object Similarity {
     * cannot run the quantizer itself: any IVF regression surfaces as
     * a 0 in a column the oracle pins to 1 (hash-red), and a lost
     * query row breaks the row count. */
-  def ivfRecall(spark: SparkSession, dir: String): DataFrame = {
-    val brute = bruteTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val ivf = ivfTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("hit_ct"))
-    // left-join from the query population, not from `hits`: a query
-    // with ZERO recovered neighbors must still appear (as a 0 row)
-    val qids = Tables.embeddings(spark, dir)
+  def ivfRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVsBrute(spark, dir, ivfTopK(spark, dir), RecallFloorPpm)
+
+  /** The deterministic query population as (query_id) rows — the ONE
+    * statement of the `vec_id % stride` predicate every ANN query and
+    * recall check shares. */
+  private def queryIds(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .filter(col("vec_id") % QueryStride === 0 &&
         col("vec_id") < QueryStride * MaxQueries)
       .select(col("vec_id").as("query_id"))
-    qids.join(hits, Seq("query_id"), "left")
+
+  /** Shared recall harness for every approximate ANN path: per query,
+    * meets_floor = (approx∩brute ≥ floorPpm of [[TopK]]). Left-joins
+    * FROM the query population, not from the hit counts: a query with
+    * ZERO recovered neighbors must still appear (as a 0 row). The
+    * oracle for every instantiation is [[recallOracle]] (pins all
+    * rows to 1). */
+  private def recallVsBrute(spark: SparkSession, dir: String,
+      approx: DataFrame, floorPpm: Long): DataFrame = {
+    val brute = bruteTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hit_ct"))
+    queryIds(spark, dir).join(hits, Seq("query_id"), "left")
       .withColumn("recall_ppm",
         expr(s"(1000000 * coalesce(hit_ct, 0L)) DIV $TopK"))
       .select(col("query_id"),
-        (col("recall_ppm") >= RecallFloorPpm).cast("int").as("meets_floor"))
+        (col("recall_ppm") >= floorPpm).cast("int").as("meets_floor"))
   }
 
-  val ivfRecallOracle: String =
+  /** One oracle for every recall query: the full deterministic query
+    * population, every floor met. */
+  val recallOracle: String =
     s"""SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS meets_floor
        |FROM embeddings
        |WHERE vec_id % $QueryStride = 0 AND vec_id < ${QueryStride * MaxQueries}""".stripMargin
+
+  val ivfRecallOracle: String = recallOracle
 
   /** JVM-side vector helpers for the typed k-means/IVF passes — the
     * same ascending-index IEEE fold as [[VecDot]], so typed and
@@ -460,9 +477,13 @@ object Similarity {
     import env.sparkSession.implicits._
     val typed = env.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
     val seeds = typed.filter(_._1 < PqK).collect().sortBy(_._1)
-    require(seeds.nonEmpty,
-      s"pqCodebooks: no seed vectors with vec_id < $PqK — empty or " +
-        "renumbered embeddings table; seed ids must start at 0")
+    // downstream LUT/norm tables index all PqK codes (Array.tabulate
+    // (PqM, PqK) in pqTopK/ivfPqTopK) — a partial seed set would pass
+    // a nonEmpty check here and AIOOBE inside an executor task instead
+    require(seeds.length == PqK,
+      s"pqCodebooks: ${seeds.length} of $PqK seed vectors with " +
+        s"vec_id < $PqK — empty, tiny, or renumbered embeddings table; " +
+        "seed ids must cover 0 until PqK")
     var books: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
       seeds.map { case (_, v) =>
         v.slice(m * PqSubDim, (m + 1) * PqSubDim).toArray }
@@ -659,26 +680,10 @@ object Similarity {
     * deterministic population, `meets_floor` = (ADC∩brute ≥
     * [[PqRecallFloorPpm]] of [[TopK]]) — the oracle pins every row to
     * 1 (hash check), the [[ivfRecall]] pattern. */
-  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val brute = bruteTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val pq = pqTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val hits = pq.join(brute, Seq("query_id", "neighbor_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("hit_ct"))
-    val qids = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % QueryStride === 0 &&
-        col("vec_id") < QueryStride * MaxQueries)
-      .select(col("vec_id").as("query_id"))
-    qids.join(hits, Seq("query_id"), "left")
-      .withColumn("recall_ppm",
-        expr(s"(1000000 * coalesce(hit_ct, 0L)) DIV $TopK"))
-      .select(col("query_id"),
-        (col("recall_ppm") >= PqRecallFloorPpm).cast("int").as("meets_floor"))
-  }
+  def pqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVsBrute(spark, dir, pqTopK(spark, dir), PqRecallFloorPpm)
 
-  val pqRecallOracle: String =
-    s"""SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS meets_floor
-       |FROM embeddings
-       |WHERE vec_id % $QueryStride = 0 AND vec_id < ${QueryStride * MaxQueries}""".stripMargin
+  val pqRecallOracle: String = recallOracle
 
   // ---- IVFADC: coarse cells × PQ codes ----------------------------
 
@@ -773,26 +778,10 @@ object Similarity {
 
   /** [[pqRecall]]'s contract for the composed path: oracle pins every
     * query's `meets_floor` to 1 (hash check). */
-  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame = {
-    val brute = bruteTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val ivfpq = ivfPqTopK(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val hits = ivfpq.join(brute, Seq("query_id", "neighbor_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("hit_ct"))
-    val qids = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % QueryStride === 0 &&
-        col("vec_id") < QueryStride * MaxQueries)
-      .select(col("vec_id").as("query_id"))
-    qids.join(hits, Seq("query_id"), "left")
-      .withColumn("recall_ppm",
-        expr(s"(1000000 * coalesce(hit_ct, 0L)) DIV $TopK"))
-      .select(col("query_id"),
-        (col("recall_ppm") >= IvfPqRecallFloorPpm).cast("int").as("meets_floor"))
-  }
+  def ivfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    recallVsBrute(spark, dir, ivfPqTopK(spark, dir), IvfPqRecallFloorPpm)
 
-  val ivfPqRecallOracle: String =
-    s"""SELECT vec_id AS query_id, CAST(1 AS INTEGER) AS meets_floor
-       |FROM embeddings
-       |WHERE vec_id % $QueryStride = 0 AND vec_id < ${QueryStride * MaxQueries}""".stripMargin
+  val ivfPqRecallOracle: String = recallOracle
 
   // ---- random-hyperplane LSH --------------------------------------
 

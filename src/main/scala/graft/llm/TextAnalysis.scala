@@ -36,7 +36,10 @@ object TextAnalysis {
     size(filter(toks, t =>
       array_contains(array(words.map(lit): _*), t))).cast("long")
 
-  private def hitsSql(words: Seq[String]): String =
+  /** Marker/stopword hit count over a `toks` list column, as DuckDB
+    * SQL — shared with [[CorpusOps.filterFunnelOracle]] so the
+    * language-ID contract has ONE SQL statement. */
+  private[llm] def hitsSql(words: Seq[String]): String =
     s"CAST(len(list_filter(toks, t -> list_contains(${words.mkString("['", "', '", "']")}, t))) AS BIGINT)"
 
   /** Language ID: (doc_id, pred_lang, hit_ct, is_match vs the labeled

@@ -122,7 +122,7 @@ class BpeSpec extends SparkSpec {
 
   test("bpe: repeated-pair runs resolve to the greedy left-to-right fixpoint") {
     // 'aaaa' → run of 'a a a a </w>': merge (a,a) must produce
-    // 'aa aa </w>', not 'aa a a </w>' — the multi-pass replace contract
+    // 'aa aa </w>', not 'aa a a </w>' — the leftmost-splice contract
     val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
     val m = classOf[Bpe.type].getDeclaredMethod("learn",
       classOf[org.apache.spark.sql.DataFrame])
@@ -137,5 +137,41 @@ class BpeSpec extends SparkSpec {
       .groupBy("symbol").agg(sum(col("n")).as("freq"))
       .as[(String, Long)].collect().toMap
     assert(gotVocab === expVocab)
+  }
+
+  test("bpe: odd 5+ same-symbol runs pack left like real greedy BPE") {
+    // THE divergence a whole-string replace pass hides: ' a a a a a '
+    // under merge (a,a) must become [aa, aa, a] (greedy packs left),
+    // not [aa, a, aa] (non-overlapping scan strands the middle).
+    // Checked via segmentation ORDER, not just the symbol multiset.
+    val docs = Seq((1L, "aaaaa aaaaa")).toDF("doc_id", "text")
+    val m = classOf[Bpe.type].getDeclaredMethod("learn",
+      classOf[org.apache.spark.sql.DataFrame])
+    m.setAccessible(true)
+    val (gotMerges, segDf) = m.invoke(Bpe, docs)
+      .asInstanceOf[(Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame)]
+    val after1 = gotMerges.head._2
+    assert(after1 === "a a")
+    val syms = segDf.select(trim(col("syms"))).as[String].head()
+    val (expMerges, _) = referenceBpe(Map("aaaaa" -> 2L))
+    assert(gotMerges === expMerges)
+    // round 2 merges (aa,aa) [freq 2] then round 3; whatever the later
+    // rounds do, the round-1 packing must have been left-greedy: the
+    // reference segmentation replayed through the same merges
+    val ref = {
+      var s = Vector("a", "a", "a", "a", "a", Bpe.Eow)
+      gotMerges.foreach { case (_, pair, _) =>
+        val Array(x, y) = pair.split(" ", 2)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == x && s(i + 1) == y) { out += (x + y); i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        s = out.result()
+      }
+      s.mkString(" ")
+    }
+    assert(syms === ref, "segmentation order must match single-scan greedy")
   }
 }

@@ -554,6 +554,19 @@ class CorpusOpsSpec extends SparkSpec {
       s"dominant ${rawTop._1}: kept share $keptShare vs raw $rawShare")
   }
 
+  test("filterFunnel: null text counts as zero tokens (oracle coalesces to match)") {
+    // a real corpus WILL carry null payloads; the typed path maps them
+    // to zero tokens (tokensOf contract) and the oracle pre-coalesces
+    // text so len(toks) is 0, not NULL-skipped in the sums
+    val docs = Seq((1L, "en", null.asInstanceOf[String]),
+      (2L, "en", "the cat and the dog of it is fine " * 4))
+      .toDF("doc_id", "lang", "text")
+    val Array(row) = CorpusOps.filterFunnelOf(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(row._2 === 2L, "null-text doc is counted")
+    assert(row._3 >= 1L, "null-text doc fails the length floor")
+  }
+
   test("filterFunnel: per-rule counts equal a driver-side recompute") {
     val out = CorpusOps.filterFunnel(spark, Sf)
       .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
