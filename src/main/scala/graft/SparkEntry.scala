@@ -68,6 +68,9 @@ object SparkEntry {
     "q_ads_retention"        -> (ads.EventFlows.retention(_, _)),
     "q_ads_sessionize"       -> (ads.EventFlows.sessionize(_, _)),
     "q_ads_active_users"     -> (ads.EventFlows.activeUsers(_, _)),
+    // day-over-day GMV growth + RFM quintile segmentation
+    "q_ads_gmv_growth"       -> (ads.Queries.gmvGrowth(_, _)),
+    "q_ads_rfm"              -> (ads.Queries.rfm(_, _)),
     // Sink layer (K2–K5): real write → read-back through each sink path
     "q_sink_dedup_latest" -> (sinks.Sinks.dedupLatestQuery(_, _)),
     "q_sink_route"        -> (sinks.Sinks.routeQuery(_, _)),
@@ -132,6 +135,12 @@ object SparkEntry {
     "q_llm_quality_quantiles_approx" -> (llm.CorpusOps.qualityQuantilesApprox(_, _)),
     "q_llm_packing"         -> (llm.CorpusOps.packing(_, _)),
     "q_llm_packing_sharded" -> (llm.CorpusOps.packingSharded(_, _)),
+    // corpus layout: deterministic training shuffle, length data card,
+    // pack-utilization report; PMI collocation mining
+    "q_llm_corpus_shuffle"  -> (llm.CorpusLayout.corpusShuffle(_, _)),
+    "q_llm_length_hist"     -> (llm.CorpusLayout.lengthHist(_, _)),
+    "q_llm_pack_util"       -> (llm.CorpusLayout.packUtil(_, _)),
+    "q_llm_pmi"             -> (llm.Colloc.pmi(_, _)),
     "q_llm_pack_payload"    -> (llm.CorpusOps.packPayload(_, _)),
     // payloads written as a (lang, shard)-partitioned directory and
     // read back — the durable training-shard layout, manifest-checked
@@ -203,6 +212,8 @@ object SparkEntry {
     "q_ads_retention"        -> ads.EventFlows.retentionOracle,
     "q_ads_sessionize"       -> ads.EventFlows.sessionizeOracle,
     "q_ads_active_users"     -> ads.EventFlows.activeUsersOracle,
+    "q_ads_gmv_growth"       -> ads.Queries.gmvGrowthOracle,
+    "q_ads_rfm"              -> ads.Queries.rfmOracle,
     "q_sink_dedup_latest" -> sinks.Sinks.dedupLatestOracle,
     "q_sink_route"        -> sinks.Sinks.routeOracle,
     "q_sink_republish"    -> sinks.Sinks.republishOracle,
@@ -249,6 +260,10 @@ object SparkEntry {
     // q_llm_quality_quantiles_approx intentionally absent (estimates)
     "q_llm_packing"         -> llm.CorpusOps.packingOracle,
     "q_llm_packing_sharded" -> llm.CorpusOps.packingShardedOracle,
+    "q_llm_corpus_shuffle"  -> llm.CorpusLayout.corpusShuffleOracle,
+    "q_llm_length_hist"     -> llm.CorpusLayout.lengthHistOracle,
+    "q_llm_pack_util"       -> llm.CorpusLayout.packUtilOracle,
+    "q_llm_pmi"             -> llm.Colloc.pmiOracle,
     "q_llm_pack_payload"    -> llm.CorpusOps.packPayloadOracle,
     "q_llm_shard_export"    -> llm.CorpusOps.shardExportOracle,
     "q_llm_contamination"   -> llm.CorpusOps.contaminationOracle,

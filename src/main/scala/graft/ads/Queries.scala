@@ -258,4 +258,110 @@ object Queries {
       |           FROM events WHERE event_type = 'purchase' GROUP BY 1) p
       |  ON CAST(h.range AS INTEGER) = p.hr
       |ORDER BY hr""".stripMargin
+
+  /** Day-over-day GMV growth — Q1's curve with a lag window on top:
+    * (dt, gmv_cents, prev_cents, diff_cents, growth_ppm). growth_ppm
+    * is exact integer millionths, sign-split so BOTH engines truncate
+    * toward zero (Spark `div` truncates, DuckDB `//` floors — they
+    * only agree when every DIV operand is non-negative); null on the
+    * first day and on a zero base.
+    *
+    * Scale shape: the lag window runs UNPARTITIONED — over the
+    * already-aggregated per-day table, which is calendar-bounded
+    * (O(3k) rows for a decade), not corpus-scaled; the real shuffle is
+    * the day aggregate, map-side combined. */
+  def gmvGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyyMMdd").as("dt"))
+      .agg(sumCents(col("o_totalprice")).as("gmv_cents"))
+    daily
+      .withColumn("prev_cents", lag("gmv_cents", 1).over(Window.orderBy("dt")))
+      .withColumn("diff_cents", col("gmv_cents") - col("prev_cents"))
+      .withColumn("growth_ppm",
+        when(col("prev_cents").isNull || col("prev_cents") === 0L,
+          lit(null).cast("long"))
+          .when(col("diff_cents") >= 0L,
+            expr("(1000000 * diff_cents) DIV prev_cents"))
+          .otherwise(-expr("(1000000 * (-diff_cents)) DIV prev_cents")))
+      .orderBy("dt")
+  }
+
+  val gmvGrowthOracle: String =
+    """WITH d AS MATERIALIZED (
+      |  SELECT strftime(o_orderdate, '%Y%m%d') AS dt,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS gmv_cents
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT dt, gmv_cents,
+      |             lag(gmv_cents) OVER (ORDER BY dt) AS prev_cents FROM d)
+      |SELECT dt, gmv_cents, prev_cents,
+      |       gmv_cents - prev_cents AS diff_cents,
+      |       CAST(CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+      |            WHEN gmv_cents >= prev_cents
+      |              THEN (1000000 * (gmv_cents - prev_cents)) // prev_cents
+      |            ELSE -((1000000 * (prev_cents - gmv_cents)) // prev_cents)
+      |       END AS BIGINT) AS growth_ppm
+      |FROM l ORDER BY dt""".stripMargin
+
+  /** RFM customer segmentation: per customer, recency (days since
+    * last order, against the corpus max date), frequency (order
+    * count), monetary (lifetime cents), each cut into quintiles by
+    * ntile(5) with a custkey tiebreak (1 = best — most recent / most
+    * frequent / highest spend), plus the composite 3-digit segment.
+    *
+    * Scale shape: the corpus-scale work is ONE per-customer aggregate
+    * (map-side combined). The three ntile windows are global sorts
+    * over the aggregated table — exact quintiles are inherently a
+    * global order. At 10⁹ customers the same output shape would come
+    * from approx_percentile cutoffs instead (the
+    * q_llm_quality_quantiles_approx pattern); exact ntile is kept
+    * here because the oracle can replay it bit-for-bit. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("last_dt"),
+        count(lit(1)).as("frequency"),
+        sumCents(col("o_totalprice")).as("monetary_cents"))
+    // anchor from the FACT table, not from `per`: max over customers'
+    // maxes equals the global max, and aggregating `per` again would
+    // duplicate the per-customer exchange in the plan
+    val anchor = Tables.orders(spark, dir)
+      .agg(max(col("o_orderdate")).as("anchor_dt"))
+    val base = per.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("anchor_dt"), col("last_dt")).cast("long"))
+    def quintile(ord: org.apache.spark.sql.Column*) =
+      ntile(5).over(Window.orderBy(ord: _*)).cast("long")
+    base
+      .withColumn("r_bin", quintile(col("recency_days"), col("custkey")))
+      .withColumn("f_bin", quintile(col("frequency").desc, col("custkey")))
+      .withColumn("m_bin", quintile(col("monetary_cents").desc, col("custkey")))
+      .withColumn("segment",
+        col("r_bin") * 100L + col("f_bin") * 10L + col("m_bin"))
+      .select("custkey", "recency_days", "frequency", "monetary_cents",
+        "r_bin", "f_bin", "m_bin", "segment")
+  }
+
+  val rfmOracle: String =
+    """WITH per AS MATERIALIZED (
+      |  SELECT o_custkey AS custkey, max(o_orderdate) AS last_dt,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM orders GROUP BY 1),
+      |a AS (SELECT max(o_orderdate) AS anchor_dt FROM orders),
+      |b AS (SELECT custkey,
+      |             CAST(date_diff('day', CAST(last_dt AS DATE),
+      |                            CAST(anchor_dt AS DATE)) AS BIGINT) AS recency_days,
+      |             frequency, monetary_cents
+      |      FROM per, a),
+      |s AS (SELECT custkey, recency_days, frequency, monetary_cents,
+      |        CAST(ntile(5) OVER (ORDER BY recency_days, custkey) AS BIGINT) AS r_bin,
+      |        CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_bin,
+      |        CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, custkey) AS BIGINT) AS m_bin
+      |      FROM b)
+      |SELECT custkey, recency_days, frequency, monetary_cents,
+      |       r_bin, f_bin, m_bin,
+      |       r_bin * 100 + f_bin * 10 + m_bin AS segment
+      |FROM s""".stripMargin
 }

@@ -1,0 +1,163 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.{Exprs, OracleSql, Tokenizer}
+
+/** Corpus layout operators — the physical-arrangement half of a
+  * training-data pipeline (reference analog: the shard/bucket layout
+  * steps gmallBiGuan's warehouse leaves to its sinks): a deterministic
+  * global shuffle into training shards, the token-length data card,
+  * and the utilization report for the next-fit packer.
+  */
+object CorpusLayout {
+
+  // ---- deterministic corpus shuffle --------------------------------
+
+  /** Shard count for [[corpusShuffle]]. Test-scale 16; at 100 TB this
+    * is THE parallelism knob: one shard = one independently-sorted
+    * training file family = one reducer's sort buffer. The shard key
+    * is a pure function of doc_id, so growing the count re-buckets
+    * deterministically with no layout state to migrate. */
+  val ShuffleShards = 16L
+
+  /** Salt for the shuffle hash — distinct from [[CorpusOps.hashSplit]]
+    * (unsalted) and the packer's "shard:" so shuffle order is
+    * statistically independent of split and pack assignment. */
+  val ShuffleSalt = "shuf:"
+
+  /** Deterministic global shuffle: every document gets a pseudorandom
+    * but reproducible position — shard = md5-bucket of doc_id, pos =
+    * rank of the md5 key within the shard. A training loader that
+    * reads shards in any order and rows by pos sees the corpus in a
+    * fixed random permutation, independent of input file layout.
+    *
+    * Scale shape: ONE hash exchange on `shard`, then each shard sorts
+    * independently inside its reducer — there is no global total
+    * order, so no single-partition bottleneck; [[ShuffleShards]] is
+    * sized to the cluster. This is the Spark-native answer to "shuffle
+    * 100 TB before training": sort-within-bucket, never sort-all. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    corpusShuffleOf(Tables.documents(spark, dir))
+
+  /** [[corpusShuffle]] over any (doc_id, lang) frame — public for
+    * tests. `skey` (the full md5) and `shard` (its first 4 nibbles
+    * mod [[ShuffleShards]], via the shared [[Exprs.md5Bucket]]) are
+    * derived from the SAME salted hash, so the oracle states both
+    * from one md5() call. */
+  def corpusShuffleOf(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      md5(concat(lit(ShuffleSalt), col("doc_id").cast("string"))).as("skey"),
+      Exprs.md5Bucket(col("doc_id"), ShuffleSalt, 4, ShuffleShards)
+        .as("shard"))
+    // doc_id tiebreak: md5 collisions are negligible but the contract
+    // is DETERMINISTIC, not almost-deterministic
+    val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "lang", "shard", "pos")
+  }
+
+  lazy val corpusShuffleOracle: String = {
+    val nib = OracleSql.hexNibbles("skey", 4)
+    s"""WITH k AS (SELECT doc_id, lang,
+       |             md5('$ShuffleSalt' || CAST(doc_id AS VARCHAR)) AS skey
+       |           FROM documents)
+       |SELECT doc_id, lang, CAST($nib % $ShuffleShards AS BIGINT) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY $nib % $ShuffleShards
+       |              ORDER BY skey, doc_id) AS BIGINT) AS pos
+       |FROM k""".stripMargin
+  }
+
+  // ---- token-length histogram (data card) --------------------------
+
+  /** Order-of-magnitude token-length histogram per language — the
+    * length panel of a data card. Buckets by DECIMAL DIGIT COUNT of
+    * n_tokens (1 → 0-9 tokens, 2 → 10-99, …): exact integer-string
+    * arithmetic in both engines, where floor(log2(n)) would ride on
+    * float ulp at exact powers and could disagree between engines.
+    *
+    * Scale shape: tokenize-and-count projection, then ONE map-side-
+    * combinable aggregate over a (langs × ~12)-bounded key space —
+    * shuffle volume is rows-per-map-task, the cheapest full-corpus
+    * pass there is. */
+  def lengthHist(spark: SparkSession, dir: String): DataFrame =
+    lengthHistOf(Tables.documents(spark, dir))
+
+  /** [[lengthHist]] over any (lang, text) frame — public for tests.
+    * Null text counts as zero tokens (magnitude 1 bucket, with the
+    * 0-9 docs), matching the oracle's coalesce. */
+  def lengthHistOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        coalesce(size(Tokenizer.tokens(col("text"))).cast("long"), lit(0L))
+          .as("n_tokens"))
+      .withColumn("magnitude", length(col("n_tokens").cast("string")).cast("long"))
+      .groupBy("lang", "magnitude")
+      .agg(count(lit(1)).as("doc_ct"), sum("n_tokens").as("token_sum"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
+
+  lazy val lengthHistOracle: String =
+    s"""WITH t AS (SELECT lang,
+       |             CAST(coalesce(len(${OracleSql.toks}), 0) AS BIGINT) AS n_tokens
+       |           FROM documents)
+       |SELECT lang, CAST(len(CAST(n_tokens AS VARCHAR)) AS BIGINT) AS magnitude,
+       |       CAST(count(*) AS BIGINT) AS doc_ct,
+       |       CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+       |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+       |FROM t GROUP BY 1, 2""".stripMargin
+
+  // ---- pack utilization report -------------------------------------
+
+  /** Per-(lang, shard) utilization of [[CorpusOps.packingSharded]]'s
+    * next-fit layout: how much of the allocated pack capacity actually
+    * carries tokens — the number a pipeline owner watches to decide
+    * whether the packer needs a smarter (best-fit / chunk-first)
+    * layout. util_ppm = 1e6·used DIV capacity, integer-exact; the 1e6
+    * scaling stays under Long past 1e12 tokens per (lang, shard)
+    * slice, which [[CorpusOps.PackShards]] is sized to keep true.
+    * util_ppm EXCEEDS 1e6 exactly when docs straddle a capacity
+    * boundary: the packer assigns a doc to the pack its START offset
+    * falls in and never splits it (splitting is [[CorpusOps
+    * .chunkThenPack]]'s job), so a straddling doc's tail overflows
+    * its pack. straddle_ct counts them, so the report itself says
+    * whether >100% is boundary overflow or a bug.
+    *
+    * Scale shape: the groupBy key (lang, shard) EQUALS the packing
+    * window's partition key, so this aggregate reuses the packer's
+    * exchange — zero additional shuffles on top of [[CorpusOps
+    * .packingSharded]]. */
+  def packUtil(spark: SparkSession, dir: String): DataFrame =
+    packUtilOf(CorpusOps.packingSharded(spark, dir))
+
+  /** [[packUtil]] over any packed (lang, shard, n_tokens, pack_id)
+    * frame — public for tests. */
+  def packUtilOf(packed: DataFrame): DataFrame =
+    packed.groupBy("lang", "shard")
+      .agg(count(lit(1)).as("doc_ct"),
+        sum("n_tokens").as("used_tokens"),
+        (max("pack_id") + lit(1L)).as("pack_ct"),
+        sum(when(col("pack_offset") + col("n_tokens") > CorpusOps.PackCapacity,
+          1L).otherwise(0L)).as("straddle_ct"))
+      .withColumn("capacity_tokens",
+        expr(s"pack_ct * ${CorpusOps.PackCapacity}"))
+      .withColumn("util_ppm",
+        expr("(1000000 * used_tokens) DIV capacity_tokens"))
+
+  /** Derives from [[CorpusOps.packingShardedOracle]] verbatim — the
+    * utilization oracle restates NOTHING about the layout; MATERIALIZED
+    * because chained-derivation CTEs re-inline and hang otherwise. */
+  lazy val packUtilOracle: String =
+    s"""WITH base AS MATERIALIZED (${CorpusOps.packingShardedOracle})
+       |SELECT lang, shard, CAST(count(*) AS BIGINT) AS doc_ct,
+       |       CAST(sum(n_tokens) AS BIGINT) AS used_tokens,
+       |       CAST(max(pack_id) + 1 AS BIGINT) AS pack_ct,
+       |       CAST(sum(CASE WHEN pack_offset + n_tokens > ${CorpusOps.PackCapacity}
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS straddle_ct,
+       |       CAST((max(pack_id) + 1) * ${CorpusOps.PackCapacity} AS BIGINT) AS capacity_tokens,
+       |       CAST((1000000 * sum(n_tokens)) // ((max(pack_id) + 1) * ${CorpusOps.PackCapacity}) AS BIGINT) AS util_ppm
+       |FROM base GROUP BY lang, shard""".stripMargin
+}

@@ -1,0 +1,68 @@
+package graft.ads
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class QueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gmvGrowth: lag chain and sign-split ppm equal a driver recompute") {
+    val daily = Queries.gmvGrowth(spark, Sf)
+      .select("dt", "gmv_cents", "prev_cents", "diff_cents", "growth_ppm")
+      .collect()
+    assert(daily.length > 2)
+    assert(daily.head.isNullAt(2) && daily.head.isNullAt(4),
+      "first day has no base")
+    daily.sliding(2).foreach { case Array(p, c) =>
+      assert(c.getLong(2) === p.getLong(1), "prev is literally lag(gmv)")
+      val diff = c.getLong(1) - c.getLong(2)
+      assert(c.getLong(3) === diff)
+      val exp = if (diff >= 0) 1000000L * diff / c.getLong(2)
+        else -(1000000L * -diff / c.getLong(2))
+      assert(c.getLong(4) === exp, s"truncate-toward-zero ppm at ${c.getString(0)}")
+    }
+    // the corpus is not monotone: both signs must occur or the
+    // sign-split branch is untested
+    val signs = daily.drop(1).map(r => r.getLong(3) >= 0).distinct
+    assert(signs.length === 2, "need both up and down days")
+  }
+
+  test("rfm: bins are balanced quintiles and 1 = best orientation") {
+    val out = Queries.rfm(spark, Sf)
+      .select("custkey", "recency_days", "frequency", "monetary_cents",
+        "r_bin", "f_bin", "m_bin", "segment")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val n = out.length
+    Seq[(String, Array[Long])](
+      ("r", out.map(_._5)), ("f", out.map(_._6)), ("m", out.map(_._7)))
+      .foreach { case (name, bins) =>
+        val byBin = bins.groupBy(identity).view.mapValues(_.length)
+        assert(byBin.keySet === (1L to 5L).toSet, s"$name covers 1..5")
+        // ntile balance: sizes differ by at most 1
+        assert(byBin.values.max - byBin.values.min <= 1,
+          s"$name quintiles balanced over $n customers")
+      }
+    // orientation: a bin-1 recency customer is at least as recent as
+    // any bin-5 one; bin-1 monetary spends at least as much as bin-5
+    val r1max = out.filter(_._5 === 1L).map(_._2).max
+    val r5min = out.filter(_._5 === 5L).map(_._2).min
+    assert(r1max <= r5min, "r_bin 1 = most recent")
+    val m1min = out.filter(_._7 === 1L).map(_._4).min
+    val m5max = out.filter(_._7 === 5L).map(_._4).max
+    assert(m1min >= m5max, "m_bin 1 = highest spend")
+    out.foreach { case (_, _, _, _, r, f, m, seg) =>
+      assert(seg === r * 100 + f * 10 + m)
+    }
+  }
+
+  test("rfm: the corpus-scale work is one aggregate (plan shape)") {
+    val plan = Queries.rfm(spark, Sf).queryExecution.executedPlan.toString
+    // exactly one hash exchange from the per-customer aggregate; the
+    // ntile windows run single-partition over the aggregated table
+    // (documented trade: exact quintiles need a global order)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"only the per-customer aggregate may hash-shuffle:\n$plan")
+  }
+}
