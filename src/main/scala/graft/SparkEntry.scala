@@ -119,6 +119,7 @@ object SparkEntry {
     "q_llm_bpe_merges"      -> (llm.Bpe.merges(_, _)),
     "q_llm_bpe_vocab"       -> (llm.Bpe.vocab(_, _)),
     "q_llm_bpe_tokenize"    -> (llm.Bpe.tokenize(_, _)),
+    "q_llm_bpe_fertility"   -> (llm.Bpe.fertility(_, _)),
     // integer bigram-MLE fluency (the KenLM-perplexity filter family)
     "q_llm_bigram_lm"       -> (llm.LangModel.bigramScore(_, _)),
     "q_llm_multimodal_meta" -> (llm.Multimodal.metaQuery(_, _)),
@@ -249,6 +250,7 @@ object SparkEntry {
     "q_llm_bpe_merges"      -> llm.Bpe.mergesOracle,
     "q_llm_bpe_vocab"       -> llm.Bpe.vocabOracle,
     "q_llm_bpe_tokenize"    -> llm.Bpe.tokenizeOracle,
+    "q_llm_bpe_fertility"   -> llm.Bpe.fertilityOracle,
     "q_llm_bigram_lm"       -> llm.LangModel.bigramScoreOracle,
     "q_llm_multimodal_meta" -> llm.Multimodal.metaOracle,
     "q_llm_mm_resize"       -> llm.Multimodal.resizeOracle,

@@ -222,4 +222,41 @@ object Bpe {
          |  FROM (SELECT doc_id, unnest(${OracleSql.toks}) AS word FROM documents) e
          |  JOIN seg$MergeRounds USING (word)
          |  GROUP BY doc_id) x USING (doc_id)""".stripMargin
+
+  /** Per-language tokenizer fertility — BPE tokens per word in
+    * millionths, the number a tokenizer owner compares across
+    * languages to spot under-served scripts (high fertility = the
+    * vocabulary splinters that language). Same learned segmentation
+    * as [[tokenize]]; the aggregate key space is langs, so the final
+    * shuffle carries a handful of rows per map task.
+    *
+    * Scale shape: the segmented-word table is vocabulary-bounded —
+    * broadcast; the corpus side is one explode + broadcast join; the
+    * 1e6 scaling stays exact under Long to 10¹² BPE tokens per
+    * language. */
+  def fertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, seg) = learn(docs)
+    val segmented = seg.select(col("word"),
+      size(split(trim(col("syms")), " ")).cast("long").as("n_syms"))
+    docs
+      .select(col("lang"),
+        explode(graft.func.Tokenizer.tokens(col("text"))).as("word"))
+      .join(broadcast(segmented), Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+      .withColumn("fertility_ppm",
+        expr("(1000000 * n_bpe_tokens) DIV n_words"))
+  }
+
+  lazy val fertilityOracle: String =
+    derivationSql +
+      s"""
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(len(string_split(trim(syms), ' '))) AS BIGINT) AS n_bpe_tokens,
+         |       CAST((1000000 * sum(len(string_split(trim(syms), ' '))))
+         |            // count(*) AS BIGINT) AS fertility_ppm
+         |FROM (SELECT lang, unnest(${OracleSql.toks}) AS word FROM documents) e
+         |JOIN seg$MergeRounds USING (word)
+         |GROUP BY lang""".stripMargin
 }

@@ -174,4 +174,22 @@ class BpeSpec extends SparkSpec {
     }
     assert(syms === ref, "segmentation order must match single-scan greedy")
   }
+
+  test("fertility: per-lang totals reconcile with per-doc tokenize") {
+    val fert = Bpe.fertility(spark, Sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(fert.nonEmpty)
+    fert.foreach { case (lang, words, bpe, ppm) =>
+      assert(words > 0L && bpe >= words, s"$lang: >= 1 symbol per word")
+      assert(ppm === 1000000L * bpe / words)
+      assert(ppm >= 1000000L, s"$lang fertility below 1 token/word")
+    }
+    // the lang split is a partition of the same corpus the per-doc
+    // report covers: totals must reconcile exactly
+    val (fw, fb) = (fert.map(_._2).sum, fert.map(_._3).sum)
+    val tot = Bpe.tokenize(spark, Sf)
+      .agg(sum("n_words"), sum(coalesce(col("n_bpe_tokens"), lit(0L))))
+      .as[(Long, Long)].head()
+    assert((fw, fb) === tot)
+  }
 }

@@ -381,6 +381,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again === manifest)
   }
 
+  test("shardExport layout prunes partitions on a (lang, shard) read") {
+    CorpusOps.shardExport(spark, Sf).collect() // ensure exported
+    val path = graft.func.TempDirs.cached(
+      s"graft_llm_shard_export_${Sf.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+        s"_${Integer.toHexString(Sf.hashCode)}")
+    val q = spark.read.parquet(path)
+      .filter(col("lang") === "en" && col("shard") === 3L)
+    // the WHOLE POINT of the partitionBy layout: a dimension-filtered
+    // consumer must read one directory, not scan-and-discard — the
+    // predicate lands in PartitionFilters, not the post-scan Filter
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang/shard filter must prune partitions:\n$scan")
+    assert(!scan.contains("PushedFilters: [IsNotNull(lang"),
+      "partition columns must not degrade to data filters")
+    assert(q.count() > 0, "pruned read still sees the en/3 slice")
+  }
+
   test("curationPipeline: report equals the stage-by-stage recompute") {
     val out = CorpusOps.curationPipeline(spark, Sf)
       .select("split", "lang", "doc_ct", "token_sum")
