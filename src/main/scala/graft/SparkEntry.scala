@@ -114,6 +114,7 @@ object SparkEntry {
     // lexical index structures: token->postings + exact-rational IDF
     "q_llm_inverted_index"  -> (llm.Index.invertedIndex(_, _)),
     "q_llm_idf_rarity"      -> (llm.Index.idfRarity(_, _)),
+    "q_llm_bm25"            -> (llm.Index.bm25(_, _)),
     // real BPE merge loop: corpus-weighted pair argmax x3, then the
     // induced symbol vocabulary (oracle re-derives the merges in SQL)
     "q_llm_bpe_merges"      -> (llm.Bpe.merges(_, _)),
@@ -247,6 +248,7 @@ object SparkEntry {
     "q_llm_doc_keywords"    -> llm.TextAnalysis.docKeywordsOracle,
     "q_llm_inverted_index"  -> llm.Index.invertedIndexOracle,
     "q_llm_idf_rarity"      -> llm.Index.idfRarityOracle,
+    "q_llm_bm25"            -> llm.Index.bm25Oracle,
     "q_llm_bpe_merges"      -> llm.Bpe.mergesOracle,
     "q_llm_bpe_vocab"       -> llm.Bpe.vocabOracle,
     "q_llm_bpe_tokenize"    -> llm.Bpe.tokenizeOracle,

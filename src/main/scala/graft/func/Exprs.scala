@@ -74,6 +74,15 @@ object Exprs {
     * mod `mod`) / 2^(4·nibbles) relative — pick nibbles so that is
     * negligible for the use (4 → ~10⁻³ for mod 100; 10 → ~10⁻⁶ for
     * mod 10⁶). */
+  /** Exact floor-division of non-negative decimals. Spark's `div`
+    * only accepts integral types, and plain decimal `/` rounds to the
+    * result scale — but (a - a % b) is exactly divisible by b, so the
+    * division result IS an integer and survives the rounding exactly.
+    * One comparison-free expression, stays in codegen. DuckDB twin:
+    * HUGEINT `//`. */
+  def decimalFloorDiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("decimal(38,0)")
+
   def md5Bucket(id: Column, salt: String, nibbles: Int, mod: Long): Column = {
     require(nibbles >= 1 && nibbles <= 15, s"nibbles $nibbles not in 1..15")
     val key = if (salt.isEmpty) id.cast("string")

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,7 +62,7 @@ object Colloc {
         Seq("w2"))
       .crossJoin(broadcast(n))
       .withColumn("lift",
-        decimalFloorDiv(
+        graft.func.Exprs.decimalFloorDiv(
           lit(1000000L).cast("decimal(38,0)") * col("c_ab") * col("n_pairs"),
           col("c_a").cast("decimal(38,0)") * col("c_b")))
     val ord = Seq(col("lift").desc, col("w1").asc, col("w2").asc)
@@ -73,14 +73,6 @@ object Colloc {
         row_number().over(Window.orderBy(ord: _*)).cast("long"))
       .select("rank", "w1", "w2", "c_ab", "c_a", "c_b")
   }
-
-  /** Exact floor-division of non-negative decimals. Spark's `div`
-    * only accepts integral types, and plain decimal `/` rounds to the
-    * result scale — but (a - a % b) is exactly divisible by b, so the
-    * division result IS an integer and survives the rounding exactly.
-    * One comparison-free expression, stays in codegen. */
-  private def decimalFloorDiv(a: Column, b: Column): Column =
-    ((a - a % b) / b).cast("decimal(38,0)")
 
   lazy val pmiOracle: String = {
     val toks = OracleSql.toks

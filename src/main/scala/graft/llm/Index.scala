@@ -112,4 +112,90 @@ object Index {
        |SELECT d.doc_id, coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
        |       idf_sum, idf_sum // n_tokens AS rarity_ppm
        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
+  // ---- BM25 retrieval ----------------------------------------------
+
+  /** The fixed query whose top hits [[bm25]] returns — constants so
+    * the oracle replays the identical retrieval. */
+  val Bm25Terms = Seq("spark", "join", "window")
+
+  /** Result-list length. */
+  val Bm25TopK = 20
+
+  /** Integer-exact BM25 (k1 = 1.2, b = 0.75) over [[Bm25Terms]]:
+    * per matching doc, score = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)). Two exactness substitutions keep
+    * it bit-portable to the oracle: idf is the rational surrogate
+    * (1e6·N) DIV df (monotone in the classic log-idf, no
+    * transcendentals), and the rational k1/b/avgdl denominator is
+    * cleared by multiplying through by 10·A (A = total tokens,
+    * N = docs; avgdl = A/N never materializes as a float):
+    * score_t = idf_ppm · 22 · tf · A DIV (10·tf·A + 3·A + 9·dl·N).
+    * Products run in DECIMAL(38,0)/HUGEINT — tf·A·idf terms pass
+    * 10¹⁸ long before a 100-TB corpus does.
+    *
+    * Scale shape: the corpus-side work is one tokenize + filter to
+    * the query terms (explode emits ONLY matching occurrences) and a
+    * (doc, term) aggregate; term stats (|terms| rows) and the scalar
+    * (N, A) row are broadcast; the global top-k is orderBy+limit →
+    * TakeOrderedAndProject, per-partition heaps, no sort exchange. */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Of(Tables.documents(spark, dir))
+
+  /** [[bm25]] over any (doc_id, text) frame — public for tests. */
+  def bm25Of(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val toks = docs
+      .select(col("doc_id"), Tokenizer.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        coalesce(size(col("t")).cast("long"), lit(0L)).as("dl"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("a_tokens"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("token"))
+      .filter(col("token").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfs), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_ppm", graft.func.Exprs.decimalFloorDiv(
+        lit(1000000L).cast(dec) * col("n_docs"), col("df").cast(dec)))
+      .withColumn("score_t", graft.func.Exprs.decimalFloorDiv(
+        col("idf_ppm") * lit(22L) * col("tf") * col("a_tokens"),
+        lit(10L).cast(dec) * col("tf") * col("a_tokens") +
+          lit(3L).cast(dec) * col("a_tokens") +
+          lit(9L).cast(dec) * col("dl") * col("n_docs")))
+      .groupBy("doc_id", "dl")
+      .agg(sum("score_t").cast("long").as("score"))
+    val ord = Seq(col("score").desc, col("doc_id").asc)
+    scored.orderBy(ord: _*).limit(Bm25TopK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select("rank", "doc_id", "dl", "score")
+  }
+
+  lazy val bm25Oracle: String = {
+    val terms = Bm25Terms.mkString("('", "', '", "')")
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM documents),
+       |d AS MATERIALIZED (SELECT doc_id, toks,
+       |       CAST(coalesce(len(toks), 0) AS BIGINT) AS dl FROM t),
+       |st AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(dl) AS BIGINT) AS a_tokens FROM d),
+       |tf AS MATERIALIZED (SELECT doc_id, dl, token,
+       |       CAST(count(*) AS BIGINT) AS tf
+       |     FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d)
+       |     WHERE token IN $terms GROUP BY 1, 2, 3),
+       |dfs AS MATERIALIZED (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |      FROM tf GROUP BY 1),
+       |sc AS MATERIALIZED (SELECT doc_id, dl, CAST(sum(
+       |        (((CAST(1000000 AS HUGEINT) * n_docs) // df) * 22 * tf * a_tokens)
+       |        // (CAST(10 AS HUGEINT) * tf * a_tokens
+       |            + CAST(3 AS HUGEINT) * a_tokens
+       |            + CAST(9 AS HUGEINT) * dl * n_docs)
+       |      ) AS BIGINT) AS score
+       |      FROM tf JOIN dfs USING (token), st GROUP BY 1, 2)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |         AS rank, doc_id, dl, score
+       |FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
 }

@@ -72,4 +72,53 @@ class IndexSpec extends SparkSpec {
     assert(out(3L).getLong(1) === 0L)
     assert(out(3L).isNullAt(2) && out(3L).isNullAt(3))
   }
+
+  test("bm25: scores equal an exact BigInt driver recompute") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join window spark filter table"), // tf spark=2
+      (2L, "spark alone here with much longer text " +
+        "padding padding padding padding padding"),
+      (3L, "join window join window join window"),
+      (4L, "no query terms at all in this one"),
+      (5L, "")).toDF("doc_id", "text")
+    val corpus = docs.select(
+      graft.func.Tokenizer.tokens(col("text")).as("t")).as[Seq[String]]
+      .collect()
+    val n = BigInt(corpus.length)
+    val a = BigInt(corpus.map(_.length).sum)
+    val dls = corpus.map(t => BigInt(t.length))
+    val tfs = corpus.map(t =>
+      Index.Bm25Terms.map(q => q -> BigInt(t.count(_ == q)))
+        .filter(_._2 > 0).toMap)
+    val dfm = Index.Bm25Terms.map(q =>
+      q -> BigInt(tfs.count(_.contains(q)))).toMap
+    val exp = tfs.zipWithIndex.filter(_._1.nonEmpty).map { case (tf, i) =>
+      val dl = dls(i)
+      val score = tf.map { case (q, f) =>
+        (BigInt(1000000) * n / dfm(q)) * 22 * f * a /
+          (BigInt(10) * f * a + BigInt(3) * a + BigInt(9) * dl * n)
+      }.sum
+      (i + 1L, dl.toLong, score.toLong)
+    }.sortBy { case (id, _, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, dl, s), r) => (r + 1L, id, dl, s) }
+    val got = Index.bm25Of(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === exp)
+    assert(!got.exists(_._2 === 4L), "doc without query terms absent")
+    // tf saturation: doc 1 (3 distinct terms, 4 hits) outranks doc 3
+    // (2 distinct terms, 6 hits) — breadth beats repeated terms
+    assert(got.head._2 === 1L)
+    assert(got.map(_._2).contains(3L))
+  }
+
+  test("bm25 at Sf: broadcast term stats, take-ordered top-k (plan shape)") {
+    val plan = Index.bm25(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must not be a full sort exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |terms|-row df table must broadcast:\n$plan")
+    val rows = Index.bm25(spark, Sf).count()
+    assert(rows === Index.Bm25TopK.toLong, "corpus has plenty of matches")
+  }
 }
