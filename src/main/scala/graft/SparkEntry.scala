@@ -68,9 +68,12 @@ object SparkEntry {
     "q_ads_retention"        -> (ads.EventFlows.retention(_, _)),
     "q_ads_sessionize"       -> (ads.EventFlows.sessionize(_, _)),
     "q_ads_active_users"     -> (ads.EventFlows.activeUsers(_, _)),
-    // day-over-day GMV growth + RFM quintile segmentation
+    // day-over-day GMV growth + RFM quintile segmentation + per-group top-N
     "q_ads_gmv_growth"       -> (ads.Queries.gmvGrowth(_, _)),
     "q_ads_rfm"              -> (ads.Queries.rfm(_, _)),
+    "q_ads_top_brand_region" -> (ads.Queries.topBrandRegion(_, _)),
+    // cross-source rare-shingle overlap (data-card mirror detection)
+    "q_llm_source_overlap"   -> (llm.Dedup.sourceOverlap(_, _)),
     // Sink layer (K2–K5): real write → read-back through each sink path
     "q_sink_dedup_latest" -> (sinks.Sinks.dedupLatestQuery(_, _)),
     "q_sink_route"        -> (sinks.Sinks.routeQuery(_, _)),
@@ -216,6 +219,8 @@ object SparkEntry {
     "q_ads_active_users"     -> ads.EventFlows.activeUsersOracle,
     "q_ads_gmv_growth"       -> ads.Queries.gmvGrowthOracle,
     "q_ads_rfm"              -> ads.Queries.rfmOracle,
+    "q_ads_top_brand_region" -> ads.Queries.topBrandRegionOracle,
+    "q_llm_source_overlap"   -> llm.Dedup.sourceOverlapOracle,
     "q_sink_dedup_latest" -> sinks.Sinks.dedupLatestOracle,
     "q_sink_route"        -> sinks.Sinks.routeOracle,
     "q_sink_republish"    -> sinks.Sinks.republishOracle,

@@ -259,6 +259,51 @@ object Queries {
       |  ON CAST(h.range AS INTEGER) = p.hr
       |ORDER BY hr""".stripMargin
 
+  /** Top-3 part brands per region by lineitem revenue — the per-group
+    * top-N the reference's global top-Ns (Q2–Q4) never compose: a
+    * snowflake join chain lineitem → supplier → nation → region (+
+    * part for the brand), then rank-within-group.
+    *
+    * Scale shape: supplier/nation/region are bounded dims — broadcast
+    * hints; part is sf-scaled, so AQE decides its side (the Q2
+    * precedent). The ONE corpus-scale shuffle is the (region, brand)
+    * aggregate; the row_number window then runs over the aggregated
+    * ≤ |regions|·|brands| table, partitioned by region — never over
+    * fact rows. */
+  def topBrandRegion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("r_name").as("region"), col("p_brand").as("brand"))
+      .agg(sumCents(col("l_extendedprice")).as("revenue_cents"))
+    val w = Window.partitionBy("region")
+      .orderBy(col("revenue_cents").desc, col("brand"))
+    rev.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+  }
+
+  val topBrandRegionOracle: String =
+    """WITH rev AS MATERIALIZED (
+      |  SELECT r_name AS region, p_brand AS brand,
+      |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2)
+      |SELECT region, brand, revenue_cents,
+      |       CAST(row_number() OVER (PARTITION BY region
+      |              ORDER BY revenue_cents DESC, brand) AS BIGINT) AS rnk
+      |FROM rev QUALIFY rnk <= 3""".stripMargin
+
   /** Day-over-day GMV growth — Q1's curve with a lag window on top:
     * (dt, gmv_cents, prev_cents, diff_cents, growth_ppm). growth_ppm
     * is exact integer millionths, sign-split so BOTH engines truncate

@@ -88,6 +88,59 @@ object Dedup {
       |       count(*) OVER (PARTITION BY md5(text)) AS group_ct
       |FROM documents""".stripMargin
 
+  /** Shingle document-frequency ceiling for [[sourceOverlap]]: only
+    * shingles in at most this many documents count as "rare" shared
+    * content. Much tighter than the near-dup [[MaxDf]] on purpose — a
+    * data card asking "which sources copy each other" must not count
+    * corpus-common phrases as evidence. */
+  val OverlapMaxDf = 4L
+
+  /** Cross-source overlap matrix: for every source pair, how many
+    * RARE word-3-gram shingles (df ≤ [[OverlapMaxDf]]) both sources
+    * contain — the data-card view that surfaces mirror/scraper source
+    * pairs before dedup budgets are set. Pairs are emitted once with
+    * source_a < source_b; source pairs sharing nothing are absent.
+    *
+    * Scale shape: one shuffle builds the shingle postings; the df
+    * filter bounds the self-join fan-out per shingle to ≤ min(df,
+    * |sources|)² rows, and the output is bounded by |sources|² — the
+    * same rare-shingle trick that keeps [[CorpusOps.contamination]]
+    * join-safe at corpus scale. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(Tables.documents(spark, dir))
+
+  /** [[sourceOverlap]] over any (doc_id, source, text) frame — public
+    * for tests. */
+  def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val post = docs.select(col("doc_id"), col("source"),
+      explode(shingles(col("text"))).as("sh"))
+    // shingles() is per-doc distinct, so count(*) per sh IS the df
+    val rare = post.groupBy("sh")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= OverlapMaxDf)
+      .select("sh")
+    val bySrc = post.join(rare, Seq("sh")).select("sh", "source").distinct()
+    bySrc.as("a")
+      .join(bySrc.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+  }
+
+  lazy val sourceOverlapOracle: String =
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, source, $toksSql AS toks
+       |     FROM documents),
+       |post AS MATERIALIZED (SELECT doc_id, source,
+       |       unnest(${shinglesSql("toks")}) AS sh FROM t),
+       |rare AS MATERIALIZED (SELECT sh FROM post
+       |       GROUP BY sh HAVING count(*) <= $OverlapMaxDf),
+       |ks AS MATERIALIZED (SELECT DISTINCT sh, source
+       |      FROM post JOIN rare USING (sh))
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |       CAST(count(*) AS BIGINT) AS shared_shingles
+       |FROM ks a JOIN ks b ON a.sh = b.sh AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
   /** Per-doc MinHash signature, long form: (doc_id, h, sig) — K rows
     * per doc. The groupBy(doc_id) with K min() aggregates is one
     * map-side-combinable shuffle regardless of shingle count. */

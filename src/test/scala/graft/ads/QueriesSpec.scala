@@ -56,6 +56,37 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("topBrandRegion: exactly the 3 best brands per region, ranked") {
+    val out = Queries.topBrandRegion(spark, Sf)
+      .as[(String, String, Long, Long)].collect()
+    val regions = out.map(_._1).distinct
+    assert(regions.length === 5, "all 5 TPC-H regions present")
+    out.groupBy(_._1).foreach { case (region, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === Seq(1L, 2L, 3L), s"$region ranks")
+      // ranked by revenue desc with brand tiebreak
+      val byRank = rows.sortBy(_._4)
+      byRank.sliding(2).foreach { case Array(hi, lo) =>
+        assert(hi._3 > lo._3 || (hi._3 === lo._3 && hi._2 < lo._2))
+      }
+    }
+    // rank-3 revenue really is the 3rd best: recompute one region fully
+    val region = regions.head
+    val full = graft.Tables.lineitem(spark, Sf)
+      .join(graft.Tables.supplier(spark, Sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.Tables.nation(spark, Sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.Tables.region(spark, Sf).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(graft.Tables.part(spark, Sf), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(graft.func.Exprs.sumCents(col("l_extendedprice")).as("rev"))
+      .as[(String, Long)].collect()
+      .sortBy { case (b, r) => (-r, b) }.take(3).map(_._2)
+    assert(out.filter(_._1 === region).sortBy(_._4).map(_._3).toSeq
+      === full.toSeq)
+  }
+
   test("rfm: the corpus-scale work is one aggregate (plan shape)") {
     val plan = Queries.rfm(spark, Sf).queryExecution.executedPlan.toString
     // exactly one hash exchange from the per-customer aggregate; the

@@ -100,6 +100,52 @@ class CorpusLayoutSpec extends SparkSpec {
   }
 }
 
+class SourceOverlapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sourceOverlap: counts rare shared shingles, skips common ones") {
+    val phrase = "unique mirrored phrase here"   // rare: df = 2
+    val common = "the cat sat on the mat"        // df = 6 > OverlapMaxDf
+    val docs = Seq(
+      (1L, "srcA", s"$phrase $common"),
+      (2L, "srcB", s"$phrase $common filler words"),
+      (3L, "srcA", common), (4L, "srcB", common),
+      (5L, "srcC", common), (6L, "srcC", common + " tail"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlapOf(docs)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // srcA-srcB share the 2 rare shingles of the 4-token phrase plus
+    // the phrase→common boundary trigrams that stay under the df cap
+    assert(out.keySet.forall { case (a, b) => a < b }, "canonical pair order")
+    assert(out.contains(("srcA", "srcB")), "mirrored phrase detected")
+    // srcC shares ONLY common shingles with everyone: no pair rows
+    assert(!out.keySet.exists { case (a, b) => a == "srcC" || b == "srcC" },
+      s"common-content source must not appear: $out")
+    // exact count: driver recompute over the same rule
+    val sh = docs.as[(Long, String, String)].collect().map { case (_, s, t) =>
+      (s, Dedup.tokensOf(t).sliding(3).map(_.mkString(" ")).toSet)
+    }
+    val df = sh.flatMap(_._2.map(identity)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val rare = df.filter(_._2 <= Dedup.OverlapMaxDf).keySet
+    val bySrc = sh.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).toSet.intersect(rare)).toMap
+    val expAB = bySrc("srcA").intersect(bySrc("srcB")).size.toLong
+    assert(out(("srcA", "srcB")) === expAB)
+  }
+
+  test("sourceOverlap at Sf: bounded output, symmetric-free, nonzero") {
+    val out = Dedup.sourceOverlap(spark, Sf)
+      .as[(String, String, Long)].collect()
+    assert(out.nonEmpty, "synthetic corpus must share rare shingles")
+    assert(out.forall { case (a, b, c) => a < b && c > 0 })
+    val n = graft.Tables.documents(spark, Sf)
+      .select("source").distinct().count()
+    assert(out.length <= n * (n - 1) / 2, "at most one row per pair")
+  }
+}
+
 class CollocSpec extends SparkSpec {
   import spark.implicits._
 
