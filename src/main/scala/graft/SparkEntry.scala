@@ -29,6 +29,10 @@ object SparkEntry {
     "q_dws_province_stats_sql" -> (dws.ProvinceStats.sqlForm(_, _)),
     "q_dws_display_stats"  -> (dwd.LogNested.displayStats(_, _)),
     "q_dwd_cdc_route"      -> (dwd.CdcEnvelope(_, _)),
+    // SCD2 family: interval build, point-in-time lookup, snapshot diff
+    "q_dwd_scd2"           -> (dwd.Scd2.scd2(_, _)),
+    "q_dwm_scd2_pit"       -> (dwd.Scd2.pit(_, _)),
+    "q_dwd_snapshot_diff"  -> (dwd.Scd2.snapshotDiff(_, _)),
     // DWM — dedup / CEP-bounce / interval + dim joins (§2.4, §2.5)
     "q_dwm_unique_visit"   -> (dwm.UniqueVisit(_, _)),
     "q_dwm_jump_detect"    -> (dwm.JumpDetect(_, _)),
@@ -72,6 +76,8 @@ object SparkEntry {
     "q_ads_gmv_growth"       -> (ads.Queries.gmvGrowth(_, _)),
     "q_ads_rfm"              -> (ads.Queries.rfm(_, _)),
     "q_ads_top_brand_region" -> (ads.Queries.topBrandRegion(_, _)),
+    // market-basket co-purchase pair mining
+    "q_ads_copurchase"       -> (ads.Queries.copurchase(_, _)),
     // cross-source rare-shingle overlap (data-card mirror detection)
     "q_llm_source_overlap"   -> (llm.Dedup.sourceOverlap(_, _)),
     // Sink layer (K2–K5): real write → read-back through each sink path
@@ -91,6 +97,8 @@ object SparkEntry {
     "q_llm_simhash_dups"    -> (llm.Dedup.simhashDuplicates(_, _)),
     // exact-substring family: per-doc coverage by cross-doc repeated spans
     "q_llm_span_coverage"   -> (llm.Dedup.spanCoverage(_, _)),
+    // steady-state ingest: new batch deduped against the corpus snapshot
+    "q_llm_incremental_dedup" -> (llm.Dedup.incrementalDedup(_, _)),
     "q_llm_ann_topk"        -> (llm.Similarity.bruteTopK(_, _)),
     "q_llm_ann_ivf"         -> (llm.Similarity.ivfTopK(_, _)),
     "q_llm_ann_recall"      -> (llm.Similarity.ivfRecall(_, _)),
@@ -146,6 +154,10 @@ object SparkEntry {
     "q_llm_length_hist"     -> (llm.CorpusLayout.lengthHist(_, _)),
     "q_llm_pack_util"       -> (llm.CorpusLayout.packUtil(_, _)),
     "q_llm_pmi"             -> (llm.Colloc.pmi(_, _)),
+    // per-language bigram heavy hitters (the common-pair data card)
+    "q_llm_top_ngrams"      -> (llm.Colloc.topNgrams(_, _)),
+    // largest-remainder exact token-budget allocation across languages
+    "q_llm_split_alloc"     -> (llm.CorpusLayout.splitAlloc(_, _)),
     "q_llm_pack_payload"    -> (llm.CorpusOps.packPayload(_, _)),
     // payloads written as a (lang, shard)-partitioned directory and
     // read back — the durable training-shard layout, manifest-checked
@@ -190,6 +202,9 @@ object SparkEntry {
     "q_dws_province_stats_sql" -> dws.ProvinceStats.oracle,
     "q_dws_display_stats"  -> dwd.LogNested.displayStatsOracle,
     "q_dwd_cdc_route"      -> dwd.CdcEnvelope.oracle,
+    "q_dwd_scd2"           -> dwd.Scd2.scd2Oracle,
+    "q_dwm_scd2_pit"       -> dwd.Scd2.pitOracle,
+    "q_dwd_snapshot_diff"  -> dwd.Scd2.snapshotDiffOracle,
     "q_dwm_unique_visit"   -> dwm.UniqueVisit.oracle,
     "q_dwm_jump_detect"    -> dwm.JumpDetect.oracle,
     "q_dwm_order_wide"     -> dwm.OrderWide.oracle,
@@ -220,6 +235,7 @@ object SparkEntry {
     "q_ads_gmv_growth"       -> ads.Queries.gmvGrowthOracle,
     "q_ads_rfm"              -> ads.Queries.rfmOracle,
     "q_ads_top_brand_region" -> ads.Queries.topBrandRegionOracle,
+    "q_ads_copurchase"       -> ads.Queries.copurchaseOracle,
     "q_llm_source_overlap"   -> llm.Dedup.sourceOverlapOracle,
     "q_sink_dedup_latest" -> sinks.Sinks.dedupLatestOracle,
     "q_sink_route"        -> sinks.Sinks.routeOracle,
@@ -241,6 +257,7 @@ object SparkEntry {
     "q_llm_simhash"         -> llm.Dedup.simhashOracle,
     "q_llm_simhash_dups"    -> llm.Dedup.simhashDupOracle,
     "q_llm_span_coverage"   -> llm.Dedup.spanCoverageOracle,
+    "q_llm_incremental_dedup" -> llm.Dedup.incrementalDedupOracle,
     "q_llm_ann_topk"        -> llm.Similarity.bruteTopKOracle,
     "q_llm_embed_neardup"   -> llm.Similarity.lshNearDupOracle,
     "q_llm_lang_id"         -> llm.TextAnalysis.langIdOracle,
@@ -273,6 +290,8 @@ object SparkEntry {
     "q_llm_length_hist"     -> llm.CorpusLayout.lengthHistOracle,
     "q_llm_pack_util"       -> llm.CorpusLayout.packUtilOracle,
     "q_llm_pmi"             -> llm.Colloc.pmiOracle,
+    "q_llm_top_ngrams"      -> llm.Colloc.topNgramsOracle,
+    "q_llm_split_alloc"     -> llm.CorpusLayout.splitAllocOracle,
     "q_llm_pack_payload"    -> llm.CorpusOps.packPayloadOracle,
     "q_llm_shard_export"    -> llm.CorpusOps.shardExportOracle,
     "q_llm_contamination"   -> llm.CorpusOps.contaminationOracle,

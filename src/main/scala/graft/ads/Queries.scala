@@ -388,6 +388,57 @@ object Queries {
         "r_bin", "f_bin", "m_bin", "segment")
   }
 
+  /** Market-basket co-purchase pairs: distinct part pairs bought in
+    * the same order, support-counted, the top pairs ranked (support
+    * desc, then part keys — fully deterministic).
+    *
+    * Scale shape: NO self-join — the per-order part set is collected
+    * into a sorted array (orders are small: ≤ dozens of lines, so the
+    * array is bounded) and pairs expand array-side, which costs one
+    * shuffle on `l_orderkey` instead of joining the fact table to
+    * itself; pa < pb falls out of the sort order for free. The pair
+    * count is a second map-side-combined aggregate, and the global
+    * top-k plans as TakeOrderedAndProject (per-partition heaps, no
+    * full sort exchange — plan-asserted in the spec). */
+  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS pa, y AS pb))))""".stripMargin))
+        .as("g"))
+      .select(col("g.pa").as("pa"), col("g.pb").as("pb"))
+    val sup = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= CopurchaseMinSupport)
+    val ord = Seq(col("support").desc, col("pa").asc, col("pb").asc)
+    sup.orderBy(ord: _*).limit(CopurchaseTopC)
+      // rank over the already-LIMITed frame (constant-size formality)
+      .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)).cast("long"))
+      .select("rnk", "pa", "pb", "support")
+  }
+
+  /** Pairs seen in fewer orders than this are noise, not affinity. */
+  val CopurchaseMinSupport = 2L
+  /** Ranked co-purchase pairs returned. */
+  val CopurchaseTopC = 100
+
+  val copurchaseOracle: String =
+    s"""WITH it AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |sup AS MATERIALIZED (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+       |         CAST(count(*) AS BIGINT) AS support
+       |  FROM it a JOIN it b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $CopurchaseMinSupport)
+       |SELECT CAST(row_number() OVER (ORDER BY support DESC, pa, pb) AS BIGINT)
+       |         AS rnk, pa, pb, support
+       |FROM sup ORDER BY support DESC, pa, pb LIMIT $CopurchaseTopC"""
+      .stripMargin
+
   val rfmOracle: String =
     """WITH per AS MATERIALIZED (
       |  SELECT o_custkey AS custkey, max(o_orderdate) AS last_dt,

@@ -95,4 +95,55 @@ object Colloc {
        |         AS rank, w1, w2, c_ab, c_a, c_b
        |FROM sc ORDER BY lift DESC, w1, w2 LIMIT $TopC""".stripMargin
   }
+
+  // ---- per-language bigram heavy hitters ---------------------------
+
+  /** Ranked bigrams kept per language by [[topNgrams]]. */
+  val TopNgramsPerLang = 5
+
+  /** Per-language top bigrams by raw frequency — the heavy-hitter
+    * companion to [[pmiOf]] (PMI surfaces SURPRISING pairs; a data
+    * card also wants the plain most-COMMON ones, per language) and the
+    * bigram sibling of [[CorpusOps.vocabReport]]'s unigram table.
+    * Deterministic ties: count desc, then the pair lexically.
+    *
+    * Scale shape: the bigram count is one map-side-combined aggregate
+    * on (lang, w1, w2); the rank-≤-k filter plans as WindowGroupLimit
+    * (plan-asserted), so each partition keeps only k candidates per
+    * language before the window exchange — the full bigram-type table
+    * is never sorted globally. */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame =
+    topNgramsOf(Tables.documents(spark, dir))
+
+  /** [[topNgrams]] over any (lang, text) frame. */
+  def topNgramsOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("lang"), Tokenizer.tokens(col("text")).as("t"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+        .as("g"))
+      .select(col("lang"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val cnt = pairs.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
+    cnt.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopNgramsPerLang)
+  }
+
+  lazy val topNgramsOracle: String = {
+    val toks = OracleSql.toks
+    s"""WITH t AS MATERIALIZED (SELECT lang, $toks AS t FROM documents),
+       |pp AS MATERIALIZED (SELECT lang, g.w1 AS w1, g.w2 AS w2 FROM (
+       |  SELECT lang, unnest(list_transform(range(1, len(t)),
+       |           i -> {'w1': t[i], 'w2': t[i + 1]})) AS g
+       |  FROM t WHERE len(t) >= 2)),
+       |cnt AS MATERIALIZED (
+       |  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+       |  FROM pp GROUP BY 1, 2, 3)
+       |SELECT lang, w1, w2, c_ab,
+       |       CAST(row_number() OVER (PARTITION BY lang
+       |              ORDER BY c_ab DESC, w1, w2) AS BIGINT) AS rnk
+       |FROM cnt QUALIFY rnk <= $TopNgramsPerLang""".stripMargin
+  }
 }

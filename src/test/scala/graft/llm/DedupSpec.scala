@@ -163,4 +163,39 @@ class DedupSpec extends SparkSpec {
     }
     assert(corpus.exists(_.getLong(2) > 0), "some cross-doc span fires")
   }
+
+  test("incrementalDedup: verdicts on a crafted batch") {
+    // ids chosen by their mod classes: 3, 24 → snapshot (24 also
+    // re-crawled: 24%20=4); 7, 17, 37 → fresh batch (7 and 37 also
+    // copied within the batch: both ≡ 7 mod 30); 17 carries the same
+    // text as base 3
+    val out = Dedup.incrementalDedupOf(docs(
+      (3L, "base text one"), (24L, "base text two"),
+      (7L, "fresh unique"), (17L, "base text one"), (37L, "fresh mirrored")))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(
+      7L -> "kept",
+      17L -> "dup_of_base",                               // text = base 3
+      37L -> "kept",                                      // first copy wins
+      (24L + Dedup.RecrawlIdOffset) -> "dup_of_base",
+      (7L + Dedup.BatchDupIdOffset) -> "dup_in_batch",
+      (37L + Dedup.BatchDupIdOffset) -> "dup_in_batch"))
+  }
+
+  test("incrementalDedup at Sf: batch accounting reconciles") {
+    val d = graft.Tables.documents(spark, Sf)
+    val fresh = d.filter(col("doc_id") % 10 === 7).count()
+    val recrawl = d.filter(col("doc_id") % 10 =!= 7 &&
+      col("doc_id") % 20 === 4).count()
+    val mirrored = d.filter(col("doc_id") % 30 === 7).count()
+    val out = Dedup.incrementalDedup(spark, Sf).cache()
+    assert(out.count() === fresh + recrawl + mirrored)
+    val byVerdict = out.groupBy("verdict").agg(count(lit(1)).as("ct"))
+      .as[(String, Long)].collect().toMap
+    // the corpus has no exact text dups, so every re-crawl is the only
+    // base collision and every mirrored copy the only batch collision
+    assert(byVerdict.getOrElse("dup_of_base", 0L) === recrawl)
+    assert(byVerdict.getOrElse("dup_in_batch", 0L) === mirrored)
+    assert(byVerdict.getOrElse("kept", 0L) === fresh)
+  }
 }
