@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.OracleSql
+
+/** Model-based quality scoring — the fastText-classifier curation
+  * stage (CCNet, GPT-3 WebText filter): every document is scored by a
+  * linear model over hashed token features and thresholded into
+  * keep/drop. The reference has no ML-filter stage; this is part of
+  * the beyond-reference LLM-pipeline surface.
+  *
+  * No trained weights can exist in this sandbox, so the MODEL is a
+  * deterministic closed form: token → md5 bucket in [0, [[Buckets]]),
+  * bucket → integer weight in [-1000, 1000] derived from the md5 of
+  * the bucket id. That keeps every value integer-exact and
+  * oracle-checkable while exercising the real plumbing. A production
+  * model swaps `weightOf` for a lookup into a broadcast `Array[Int]`
+  * of trained weights — same plan shape, same cost model.
+  *
+  * Scale shape (100 TB): scoring is a PURE PROJECTION — tokenize,
+  * `transform` each token to its weight, `aggregate` the array to a
+  * sum. Zero shuffles, zero joins (plan-asserted in the spec);
+  * whole-stage codegen keeps the md5/conv chain inside the scan
+  * stage. This is the shape that matters at scale: a quality filter
+  * that shuffles is a quality filter that costs a corpus pass of
+  * network.
+  */
+object QualityModel {
+  /** Feature-hash space. Small enough that bucket collisions are the
+    * norm — exactly like a production hashing-trick classifier. */
+  val Buckets = 256L
+
+  /** Weight span: weights land in [-1000, 1000]. */
+  val WeightSpan = 2001L
+
+  /** md5-derived bucket of a token. */
+  private def bucketOf(w: Column): Column =
+    conv(substring(md5(w), 1, 4), 16, 10).cast("long") % Buckets
+
+  /** md5-derived integer weight of a bucket id. */
+  private def weightOf(w: Column): Column =
+    conv(substring(md5(concat(lit("b:"), bucketOf(w).cast("string"))), 1, 4),
+      16, 10).cast("long") % WeightSpan - 1000L
+
+  def score(spark: SparkSession, dir: String): DataFrame =
+    scoreOf(Tables.documents(spark, dir))
+
+  /** [[score]] over any (doc_id, lang, text) frame — public for
+    * tests. `pred` = 1 iff the doc passes (score ≥ 0). */
+  def scoreOf(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        col("lang"),
+        aggregate(
+          transform(graft.func.Tokenizer.tokens(col("text")), weightOf),
+          lit(0L),
+          (acc, x) => acc + x).as("score"))
+      .withColumn("pred", when(col("score") >= 0L, 1L).otherwise(0L))
+
+  lazy val scoreOracle: String = {
+    val toks = OracleSql.toks
+    val bucket = s"(${OracleSql.hexNibbles("md5(w)", 4)}) % $Buckets"
+    val weight =
+      s"(${OracleSql.hexNibbles("md5('b:' || CAST(bk AS VARCHAR))", 4)})" +
+        s" % $WeightSpan - 1000"
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, lang, $toks AS t FROM documents),
+       |w AS (SELECT doc_id, lang, unnest(t) AS w FROM t),
+       |b AS (SELECT doc_id, lang, $bucket AS bk FROM w),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id, lang, CAST(sum($weight) AS BIGINT) AS score
+       |  FROM b GROUP BY 1, 2)
+       |SELECT t.doc_id, t.lang, CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+       |       CAST(CASE WHEN coalesce(s.score, 0) >= 0 THEN 1 ELSE 0 END
+       |            AS BIGINT) AS pred
+       |FROM t LEFT JOIN s ON t.doc_id = s.doc_id AND t.lang = s.lang""".stripMargin
+  }
+}
