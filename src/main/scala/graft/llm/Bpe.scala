@@ -26,6 +26,20 @@ import graft.func.OracleSql
   * greedy fixpoint (a single non-overlapping replace pass misses
   * merges whose boundary space was consumed by the previous match —
   * " a b a b " needs a second pass; both engines iterate identically).
+  *
+  * Production vocab sizes (32k–256k merges): the per-merge driver
+  * round-trip here (1-row argmax collect per round) is the
+  * oracle-checkable form, NOT the 32k-merge form — 32k sequential
+  * 1-row jobs would be pure coordination latency. The scale path
+  * BATCHES rounds: collect the top-B non-interacting pairs per argmax
+  * (pairs are "interacting" iff they share a symbol or one's merged
+  * token is the other's element — a driver-side check over B² symbol
+  * pairs, B ≈ 256), apply all B merges in one distributed pass, and
+  * re-count. Non-interacting merges commute with the greedy order, so
+  * batching preserves the learned table exactly while cutting driver
+  * round-trips from V to ~V/B; SentencePiece's unigram trainer and
+  * fastBPE use the same batching argument. Per-round cost stays
+  * vocabulary-sized either way — the corpus is still touched once.
   */
 object Bpe {
   val MergeRounds = 3
@@ -82,8 +96,12 @@ object Bpe {
       s"$tooLong corpus words exceed ${2 * ReplacePasses - 1} chars — " +
         s"raise ReplacePasses in BOTH engines (Bpe.scala + oracle)")
     val merges = (1 to MergeRounds).map { r =>
-      val Array(row) = pairCounts(vocab)
+      val rows = pairCounts(vocab)
         .orderBy(col("freq").desc, col("pair")).limit(1).collect()
+      require(rows.nonEmpty,
+        s"BPE round $r found no adjacent pairs — corpus too small for " +
+          s"MergeRounds=$MergeRounds")
+      val row = rows.head
       val (pair, freq) = (row.getString(0), row.getLong(1))
       val merged = pair.replace(" ", "")
       val pat = s" $pair "

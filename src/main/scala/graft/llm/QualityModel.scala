@@ -54,10 +54,12 @@ object QualityModel {
     docs.select(
         col("doc_id"),
         col("lang"),
-        aggregate(
-          transform(graft.func.Tokenizer.tokens(col("text")), weightOf),
-          lit(0L),
-          (acc, x) => acc + x).as("score"))
+        coalesce(
+          aggregate(
+            transform(graft.func.Tokenizer.tokens(col("text")), w => weightOf(w)),
+            lit(0L),
+            (acc, x) => acc + x),
+          lit(0L)).as("score"))
       .withColumn("pred", when(col("score") >= 0L, 1L).otherwise(0L))
 
   lazy val scoreOracle: String = {
