@@ -78,6 +78,10 @@ object SparkEntry {
     "q_ads_top_brand_region" -> (ads.Queries.topBrandRegion(_, _)),
     // market-basket co-purchase pair mining
     "q_ads_copurchase"       -> (ads.Queries.copurchase(_, _)),
+    // path analytics: Markov transition matrix + conversion-latency
+    // histogram (r8)
+    "q_ads_transitions"      -> (ads.EventPaths.transitions(_, _)),
+    "q_ads_time_to_convert"  -> (ads.EventPaths.timeToConvert(_, _)),
     // cross-source rare-shingle overlap (data-card mirror detection)
     "q_llm_source_overlap"   -> (llm.Dedup.sourceOverlap(_, _)),
     // Sink layer (K2–K5): real write → read-back through each sink path
@@ -185,7 +189,19 @@ object SparkEntry {
     // report, all four stages restated in one oracle
     "q_llm_curation_pipeline" -> (llm.CorpusOps.curationPipeline(_, _)),
     "q_llm_quantize_int8"   -> (llm.Similarity.quantizeInt8(_, _)),
-    "q_llm_top_quality"     -> (llm.CorpusOps.topQuality(_, _))
+    "q_llm_top_quality"     -> (llm.CorpusOps.topQuality(_, _)),
+    // curation extensions (r8): model-based quality scoring, corpus-
+    // common block removal, fractional-epoch upsampling
+    "q_llm_quality_model"   -> (llm.QualityModel.score(_, _)),
+    "q_llm_boilerplate"     -> (llm.Boilerplate.boilerplate(_, _)),
+    "q_llm_upsample"        -> (llm.Upsample.upsample(_, _)),
+    // vocabulary data cards + n-gram novelty + curriculum bands (r8)
+    "q_llm_vocab_coverage"  -> (llm.VocabCoverage.vocabCoverage(_, _)),
+    "q_llm_oov_rate"        -> (llm.VocabCoverage.oovRate(_, _)),
+    "q_llm_novelty"         -> (llm.Novelty.novelty(_, _)),
+    "q_llm_curriculum"      -> (llm.CorpusLayout.curriculum(_, _)),
+    // near-dup clusters survive their best-quality member (r8)
+    "q_llm_quality_keeplist" -> (llm.Dedup.qualityKeepList(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -236,6 +252,8 @@ object SparkEntry {
     "q_ads_rfm"              -> ads.Queries.rfmOracle,
     "q_ads_top_brand_region" -> ads.Queries.topBrandRegionOracle,
     "q_ads_copurchase"       -> ads.Queries.copurchaseOracle,
+    "q_ads_transitions"      -> ads.EventPaths.transitionsOracle,
+    "q_ads_time_to_convert"  -> ads.EventPaths.timeToConvertOracle,
     "q_llm_source_overlap"   -> llm.Dedup.sourceOverlapOracle,
     "q_sink_dedup_latest" -> sinks.Sinks.dedupLatestOracle,
     "q_sink_route"        -> sinks.Sinks.routeOracle,
@@ -307,6 +325,14 @@ object SparkEntry {
     "q_llm_chunk_pack"      -> llm.CorpusOps.chunkThenPackOracle,
     "q_llm_curation_pipeline" -> llm.CorpusOps.curationPipelineOracle,
     "q_llm_quantize_int8"   -> llm.Similarity.quantizeInt8Oracle,
-    "q_llm_top_quality"     -> llm.CorpusOps.topQualityOracle
+    "q_llm_top_quality"     -> llm.CorpusOps.topQualityOracle,
+    "q_llm_quality_model"   -> llm.QualityModel.scoreOracle,
+    "q_llm_boilerplate"     -> llm.Boilerplate.boilerplateOracle,
+    "q_llm_upsample"        -> llm.Upsample.upsampleOracle,
+    "q_llm_vocab_coverage"  -> llm.VocabCoverage.vocabCoverageOracle,
+    "q_llm_oov_rate"        -> llm.VocabCoverage.oovRateOracle,
+    "q_llm_novelty"         -> llm.Novelty.noveltyOracle,
+    "q_llm_curriculum"      -> llm.CorpusLayout.curriculumOracle,
+    "q_llm_quality_keeplist" -> llm.Dedup.qualityKeepListOracle
   )
 }

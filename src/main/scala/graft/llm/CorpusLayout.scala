@@ -227,4 +227,55 @@ object CorpusLayout {
        |         AS quota
        |FROM l""".stripMargin
   }
+
+  // ---- curriculum ordering -----------------------------------------
+
+  /** Difficulty bands for [[curriculum]]. */
+  val Bands = 5L
+
+  /** Curriculum ordering: every document gets its global difficulty
+    * rank (by `n_chars` asc, doc_id tiebreak — short-to-long
+    * curriculum learning) and a band 1..[[Bands]] of equal rank-width,
+    * the unit a curriculum-aware loader schedules epochs over.
+    *
+    * Scale shape (100 TB): the GLOBAL rank is computed WITHOUT a
+    * global sort. Distinct lengths collapse to a per-length count
+    * (bounded by the length domain, not the corpus); their cumulative
+    * offsets are a window over that tiny frame; each doc's rank is
+    * offset(length) + its row_number within its length partition — a
+    * length-KEYED window, so the only corpus-sized exchange is hash
+    * partitioning on `n_chars`. The offset table rides a broadcast
+    * join. This is the two-pass distributed-rank device a single
+    * `row_number() OVER (ORDER BY …)` (single-partition window)
+    * cannot survive at scale. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculumOf(Tables.documents(spark, dir))
+
+  /** [[curriculum]] over any (doc_id, n_chars) frame. */
+  def curriculumOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("n_chars"))
+    val counts = d.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    // tiny frame: one row per distinct length — the single-partition
+    // window is a deliberate bounded collapse
+    val offsets = counts.select(col("n_chars"), col("cnt"),
+      expr("sum(cnt) OVER (ORDER BY n_chars " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)").as("off"),
+      expr("sum(cnt) OVER ()").as("total"))
+      .select(col("n_chars"), coalesce(col("off"), lit(0L)).as("off"),
+        col("total"))
+    val w = Window.partitionBy("n_chars").orderBy("doc_id")
+    d.join(broadcast(offsets), "n_chars")
+      .withColumn("rn", col("off") + row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("rn"),
+        (expr(s"(rn - 1) * $Bands DIV total") + 1L).as("band"))
+  }
+
+  lazy val curriculumOracle: String =
+    s"""WITH d AS (SELECT doc_id, n_chars FROM documents)
+       |SELECT doc_id, n_chars,
+       |       CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+       |         AS rn,
+       |       CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+       |              * $Bands // count(*) OVER () + 1 AS BIGINT) AS band
+       |FROM d""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -855,4 +856,70 @@ object Dedup {
        |                    WHEN rn > 1 THEN 'dup_in_batch'
        |                    ELSE 'kept' END AS verdict
        |FROM r""".stripMargin
+
+  // ---- quality-priority keep-list ----------------------------------
+
+  /** Near-dup keep-list that keeps the BEST document of each cluster
+    * instead of the smallest id — the production SemDeDup/CCNet rule:
+    * when near-dups collide, survive the copy the quality model ranks
+    * highest ([[QualityModel]] score, doc_id-asc tiebreak). Cluster
+    * identity is the same LSH-pair connected-component closure as
+    * [[dedupClosure]]; singleton docs are their own cluster and always
+    * survive.
+    *
+    * Scale shape (100 TB): clusters come from [[closureKeepers]] (LSH
+    * bands bound the pair graph ≪ corpus); scoring is the zero-shuffle
+    * projection of [[QualityModel.scoreOf]]; the per-cluster argmax is
+    * a window keyed on the cluster label — one hash exchange on
+    * `keeper`, no skew risk because near-dup clusters are small by
+    * construction (a giant cluster means the corpus IS one document).
+    */
+  def qualityKeepList(spark: SparkSession, dir: String): DataFrame =
+    qualityKeepListOf(Tables.documents(spark, dir),
+      lshDuplicates(spark, dir).select(col("doc_a"), col("doc_b")))
+
+  /** [[qualityKeepList]] over any (doc_id, lang, text) frame and
+    * (doc_a, doc_b) pair graph — public for tests. */
+  def qualityKeepListOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val lab = docs.select(col("doc_id"))
+      .join(closureKeepers(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
+    val scored = QualityModel.scoreOf(docs).select(col("doc_id"), col("score"))
+    val w = Window.partitionBy("keeper")
+      .orderBy(col("score").desc, col("doc_id"))
+    lab.join(scored, "doc_id")
+      .withColumn("kept",
+        when(row_number().over(w) === 1, 1).otherwise(0).cast("int"))
+      .select(col("doc_id"), col("keeper"), col("score"), col("kept"))
+  }
+
+  lazy val qualityKeepListOracle: String = {
+    val inner = lshOracle.replace("\n", "\n  ")
+    val score = QualityModel.scoreOracle.replace("\n", "\n  ")
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |  $inner
+       |  ) p),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |walk(src, reach) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+       |label AS MATERIALIZED (
+       |  SELECT src AS doc_id, min(reach) AS keeper FROM walk GROUP BY src),
+       |q AS MATERIALIZED (SELECT doc_id, score FROM (
+       |  $score
+       |  ) s),
+       |j AS MATERIALIZED (
+       |  SELECT d.doc_id, coalesce(l.keeper, d.doc_id) AS keeper, q.score
+       |  FROM documents d
+       |  LEFT JOIN label l ON d.doc_id = l.doc_id
+       |  JOIN q ON q.doc_id = d.doc_id)
+       |SELECT doc_id, keeper, score,
+       |       CAST(CASE WHEN row_number() OVER (PARTITION BY keeper
+       |              ORDER BY score DESC, doc_id) = 1
+       |            THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM j""".stripMargin
+  }
 }

@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.{OracleSql, Tokenizer}
+
+/** Vocabulary data-card operators: the corpus frequency-rank table
+  * (which words carry the token mass — the Zipf curve every tokenizer
+  * design starts from) and the OOV rate a fixed vocabulary budget
+  * would leave per document. Both are standard training-data-pipeline
+  * reports; the reference has no text-curation layer (SURVEY.md §2
+  * extension).
+  */
+object VocabCoverage {
+  /** Frequency-rank table with cumulative coverage: one row per
+    * distinct corpus word — rank (freq desc, word asc), token count,
+    * and the cumulative ppm of all corpus tokens covered by ranks
+    * ≤ this one. `cum_ppm` at rank k answers "how much of the corpus
+    * does a k-word vocabulary cover".
+    *
+    * Scale shape (100 TB): the corpus collapses to the WORD VOCABULARY
+    * in one partial-aggregated shuffle (map-side combine — the
+    * exchange carries one row per distinct word per map task, not one
+    * per token). The rank/cumsum window then runs over the vocabulary
+    * only. A natural-language vocab is millions of rows where the
+    * corpus is trillions of tokens, so the single-partition window is
+    * a deliberate, bounded collapse — same device as the merge-table
+    * windows in Bpe.scala; if the "vocab" were unbounded (e.g. URLs),
+    * swap the window for the distributed rank in
+    * [[CorpusLayout.curriculum]]'s cumulative-offset pattern. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(Tables.documents(spark, dir))
+
+  /** [[vocabCoverage]] over any frame with a `text` column. */
+  def vocabCoverageOf(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(Tokenizer.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    words.select(col("word"), col("freq"),
+      expr("CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)")
+        .as("rank"),
+      expr("1000000 * sum(freq) OVER (ORDER BY freq DESC, word " +
+        "ROWS UNBOUNDED PRECEDING) DIV sum(freq) OVER ()").as("cum_ppm"))
+  }
+
+  lazy val vocabCoverageOracle: String = {
+    val toks = OracleSql.toks
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT unnest($toks) AS word FROM documents),
+       |v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |      FROM w GROUP BY 1)
+       |SELECT word, freq,
+       |       CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)
+       |         AS rank,
+       |       (1000000 * sum(freq) OVER (ORDER BY freq DESC, word
+       |          ROWS UNBOUNDED PRECEDING)) // sum(freq) OVER () AS cum_ppm
+       |FROM v""".stripMargin
+  }
+
+  /** Vocabulary budget for the OOV report. */
+  val VocabBudget = 20
+
+  /** Per-document out-of-vocabulary rate under a [[VocabBudget]]-word
+    * vocabulary (top words by corpus frequency, word-asc tiebreak):
+    * token count, OOV token count, and OOV ppm (null for token-less
+    * docs — ANSI-safe, matches DuckDB `x // 0 = NULL`).
+    *
+    * Scale shape: the vocabulary is built by the same collapsed
+    * aggregate as [[vocabCoverage]] and its top-[[VocabBudget]] rows
+    * are a `TakeOrderedAndProject` (no global sort materialized); the
+    * budget-sized keep-set is BROADCAST back against the exploded
+    * corpus, so the per-doc accounting costs one doc_id-keyed shuffle
+    * and zero token-keyed ones. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame =
+    oovRateOf(Tables.documents(spark, dir))
+
+  /** [[oovRate]] over any (doc_id, text) frame. */
+  def oovRateOf(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(Tokenizer.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(VocabBudget)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    docs
+      .select(col("doc_id"), explode_outer(Tokenizer.tokens(col("text"))).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("word")).as("n_tokens"),
+        sum(when(col("word").isNotNull && col("in_vocab").isNull, 1L)
+          .otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(expr("1000000 * n_oov DIV n_tokens")).as("oov_ppm"))
+  }
+
+  lazy val oovRateOracle: String = {
+    val toks = OracleSql.toks
+    s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS t FROM documents),
+       |w AS MATERIALIZED (
+       |  SELECT doc_id, unnest(t) AS word FROM t),
+       |v AS MATERIALIZED (
+       |  SELECT word FROM (SELECT word, count(*) AS freq FROM w GROUP BY 1)
+       |  ORDER BY freq DESC, word LIMIT $VocabBudget),
+       |a AS MATERIALIZED (
+       |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_oov
+       |  FROM w LEFT JOIN v ON w.word = v.word GROUP BY 1)
+       |SELECT t.doc_id,
+       |       coalesce(a.n_tokens, 0) AS n_tokens,
+       |       coalesce(a.n_oov, 0) AS n_oov,
+       |       CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN NULL
+       |            ELSE (1000000 * a.n_oov) // a.n_tokens END AS oov_ppm
+       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin
+  }
+}
