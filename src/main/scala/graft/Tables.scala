@@ -22,16 +22,25 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively; read it as LONG nanos and floor-divide to micros —
-    * the same truncation DuckDB applies, so `epoch_ms(ts)` agrees on
-    * both sides. Integer DIV (not `/`) because epoch nanos ≈ 1.7e18
-    * exceeds double's 2^53 exact range. */
+  /** `events.ts` has shipped in two parquet encodings across driver
+    * testdata generations: TIMESTAMP(NANOS) (which Spark 4 refuses to
+    * read natively — read as LONG nanos and floor-divide to micros,
+    * the same truncation DuckDB applies) and plain TIMESTAMP(MICROS)
+    * (read natively as TIMESTAMP_NTZ). Normalize both to session-TZ
+    * TIMESTAMP (UTC everywhere in this project) so `epoch_ms(ts)`
+    * agrees with the DuckDB oracle either way. Integer DIV (not `/`)
+    * on the nanos path because epoch nanos ≈ 1.7e18 exceeds double's
+    * 2^53 exact range. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    read(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
