@@ -31,15 +31,20 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        # Materialize BOTH sides via .df() — the driver's own coercion
+        # path. fetchall() keeps DuckDB HUGEINT as exact Python ints,
+        # which hid the round-8 bug class (sum(BIGINT)→HUGEINT→float64
+        # on the driver, exact int locally). .df() reproduces it.
         try:
-            duck = con.execute(sql)
-            dcols = [d[0] for d in duck.description]
-            drows = duck.fetchall()
+            duck_df = con.execute(sql).df()
+            dcols = list(duck_df.columns)
+            drows = [tuple(r) for r in duck_df.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
-        sp = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
-        scols = [d[0] for d in sp.description]
-        srows = sp.fetchall()
+        sp_df = con.execute(
+            f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
+        scols = list(sp_df.columns)
+        srows = [tuple(r) for r in sp_df.itertuples(index=False, name=None)]
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
             n_fail += 1; continue

@@ -31,13 +31,17 @@ if grep -q '\[verify\] .* failed' "$VERIFY_LOG"; then
   exit 1
 fi
 # every registered query must have produced a parquet dir
+# (keys parsed as JSON, not grepped — a q_* literal inside an oracle SQL
+# string must not register as a key)
 missing=0
-for d in $(grep -o '"q_[a-z0-9_]*"' "$OUT_DIR/oracle_sql.json" | tr -d '"' | sort -u); do
+for d in $(python3 -c 'import json,sys; print("\n".join(sorted(json.load(open(sys.argv[1])))))' "$OUT_DIR/oracle_sql.json"); do
   if [ ! -d "$OUT_DIR/$d" ]; then echo "[preflight] MISSING dump: $d" >&2; missing=1; fi
 done
 [ "$missing" -eq 0 ] || exit 1
 
-echo "[preflight] 4/4 oracle compare (best-effort, needs duckdb)"
+# STRICT when duckdb is importable: any row/schema/hash mismatch fails the
+# gate (this is the driver's gate, locally). Only duckdb's absence is soft.
+echo "[preflight] 4/4 oracle compare (strict if duckdb importable)"
 if python3 -c 'import duckdb' 2>/dev/null; then
   python3 scripts/check_oracle.py "$SF_DIR" "$OUT_DIR"
 else

@@ -195,6 +195,7 @@ object SparkEntry {
     "q_llm_quality_model"   -> (llm.QualityModel.score(_, _)),
     "q_llm_boilerplate"     -> (llm.Boilerplate.boilerplate(_, _)),
     "q_llm_upsample"        -> (llm.Upsample.upsample(_, _)),
+    "q_llm_packing_upsampled" -> (llm.Upsample.packingUpsampled(_, _)),
     // vocabulary data cards + n-gram novelty + curriculum bands (r8)
     "q_llm_vocab_coverage"  -> (llm.VocabCoverage.vocabCoverage(_, _)),
     "q_llm_oov_rate"        -> (llm.VocabCoverage.oovRate(_, _)),
@@ -329,6 +330,7 @@ object SparkEntry {
     "q_llm_quality_model"   -> llm.QualityModel.scoreOracle,
     "q_llm_boilerplate"     -> llm.Boilerplate.boilerplateOracle,
     "q_llm_upsample"        -> llm.Upsample.upsampleOracle,
+    "q_llm_packing_upsampled" -> llm.Upsample.packingUpsampledOracle,
     "q_llm_vocab_coverage"  -> llm.VocabCoverage.vocabCoverageOracle,
     "q_llm_oov_rate"        -> llm.VocabCoverage.oovRateOracle,
     "q_llm_novelty"         -> llm.Novelty.noveltyOracle,

@@ -33,9 +33,20 @@ object Tables {
     * 2^53 exact range. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The TIMESTAMP_NTZ→TIMESTAMP fallback below is session-TZ-dependent;
+    // pin UTC here so the loader is self-contained for both encodings
+    // (every entry point already runs UTC — this makes it a guarantee,
+    // not an assumption).
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    normalizeTs(read(s, d, "events"))
+  }
+
+  /** The encoding dispatch for `events.ts`, shared by the batch reader
+    * above and [[graft.streaming.StreamJobs.eventsStream]] so both
+    * paths accept either testdata generation. */
+  def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampType}
-    val raw = read(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampType => raw

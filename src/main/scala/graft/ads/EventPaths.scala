@@ -57,8 +57,8 @@ object EventPaths {
        |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
        |      FROM p GROUP BY 1, 2)
        |SELECT prev_type, next_type, n,
-       |       (1000000 * n) // sum(n) OVER (PARTITION BY prev_type)
-       |         AS share_ppm
+       |       CAST((1000000 * n) // sum(n) OVER (PARTITION BY prev_type)
+       |            AS BIGINT) AS share_ppm
        |FROM c""".stripMargin
 
   /** Histogram bucket width for conversion latency. */
@@ -105,8 +105,8 @@ object EventPaths {
        |             CAST(count(*) AS BIGINT) AS n_users
        |      FROM p GROUP BY 1)
        |SELECT bucket, n_users,
-       |       (1000000 * sum(n_users) OVER (ORDER BY bucket
+       |       CAST((1000000 * sum(n_users) OVER (ORDER BY bucket
        |          ROWS UNBOUNDED PRECEDING)) // sum(n_users) OVER ()
-       |         AS cum_ppm
+       |            AS BIGINT) AS cum_ppm
        |FROM h""".stripMargin
 }

@@ -348,19 +348,30 @@ object Queries {
       |       END AS BIGINT) AS growth_ppm
       |FROM l ORDER BY dt""".stripMargin
 
+  /** Coarse band width (cents) for the monetary quintile's rank key —
+    * bounds the offsets frame by the VALUE domain (≈ max lifetime
+    * spend / $1000), not the customer count. */
+  val RfmMonetaryBandCents = 100000L
+
   /** RFM customer segmentation: per customer, recency (days since
     * last order, against the corpus max date), frequency (order
-    * count), monetary (lifetime cents), each cut into quintiles by
-    * ntile(5) with a custkey tiebreak (1 = best — most recent / most
-    * frequent / highest spend), plus the composite 3-digit segment.
+    * count), monetary (lifetime cents), each cut into quintiles —
+    * bit-identical to `ntile(5)` with a custkey tiebreak (1 = best —
+    * most recent / most frequent / highest spend), plus the composite
+    * 3-digit segment.
     *
-    * Scale shape: the corpus-scale work is ONE per-customer aggregate
-    * (map-side combined). The three ntile windows are global sorts
-    * over the aggregated table — exact quintiles are inherently a
-    * global order. At 10⁹ customers the same output shape would come
-    * from approx_percentile cutoffs instead (the
-    * q_llm_quality_quantiles_approx pattern); exact ntile is kept
-    * here because the oracle can replay it bit-for-bit. */
+    * Scale shape: the corpus-scale work is a per-customer aggregate
+    * (map-side combined). The quintiles do NOT use global ntile
+    * windows (a single-partition sort of every customer, three
+    * times); each is the curriculum distributed-rank device
+    * ([[graft.llm.CorpusLayout.curriculumOf]]): collapse to per-key
+    * counts (keys: recency_days / frequency — value-domain-bounded —
+    * and a [[RfmMonetaryBandCents]]-wide monetary band), window the
+    * TINY offsets frame, broadcast it back, and recover the exact
+    * global rank as offset + key-partitioned row_number. ntile is
+    * then pure positional arithmetic on (rank, total): the first
+    * n%5 buckets take n/5+1 rows, the rest n/5 — so the only
+    * corpus-sized exchanges are hash partitionings on the rank keys. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = Tables.orders(spark, dir)
@@ -376,12 +387,38 @@ object Queries {
     val base = per.crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff(col("anchor_dt"), col("last_dt")).cast("long"))
-    def quintile(ord: org.apache.spark.sql.Column*) =
-      ntile(5).over(Window.orderBy(ord: _*)).cast("long")
-    base
-      .withColumn("r_bin", quintile(col("recency_days"), col("custkey")))
-      .withColumn("f_bin", quintile(col("frequency").desc, col("custkey")))
-      .withColumn("m_bin", quintile(col("monetary_cents").desc, col("custkey")))
+      .withColumn("_mband",
+        expr(s"monetary_cents DIV $RfmMonetaryBandCents"))
+    // Exact distributed quintile: global rank by (key, within...) via
+    // per-key offsets + keyed row_number, then positional ntile(5)
+    // arithmetic. `asc` orients the key; `within` finishes the total
+    // order inside one key value.
+    def quintile(df: DataFrame, key: String, asc: Boolean,
+        within: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
+      val ord = if (asc) col(key).asc else col(key).desc
+      val offs = df.groupBy(key).agg(count(lit(1)).as("_cnt"))
+        .select(col(key),
+          coalesce(sum("_cnt").over(Window.orderBy(ord)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"),
+          sum("_cnt").over(Window.partitionBy(lit(1))).as("_n"))
+      val w = Window.partitionBy(key).orderBy(within: _*)
+      df.join(broadcast(offs), key)
+        .withColumn("_rn", col("_off") + row_number().over(w).cast("long"))
+        .withColumn(out, expr(
+          """CASE WHEN _rn <= (_n DIV 5 + 1) * (_n % 5)
+            |  THEN (_rn - 1) DIV (_n DIV 5 + 1) + 1
+            |  ELSE _n % 5 + (_rn - (_n DIV 5 + 1) * (_n % 5) - 1)
+            |         DIV greatest(_n DIV 5, 1) + 1 END""".stripMargin)
+          .cast("long"))
+        .drop("_off", "_n", "_rn")
+    }
+    val r = quintile(base, "recency_days", asc = true,
+      Seq(col("custkey")), "r_bin")
+    val f = quintile(r, "frequency", asc = false,
+      Seq(col("custkey")), "f_bin")
+    val m = quintile(f, "_mband", asc = false,
+      Seq(col("monetary_cents").desc, col("custkey")), "m_bin")
+    m
       .withColumn("segment",
         col("r_bin") * 100L + col("f_bin") * 10L + col("m_bin"))
       .select("custkey", "recency_days", "frequency", "monetary_cents",

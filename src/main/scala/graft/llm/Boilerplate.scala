@@ -27,12 +27,14 @@ import graft.func.OracleSql
   * dedup, Dedup.scala). `countDistinct(doc_id)` is planned as a
   * two-level partial aggregate, so the exchange carries one row per
   * (block, doc) pair per map task at most. The boilerplate SET
-  * (df ≥ [[MinDf]]) is the Zipf head of the block distribution —
-  * orders of magnitude smaller than the block universe — and is
-  * broadcast back as a semi-flag join; if a corpus ever produced a
-  * boilerplate set too big for a broadcast, dropping the hint degrades
-  * to a hash join on the same md5 key, nothing else changes. The
-  * per-doc accounting aggregate is the second, doc_id-keyed shuffle.
+  * (df ≥ [[MinDf]]) is usually the Zipf head of the block
+  * distribution, but it is CORPUS-DERIVED and unbounded by
+  * construction — so it carries NO broadcast hint: AQE picks a
+  * broadcast join when the runtime size clears the threshold and
+  * falls back to a shuffled hash join on the same md5 key when it
+  * doesn't (the hinted form would OOM the driver on a corpus whose
+  * repeat head is large). The per-doc accounting aggregate is the
+  * second, doc_id-keyed shuffle.
   */
 object Boilerplate {
   /** Tokens per block — the segmentation unit standing in for a line
@@ -67,7 +69,9 @@ object Boilerplate {
       .agg(countDistinct(col("doc_id")).as("block_df"))
     val boiler = df.filter(col("block_df") >= MinDf)
       .select(col("bkey"), lit(1L).as("is_boiler"))
-    blocks.join(broadcast(boiler), Seq("bkey"), "left")
+    // no broadcast hint: boiler is corpus-derived (PLANS.md rule #2 —
+    // hints only on genuinely bounded sides); AQE chooses the strategy
+    blocks.join(boiler, Seq("bkey"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("blocks_total"),

@@ -68,8 +68,8 @@ object Novelty {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        |       CAST(sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END)
        |            AS BIGINT) AS n_novel,
-       |       (1000000 * sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END))
-       |         // count(*) AS novelty_ppm
+       |       CAST((1000000 * sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END))
+       |         // count(*) AS BIGINT) AS novelty_ppm
        |FROM g JOIN f USING (gkey) GROUP BY 1""".stripMargin
   }
 }

@@ -23,26 +23,40 @@ object VocabCoverage {
     * Scale shape (100 TB): the corpus collapses to the WORD VOCABULARY
     * in one partial-aggregated shuffle (map-side combine — the
     * exchange carries one row per distinct word per map task, not one
-    * per token). The rank/cumsum window then runs over the vocabulary
-    * only. A natural-language vocab is millions of rows where the
-    * corpus is trillions of tokens, so the single-partition window is
-    * a deliberate, bounded collapse — same device as the merge-table
-    * windows in Bpe.scala; if the "vocab" were unbounded (e.g. URLs),
-    * swap the window for the distributed rank in
-    * [[CorpusLayout.curriculum]]'s cumulative-offset pattern. */
+    * per token). Rank and cumulative sum are then the curriculum
+    * distributed-rank device ([[CorpusLayout.curriculumOf]]) with
+    * FREQ as the key — the Zipf collapse: distinct frequency values
+    * are O(√tokens), so the offsets frame (per-freq word count, token
+    * mass, and their running totals) is tiny even when the vocabulary
+    * itself is open-domain (URLs, code identifiers). Within one freq
+    * value every word contributes the same `freq` to the cumsum, so
+    * rank = word_offset + row_number and cum = mass_offset +
+    * freq × row_number under a freq-KEYED window — the only
+    * vocabulary-sized exchange is a hash partitioning on freq. */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
     vocabCoverageOf(Tables.documents(spark, dir))
 
   /** [[vocabCoverage]] over any frame with a `text` column. */
   def vocabCoverageOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val words = docs
       .select(explode(Tokenizer.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    words.select(col("word"), col("freq"),
-      expr("CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)")
-        .as("rank"),
-      expr("1000000 * sum(freq) OVER (ORDER BY freq DESC, word " +
-        "ROWS UNBOUNDED PRECEDING) DIV sum(freq) OVER ()").as("cum_ppm"))
+    // tiny frame: one row per distinct frequency (Zipf: O(√tokens))
+    val offs = words.groupBy("freq")
+      .agg(count(lit(1)).as("_cnt"), sum("freq").as("_mass"))
+      .select(col("freq"),
+        coalesce(sum("_cnt").over(Window.orderBy(col("freq").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_woff"),
+        coalesce(sum("_mass").over(Window.orderBy(col("freq").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_moff"),
+        sum("_mass").over(Window.partitionBy(lit(1))).as("_total"))
+    val w = Window.partitionBy("freq").orderBy("word")
+    words.join(broadcast(offs), "freq")
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .select(col("word"), col("freq"),
+        (col("_woff") + col("_rn")).as("rank"),
+        expr("1000000 * (_moff + freq * _rn) DIV _total").as("cum_ppm"))
   }
 
   lazy val vocabCoverageOracle: String = {
@@ -54,8 +68,9 @@ object VocabCoverage {
        |SELECT word, freq,
        |       CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)
        |         AS rank,
-       |       (1000000 * sum(freq) OVER (ORDER BY freq DESC, word
-       |          ROWS UNBOUNDED PRECEDING)) // sum(freq) OVER () AS cum_ppm
+       |       CAST((1000000 * sum(freq) OVER (ORDER BY freq DESC, word
+       |          ROWS UNBOUNDED PRECEDING)) // sum(freq) OVER ()
+       |            AS BIGINT) AS cum_ppm
        |FROM v""".stripMargin
   }
 

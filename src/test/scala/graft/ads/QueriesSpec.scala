@@ -114,13 +114,18 @@ class QueriesSpec extends SparkSpec {
       s"pair expansion must be array-side, not a fact self-join:\n$plan")
   }
 
-  test("rfm: the corpus-scale work is one aggregate (plan shape)") {
+  test("rfm: customer-sized windows are keyed, not single-partition") {
     val plan = Queries.rfm(spark, Sf).queryExecution.executedPlan.toString
-    // exactly one hash exchange from the per-customer aggregate; the
-    // ntile windows run single-partition over the aggregated table
-    // (documented trade: exact quintiles need a global order)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges === 1,
-      s"only the per-customer aggregate may hash-shuffle:\n$plan")
+    // each quintile's rank runs under a key-partitioned window (the
+    // curriculum distributed-rank device); the only single-partition
+    // windows are the tiny per-key offsets frames behind broadcasts
+    for (k <- Seq("recency_days", "frequency", "_mband"))
+      assert(plan.contains(s"hashpartitioning($k"),
+        s"$k rank must run under a key-partitioned window:\n$plan")
+    // no global ntile: a WindowExec whose required child distribution
+    // is all-tuples-in-one-partition over the CUSTOMER frame would
+    // print as ntile(5) — assert it's gone entirely
+    assert(!plan.contains("ntile("),
+      s"quintiles must be positional arithmetic, not global ntile:\n$plan")
   }
 }

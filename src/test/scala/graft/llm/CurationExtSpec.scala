@@ -79,6 +79,17 @@ class CurationExtSpec extends SparkSpec {
     assert(out(1L) === 0L && out(2L) === 0L, "offset blocks are not dups")
   }
 
+  test("boilerplate: join strategy is AQE-chosen, not hinted") {
+    // the boilerplate set is corpus-derived and unbounded by
+    // construction — PLANS.md rule #2 forbids a hard broadcast hint;
+    // the logical plan must carry no join hint at all
+    val df = Boilerplate.boilerplate(spark, Sf)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("ResolvedHint") &&
+      !df.queryExecution.logical.toString.contains("UnresolvedHint"),
+      "no broadcast hint on the boilerplate side")
+    assert(df.count() > 0L)
+  }
+
   // ---- Upsample -----------------------------------------------------
 
   test("upsample: every doc appears 1–3 times with contiguous epochs") {
@@ -100,6 +111,29 @@ class CurationExtSpec extends SparkSpec {
       .groupBy("lang").agg((max("n") - min("n")).as("d"))
       .as[(String, Long)].collect()
     assert(spread.forall(_._2 <= 1L), spread.mkString(","))
+  }
+
+  // ---- epoch-aware packing -----------------------------------------
+
+  test("packingUpsampled: one unit per (doc, epoch), shard-local prefix sums") {
+    val out = Upsample.packingUpsampled(spark, Sf)
+      .select("doc_id", "epoch", "lang", "shard", "n_tokens", "cum_tokens")
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+    // unit multiset = the upsample expansion, exactly
+    val nUnits = Upsample.upsample(spark, Sf).count()
+    assert(out.length.toLong === nUnits, "every (doc, epoch) unit packed once")
+    // per (lang, shard), cum_tokens is the running sum in (doc_id, epoch) order
+    out.groupBy(u => (u._3, u._4)).foreach { case (_, us) =>
+      var run = 0L
+      us.sortBy(u => (u._1, u._2)).foreach { u =>
+        run += u._5
+        assert(u._6 === run, s"prefix sum broken at doc ${u._1} epoch ${u._2}")
+      }
+    }
+    // epoch scatter: some multi-epoch doc's epochs land in different
+    // shards (shard hashes (doc_id, epoch), not doc_id)
+    val scattered = out.groupBy(_._1).exists(_._2.map(_._4).distinct.length > 1)
+    assert(scattered, "epochs of one doc must scatter across shards")
   }
 
   // ---- quality-priority keep-list ----------------------------------

@@ -18,6 +18,13 @@ class VocabNoveltySpec extends SparkSpec {
     assert(out("c") === ((1L, 3L, 1000000L)))
   }
 
+  test("vocabCoverage plan: vocab-sized exchange is keyed, not single") {
+    val plan = VocabCoverage.vocabCoverage(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(freq"),
+      s"word rank must run under a freq-keyed window:\n$plan")
+  }
+
   test("oovRate: tokens outside the top-V vocabulary are counted") {
     // 25 distinct words; w01..w20 appear twice (doc 2) so the top-20
     // vocab is exactly w01..w20 and doc 1's w21..w25 are OOV
