@@ -7,42 +7,56 @@ import graft.Tables
 import graft.func.OracleSql
 
 /** Byte-pair-encoding vocabulary induction (Sennrich et al. 2016) over
-  * the corpus — the real merge loop, not a stand-in: per round, count
-  * adjacent symbol pairs weighted by word frequency, merge the most
-  * frequent pair everywhere, repeat. [[MergeRounds]] is fixed so the
-  * derivation is restatable as chained SQL (one CTE block per round)
-  * and every output hash-checks.
+  * the corpus — the real merge loop, not a stand-in, in its BATCHED
+  * form: per round, count adjacent symbol pairs weighted by word
+  * frequency, select the LOCALLY-DOMINANT pairs (a pair is selected
+  * iff no higher-ranked pair — (freq desc, pair asc) order —
+  * interacts with it), and apply the whole batch in one distributed
+  * pass. Two pairs "interact" iff they share a symbol or one's merged
+  * token is an element of the other; a dominant set is therefore
+  * mutually non-interacting, so all of a word's match sites are
+  * disjoint and batch application commutes — both engines reach the
+  * same segmentation in any order. The global argmax is always
+  * dominant, so every round makes at least the progress of the
+  * one-merge-at-a-time loop; this is the fastBPE/SentencePiece
+  * batching argument, with dominance instead of a sequential greedy
+  * walk so the SAME selection is one declarative predicate in DuckDB
+  * (NOT EXISTS over the candidate top-[[CandCap]]) and a
+  * [[CandCap]]²-cheap driver check in Spark.
   *
   * Scale shape: the corpus is touched ONCE — the word-frequency
   * aggregate (one shuffle, map-side combined). Every merge round runs
   * on the distinct-WORD vocabulary (bounded: vocabulary-sized, not
   * corpus-sized), so the loop's per-round cost is independent of
-  * corpus size; the argmax per round is a 1-row driver collect
-  * (coordination, same class as the closure loop's moved-count).
+  * corpus size; per round the driver collects only the top-[[CandCap]]
+  * candidate rows (TakeOrderedAndProject) — [[MergeRounds]] driver
+  * round-trips for up to MergeRounds × [[BatchCap]] merges, the ~V/B
+  * trip count a 32k-vocab run needs (vs 32k trips unbatched). The
+  * learned table is memoized per (session, dir): merges/vocab/
+  * tokenize/fertility share ONE training run, the train-once
+  * discipline a real tokenizer pipeline has.
   *
   * Determinism: ties on pair frequency break lexicographically; the
-  * merge application is string `replace` on a space-delimited symbol
-  * form, iterated [[ReplacePasses]] times to reach the left-to-right
-  * greedy fixpoint (a single non-overlapping replace pass misses
-  * merges whose boundary space was consumed by the previous match —
-  * " a b a b " needs a second pass; both engines iterate identically).
-  *
-  * Production vocab sizes (32k–256k merges): the per-merge driver
-  * round-trip here (1-row argmax collect per round) is the
-  * oracle-checkable form, NOT the 32k-merge form — 32k sequential
-  * 1-row jobs would be pure coordination latency. The scale path
-  * BATCHES rounds: collect the top-B non-interacting pairs per argmax
-  * (pairs are "interacting" iff they share a symbol or one's merged
-  * token is the other's element — a driver-side check over B² symbol
-  * pairs, B ≈ 256), apply all B merges in one distributed pass, and
-  * re-count. Non-interacting merges commute with the greedy order, so
-  * batching preserves the learned table exactly while cutting driver
-  * round-trips from V to ~V/B; SentencePiece's unigram trainer and
-  * fastBPE use the same batching argument. Per-round cost stays
-  * vocabulary-sized either way — the corpus is still touched once.
+  * batch is applied by splicing the LEFTMOST occurrence of ANY batch
+  * pattern, iterated [[ReplacePasses]] times to the fixpoint (a
+  * whole-string replace would strand same-symbol runs — " a a a a "
+  * must greedy-merge to [aa, aa]); distinct batch patterns can never
+  * match at the same position (they'd share their first symbol), so
+  * "leftmost of any" is well-defined in both engines.
   */
 object Bpe {
-  val MergeRounds = 3
+  /** Batched merge rounds: up to [[MergeRounds]] × [[BatchCap]]
+    * merges learned. */
+  val MergeRounds = 8
+
+  /** Max merges applied per round (the dominant set, rank-capped). */
+  val BatchCap = 32
+
+  /** Candidate pool per round: dominance is decided within the
+    * top-[[CandCap]] pairs by (freq desc, pair). Exact for every
+    * member: anything outside the pool ranks after everything inside,
+    * and dominance only consults higher-ranked pairs. */
+  val CandCap = 128
 
   /** First-occurrence replace passes per merge. Each pass splices out
     * exactly the LEFTMOST " a b " occurrence, which is precisely the
@@ -77,60 +91,108 @@ object Bpe {
   private def pairCounts(vocab: DataFrame): DataFrame =
     vocab
       .withColumn("a", split(trim(col("syms")), " "))
+      // fully-merged single-symbol words have no pairs; without the
+      // guard sequence(1, 0) DESCENDS (the LangModel lesson) and
+      // element_at walks off the array
+      .filter(size(col("a")) >= 2)
       .select(col("n"), explode(expr(
         "transform(sequence(1, size(a) - 1), " +
           "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")).as("pair"))
       .groupBy("pair").agg(sum(col("n")).as("freq"))
 
+  /** One round's candidate row. */
+  private case class Cand(pair: String, freq: Long) {
+    val Array(la, rb) = pair.split(" ", 2)
+    val merged: String = pair.replace(" ", "")
+  }
+
+  /** q ranks strictly before c in the (freq desc, pair asc) order. */
+  private def ranksBefore(q: Cand, c: Cand): Boolean =
+    q.freq > c.freq || (q.freq == c.freq && q.pair < c.pair)
+
+  /** The batching conflict predicate — MUST mirror the oracle's d<k>
+    * NOT EXISTS condition exactly. */
+  private def interacts(q: Cand, c: Cand): Boolean =
+    q.la == c.la || q.la == c.rb || q.rb == c.la || q.rb == c.rb ||
+      q.merged == c.la || q.merged == c.rb ||
+      c.merged == q.la || c.merged == q.rb
+
   /** The learned merge table plus the final segmentation — shared
-    * derivation for both queries. Returns (merges, final vocab). */
-  private def learn(docs: DataFrame): (Seq[(Int, String, Long)], DataFrame) = {
+    * derivation for all four queries. Returns (merges in application
+    * order, final vocab). */
+  private def learn(docs: DataFrame): (Seq[(String, Long)], DataFrame) = {
     var vocab = wordVocab(docs).withColumn("syms", initSyms)
       .localCheckpoint() // bounded (distinct words); pins the loop input
     // the ReplacePasses fixpoint bound assumes ≤ 2·passes symbols per
-    // word (char count + eow marker); a longer word would MISS merges
-    // silently and desync from the oracle — fail loudly instead
+    // word (char count + eow marker): batch patterns are mutually
+    // non-interacting, so each splice consumes 2 pre-round symbols —
+    // ≤ S/2 splices per word per round. A longer word would MISS
+    // merges silently and desync from the oracle — fail loudly instead
     val tooLong = vocab
       .filter(length(col("word")) + 1 > 2 * ReplacePasses).count()
     require(tooLong == 0,
       s"$tooLong corpus words exceed ${2 * ReplacePasses - 1} chars — " +
         s"raise ReplacePasses in BOTH engines (Bpe.scala + oracle)")
-    val merges = (1 to MergeRounds).map { r =>
-      val rows = pairCounts(vocab)
-        .orderBy(col("freq").desc, col("pair")).limit(1).collect()
-      require(rows.nonEmpty,
-        s"BPE round $r found no adjacent pairs — corpus too small for " +
-          s"MergeRounds=$MergeRounds")
-      val row = rows.head
-      val (pair, freq) = (row.getString(0), row.getLong(1))
-      val merged = pair.replace(" ", "")
-      val pat = s" $pair "
-      // one leftmost-occurrence splice per pass — greedy BPE; see
-      // [[ReplacePasses]] for why whole-string replace would be wrong.
-      // One withColumn per pass keeps each pass's 3 references to the
-      // string as ATTRIBUTE references (plan depth 8), not a 3^8
-      // nested expression tree.
-      def leftmostOnce(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val p = call_function("instr", c, lit(pat))
-        when(p === 0, c).otherwise(concat(
-          call_function("substring", c, lit(1), p - 1),
-          lit(s" $merged "),
-          call_function("substring", c, p + lit(pat.length), lit(Int.MaxValue))))
-      }
-      vocab = (1 to ReplacePasses)
-        .foldLeft(vocab)((df, _) => df.withColumn("syms", leftmostOnce(col("syms"))))
-        .localCheckpoint()
-      (r, pair, freq)
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    (1 to MergeRounds).foreach { _ =>
+      val top = pairCounts(vocab)
+        .orderBy(col("freq").desc, col("pair")).limit(CandCap).collect()
+        .map(r => Cand(r.getString(0), r.getLong(1))).toSeq
+      // locally-dominant pairs, rank-capped — the oracle's d<k>/m<k>
+      val batch = top
+        .filter(c => !top.exists(q =>
+          q.pair != c.pair && ranksBefore(q, c) && interacts(q, c)))
+        .take(BatchCap)
+      if (batch.nonEmpty) {
+        val pats = batch.map(m => (s" ${m.pair} ", s" ${m.merged} "))
+        // per pass: splice the leftmost occurrence of ANY batch
+        // pattern (match positions are distinct — equal positions
+        // would mean a shared first symbol, excluded by dominance).
+        // One withColumn per pass keeps the string an ATTRIBUTE
+        // reference between passes (plan depth ReplacePasses), not a
+        // nested expression tree.
+        def anyLeftmostOnce(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val cands = array(pats.map { case (pat, rep) =>
+            struct(call_function("instr", c, lit(pat)).as("pos"),
+              lit(pat).as("pat"), lit(rep).as("rep"))
+          }: _*)
+          val hit = array_min(filter(cands, s => s.getField("pos") > 0))
+          when(hit.isNull, c).otherwise(concat(
+            call_function("substring", c, lit(1), hit.getField("pos") - 1),
+            hit.getField("rep"),
+            call_function("substring", c,
+              hit.getField("pos") + length(hit.getField("pat")),
+              lit(Int.MaxValue))))
+        }
+        vocab = (1 to ReplacePasses)
+          .foldLeft(vocab)((df, _) =>
+            df.withColumn("syms", anyLeftmostOnce(col("syms"))))
+          .localCheckpoint()
+        all ++= batch.map(m => (m.pair, m.freq))
+      } // empty batch: pairs exhausted — identity round, same as the
+        // oracle's empty m<k> (the CTE chain is static either way)
     }
-    (merges, vocab)
+    (all.toSeq, vocab)
   }
 
+  /** Train-once memo: the four BPE queries share one learned table
+    * per (session, testdata dir) — localCheckpoint pins the final
+    * segmentation, so reuse is safe within the session. */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(String, Long)], DataFrame)]
+
+  private def learnCached(spark: SparkSession, dir: String) =
+    memo.getOrElseUpdate((spark, dir), learn(Tables.documents(spark, dir)))
+
   /** The merge table: (rank, pair, freq) — which pairs BPE learned, in
-    * order, with their corpus-weighted frequencies. */
+    * application order (round-major, within a round by (freq desc,
+    * pair)), with their corpus-weighted frequencies. */
   def merges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (m, _) = learn(Tables.documents(spark, dir))
-    m.toDF("rank", "pair", "freq")
+    val (m, _) = learnCached(spark, dir)
+    m.zipWithIndex
+      .map { case ((pair, freq), i) => (i + 1, pair, freq) }
+      .toDF("rank", "pair", "freq")
       .select(col("rank").cast("int").as("rank"), col("pair"), col("freq"))
   }
 
@@ -139,7 +201,7 @@ object Bpe {
     * loads. Any wrong merge anywhere changes this table, so its hash
     * check adjudicates the whole loop. */
   def vocab(spark: SparkSession, dir: String): DataFrame = {
-    val (_, seg) = learn(Tables.documents(spark, dir))
+    val (_, seg) = learnCached(spark, dir)
     seg.withColumn("a", split(trim(col("syms")), " "))
       .select(col("n"), explode(col("a")).as("symbol"))
       .groupBy("symbol").agg(sum(col("n")).as("freq"))
@@ -153,7 +215,7 @@ object Bpe {
     * aggregate. */
   def tokenize(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (_, seg) = learn(docs)
+    val (_, seg) = learnCached(spark, dir)
     val segmented = seg.select(col("word"),
       size(split(trim(col("syms")), " ")).cast("long").as("n_syms"))
     val perDoc = docs
@@ -169,36 +231,52 @@ object Bpe {
 
   // ---- oracle ------------------------------------------------------
 
-  /** One leftmost-occurrence splice as SQL — the engine-equal twin of
-    * the Spark pass (strpos ≡ instr, both 1-based). Emitted as ONE
-    * line: this text is re-interpolated into outer stripMargin blocks,
-    * which would eat a line-leading `||` operator as margin pipes. */
-  private def spliceSql(from: String, to: String): String =
-    s"CASE WHEN strpos(syms, $from) = 0 THEN syms " +
-      s"ELSE substr(syms, 1, strpos(syms, $from) - 1) || $to || " +
-      s"substr(syms, strpos(syms, $from) + len($from)) END"
-
-  /** One merge round as SQL: seg<k> -> (p<k> pair counts, m<k> argmax,
-    * one CTE per leftmost-splice pass, seg<k> = the last pass). The
-    * argmax pair enters the passes as scalar subqueries, so the SQL
-    * derives the merges itself — nothing is spliced from the Spark
-    * run. One MATERIALIZED CTE per pass keeps the text linear where a
-    * nested CASE (3 self-references per level) would be 3^passes. */
+  /** One merge round as SQL: seg<k> -> p<k> (pair counts) -> c<k>
+    * (top-[[CandCap]] candidates with split symbols) -> d<k>
+    * (locally-dominant: NOT EXISTS a higher-ranked interacting pair —
+    * the engine-equal twin of the Scala `interacts`/`ranksBefore`
+    * driver check) -> m<k> (rank-capped batch), then one CTE per
+    * any-pattern leftmost-splice pass (LATERAL picks the pattern with
+    * the minimal strpos — positions are distinct, see the object
+    * doc), seg<k> = the last pass. The SQL derives the batches
+    * itself — nothing is spliced from the Spark run. One MATERIALIZED
+    * CTE per pass keeps the text linear where nested CASEs would
+    * compound. */
   private def roundSql(k: Int): String = {
     val prev = s"seg${k - 1}"
-    val search = s"(' ' || (SELECT pair FROM m$k) || ' ')"
-    val replc = s"(' ' || (SELECT replace(pair, ' ', '') FROM m$k) || ' ')"
     val passes = (1 to ReplacePasses).map { p =>
       val src = if (p == 1) prev else s"s${k}_p${p - 1}"
-      s"""s${k}_p$p AS MATERIALIZED (SELECT word, n,
-         |  ${spliceSql(search, replc)} AS syms FROM $src)""".stripMargin
+      s"""s${k}_p$p AS MATERIALIZED (
+         |  SELECT s.word, s.n,
+         |    CASE WHEN b.pos IS NULL THEN s.syms
+         |         ELSE substr(s.syms, 1, b.pos - 1) || b.rep ||
+         |              substr(s.syms, b.pos + len(b.pat)) END AS syms
+         |  FROM $src s LEFT JOIN LATERAL (
+         |    SELECT ' ' || pair || ' ' AS pat, ' ' || merged || ' ' AS rep,
+         |           strpos(s.syms, ' ' || pair || ' ') AS pos
+         |    FROM m$k WHERE strpos(s.syms, ' ' || pair || ' ') > 0
+         |    ORDER BY pos LIMIT 1) b ON true)""".stripMargin
     }.mkString(",\n")
     s"""p$k AS MATERIALIZED (SELECT pair, CAST(sum(n) AS BIGINT) AS freq FROM (
        |  SELECT n, unnest(list_transform(range(1, len(a)),
        |                   i -> a[i] || ' ' || a[i + 1])) AS pair
        |  FROM (SELECT n, string_split(trim(syms), ' ') AS a FROM $prev)
        |) GROUP BY pair),
-       |m$k AS MATERIALIZED (SELECT pair, freq FROM p$k ORDER BY freq DESC, pair LIMIT 1),
+       |c$k AS MATERIALIZED (
+       |  SELECT pair, freq, string_split(pair, ' ')[1] AS la,
+       |         string_split(pair, ' ')[2] AS rb,
+       |         replace(pair, ' ', '') AS merged
+       |  FROM (SELECT pair, freq FROM p$k ORDER BY freq DESC, pair LIMIT $CandCap)),
+       |d$k AS MATERIALIZED (
+       |  SELECT c.pair, c.freq, c.merged FROM c$k c WHERE NOT EXISTS (
+       |    SELECT 1 FROM c$k q WHERE q.pair <> c.pair
+       |      AND (q.freq > c.freq OR (q.freq = c.freq AND q.pair < c.pair))
+       |      AND (q.la IN (c.la, c.rb) OR q.rb IN (c.la, c.rb)
+       |           OR q.merged IN (c.la, c.rb) OR c.merged IN (q.la, q.rb)))),
+       |m$k AS MATERIALIZED (
+       |  SELECT pair, merged, freq,
+       |         CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rk
+       |  FROM d$k ORDER BY freq DESC, pair LIMIT $BatchCap),
        |$passes,
        |seg$k AS MATERIALIZED (SELECT word, n, syms FROM s${k}_p$ReplacePasses)""".stripMargin
   }
@@ -217,9 +295,12 @@ object Bpe {
 
   lazy val mergesOracle: String =
     derivationSql + "\n" +
+      s"""SELECT CAST(row_number() OVER (ORDER BY round, rk) AS INTEGER)
+         |         AS rank, pair, freq
+         |FROM (""".stripMargin +
       (1 to MergeRounds)
-        .map(k => s"SELECT CAST($k AS INTEGER) AS rank, pair, freq FROM m$k")
-        .mkString("", "\nUNION ALL\n", "")
+        .map(k => s"SELECT $k AS round, rk, pair, freq FROM m$k")
+        .mkString("\nUNION ALL\n") + ")"
 
   lazy val vocabOracle: String =
     derivationSql +
@@ -254,7 +335,7 @@ object Bpe {
     * language. */
   def fertility(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (_, seg) = learn(docs)
+    val (_, seg) = learnCached(spark, dir)
     val segmented = seg.select(col("word"),
       size(split(trim(col("syms")), " ")).cast("long").as("n_syms"))
     docs

@@ -6,11 +6,15 @@ import graft.SparkSpec
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Reference BPE on driver: word → symbol list, greedy left-to-right
-    * merge of the (freq desc, pair asc) argmax, [[Bpe.MergeRounds]]
-    * rounds. */
+  /** Reference BATCHED BPE on driver: word → symbol list; per round,
+    * rank pairs by (freq desc, pair asc), keep the locally-dominant
+    * ones within the top-[[Bpe.CandCap]] (no higher-ranked pair shares
+    * a symbol or has a merged-token/element collision), cap at
+    * [[Bpe.BatchCap]], and apply each with a greedy left-to-right
+    * scan (batch pairs are non-interacting, so per-pattern scans in
+    * any order equal the engine's leftmost-of-any splices). */
   private def referenceBpe(wordCounts: Map[String, Long])
-      : (Seq[(Int, String, Long)], Map[String, Long]) = {
+      : (Seq[(String, Long)], Map[String, Long]) = {
     var seg: Map[String, (Vector[String], Long)] = wordCounts.map {
       case (w, n) => w -> ((w.map(_.toString).toVector :+ Bpe.Eow, n))
     }
@@ -24,7 +28,16 @@ class BpeSpec extends SparkSpec {
       }
       out.result()
     }
-    val merges = (1 to Bpe.MergeRounds).map { r =>
+    case class C(pair: String, freq: Long, a: String, b: String) {
+      val m = a + b
+    }
+    def before(q: C, c: C) =
+      q.freq > c.freq || (q.freq == c.freq && q.pair < c.pair)
+    def inter(q: C, c: C) =
+      q.a == c.a || q.a == c.b || q.b == c.a || q.b == c.b ||
+        q.m == c.a || q.m == c.b || c.m == q.a || c.m == q.b
+    val all = Seq.newBuilder[(String, Long)]
+    (1 to Bpe.MergeRounds).foreach { _ =>
       val counts = collection.mutable.Map.empty[(String, String), Long]
       seg.values.foreach { case (syms, n) =>
         syms.sliding(2).foreach {
@@ -32,16 +45,23 @@ class BpeSpec extends SparkSpec {
           case _ =>
         }
       }
-      val ((a, b), f) = counts.toSeq
-        .minBy { case ((x, y), c) => (-c, s"$x $y") }
-      seg = seg.map { case (w, (syms, n)) => w -> ((mergeRun(syms, a, b), n)) }
-      (r, s"$a $b", f)
+      val cands = counts.toSeq
+        .map { case ((a, b), f) => C(s"$a $b", f, a, b) }
+        .sortBy(c => (-c.freq, c.pair)).take(Bpe.CandCap)
+      val batch = cands
+        .filter(c => !cands.exists(q =>
+          q.pair != c.pair && before(q, c) && inter(q, c)))
+        .take(Bpe.BatchCap)
+      batch.foreach { c =>
+        seg = seg.map { case (w, (syms, n)) => w -> ((mergeRun(syms, c.a, c.b), n)) }
+      }
+      all ++= batch.map(c => (c.pair, c.freq))
     }
     val vocab = collection.mutable.Map.empty[String, Long]
     seg.values.foreach { case (syms, n) =>
       syms.foreach(s => vocab(s) = vocab.getOrElse(s, 0L) + n)
     }
-    (merges, vocab.toMap)
+    (all.result(), vocab.toMap)
   }
 
   test("bpe: classic low/lower/newest fixture matches the reference loop") {
@@ -59,7 +79,7 @@ class BpeSpec extends SparkSpec {
       classOf[org.apache.spark.sql.DataFrame])
     m.setAccessible(true)
     val (gotMerges, segDf) = m.invoke(Bpe, docs)
-      .asInstanceOf[(Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame)]
+      .asInstanceOf[(Seq[(String, Long)], org.apache.spark.sql.DataFrame)]
     assert(gotMerges === expMerges)
     val gotVocab = segDf.withColumn("a", split(trim(col("syms")), " "))
       .select(col("n"), explode(col("a")).as("symbol"))
@@ -75,11 +95,12 @@ class BpeSpec extends SparkSpec {
     val (expMerges, expVocab) = referenceBpe(wordCounts)
     val gotMerges = Bpe.merges(spark, Sf)
       .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
-    assert(gotMerges === expMerges)
+    assert(gotMerges.map(m => (m._2, m._3)) === expMerges)
+    assert(gotMerges.map(_._1) === (1 to gotMerges.length).toSeq)
     val gotVocab = Bpe.vocab(spark, Sf).as[(String, Long)].collect().toMap
     assert(gotVocab === expVocab)
     // merged symbols actually appear: round 1's pair exists in vocab
-    val sym0 = expMerges.head._2.replace(" ", "")
+    val sym0 = expMerges.head._1.replace(" ", "")
     assert(gotVocab.contains(sym0), s"merged symbol $sym0 present")
   }
 
@@ -128,8 +149,8 @@ class BpeSpec extends SparkSpec {
       classOf[org.apache.spark.sql.DataFrame])
     m.setAccessible(true)
     val (gotMerges, segDf) = m.invoke(Bpe, docs)
-      .asInstanceOf[(Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame)]
-    assert(gotMerges.head._2 === "a a")
+      .asInstanceOf[(Seq[(String, Long)], org.apache.spark.sql.DataFrame)]
+    assert(gotMerges.head._1 === "a a")
     val (expMerges, expVocab) = referenceBpe(Map("aaaa" -> 3L))
     assert(gotMerges === expMerges)
     val gotVocab = segDf.withColumn("a", split(trim(col("syms")), " "))
@@ -149,8 +170,8 @@ class BpeSpec extends SparkSpec {
       classOf[org.apache.spark.sql.DataFrame])
     m.setAccessible(true)
     val (gotMerges, segDf) = m.invoke(Bpe, docs)
-      .asInstanceOf[(Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame)]
-    val after1 = gotMerges.head._2
+      .asInstanceOf[(Seq[(String, Long)], org.apache.spark.sql.DataFrame)]
+    val after1 = gotMerges.head._1
     assert(after1 === "a a")
     val syms = segDf.select(trim(col("syms"))).as[String].head()
     val (expMerges, _) = referenceBpe(Map("aaaaa" -> 2L))
@@ -160,7 +181,7 @@ class BpeSpec extends SparkSpec {
     // reference segmentation replayed through the same merges
     val ref = {
       var s = Vector("a", "a", "a", "a", "a", Bpe.Eow)
-      gotMerges.foreach { case (_, pair, _) =>
+      gotMerges.foreach { case (pair, _) =>
         val Array(x, y) = pair.split(" ", 2)
         val out = Vector.newBuilder[String]
         var i = 0
