@@ -202,7 +202,18 @@ object SparkEntry {
     "q_llm_novelty"         -> (llm.Novelty.novelty(_, _)),
     "q_llm_curriculum"      -> (llm.CorpusLayout.curriculum(_, _)),
     // near-dup clusters survive their best-quality member (r8)
-    "q_llm_quality_keeplist" -> (llm.Dedup.qualityKeepList(_, _))
+    "q_llm_quality_keeplist" -> (llm.Dedup.qualityKeepList(_, _)),
+    // PII compliance pass + CCNet perplexity terciles + source drift (r9)
+    "q_llm_pii_scan"        -> (llm.Pii.piiScan(_, _)),
+    "q_llm_pii_redact"      -> (llm.Pii.piiRedact(_, _)),
+    "q_llm_ppl_filter"      -> (llm.LangModel.pplFilter(_, _)),
+    "q_llm_source_divergence" -> (llm.Divergence.sourceDivergence(_, _)),
+    // BI shapes over the marts: pivot / rollup / RANGE frame / exact
+    // distributed median (r9)
+    "q_ads_pivot_segment"   -> (ads.Rollups.pivotSegment(_, _)),
+    "q_ads_gmv_rollup"      -> (ads.Rollups.gmvRollup(_, _)),
+    "q_ads_gmv_ma7"         -> (ads.Rollups.gmvMa7(_, _)),
+    "q_ads_price_median"    -> (ads.Rollups.priceMedian(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -335,6 +346,14 @@ object SparkEntry {
     "q_llm_oov_rate"        -> llm.VocabCoverage.oovRateOracle,
     "q_llm_novelty"         -> llm.Novelty.noveltyOracle,
     "q_llm_curriculum"      -> llm.CorpusLayout.curriculumOracle,
-    "q_llm_quality_keeplist" -> llm.Dedup.qualityKeepListOracle
+    "q_llm_quality_keeplist" -> llm.Dedup.qualityKeepListOracle,
+    "q_llm_pii_scan"        -> llm.Pii.piiScanOracle,
+    "q_llm_pii_redact"      -> llm.Pii.piiRedactOracle,
+    "q_llm_ppl_filter"      -> llm.LangModel.pplFilterOracle,
+    "q_llm_source_divergence" -> llm.Divergence.sourceDivergenceOracle,
+    "q_ads_pivot_segment"   -> ads.Rollups.pivotSegmentOracle,
+    "q_ads_gmv_rollup"      -> ads.Rollups.gmvRollupOracle,
+    "q_ads_gmv_ma7"         -> ads.Rollups.gmvMa7Oracle,
+    "q_ads_price_median"    -> ads.Rollups.priceMedianOracle
   )
 }

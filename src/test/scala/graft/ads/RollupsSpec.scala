@@ -1,0 +1,68 @@
+package graft.ads
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RollupsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pivotSegment: one row per nation, declared segment columns") {
+    val out = Rollups.pivotSegment(spark, Sf)
+    assert(out.columns.toSeq === "n_name" +: Rollups.Segments)
+    val rows = out.collect()
+    assert(rows.length === 25)
+    // every cell non-null (coalesced) and totals add up to |customer|
+    val total = rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    assert(total === spark.read.parquet(s"$Sf/customer.parquet").count())
+  }
+
+  test("gmvRollup: three levels in one aggregate, totals consistent") {
+    val out = Rollups.gmvRollup(spark, Sf).collect()
+    val leaves = out.filter(_.getLong(2) == 0L)
+    val years = out.filter(_.getLong(2) == 1L)
+    val grand = out.filter(_.getLong(2) == 3L)
+    assert(grand.length === 1)
+    assert(leaves.map(_.getLong(3)).sum === grand.head.getLong(3))
+    assert(years.map(_.getLong(3)).sum === grand.head.getLong(3))
+    assert(years.forall(_.isNullAt(1)), "year subtotals have NULL month")
+  }
+
+  test("gmvRollup plan: one Expand, not one job per level") {
+    val plan = Rollups.gmvRollup(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup must compile to Expand:\n$plan")
+  }
+
+  test("gmvMa7: RANGE frame shrinks across date gaps") {
+    val out = Rollups.gmvMa7(spark, Sf).collect()
+    assert(out.head.getLong(3) === 1L, "first day has a 1-day window")
+    assert(out.forall(r => r.getLong(3) >= 1L && r.getLong(3) <= 7L))
+    // verify every window against an explicit recompute
+    val daily = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val d = r.getLong(0)
+      val win = (d - 6 to d).flatMap(daily.get)
+      assert(r.getLong(3) === win.length.toLong)
+      assert(r.getLong(2) === win.sum / win.length)
+    }
+  }
+
+  test("priceMedian: lower-discrete median, no raw-order sort") {
+    val out = Rollups.priceMedian(spark, Sf)
+    val rows = out.collect()
+    assert(rows.length === 5)
+    // cross-check one segment against a driver-side exact recompute
+    val seg = rows.head.getString(0)
+    val vals = spark.read.parquet(s"$Sf/orders.parquet")
+      .join(spark.read.parquet(s"$Sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === seg)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .as[Long].collect().sorted
+    val expected = vals((vals.length + 1) / 2 - 1)
+    assert(rows.head.getLong(2) === expected)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(c_mktsegment"),
+      s"median window must be segment-keyed:\n$plan")
+  }
+}
