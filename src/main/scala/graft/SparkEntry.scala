@@ -208,6 +208,9 @@ object SparkEntry {
     "q_llm_pii_redact"      -> (llm.Pii.piiRedact(_, _)),
     "q_llm_ppl_filter"      -> (llm.LangModel.pplFilter(_, _)),
     "q_llm_source_divergence" -> (llm.Divergence.sourceDivergence(_, _)),
+    // token-budget data selection + leakage-safe splits (r9)
+    "q_llm_budget_select"   -> (llm.CorpusLayout.budgetSelect(_, _)),
+    "q_llm_leakage_split"   -> (llm.CorpusOps.leakageSplit(_, _)),
     // BI shapes over the marts: pivot / rollup / RANGE frame / exact
     // distributed median (r9)
     "q_ads_pivot_segment"   -> (ads.Rollups.pivotSegment(_, _)),
@@ -351,6 +354,8 @@ object SparkEntry {
     "q_llm_pii_redact"      -> llm.Pii.piiRedactOracle,
     "q_llm_ppl_filter"      -> llm.LangModel.pplFilterOracle,
     "q_llm_source_divergence" -> llm.Divergence.sourceDivergenceOracle,
+    "q_llm_budget_select"   -> llm.CorpusLayout.budgetSelectOracle,
+    "q_llm_leakage_split"   -> llm.CorpusOps.leakageSplitOracle,
     "q_ads_pivot_segment"   -> ads.Rollups.pivotSegmentOracle,
     "q_ads_gmv_rollup"      -> ads.Rollups.gmvRollupOracle,
     "q_ads_gmv_ma7"         -> ads.Rollups.gmvMa7Oracle,

@@ -278,4 +278,68 @@ object CorpusLayout {
        |       CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1)
        |              * $Bands // count(*) OVER () + 1 AS BIGINT) AS band
        |FROM d""".stripMargin
+
+  // ---- token-budget selection --------------------------------------
+
+  /** Global token budget for [[budgetSelect]] — the compute envelope
+    * a training run fixes first (tokens, not documents). */
+  val TokenBudget = 10000L
+
+  /** Data selection under a token budget: rank documents by quality
+    * (best first, doc_id tiebreak) and keep every document whose
+    * STARTING cumulative token offset is still inside the budget —
+    * the greedy quality-first selection public curation work applies
+    * when the corpus exceeds the compute envelope (C4 ranks by
+    * heuristics, QuRating/DsDm by learned quality — the selection
+    * step downstream of either is exactly this). The start-offset
+    * boundary rule mirrors [[CorpusOps]]' packer, so the chosen set
+    * is deterministic and one doc may straddle the boundary rather
+    * than the boundary doc being ambiguous. Zero-token docs cannot
+    * contribute budget and are not candidates (and their NULL score
+    * would rank differently per engine).
+    *
+    * Scale shape (100 TB): ranked cumulative sums WITHOUT a global
+    * sort — per-score token totals (bounded by the ppm score domain,
+    * ≤ 1e6 rows, NOT corpus-sized), cumulative offsets over that
+    * bounded frame, then each doc's running total is offset + an
+    * intra-score window KEYED on quality_ppm. The same
+    * distributed-rank device as [[curriculumOf]], extended from
+    * rank to prefix-sum. */
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame =
+    budgetSelectOf(Tables.documents(spark, dir))
+
+  /** [[budgetSelect]] over any (doc_id, text) frame. */
+  def budgetSelectOf(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityOf(docs)
+      .filter(col("n_tokens") > 0L)
+      .select("doc_id", "n_tokens", "quality_ppm")
+    // bounded frame: one row per distinct score
+    val g = q.groupBy("quality_ppm").agg(sum("n_tokens").as("tok_sum"))
+    val offsets = g.select(col("quality_ppm"),
+      expr("sum(tok_sum) OVER (ORDER BY quality_ppm DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)").as("off"))
+      .select(col("quality_ppm"), coalesce(col("off"), lit(0L)).as("off"))
+    val w = Window.partitionBy("quality_ppm").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    q.join(broadcast(offsets), Seq("quality_ppm"))
+      .withColumn("cum_before",
+        col("off") + coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("quality_ppm"), col("n_tokens"),
+        col("cum_before"),
+        when(col("cum_before") < TokenBudget, 1L).otherwise(0L)
+          .as("selected"))
+  }
+
+  lazy val budgetSelectOracle: String =
+    s"""WITH ${TextAnalysis.qualityCtesSql(withLang = false, nonEmptyOnly = true)},
+       |s AS (SELECT doc_id, quality_ppm, n_tokens,
+       |        CAST(coalesce(sum(n_tokens) OVER (
+       |          ORDER BY quality_ppm DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS cum_before
+       |      FROM q)
+       |SELECT doc_id, quality_ppm, n_tokens, cum_before,
+       |       CAST(CASE WHEN cum_before < $TokenBudget THEN 1 ELSE 0 END
+       |            AS BIGINT) AS selected
+       |FROM s""".stripMargin
 }

@@ -371,6 +371,44 @@ object CorpusOps {
        |FROM h""".stripMargin
   }
 
+  /** Leakage-safe train/valid/test split: hash the near-dup CLUSTER
+    * KEEPER, not the document — every member of a duplicate cluster
+    * lands in the SAME split. A plain [[hashSplit]] leaks: two
+    * near-identical docs hash independently, one trains and the other
+    * evaluates, and the eval set silently overlaps the training set
+    * (the contamination class the decontamination ops catch BETWEEN
+    * corpora, recurring INSIDE one). Composition of
+    * [[Dedup.dedupClosure]] (keeper = min doc_id of the LSH closure
+    * component; singletons keep themselves) with the md5-bucket
+    * assignment — same 16-bit bucket space and thresholds as
+    * [[hashSplit]], so singleton docs get identical assignments under
+    * both operators.
+    *
+    * Scale shape (100 TB): the closure's cost profile is
+    * [[Dedup.dedupClosure]]'s (LSH-bounded pair graph, bounded driver
+    * union-find with distributed pointer-doubling fallback); the split
+    * itself adds a pure projection on top — no new shuffle. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClosure(spark, dir)
+      .select(col("doc_id"), col("lang"), col("keeper"),
+        graft.func.Exprs.md5Bucket(col("keeper"), "", 4, 100L).as("bucket"))
+      .withColumn("split", splitOf(col("bucket")))
+
+  val leakageSplitOracle: String = {
+    val nib = graft.func.OracleSql.hexNibbles("m", 4)
+    val closure = Dedup.dedupClosureOracle.replace("\n", "\n  ")
+    s"""WITH h AS (
+       |  SELECT doc_id, lang, keeper, md5(CAST(keeper AS VARCHAR)) AS m
+       |  FROM (
+       |  $closure
+       |  ) c)
+       |SELECT doc_id, lang, keeper, CAST($nib % 100 AS BIGINT) AS bucket,
+       |       CASE WHEN $nib % 100 < $TrainUpper THEN 'train'
+       |            WHEN $nib % 100 < $ValidUpper THEN 'valid'
+       |            ELSE 'test' END AS split
+       |FROM h""".stripMargin
+  }
+
   // ---- deterministic mixture sampling -----------------------------
 
   /** Per-language sampling rates (ppm) for [[mixtureSample]] — the
