@@ -208,6 +208,8 @@ object SparkEntry {
     "q_llm_pii_redact"      -> (llm.Pii.piiRedact(_, _)),
     "q_llm_ppl_filter"      -> (llm.LangModel.pplFilter(_, _)),
     "q_llm_source_divergence" -> (llm.Divergence.sourceDivergence(_, _)),
+    // per-dimension embedding data card over int8 codes (r9)
+    "q_llm_embed_dimstats"  -> (llm.Similarity.embedDimStats(_, _)),
     // token-budget data selection + leakage-safe splits (r9)
     "q_llm_budget_select"   -> (llm.CorpusLayout.budgetSelect(_, _)),
     "q_llm_leakage_split"   -> (llm.CorpusOps.leakageSplit(_, _)),
@@ -354,6 +356,7 @@ object SparkEntry {
     "q_llm_pii_redact"      -> llm.Pii.piiRedactOracle,
     "q_llm_ppl_filter"      -> llm.LangModel.pplFilterOracle,
     "q_llm_source_divergence" -> llm.Divergence.sourceDivergenceOracle,
+    "q_llm_embed_dimstats"  -> llm.Similarity.embedDimStatsOracle,
     "q_llm_budget_select"   -> llm.CorpusLayout.budgetSelectOracle,
     "q_llm_leakage_split"   -> llm.CorpusOps.leakageSplitOracle,
     "q_ads_pivot_segment"   -> ads.Rollups.pivotSegmentOracle,

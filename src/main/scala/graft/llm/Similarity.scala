@@ -447,6 +447,50 @@ object Similarity {
        |       END AS code
        |FROM m, LATERAL (SELECT unnest(range(1, ${Dim + 1})) AS i) u""".stripMargin
 
+  /** Per-dimension distribution report over the int8-quantized
+    * embeddings ([[quantizeInt8]]) — the data card an embedding store
+    * publishes per dimension (collapsed dims, outlier ranges,
+    * whitening inputs). Working on the CODES keeps every statistic
+    * integer-exact across engines; the float-space twin would be
+    * no_oracle. mean is in milli-code units; var is the exact
+    * population variance ×1000 via n·Σx² − (Σx)²: BIGINT-safe while
+    * n·Σx² < 2⁶³ (n ≲ 10⁷ vectors per dim at code ≤ 255) — beyond
+    * that the accumulators move to DECIMAL(38,0) on both engines,
+    * same shape.
+    *
+    * Scale shape (100 TB): quantization is a pure projection; the
+    * stats are ONE aggregate keyed on `pos` — 64 groups, so map-side
+    * combine collapses each task to ≤ [[Dim]] rows and the shuffle
+    * moves ~Dim × tasks rows regardless of corpus size. Output is
+    * exactly [[Dim]] rows. */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8(spark, dir)
+      .groupBy("pos")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min("code").as("code_min"),
+        max("code").as("code_max"),
+        sum("code").as("code_sum"),
+        sum(col("code") * col("code")).as("sq"))
+      .select(col("pos"), col("n_vecs"), col("code_min"), col("code_max"),
+        col("code_sum"),
+        expr("(1000 * code_sum) DIV n_vecs").as("mean_milli"),
+        expr("(1000 * (n_vecs * sq - code_sum * code_sum)) " +
+          "DIV (n_vecs * n_vecs)").as("var_milli"))
+
+  val embedDimStatsOracle: String =
+    s"""SELECT pos, CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(min(code) AS BIGINT) AS code_min,
+       |       CAST(max(code) AS BIGINT) AS code_max,
+       |       CAST(sum(code) AS BIGINT) AS code_sum,
+       |       CAST((1000 * sum(code)) // count(*) AS BIGINT) AS mean_milli,
+       |       CAST((1000 * (count(*) * sum(code * code)
+       |                     - sum(code) * sum(code)))
+       |         // (count(*) * count(*)) AS BIGINT) AS var_milli
+       |FROM (
+       |  ${quantizeInt8Oracle.replace("\n", "\n  ")}
+       |) qz GROUP BY 1""".stripMargin
+
   // ---- product quantization (PQ-ADC) ------------------------------
 
   /** PQ geometry: [[Dim]] split into [[PqM]] contiguous subspaces of

@@ -199,6 +199,25 @@ class SimilaritySpec extends SparkSpec {
       s"quantizeInt8 should scan only (vec_id, embedding):\n$plan")
   }
 
+  test("embedDimStats: Dim rows of exact integer code statistics") {
+    val out = Similarity.embedDimStats(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === Similarity.Dim)
+    val codes = Similarity.quantizeInt8(spark, Sf)
+      .as[(Long, Long, Long)].collect()
+    val byPos = codes.groupBy(_._2)
+    out.foreach { case (pos, r) =>
+      val cs = byPos(pos).map(_._3)
+      val n = cs.length.toLong
+      val sum = cs.sum
+      assert(r.getLong(1) === n && r.getLong(2) === cs.min &&
+        r.getLong(3) === cs.max && r.getLong(4) === sum)
+      assert(r.getLong(5) === 1000L * sum / n)
+      val m = n * cs.map(c => c * c).sum - sum * sum
+      assert(r.getLong(6) === 1000L * m / (n * n))
+    }
+  }
+
   test("lshNearDup: 100% precision (every pair verified ≥ threshold)") {
     val pairs = Similarity.lshNearDup(spark, Sf)
       .select("cos_ppm").as[Long].collect()

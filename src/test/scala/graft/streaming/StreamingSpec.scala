@@ -246,6 +246,27 @@ class StreamingSpec extends SparkSpec {
     assert(chunkStreamed == chunkBatch && chunkStreamed.nonEmpty)
   }
 
+  test("streamed PII redaction matches the batch operator") {
+    // the compliance pass is stateless (regex projection), so it runs
+    // UNCHANGED on an ingest stream — here the customer file stream
+    // with the same contact-card render as the batch form
+    val schema = spark.read.parquet(s"$Sf/customer.parquet").schema
+    val cs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "customer.parquet").parquet(Sf)
+      .select(col("c_custkey").as("doc_id"),
+        expr(graft.llm.Pii.RenderSql).as("text"))
+    val q = graft.llm.Pii.piiRedactOf(cs)
+      .writeStream.format("memory").queryName("pii_stream_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pii_stream_out")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = graft.llm.Pii.piiRedact(spark, Sf)
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch && streamed.exists(_._3 > 0))
+  }
+
   test("session_window sessions agree with the batch lag-based sessionize") {
     // the same 30-minute gap notion, two formulations: streaming
     // session_window vs batch lag → flag → running sum. Per-session
