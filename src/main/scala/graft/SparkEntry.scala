@@ -208,6 +208,9 @@ object SparkEntry {
     "q_llm_pii_redact"      -> (llm.Pii.piiRedact(_, _)),
     "q_llm_ppl_filter"      -> (llm.LangModel.pplFilter(_, _)),
     "q_llm_source_divergence" -> (llm.Divergence.sourceDivergence(_, _)),
+    // hourly volume anomaly flags + last-touch attribution (r9)
+    "q_ads_hourly_anomaly"  -> (ads.EventFlows.hourlyAnomaly(_, _)),
+    "q_ads_attribution"     -> (ads.EventFlows.attribution(_, _)),
     // per-dimension embedding data card over int8 codes (r9)
     "q_llm_embed_dimstats"  -> (llm.Similarity.embedDimStats(_, _)),
     // token-budget data selection + leakage-safe splits (r9)
@@ -356,6 +359,8 @@ object SparkEntry {
     "q_llm_pii_redact"      -> llm.Pii.piiRedactOracle,
     "q_llm_ppl_filter"      -> llm.LangModel.pplFilterOracle,
     "q_llm_source_divergence" -> llm.Divergence.sourceDivergenceOracle,
+    "q_ads_hourly_anomaly"  -> ads.EventFlows.hourlyAnomalyOracle,
+    "q_ads_attribution"     -> ads.EventFlows.attributionOracle,
     "q_llm_embed_dimstats"  -> llm.Similarity.embedDimStatsOracle,
     "q_llm_budget_select"   -> llm.CorpusLayout.budgetSelectOracle,
     "q_llm_leakage_split"   -> llm.CorpusOps.leakageSplitOracle,

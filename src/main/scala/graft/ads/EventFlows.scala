@@ -229,4 +229,107 @@ object EventFlows {
       |         (max(CASE WHEN day_offset = 0 THEN users END)
       |            OVER (PARTITION BY cohort_day)) AS retained_ppm
       |FROM c""".stripMargin
+
+  // ---- hourly anomaly flags ----------------------------------------
+
+  /** Hourly volume anomaly flags per event type: a slot is anomalous
+    * when its count sits more than 2σ from the type's mean slot
+    * count — the ops-dashboard alert the reference's visitor-stats
+    * windows feed but never compute. The z-test is kept INTEGER:
+    * (c−μ)² > 4σ² cross-multiplies to (c·n − Σc)² > 4(n·Σc² − (Σc)²),
+    * so no float crosses the engine boundary. Only ACTIVE slots
+    * participate (an hour with zero events has no row — the
+    * dead-hours alert is [[Queries.hourBackfill]]'s densify job).
+    *
+    * Scale shape (100 TB): the log collapses to (type, hour-slot)
+    * counts under one map-side-combined shuffle — the frame is
+    * calendar × |types|, NOT event-count, bounded. The moment
+    * window is keyed by event_type over that bounded frame. BIGINT
+    * envelope: (c·n)² must stay < 2⁶³ — safe while c·n ≲ 3·10⁹
+    * (e.g. 10⁶-event slots over a 3000-slot calendar); past that the
+    * two factors move to DECIMAL(38,0), same shape. */
+  def hourlyAnomaly(spark: SparkSession, dir: String): DataFrame =
+    hourlyAnomalyOf(Tables.events(spark, dir))
+
+  /** [[hourlyAnomaly]] over any (event_type, ts) frame. */
+  def hourlyAnomalyOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        graft.func.Exprs.tumbleStart(col("ts"), 3600L).as("slot"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type")
+    hourly
+      .withColumn("sm", sum("c").over(w))
+      .withColumn("sq", sum(col("c") * col("c")).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("event_type"), col("slot"), col("c"),
+        expr("(1000 * sm) DIV n").as("mean_milli"),
+        when((col("c") * col("n") - col("sm")) *
+          (col("c") * col("n") - col("sm")) >
+          lit(4L) * (col("n") * col("sq") - col("sm") * col("sm")), 1L)
+          .otherwise(0L).as("anomaly"))
+  }
+
+  lazy val hourlyAnomalyOracle: String =
+    """WITH h AS (SELECT event_type,
+      |             CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS slot,
+      |             CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, slot, c,
+      |        CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS sm,
+      |        CAST(sum(c*c) OVER (PARTITION BY event_type) AS BIGINT) AS sq,
+      |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |      FROM h)
+      |SELECT event_type, slot, c,
+      |       CAST((1000 * sm) // n AS BIGINT) AS mean_milli,
+      |       CAST(CASE WHEN (c*n - sm)*(c*n - sm) > 4*(n*sq - sm*sm)
+      |            THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+      |FROM s""".stripMargin
+
+  // ---- last-touch attribution --------------------------------------
+
+  /** Last-touch purchase attribution: each purchase is credited to
+    * the user's most recent PRECEDING non-purchase event type
+    * (`direct` when the purchase opens the user's history) — the
+    * marketing-attribution rollup a channel dashboard reads. Window
+    * semantics, not a join: the carry-forward is
+    * `last(non-purchase type, ignoreNulls)` over the user's ordered
+    * history, the streaming-friendly formulation (same state shape a
+    * `mapGroupsWithState` job would keep: one string per user).
+    *
+    * Scale shape (100 TB): ONE user_id-keyed window pass over the
+    * log (same exchange family as funnel/sessionize — AQE reuses the
+    * partitioning when composed), then a 5-row aggregate. Purchase
+    * values carry in integer cents. */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attributionOf(Tables.events(spark, dir))
+
+  /** [[attribution]] over any (user_id, event_type, ts, event_id,
+    * value) frame. */
+  def attributionOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.func.Exprs.sumCents(col("value")).as("value_cents"))
+  }
+
+  lazy val attributionOracle: String =
+    """WITH t AS (
+      |  SELECT event_type, value,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events)
+      |SELECT coalesce(touch, 'direct') AS touch,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
 }

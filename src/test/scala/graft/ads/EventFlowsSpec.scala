@@ -149,4 +149,55 @@ class EventFlowsSpec extends SparkSpec {
       }
     }
   }
+
+  test("hourlyAnomaly: integer 2-sigma test matches float recompute") {
+    val out = EventFlows.hourlyAnomaly(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val byType = out.groupBy(_.getString(0))
+    byType.foreach { case (_, rows) =>
+      val cs = rows.map(_.getLong(2)).map(_.toDouble)
+      val n = cs.length.toDouble
+      val mu = cs.sum / n
+      val sigma = math.sqrt(cs.map(c => (c - mu) * (c - mu)).sum / n)
+      rows.foreach { r =>
+        val expect = if (math.abs(r.getLong(2) - mu) > 2 * sigma) 1L else 0L
+        assert(r.getLong(4) === expect,
+          s"${r.getString(0)}@${r.getLong(1)}: c=${r.getLong(2)} mu=$mu sigma=$sigma")
+      }
+    }
+  }
+
+  test("attribution: last preceding non-purchase touch, direct fallback") {
+    val out = EventFlows.attributionOf(Seq(
+      // u1: view -> purchase(10) -> click -> purchase(20)
+      (1L, "view", 100L, 1L, 10.0), (1L, "purchase", 200L, 2L, 10.0),
+      (1L, "click", 300L, 3L, 0.0), (1L, "purchase", 400L, 4L, 20.0),
+      // u2: history OPENS with a purchase -> direct; a purchase does
+      // not attribute the next purchase
+      (2L, "purchase", 100L, 5L, 5.0), (2L, "purchase", 200L, 6L, 7.0),
+      // u3: no purchase at all - contributes nothing
+      (3L, "view", 100L, 7L, 1.0))
+      .map { case (u, t, ms, id, v) =>
+        (u, t, new Timestamp(ms), id, v)
+      }.toDF("user_id", "event_type", "ts", "event_id", "value"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("view").getLong(1) === 1L &&
+      out("view").getLong(2) === 1000L)
+    assert(out("click").getLong(1) === 1L &&
+      out("click").getLong(2) === 2000L)
+    assert(out("direct").getLong(1) === 2L &&
+      out("direct").getLong(2) === 1200L,
+      "both of u2's purchases are direct (purchases never attribute)")
+    assert(out.size === 3)
+  }
+
+  test("attribution plan: one user-keyed window, no self-join") {
+    val df = EventFlows.attribution(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"carry-forward must be a user-keyed window:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"attribution must not self-join the log:\n$plan")
+    assert(df.collect().map(_.getLong(1)).sum > 0)
+  }
 }
