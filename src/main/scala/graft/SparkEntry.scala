@@ -208,6 +208,8 @@ object SparkEntry {
     "q_llm_pii_redact"      -> (llm.Pii.piiRedact(_, _)),
     "q_llm_ppl_filter"      -> (llm.LangModel.pplFilter(_, _)),
     "q_llm_source_divergence" -> (llm.Divergence.sourceDivergence(_, _)),
+    // co-purchase graph centrality: integer PageRank, bounded rounds (r9)
+    "q_ads_item_rank"       -> (ads.ItemRank.itemRank(_, _)),
     // hourly volume anomaly flags + last-touch attribution (r9)
     "q_ads_hourly_anomaly"  -> (ads.EventFlows.hourlyAnomaly(_, _)),
     "q_ads_attribution"     -> (ads.EventFlows.attribution(_, _)),
@@ -359,6 +361,7 @@ object SparkEntry {
     "q_llm_pii_redact"      -> llm.Pii.piiRedactOracle,
     "q_llm_ppl_filter"      -> llm.LangModel.pplFilterOracle,
     "q_llm_source_divergence" -> llm.Divergence.sourceDivergenceOracle,
+    "q_ads_item_rank"       -> ads.ItemRank.itemRankOracle,
     "q_ads_hourly_anomaly"  -> ads.EventFlows.hourlyAnomalyOracle,
     "q_ads_attribution"     -> ads.EventFlows.attributionOracle,
     "q_llm_embed_dimstats"  -> llm.Similarity.embedDimStatsOracle,
