@@ -225,6 +225,59 @@ object StreamJobs {
       .toDF("user_id", "view_ms", "click_ms", "purchase_ms", "depth")
   }
 
+  /** Incremental exact dedup as a STREAMING job — the ingest-time
+    * deployment shape of [[graft.llm.Dedup.incrementalDedupOf]]: each
+    * micro-batch checks its docs against a durable md5 snapshot,
+    * writes per-doc verdicts (`kept` / `dup_of_base` /
+    * `dup_in_batch`), and appends its novel hashes back to the
+    * snapshot. `foreachBatch` because the state must OUTLIVE the
+    * query (a restarted stream — or tomorrow's batch job — resumes
+    * from the same snapshot directory), which executor-memory state
+    * (`mapGroupsWithState`) cannot provide; this is the same
+    * durable-upsert shape as the Phoenix dim sink
+    * ([[graft.sinks.Sinks]] K3).
+    *
+    * Scale shape: per batch, ONE equi-join of the (small) delta
+    * against the snapshot's distinct-hash column plus a batch-local
+    * window on the same key; snapshot grows append-only as parquet —
+    * at 100 TB the join's snapshot side prunes to candidate buckets
+    * via a bloom pre-filter (the contaminationBloom pattern), and the
+    * snapshot files would be bucketed by hash prefix so the append
+    * stays partition-local. */
+  def incrementalDedupStream(docs: DataFrame, stateDir: String,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val hashed = batch.select(col("doc_id"), md5(col("text")).as("h"))
+        val snapshot: DataFrame =
+          if (new java.io.File(stateDir).listFiles() != null &&
+            new java.io.File(stateDir).list().nonEmpty)
+            s.read.parquet(stateDir)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("h",
+                org.apache.spark.sql.types.StringType))))
+        val inBase = snapshot.distinct().withColumn("in_base", lit(true))
+        val w = Window.partitionBy("h").orderBy("doc_id")
+        val verdicts = hashed.join(inBase, Seq("h"), "left")
+          .withColumn("rn", row_number().over(w))
+          .select(col("doc_id"),
+            when(col("in_base"), "dup_of_base")
+              .when(col("rn") > 1, "dup_in_batch")
+              .otherwise("kept").as("verdict"))
+        verdicts.write.mode("append").parquet(outDir)
+        // novel hashes join the snapshot (kept rows only — dup hashes
+        // are already present or carried by their kept twin)
+        hashed.join(inBase, Seq("h"), "left")
+          .filter(col("in_base").isNull)
+          .select("h").distinct()
+          .write.mode("append").parquet(stateDir)
+      }
+      .start()
+
   /** T3 streaming: bounce = session with exactly one event. The same
     * expression runs in batch, where it must agree with the lag/lead
     * JumpDetect formulation (asserted in tests). */

@@ -267,6 +267,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.exists(_._3 > 0))
   }
 
+  test("incremental dedup stream: durable state crosses micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stateDir = graft.func.TempDirs.scoped("dedup-state")
+    val outDir = graft.func.TempDirs.scoped("dedup-verdicts")
+    val q = StreamJobs.incrementalDedupStream(
+      mem.toDF().toDF("doc_id", "text"), stateDir, outDir)
+    // batch 1: two copies of "a" — lower id wins inside the batch
+    mem.addData((1L, "a"), (2L, "b"), (3L, "a"))
+    q.processAllAvailable()
+    // batch 2: "a" again (now in the snapshot) + a fresh doc
+    mem.addData((4L, "a"), (5L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val v = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v(1L) === "kept" && v(2L) === "kept" && v(5L) === "kept")
+    assert(v(3L) === "dup_in_batch")
+    assert(v(4L) === "dup_of_base",
+      "the snapshot must carry batch 1's hashes into batch 2")
+    // the durable snapshot holds exactly the distinct kept hashes
+    assert(spark.read.parquet(stateDir).distinct().count() === 3)
+  }
+
   test("session_window sessions agree with the batch lag-based sessionize") {
     // the same 30-minute gap notion, two formulations: streaming
     // session_window vs batch lag → flag → running sum. Per-session
