@@ -45,6 +45,7 @@ object SparkEntry {
     "q_skew_salted_agg"    -> (func.Skew.saltedJoinQuery(_, _)),
     // DWS — windowed stats (§2.6)
     "q_dws_visitor_stats"  -> (dws.VisitorStats(_, _)),
+    "q_dws_visitor_stats_hop" -> (dws.VisitorStats.hopping(_, _)),
     "q_dws_product_stats"  -> (dws.ProductStats(_, _)),
     "q_dws_keyword_stats"  -> (dws.KeywordStats(_, _)),
     // dictionary-shaped segmenter (FMM + bigram fallback) — identical
@@ -251,6 +252,7 @@ object SparkEntry {
     "q_asof_latest_order"  -> operators.AsOf.latestOrderOracle,
     "q_skew_salted_agg"    -> func.Skew.saltedJoinOracle,
     "q_dws_visitor_stats"  -> dws.VisitorStats.oracle,
+    "q_dws_visitor_stats_hop" -> dws.VisitorStats.hoppingOracle,
     "q_dws_product_stats"  -> dws.ProductStats.oracle,
     "q_dws_keyword_stats"  -> dws.KeywordStats.oracle,
     "q_dws_keyword_stats_dict" -> dws.KeywordStats.oracle,

@@ -99,4 +99,45 @@ object VisitorStats {
       |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS dur_sum_cents
       |FROM flagged
       |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+
+  /** Hopping (sliding) window size / slide in seconds. */
+  val HopSizeSec = 3600L
+  val HopSlideSec = 1800L
+
+  /** A1's window family completed: HOPPING windows (size 1 h, slide
+    * 30 min) — each event lands in size/slide = 2 overlapping
+    * windows, the smoothing the reference's Flink stack offers via
+    * `SlidingEventTimeWindows` but the app never enables (it tumbles
+    * only — VisitorStatsApp.java:213). Spark's `window(ts, size,
+    * slide)` compiles the multi-assignment to an internal explode, so
+    * one groupBy serves all overlapping windows; counts are exact
+    * (countDistinct → two-phase partial aggregate, no expand
+    * explosion at 2 windows/event).
+    *
+    * Scale shape (100 TB): fan-out is a fixed ×(size/slide) = ×2
+    * BEFORE the map-side combine collapses to (window, type) groups
+    * bounded by calendar × |types| — the shuffle moves group rows,
+    * not event rows. The oracle replays the window assignment as
+    * explicit slide-aligned starts: floor(t/slide)·slide and its
+    * predecessor. */
+  def hopping(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), s"$HopSizeSec seconds",
+        s"$HopSlideSec seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("pv_ct"),
+        countDistinct("user_id").as("uv_ct"))
+      .select(unix_timestamp(col("w.start")).cast("long").as("stt"),
+        col("event_type"), col("pv_ct"), col("uv_ct"))
+
+  val hoppingOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |         unnest([(epoch_ms(ts) // 1000 // $HopSlideSec) * $HopSlideSec,
+       |                 (epoch_ms(ts) // 1000 // $HopSlideSec) * $HopSlideSec
+       |                   - $HopSlideSec]) AS stt
+       |  FROM events)
+       |SELECT CAST(stt AS BIGINT) AS stt, event_type,
+       |       CAST(count(*) AS BIGINT) AS pv_ct,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS uv_ct
+       |FROM ev GROUP BY 1, 2""".stripMargin
 }

@@ -69,6 +69,22 @@ class OperatorsSpec extends SparkSpec {
     assert(base.nonEmpty)
   }
 
+  test("hopping windows: every event lands in exactly size/slide windows") {
+    val hop = dws.VisitorStats.hopping(spark, Sf).collect()
+    val events = spark.read.parquet(s"$Sf/events.parquet").count()
+    // fixed x2 fan-out: total pv mass is exactly 2x the event count
+    assert(hop.map(_.getLong(2)).sum === 2L * events)
+    // adjacent windows overlap: starts step by the slide, and a
+    // window's pv equals the sum of its two half-slot tumbles
+    val starts = hop.map(_.getLong(0)).distinct.sorted
+    assert(starts.sliding(2).forall {
+      case Array(a, b) => (b - a) % dws.VisitorStats.HopSlideSec == 0
+      case _ => true
+    })
+    assert(hop.forall(r => r.getLong(3) <= r.getLong(2)),
+      "distinct users never exceed page views")
+  }
+
   test("Exprs: ratio zero-guard and tumbleStart floor") {
     val d = Seq((10L, 0L), (10L, 4L)).toDF("num", "den")
     val r = d.select(func.Exprs.ratio(col("num"), col("den")))
