@@ -59,7 +59,11 @@ object ItemRank {
       .union(pairs.select(col("pb").as("src"), col("pa").as("dst"),
         col("support").as("w")))
     val wout = edges.groupBy("src").agg(sum("w").as("w_out"))
-    val e2 = edges.join(wout, Seq("src"))
+    // LAZY localCheckpoint: every round joins against e2 — without it
+    // the pair-graph construction re-executes once per round
+    // (PLANS.md rule #17; the per-round score checkpoint below only
+    // truncates the SCORE lineage)
+    val e2 = edges.join(wout, Seq("src")).localCheckpoint(false)
     var scores = wout.select(col("src"), lit(1000000L).as("score"))
     (1 to Rounds).foreach { _ =>
       scores = e2.join(scores, Seq("src"))

@@ -310,9 +310,12 @@ object CorpusLayout {
 
   /** [[budgetSelect]] over any (doc_id, text) frame. */
   def budgetSelectOf(docs: DataFrame): DataFrame = {
+    // LAZY localCheckpoint: `q` feeds both the per-score totals and
+    // the final offset join (PLANS.md rule #17 — one scoring pass)
     val q = TextAnalysis.qualityOf(docs)
       .filter(col("n_tokens") > 0L)
       .select("doc_id", "n_tokens", "quality_ppm")
+      .localCheckpoint(false)
     // bounded frame: one row per distinct score
     val g = q.groupBy("quality_ppm").agg(sum("n_tokens").as("tok_sum"))
     val offsets = g.select(col("quality_ppm"),

@@ -38,7 +38,12 @@ object Divergence {
   def sourceDivergenceOf(docs: DataFrame): DataFrame = {
     val words = docs.select(col("source"),
       Tokenizer.explodeTokens(col("text")).as("w"))
+    // LAZY localCheckpoint: the (source, word) counts feed the corpus
+    // word table, the per-source totals, AND the A/C join — without
+    // it the corpus tokenize+count pass executes three times
+    // (PLANS.md rule #17)
     val sw = words.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(false)
     val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
     val ns = sw.groupBy("source")
       .agg(sum("c_sw").as("n_s"), count(lit(1)).as("vocab_s"))

@@ -80,10 +80,14 @@ object LangModel {
   /** [[pplFilter]] over any (doc_id, text, lang) frame. */
   def pplFilterOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // LAZY localCheckpoint: `scored` feeds both the counts branch and
+    // the final rank join — without it the whole bigram-scoring
+    // subtree executes twice (PLANS.md rule #17)
     val scored = bigramScoreOf(docs)
       .filter(col("n_bigrams") >= 1L)
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .select("doc_id", "lang", "fluency_ppm")
+      .localCheckpoint(false)
     // bounded frame: one row per distinct (lang, score)
     val counts = scored.groupBy("lang", "fluency_ppm")
       .agg(count(lit(1)).as("cnt"))
