@@ -72,7 +72,11 @@ object ItemRank {
         .select(col("dst").as("src"),
           (lit(BasePpm) + expr(s"($DampPpm * cin) DIV 1000000"))
             .as("score"))
-        .localCheckpoint()
+        // LAZY, unlike the closure loop's eager round checkpoint: no
+        // driver decision reads per-round state here, so the rounds
+        // chain into ONE job at the terminal action while the logical
+        // plan still truncates per round
+        .localCheckpoint(false)
     }
     scores.select(col("src").as("item"), col("score").as("rank_ppm"))
   }
