@@ -140,4 +140,59 @@ class PropertiesSpec extends SparkSpec {
       assert(func.DictTokenizer.segment(s) === viaRegex, s"on '$s'")
     }
   }
+
+  test("hopping window pv equals the sum of its slide-width tumbles") {
+    // a size-S window starting at s covers exactly the S/slide tumbling
+    // slide-width slots [s, s+slide), [s+slide, ...) — so hop counts
+    // must reconstruct from an independent tumble aggregate
+    val slide = dws.VisitorStats.HopSlideSec
+    val tumbles = Tables.events(spark, Sf)
+      .groupBy(func.Exprs.tumbleStart(col("ts"), slide).as("slot"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val hops = dws.VisitorStats.hopping(spark, Sf).collect()
+    assert(hops.nonEmpty)
+    hops.foreach { r =>
+      val (stt, et) = (r.getLong(0), r.getString(1))
+      val expected = tumbles.getOrElse((stt, et), 0L) +
+        tumbles.getOrElse((stt + slide, et), 0L)
+      assert(r.getLong(2) === expected, s"hop ($stt, $et)")
+    }
+  }
+
+  test("attribution conserves purchase mass and value") {
+    val out = ads.EventFlows.attribution(spark, Sf).collect()
+    val ev = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)), func.Exprs.sumCents(col("value"))).head()
+    assert(out.map(_.getLong(1)).sum === ev.getLong(0),
+      "every purchase is attributed exactly once")
+    assert(out.map(_.getLong(2)).sum === ev.getLong(1),
+      "attributed value sums to total purchase value")
+  }
+
+  test("budget selection keeps an upward-closed set in quality") {
+    // no dropped doc may out-rank a kept doc: every dropped score is
+    // ≤ every kept score, with equality only at the boundary score
+    // (where doc_id ties split)
+    val sel = llm.CorpusLayout.budgetSelect(spark, Sf).collect()
+    val kept = sel.filter(_.getLong(4) == 1L)
+    val dropped = sel.filter(_.getLong(4) == 0L)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    val minKept = kept.map(_.getLong(1)).min
+    val maxDropped = dropped.map(_.getLong(1)).max
+    assert(minKept >= maxDropped,
+      s"a dropped doc out-ranks a kept doc ($maxDropped > $minKept)")
+    if (minKept == maxDropped) {
+      // tie boundary: within the boundary score, kept ids precede
+      val b = sel.filter(_.getLong(1) == minKept).sortBy(_.getLong(0))
+      val verdicts = b.map(_.getLong(4))
+      assert(verdicts.sliding(2).forall {
+        case Array(a, c) => a >= c
+        case _ => true
+      }, "within the tied score, lower doc_ids are kept first")
+    }
+  }
 }
