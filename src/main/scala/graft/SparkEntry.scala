@@ -209,6 +209,8 @@ object SparkEntry {
     "q_llm_pii_redact"      -> (llm.Pii.piiRedact(_, _)),
     "q_llm_ppl_filter"      -> (llm.LangModel.pplFilter(_, _)),
     "q_llm_source_divergence" -> (llm.Divergence.sourceDivergence(_, _)),
+    // JSON-lines file source: schema-on-read + corrupt accounting (r9)
+    "q_src_json_roundtrip"  -> (sources.JsonLines.jsonRoundtrip(_, _)),
     // co-purchase graph centrality: integer PageRank, bounded rounds (r9)
     "q_ads_item_rank"       -> (ads.ItemRank.itemRank(_, _)),
     // hourly volume anomaly flags + last-touch attribution (r9)
@@ -363,6 +365,7 @@ object SparkEntry {
     "q_llm_pii_redact"      -> llm.Pii.piiRedactOracle,
     "q_llm_ppl_filter"      -> llm.LangModel.pplFilterOracle,
     "q_llm_source_divergence" -> llm.Divergence.sourceDivergenceOracle,
+    "q_src_json_roundtrip"  -> sources.JsonLines.jsonRoundtripOracle,
     "q_ads_item_rank"       -> ads.ItemRank.itemRankOracle,
     "q_ads_hourly_anomaly"  -> ads.EventFlows.hourlyAnomalyOracle,
     "q_ads_attribution"     -> ads.EventFlows.attributionOracle,

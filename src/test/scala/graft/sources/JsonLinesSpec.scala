@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class JsonLinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("json roundtrip: parsed + corrupt rows account for every line") {
+    val out = JsonLines.jsonRoundtrip(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val events = spark.read.parquet(s"$Sf/events.parquet")
+    val total = events.count()
+    assert(out.values.map(_.getLong(1)).sum === total,
+      "no line lost or double-counted")
+    val expectedCorrupt = events
+      .filter(col("event_id") % JsonLines.CorruptEvery === 0).count()
+    assert(out("_corrupt_").getLong(1) === expectedCorrupt)
+    assert(out("_corrupt_").isNullAt(2),
+      "corrupt lines parse no fields (PERMISSIVE nulls)")
+    // a clean type's user_sum matches the parquet-side recompute
+    val clean = events
+      .filter(col("event_id") % JsonLines.CorruptEvery =!= 0)
+      .filter(col("event_type") === "click")
+      .agg(count(lit(1)), sum("user_id")).head()
+    assert(out("click").getLong(1) === clean.getLong(0))
+    assert(out("click").getLong(2) === clean.getLong(1))
+  }
+
+  test("json roundtrip plan: no shuffle before the accounting aggregate") {
+    val plan = JsonLines.jsonRoundtrip(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"json parse must reach the aggregate with at most one exchange:\n$plan")
+  }
+}
