@@ -39,9 +39,14 @@ object VocabCoverage {
   /** [[vocabCoverage]] over any frame with a `text` column. */
   def vocabCoverageOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // LAZY localCheckpoint: the vocab-bounded count frame feeds both
+    // the offset branch and the rank join — without it the corpus
+    // explode+aggregate executes twice (PLANS.md rule #17; caught by
+    // the r9 duplicate-scan audit)
     val words = docs
       .select(explode(Tokenizer.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(false)
     // tiny frame: one row per distinct frequency (Zipf: O(√tokens))
     val offs = words.groupBy("freq")
       .agg(count(lit(1)).as("_cnt"), sum("freq").as("_mass"))
