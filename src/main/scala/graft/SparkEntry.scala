@@ -226,7 +226,20 @@ object SparkEntry {
     "q_ads_pivot_segment"   -> (ads.Rollups.pivotSegment(_, _)),
     "q_ads_gmv_rollup"      -> (ads.Rollups.gmvRollup(_, _)),
     "q_ads_gmv_ma7"         -> (ads.Rollups.gmvMa7(_, _)),
-    "q_ads_price_median"    -> (ads.Rollups.priceMedian(_, _))
+    "q_ads_price_median"    -> (ads.Rollups.priceMedian(_, _)),
+    // mergeable integer sketches: HLL registers + estimate, Count-Min
+    // matrix + heavy-hitter point query (r9)
+    "q_llm_hll_sketch"      -> (llm.Sketches.hllSketch(_, _)),
+    "q_llm_hll_estimate"    -> (llm.Sketches.hllEstimate(_, _)),
+    "q_llm_cms_sketch"      -> (llm.Sketches.cmsSketch(_, _)),
+    "q_llm_cms_topk"        -> (llm.Sketches.cmsTopK(_, _)),
+    // DSIR importance scores over hashed unigram features (r9)
+    "q_llm_dsir_score"      -> (llm.Dsir.dsirScore(_, _)),
+    // positional phrase search via the anchor device (r9)
+    "q_llm_phrase_search"   -> (llm.Index.phraseSearch(_, _)),
+    // deterministic weighted sampling + dedup cluster histogram (r9)
+    "q_llm_weighted_sample" -> (llm.Sampling.weightedSample(_, _)),
+    "q_llm_cluster_hist"    -> (llm.Dedup.clusterHist(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -375,6 +388,14 @@ object SparkEntry {
     "q_ads_pivot_segment"   -> ads.Rollups.pivotSegmentOracle,
     "q_ads_gmv_rollup"      -> ads.Rollups.gmvRollupOracle,
     "q_ads_gmv_ma7"         -> ads.Rollups.gmvMa7Oracle,
-    "q_ads_price_median"    -> ads.Rollups.priceMedianOracle
+    "q_ads_price_median"    -> ads.Rollups.priceMedianOracle,
+    "q_llm_hll_sketch"      -> llm.Sketches.hllSketchOracle,
+    "q_llm_hll_estimate"    -> llm.Sketches.hllEstimateOracle,
+    "q_llm_cms_sketch"      -> llm.Sketches.cmsSketchOracle,
+    "q_llm_cms_topk"        -> llm.Sketches.cmsTopKOracle,
+    "q_llm_dsir_score"      -> llm.Dsir.dsirScoreOracle,
+    "q_llm_phrase_search"   -> llm.Index.phraseSearchOracle,
+    "q_llm_weighted_sample" -> llm.Sampling.weightedSampleOracle,
+    "q_llm_cluster_hist"    -> llm.Dedup.clusterHistOracle
   )
 }

@@ -13,8 +13,14 @@ object OracleSql {
   /** Integer value of the first `n` hex nibbles of VARCHAR column `m`
     * (DuckDB has no conv(); rebuild from instr arithmetic — exact in
     * BIGINT for n ≤ 15). */
-  def hexNibbles(m: String, n: Int): String =
+  def hexNibbles(m: String, n: Int): String = hexNibblesAt(m, 1, n)
+
+  /** Integer value of `n` hex nibbles of VARCHAR column `m` starting
+    * at 1-based position `start` — the oracle twin of Spark's
+    * `conv(substring(m, start, n), 16, 10)`. */
+  def hexNibblesAt(m: String, start: Int, n: Int): String =
     (1 to n)
-      .map(k => s"(instr('0123456789abcdef', $m[$k]) - 1) * ${1L << (4 * (n - k))}")
+      .map(k =>
+        s"(instr('0123456789abcdef', $m[${start + k - 1}]) - 1) * ${1L << (4 * (n - k))}")
       .mkString("(", " + ", ")")
 }

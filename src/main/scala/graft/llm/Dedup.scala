@@ -590,6 +590,34 @@ object Dedup {
        |FROM documents d LEFT JOIN label l ON d.doc_id = l.doc_id""".stripMargin
   }
 
+  /** Cluster-size histogram of the transitive dedup closure — the
+    * data-card view of corpus duplication structure (how many
+    * singletons, pairs, long chains): one row per cluster size with
+    * the cluster count and total docs covered. Σ n_docs = corpus size
+    * (every doc is in exactly one cluster, singletons included).
+    *
+    * Scale shape: rides [[dedupClosure]]'s labels; the size rollup is
+    * one keeper-keyed map-side-combined aggregate and the histogram
+    * collapses to the (tiny) distinct-size frame. */
+  def clusterHist(spark: SparkSession, dir: String): DataFrame =
+    clusterHistFrom(dedupClosure(spark, dir))
+
+  /** [[clusterHist]] over any frame with a `keeper` label column. */
+  def clusterHistFrom(labeled: DataFrame): DataFrame =
+    labeled.groupBy("keeper").agg(count(lit(1)).as("csize"))
+      .groupBy("csize")
+      .agg(count(lit(1)).as("n_clusters"), sum("csize").as("n_docs"))
+
+  lazy val clusterHistOracle: String =
+    s"""WITH base AS (SELECT * FROM (
+       |  ${dedupClosureOracle.replace("\n", "\n  ")}
+       |) t),
+       |sz AS (SELECT keeper, CAST(count(*) AS BIGINT) AS csize
+       |       FROM base GROUP BY 1)
+       |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(sum(csize) AS BIGINT) AS n_docs
+       |FROM sz GROUP BY 1""".stripMargin
+
   // ---- SimHash ----------------------------------------------------
 
   /** SimHash width in bits; each bit j comes from the j-th hex nibble's

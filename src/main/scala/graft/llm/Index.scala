@@ -198,4 +198,61 @@ object Index {
        |         AS rank, doc_id, dl, score
        |FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
+
+  /** Fixed phrase for the positional query (same fixed-term
+    * convention as [[Bm25Terms]]). */
+  val Phrase = Seq("table", "scan")
+
+  /** Positional phrase search: documents containing [[Phrase]] as
+    * consecutive tokens, with the exact occurrence count and the
+    * first match position (0-based).
+    *
+    * The adjacency test uses the ANCHOR device, not a k-way
+    * self-join: a posting of phrase term i at position p is mapped to
+    * anchor p − i, so a phrase occurrence at position a is exactly an
+    * anchor `a` covered by all k terms. One term-filtered posting
+    * union, ONE (doc_id, anchor)-keyed map-side-combined aggregate —
+    * versus the naive chain of k−1 position joins.
+    *
+    * Scale shape (100 TB): the term filter lands INSIDE the posting
+    * explode's projection (rare phrase terms → the exchange carries
+    * only matching postings, not the corpus); the anchor aggregate
+    * and the per-doc rollup share the doc_id partitioning. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchOf(Tables.documents(spark, dir))
+
+  /** [[phraseSearch]] over any (doc_id, text) frame. */
+  def phraseSearchOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val k = Phrase.length
+    val pos = docs.select(col("doc_id"),
+      posexplode(Tokenizer.tokens(col("text"))).as(Seq("pos", "token")))
+    val terms = Phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+      .toDF("token", "i")
+    val anchored = pos
+      .join(broadcast(terms), Seq("token"))
+      .select(col("doc_id"), (col("pos") - col("i")).as("anchor"))
+    anchored
+      .groupBy("doc_id", "anchor").agg(count(lit(1)).as("k_hit"))
+      .filter(col("k_hit") === k && col("anchor") >= 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("anchor").as("first_pos"))
+  }
+
+  lazy val phraseSearchOracle: String = {
+    val k = Phrase.length
+    val ph = Phrase.zipWithIndex
+      .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |p AS (SELECT doc_id, unnest(t) AS token,
+       |             unnest(range(0, len(t))) AS pos
+       |      FROM t),
+       |a AS (SELECT doc_id, pos - i AS anchor
+       |      FROM p JOIN (VALUES $ph) AS ph(term, i) ON p.token = ph.term),
+       |h AS (SELECT doc_id, anchor FROM a
+       |      GROUP BY 1, 2 HAVING count(*) = $k)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |       CAST(min(anchor) AS BIGINT) AS first_pos
+       |FROM h WHERE anchor >= 0 GROUP BY 1""".stripMargin
+  }
 }

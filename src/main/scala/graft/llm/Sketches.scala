@@ -1,0 +1,260 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.{OracleSql, Tokenizer}
+
+/** Mergeable integer sketches — the bounded-state devices a 100 TB
+  * pipeline uses where exact answers would cost a corpus- or
+  * vocabulary-sized shuffle: a HyperLogLog register table for distinct
+  * counting (Flajolet et al. 2007) and a Count-Min matrix for
+  * point-frequency / heavy-hitter queries (Cormode & Muthukrishnan
+  * 2005). The reference has no sketch layer (its distinct counts are
+  * exact per-window sets — app/dws2/ProductStatsApp.java keeps a
+  * HashSet per key); at corpus scale the sketch IS the operator.
+  *
+  * Both sketches are DETERMINISTIC and integer-only: hashes come from
+  * md5 nibbles (the repo-wide device, func/OracleSql.scala), the HLL
+  * estimator is evaluated in exact BIGINT arithmetic (see
+  * [[hllEstimateOf]]), so every output crosses the engine boundary
+  * bit-identically and the DuckDB oracle replays the sketch itself —
+  * not a canned reference answer.
+  *
+  * Scale shape (100 TB):
+  *  - HLL: the corpus NEVER sees a distinct(). Each document maps to
+  *    a (bucket, rho) pair projected inside the scan stage; the only
+  *    exchange is the ≤ [[HllM]]-rows-per-map-task (after partial
+  *    max) register aggregation. The register table is the mergeable
+  *    state — union two corpora by max-merging registers.
+  *  - CMS: cell counts derive from the vocabulary frame (the cell is
+  *    a function of the word alone), so the sketch costs one
+  *    map-side-combined shuffle bounded by [[CmsD]]·[[CmsW]] cells
+  *    per task; point queries join a k-row candidate set against the
+  *    bounded sketch (broadcast).
+  */
+object Sketches {
+  // ---------------------------------------------------------------
+  // HyperLogLog — distinct-document cardinality
+  // ---------------------------------------------------------------
+
+  /** Register count (2^6). Small enough that the raw estimator is in
+    * its calibrated regime (n/m > 5/2) at every test sf; production
+    * would use 2^12–2^14 — the plan shape is m-independent. */
+  val HllM = 64L
+
+  /** alpha_64 in ppm (standard HLL bias constant for m = 64). */
+  val HllAlphaPpm = 709000L
+
+  /** alpha·m² pre-divided once so the estimator's largest product
+    * stays far inside BIGINT (see [[hllEstimateOf]] overflow note). */
+  val HllAlphaScaled: Long = HllAlphaPpm * HllM * HllM / 1000000L
+
+  /** rho of the 32-bit value in md5 nibbles 3..10: leading zeros + 1,
+    * i.e. 33 − bit_length(v), with v = 0 → 33. bit_length via
+    * length(bin(v)) — identical in Spark and DuckDB (both render
+    * minimal binary; bin(0) = "0" is handled by the v = 0 branch). */
+  private def rhoOf(v: Column): Column =
+    when(v === 0L, lit(33L)).otherwise(lit(33L) - length(bin(v)).cast("long"))
+
+  /** HLL register table over DISTINCT DOCUMENT CONTENT (item hash =
+    * md5(text) — the exact-dedup key, llm/Dedup.scala): one row per
+    * non-empty bucket, `r_max` = max rho observed. Duplicate documents
+    * collapse for free (same text → same (bucket, rho)) — that is the
+    * point: the post-dedup corpus cardinality with no dedup shuffle. */
+  def hllSketch(spark: SparkSession, dir: String): DataFrame =
+    hllSketchOf(Tables.documents(spark, dir))
+
+  /** [[hllSketch]] over any frame with a `text` column. */
+  def hllSketchOf(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("m"))
+      .select(
+        (conv(substring(col("m"), 1, 2), 16, 10).cast("long") % HllM)
+          .as("bucket"),
+        conv(substring(col("m"), 3, 8), 16, 10).cast("long").as("v"))
+      .select(col("bucket"), rhoOf(col("v")).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("r_max"))
+
+  private def hllSketchSql: String = {
+    val bucket = OracleSql.hexNibblesAt("m", 1, 2)
+    val v = OracleSql.hexNibblesAt("m", 3, 8)
+    s"""h AS (SELECT md5(text) AS m FROM documents),
+       |br AS (SELECT ($bucket) % $HllM AS bucket, $v AS v FROM h),
+       |sk AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+       |              CAST(max(CASE WHEN v = 0 THEN 33
+       |                            ELSE 33 - length(bin(v)) END) AS BIGINT)
+       |                AS r_max
+       |       FROM br GROUP BY 1)""".stripMargin
+  }
+
+  lazy val hllSketchOracle: String =
+    s"""WITH $hllSketchSql
+       |SELECT bucket, r_max FROM sk""".stripMargin
+
+  /** One-row distinct-count report: the sketch-side estimate in exact
+    * integer arithmetic, plus the exact distinct count and the ppm
+    * error as TEST ADJUDICATORS (a production run reads only `est` —
+    * the exact column is what this query exists to be judged against,
+    * same convention as the ANN recall queries).
+    *
+    * Estimator, all BIGINT: with R = max register, S = Σ_buckets
+    * 2^(R − M_j) (empty buckets contribute 2^R), the raw HLL estimate
+    * α·m² / Σ 2^(−M_j) equals α·m²·2^R / S. [[HllAlphaScaled]] is
+    * α·m² pre-divided by the ppm scale, so est = AlphaScaled·2^R
+    * DIV S. Overflow: AlphaScaled < 2^12, 2^R ≤ 2^33 → product
+    * < 2^45; S ≤ m·2^33 < 2^39 — far inside int64 in BOTH engines'
+    * plain BIGINT (no HUGEINT widening on the oracle side: every
+    * product is written in pre-bounded factors). */
+  def hllEstimate(spark: SparkSession, dir: String): DataFrame =
+    hllEstimateOf(Tables.documents(spark, dir))
+
+  /** [[hllEstimate]] over any frame with a `text` column. */
+  def hllEstimateOf(docs: DataFrame): DataFrame = {
+    // LAZY localCheckpoint: the ≤ m-row register table feeds the R/nb
+    // scalar AND the S aggregation — without it the corpus scan runs
+    // twice (PLANS.md rule #17)
+    val sk = hllSketchOf(docs).localCheckpoint(false)
+    val mx = sk.agg(max("r_max").as("rr"), count(lit(1)).as("nb"))
+    val s = sk.crossJoin(broadcast(mx))
+      .groupBy("rr", "nb")
+      .agg(sum(expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(rr - r_max AS INT))")).as("s1"))
+      .select(col("rr"), col("nb"),
+        (col("s1") + (lit(HllM) - col("nb")) *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(rr AS INT))")).as("s_total"))
+    val estExpr = s"$HllAlphaScaled * " +
+      "shiftleft(CAST(1 AS BIGINT), CAST(rr AS INT)) DIV s_total"
+    val exact = docs.agg(countDistinct(col("text")).as("n_exact"))
+    s.crossJoin(broadcast(exact))
+      .select(
+        lit(HllM).as("m"),
+        col("nb").as("n_buckets"),
+        col("rr").as("r_max"),
+        col("s_total"),
+        expr(estExpr).as("est"),
+        col("n_exact"),
+        expr(s"1000000 * abs($estExpr - n_exact) DIV n_exact").as("err_ppm"))
+  }
+
+  lazy val hllEstimateOracle: String = {
+    val est = s"$HllAlphaScaled * (1::BIGINT << rr) // s_total"
+    s"""WITH $hllSketchSql,
+       |mx AS (SELECT max(r_max) AS rr, CAST(count(*) AS BIGINT) AS nb FROM sk),
+       |s AS (SELECT rr, nb,
+       |             CAST(sum(1::BIGINT << (rr - r_max)) +
+       |                  ($HllM - nb) * (1::BIGINT << rr) AS BIGINT) AS s_total
+       |      FROM sk, mx GROUP BY 1, 2),
+       |ex AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact
+       |       FROM documents)
+       |SELECT CAST($HllM AS BIGINT) AS m, nb AS n_buckets,
+       |       CAST(rr AS BIGINT) AS r_max, s_total,
+       |       CAST($est AS BIGINT) AS est,
+       |       n_exact,
+       |       CAST(1000000 * abs(($est) - n_exact) // n_exact AS BIGINT)
+       |         AS err_ppm
+       |FROM s, ex""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Count-Min — word-frequency point queries
+  // ---------------------------------------------------------------
+
+  /** Hash rows (independent salted hashes). */
+  val CmsD = 4
+
+  /** Cells per row — test-scaled so the toy vocabulary actually
+    * collides (overcount > 0 exercises the min-across-rows recovery);
+    * production uses 2^20-ish, and nothing in the plan depends on W. */
+  val CmsW = 64L
+
+  /** Salted md5 cell of a word for hash row `r`. */
+  private def cellOf(r: Int, w: Column): Column =
+    conv(substring(md5(concat(lit(s"r$r:"), w)), 1, 4), 16, 10)
+      .cast("long") % CmsW
+
+  /** Vocabulary frame (word, count) — shared base of both CMS
+    * queries; the cell is a function of the word alone, so the sketch
+    * never rescans the corpus. */
+  private def vocabOf(docs: DataFrame): DataFrame =
+    docs.select(Tokenizer.explodeTokens(col("text")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
+  /** (r, cell) fan-out of a (w, c) vocabulary frame. */
+  private def cmsCellsOf(vocab: DataFrame): DataFrame =
+    vocab.select(
+        explode(array((0 until CmsD).map(r =>
+          struct(lit(r.toLong).as("r"), cellOf(r, col("w")).as("cell"))): _*))
+          .as("rc"),
+        col("w"), col("c"))
+      .select(col("rc.r").as("r"), col("rc.cell").as("cell"),
+        col("w"), col("c"))
+
+  /** The d×w count matrix as (r, cell, c_cell) rows — non-empty cells
+    * only. Mergeable by cell-wise addition; size bounded by
+    * [[CmsD]]·[[CmsW]] regardless of vocabulary. */
+  def cmsSketch(spark: SparkSession, dir: String): DataFrame =
+    cmsSketchOf(Tables.documents(spark, dir))
+
+  /** [[cmsSketch]] over any frame with a `text` column. */
+  def cmsSketchOf(docs: DataFrame): DataFrame =
+    cmsCellsOf(vocabOf(docs))
+      .groupBy("r", "cell").agg(sum("c").as("c_cell"))
+
+  private def cmsSql(toks: String): String = {
+    val cell = OracleSql.hexNibbles("md5('r' || CAST(r AS VARCHAR) || ':' || w)", 4)
+    s"""vf AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY 1),
+       |rc AS (SELECT CAST(r AS BIGINT) AS r,
+       |              CAST(($cell) % $CmsW AS BIGINT) AS cell, w, c
+       |       FROM vf CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS r)),
+       |sk AS (SELECT r, cell, CAST(sum(c) AS BIGINT) AS c_cell
+       |       FROM rc GROUP BY 1, 2)""".stripMargin
+  }
+
+  lazy val cmsSketchOracle: String =
+    s"""WITH ${cmsSql(OracleSql.toks)}
+       |SELECT r, cell, c_cell FROM sk""".stripMargin
+
+  /** Top-k candidates. */
+  val CmsTopK = 20
+
+  /** Heavy-hitter point query: the [[CmsTopK]] most frequent words
+    * (freq desc, word asc — deterministic) with their exact count,
+    * the CMS estimate (min over the d cells), and the collision
+    * overcount (always ≥ 0 — CMS never underestimates). At 100 TB the
+    * candidate set comes from a cheap sample, not an exact top-k; the
+    * exact column here is the adjudicator. */
+  def cmsTopK(spark: SparkSession, dir: String): DataFrame =
+    cmsTopKOf(Tables.documents(spark, dir))
+
+  /** [[cmsTopK]] over any frame with a `text` column. */
+  def cmsTopKOf(docs: DataFrame): DataFrame = {
+    // LAZY localCheckpoint: the vocabulary feeds the sketch AND the
+    // top-k candidates — one corpus pass (PLANS.md rule #17)
+    val vocab = vocabOf(docs).localCheckpoint(false)
+    val sk = cmsCellsOf(vocab)
+      .groupBy("r", "cell").agg(sum("c").as("c_cell"))
+    val top = vocab.orderBy(col("c").desc, col("w")).limit(CmsTopK)
+    cmsCellsOf(top)
+      .join(broadcast(sk), Seq("r", "cell"))
+      .groupBy("w", "c").agg(min("c_cell").as("c_est"))
+      .select(col("w"), col("c").as("c_exact"), col("c_est"),
+        (col("c_est") - col("c")).as("overcount"))
+  }
+
+  lazy val cmsTopKOracle: String = {
+    val cell = OracleSql.hexNibbles("md5('r' || CAST(r AS VARCHAR) || ':' || w)", 4)
+    s"""WITH ${cmsSql(OracleSql.toks)},
+       |top AS (SELECT w, c FROM vf ORDER BY c DESC, w LIMIT $CmsTopK),
+       |tc AS (SELECT CAST(r AS BIGINT) AS r,
+       |              CAST(($cell) % $CmsW AS BIGINT) AS cell, w, c
+       |       FROM top CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS r)),
+       |est AS (SELECT w, c, min(c_cell) AS c_est
+       |        FROM tc JOIN sk USING (r, cell) GROUP BY 1, 2)
+       |SELECT w, c AS c_exact, CAST(c_est AS BIGINT) AS c_est,
+       |       CAST(c_est - c AS BIGINT) AS overcount
+       |FROM est""".stripMargin
+  }
+}

@@ -198,4 +198,19 @@ class DedupSpec extends SparkSpec {
     assert(byVerdict.getOrElse("dup_in_batch", 0L) === mirrored)
     assert(byVerdict.getOrElse("kept", 0L) === fresh)
   }
+  test("clusterHist: histogram partitions the corpus exactly") {
+    import spark.implicits._
+    // synthetic labels: clusters {1}, {2,3}, {4,5,6}, {7}
+    val labeled = Seq((1L,1L),(2L,2L),(3L,2L),(4L,4L),(5L,4L),(6L,4L),(7L,7L))
+      .toDF("doc_id", "keeper")
+    val hist = Dedup.clusterHistFrom(labeled)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(hist === Map(1L -> ((2L, 2L)), 2L -> ((1L, 2L)), 3L -> ((1L, 3L))))
+
+    // at Sf: sizes partition the corpus (every doc in exactly one cluster)
+    val docs = graft.Tables.documents(spark, Sf).count()
+    val total = Dedup.clusterHist(spark, Sf)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).as[Long].head()
+    assert(total === docs)
+  }
 }

@@ -121,4 +121,28 @@ class IndexSpec extends SparkSpec {
     val rows = Index.bm25(spark, Sf).count()
     assert(rows === Index.Bm25TopK.toLong, "corpus has plenty of matches")
   }
+
+  test("phraseSearch: anchor adjacency finds exact consecutive matches") {
+    // Phrase = ("table", "scan")
+    val docs = Seq(
+      (1L, "a table scan b"),            // one hit at pos 1
+      (2L, "table scan table scan"),     // two hits (0 and 2)
+      (3L, "table b scan"),              // terms present, not adjacent
+      (4L, "scan table"),                // reversed — no hit
+      (5L, "table table scan"))          // hit at pos 1 only
+      .toDF("doc_id", "text")
+    val out = Index.phraseSearchOf(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out === Map(1L -> ((1L, 1L)), 2L -> ((2L, 0L)), 5L -> ((1L, 1L))))
+  }
+
+  test("phraseSearch plan: term filter precedes the shuffle; one agg chain") {
+    val df = Index.phraseSearch(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the k-row phrase table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"adjacency must be the anchor aggregate, not a position join:\n$plan")
+    assert(df.count() > 0, "word-salad corpus contains the phrase")
+  }
 }

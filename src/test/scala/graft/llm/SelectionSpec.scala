@@ -52,4 +52,25 @@ class SelectionSpec extends SparkSpec {
         s"keeper-doc ${r.getLong(0)} diverges from hashSplit")
     }
   }
+  test("weightedSample: deterministic, k rows, heavier docs favored") {
+    val out = Sampling.weightedSample(spark, Sf).collect()
+    assert(out.length === Sampling.SampleK)
+    val out2 = Sampling.weightedSample(spark, Sf).collect()
+    assert(out.map(_.toString).toSeq === out2.map(_.toString).toSeq,
+      "same corpus, same sample")
+    // length bias: sampled docs are longer on average than the corpus
+    val sampledAvg = out.map(_.getAs[Long]("n_chars")).sum.toDouble / out.length
+    val corpusAvg = graft.Tables.documents(spark, Sf)
+      .agg(org.apache.spark.sql.functions.avg("n_chars"))
+      .head().getDouble(0)
+    assert(sampledAvg > corpusAvg,
+      s"length-weighted draw must skew long: $sampledAvg <= $corpusAvg")
+  }
+
+  test("weightedSample plan: top-k, not a global sort exchange") {
+    val plan = Sampling.weightedSample(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-row draw must be per-partition top-k + merge:\n$plan")
+  }
 }

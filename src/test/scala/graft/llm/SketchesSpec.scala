@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- HyperLogLog --------------------------------------------------
+
+  test("hllSketch: duplicate documents collapse to one register hit") {
+    val docs = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      .toDF("doc_id", "text")
+    val one = Sketches.hllSketchOf(docs.filter($"doc_id" <= 1))
+      .as[(Long, Long)].collect().toMap
+    val dup = Sketches.hllSketchOf(docs.filter($"doc_id" <= 2))
+      .as[(Long, Long)].collect().toMap
+    assert(one === dup, "identical text must not move any register")
+    val all = Sketches.hllSketchOf(docs).as[(Long, Long)].collect()
+    assert(all.forall { case (b, r) => b >= 0 && b < Sketches.HllM &&
+      r >= 1 && r <= 33 })
+  }
+
+  test("hllSketch merges: max-merge of two halves equals the union") {
+    val docs = Tables.documents(spark, Sf)
+    val whole = Sketches.hllSketchOf(docs).as[(Long, Long)].collect().toMap
+    val a = Sketches.hllSketchOf(docs.filter($"doc_id" % 2 === 0))
+      .as[(Long, Long)].collect().toMap
+    val b = Sketches.hllSketchOf(docs.filter($"doc_id" % 2 =!= 0))
+      .as[(Long, Long)].collect().toMap
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))).toMap
+    assert(merged === whole, "register max-merge is the union sketch")
+  }
+
+  test("hllEstimate: estimate lands within the m=64 error envelope") {
+    val r = Sketches.hllEstimate(spark, Sf).collect().head
+    val est = r.getAs[Long]("est")
+    val exact = r.getAs[Long]("n_exact")
+    // 1.04/sqrt(64) = 13% std error; allow 3 sigma
+    assert(math.abs(est - exact) <= (exact * 39) / 100 + 1,
+      s"est=$est exact=$exact")
+    assert(r.getAs[Long]("n_buckets") <= Sketches.HllM)
+  }
+
+  test("hll plan: no distinct shuffle — one bucket-keyed exchange") {
+    val plan = Sketches.hllSketch(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"register aggregation must shuffle on bucket:\n$plan")
+    assert(!plan.contains("hashpartitioning(text") &&
+      !plan.contains("hashpartitioning(m#"),
+      s"the corpus must never be shuffled on content for the sketch:\n$plan")
+  }
+
+  // ---- Count-Min ----------------------------------------------------
+
+  test("cmsSketch: cell mass equals total token mass, d times") {
+    val docs = Tables.documents(spark, Sf)
+    val total = docs
+      .select(explode(graft.func.Tokenizer.tokens($"text")).as("w"))
+      .count()
+    val perRow = Sketches.cmsSketchOf(docs)
+      .groupBy("r").agg(sum("c_cell").as("s")).as[(Long, Long)]
+      .collect().toMap
+    assert(perRow.keySet === (0L until Sketches.CmsD).toSet)
+    assert(perRow.values.forall(_ === total),
+      "every hash row preserves the full count mass")
+  }
+
+  test("cmsTopK: estimates never undercount and match exact for " +
+    "collision-free words") {
+    val out = Sketches.cmsTopK(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("c_est") >= r.getAs[Long]("c_exact"),
+        s"CMS must never underestimate: $r")
+      assert(r.getAs[Long]("overcount") ===
+        r.getAs[Long]("c_est") - r.getAs[Long]("c_exact"))
+    }
+  }
+
+  test("cmsTopK plan: sketch joins broadcast — no corpus-keyed join") {
+    val plan = Sketches.cmsTopK(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bounded sketch must broadcast against the candidates:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no vocabulary-sized shuffle join in a point query:\n$plan")
+  }
+
+  // ---- DSIR ---------------------------------------------------------
+
+  test("dsirScore: target-slice tokens score higher than source-only") {
+    // 'tgtword' appears only in the en slice, 'srcword' only outside it
+    val docs = Seq(
+      (1L, "en", "tgtword tgtword tgtword"),
+      (2L, "en", "tgtword tgtword"),
+      (3L, "fr", "srcword srcword srcword"),
+      (4L, "fr", "srcword srcword"),
+      (5L, "en", "")).toDF("doc_id", "lang", "text")
+    val out = Dsir.dsirScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_toks"),
+        r.getAs[Long]("score_bits"))).toMap
+    // tgtword bucket: tf_t=5 tf_s=0 → bitlen(6)-bitlen(1)=3-1=+2/token
+    assert(out(1L) === ((3L, 6L)))
+    // srcword bucket: tf_t=0 tf_s=5 → bitlen(1)-bitlen(6)=-2/token
+    assert(out(3L) === ((3L, -6L)))
+    assert(out(5L) === ((0L, 0L)), "token-less doc scores 0")
+  }
+
+  test("dsirScore plan: bucket weights broadcast back to the corpus") {
+    val plan = Dsir.dsirScore(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bounded weight table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"scoring must not shuffle corpus tokens into a join:\n$plan")
+  }
+}

@@ -291,6 +291,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(stateDir).distinct().count() === 3)
   }
 
+  test("streaming HLL registers converge to the batch sketch") {
+    // the register table is a streaming-natural aggregate (groupBy
+    // bucket, max) — complete mode over the documents file stream must
+    // land on exactly the batch registers, because max-merge is the
+    // sketch's merge operation (SketchesSpec: half ∪ half = whole)
+    val q = graft.llm.Sketches
+      .hllSketchOf(StreamJobs.documentsStream(spark, Sf))
+      .writeStream.format("memory").queryName("hll_stream_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hll_stream_out")
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.llm.Sketches.hllSketch(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("session_window sessions agree with the batch lag-based sessionize") {
     // the same 30-minute gap notion, two formulations: streaming
     // session_window vs batch lag → flag → running sum. Per-session
