@@ -239,7 +239,10 @@ object SparkEntry {
     "q_llm_phrase_search"   -> (llm.Index.phraseSearch(_, _)),
     // deterministic weighted sampling + dedup cluster histogram (r9)
     "q_llm_weighted_sample" -> (llm.Sampling.weightedSample(_, _)),
-    "q_llm_cluster_hist"    -> (llm.Dedup.clusterHist(_, _))
+    "q_llm_cluster_hist"    -> (llm.Dedup.clusterHist(_, _)),
+    // per-group HLL UV estimate — the sketch form of the reference's
+    // per-window HashSet distinct counts (r9)
+    "q_ads_uv_sketch"       -> (llm.Sketches.uvSketch(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -396,6 +399,7 @@ object SparkEntry {
     "q_llm_dsir_score"      -> llm.Dsir.dsirScoreOracle,
     "q_llm_phrase_search"   -> llm.Index.phraseSearchOracle,
     "q_llm_weighted_sample" -> llm.Sampling.weightedSampleOracle,
-    "q_llm_cluster_hist"    -> llm.Dedup.clusterHistOracle
+    "q_llm_cluster_hist"    -> llm.Dedup.clusterHistOracle,
+    "q_ads_uv_sketch"       -> llm.Sketches.uvSketchOracle
   )
 }

@@ -157,6 +157,99 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------
+  // Grouped HLL — per-key distinct counting (the sketch form of the
+  // reference's per-window HashSet UV counts,
+  // app/dws2/VisitorStatsApp.java / ProductStatsApp.java)
+  // ---------------------------------------------------------------
+
+  /** Registers per group — smaller than [[HllM]] because the grouped
+    * query's per-key cardinalities are smaller; m = 32 keeps the
+    * sf0.01 gate inside the raw estimator's calibrated regime
+    * (n/m > 5/2). */
+  val GroupHllM = 32L
+
+  /** alpha_32 in ppm (standard HLL bias constant for m = 32). */
+  val GroupHllAlphaPpm = 697000L
+
+  val GroupHllAlphaScaled: Long = GroupHllAlphaPpm * GroupHllM * GroupHllM / 1000000L
+
+  /** Per-event-type distinct-user estimate: the UV/dedup-count the
+    * reference computes with an exact per-key HashSet
+    * (gmall-time app/dws2/VisitorStatsApp.java:61-96), here as a
+    * per-group HLL register table — the form that survives 100 TB,
+    * where per-key exact sets are a corpus-sized state. Exact count
+    * and err_ppm ride along as test adjudicators (ANN-recall
+    * convention).
+    *
+    * Scale shape: ONE (event_type, bucket)-keyed exchange, ≤
+    * groups·[[GroupHllM]] rows per map task after partial max; the
+    * per-group R/S reduction is a window + aggregate over that
+    * bounded register frame; the exact-count join is groups-sized. */
+  def uvSketch(spark: SparkSession, dir: String): DataFrame =
+    uvSketchOf(Tables.events(spark, dir))
+
+  /** [[uvSketch]] over any (event_type, user_id) frame. */
+  def uvSketchOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val regs = events
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("m"))
+      .select(col("event_type"),
+        (conv(substring(col("m"), 1, 2), 16, 10).cast("long") % GroupHllM)
+          .as("bucket"),
+        conv(substring(col("m"), 3, 8), 16, 10).cast("long").as("v"))
+      .select(col("event_type"), col("bucket"), rhoOf(col("v")).as("rho"))
+      .groupBy("event_type", "bucket").agg(max("rho").as("r_max"))
+    val grp = regs
+      .withColumn("rr", max("r_max").over(Window.partitionBy("event_type")))
+      .groupBy("event_type", "rr")
+      .agg(count(lit(1)).as("nb"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(rr - r_max AS INT))"))
+          .as("s1"))
+      .select(col("event_type"), col("nb"), col("rr"),
+        (col("s1") + (lit(GroupHllM) - col("nb")) *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(rr AS INT))")).as("s_total"))
+    val estExpr = s"$GroupHllAlphaScaled * " +
+      "shiftleft(CAST(1 AS BIGINT), CAST(rr AS INT)) DIV s_total"
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    grp.join(broadcast(exact), Seq("event_type"))
+      .select(col("event_type"), col("nb").as("n_buckets"),
+        col("rr").as("r_max"), col("s_total"),
+        expr(estExpr).as("est"), col("n_exact"),
+        expr(s"1000000 * abs($estExpr - n_exact) DIV n_exact").as("err_ppm"))
+  }
+
+  lazy val uvSketchOracle: String = {
+    val bucket = OracleSql.hexNibblesAt("m", 1, 2)
+    val v = OracleSql.hexNibblesAt("m", 3, 8)
+    val est = s"$GroupHllAlphaScaled * (1::BIGINT << rr) // s_total"
+    s"""WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS m
+       |           FROM events),
+       |br AS (SELECT event_type, ($bucket) % $GroupHllM AS bucket,
+       |              $v AS v FROM h),
+       |sk AS (SELECT event_type, bucket,
+       |              max(CASE WHEN v = 0 THEN 33
+       |                       ELSE 33 - length(bin(v)) END) AS r_max
+       |       FROM br GROUP BY 1, 2),
+       |g AS (SELECT event_type, r_max,
+       |             max(r_max) OVER (PARTITION BY event_type) AS rr
+       |      FROM sk),
+       |s AS (SELECT event_type, rr, CAST(count(*) AS BIGINT) AS nb,
+       |             CAST(sum(1::BIGINT << (rr - r_max)) +
+       |                  ($GroupHllM - count(*)) * (1::BIGINT << rr)
+       |               AS BIGINT) AS s_total
+       |      FROM g GROUP BY 1, 2),
+       |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+       |              AS n_exact
+       |       FROM events GROUP BY 1)
+       |SELECT event_type, nb AS n_buckets, CAST(rr AS BIGINT) AS r_max,
+       |       s_total, CAST($est AS BIGINT) AS est, n_exact,
+       |       CAST(1000000 * abs(($est) - n_exact) // n_exact AS BIGINT)
+       |         AS err_ppm
+       |FROM s JOIN ex USING (event_type)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // Count-Min — word-frequency point queries
   // ---------------------------------------------------------------
 

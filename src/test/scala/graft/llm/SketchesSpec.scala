@@ -53,6 +53,33 @@ class SketchesSpec extends SparkSpec {
       s"the corpus must never be shuffled on content for the sketch:\n$plan")
   }
 
+  // ---- Grouped HLL --------------------------------------------------
+
+  test("uvSketch: per-group registers, estimate tracks exact per key") {
+    val out = Sketches.uvSketch(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_buckets") <= Sketches.GroupHllM)
+      assert(r.getAs[Long]("est") > 0)
+      // tiny-sf groups sit below the raw estimator's calibrated range;
+      // the bound here is sanity (same order of magnitude), the real
+      // check is the oracle identity at the driver's sf
+      val est = r.getAs[Long]("est"); val exact = r.getAs[Long]("n_exact")
+      assert(est <= exact * 4 && est * 4 >= exact, s"est=$est exact=$exact")
+    }
+  }
+
+  test("uvSketch plan: register exchange is (group, bucket)-keyed") {
+    val plan = Sketches.uvSketch(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // the SKETCH branch's only exchange: hashpartitioning(event_type,
+    // bucket) — the exact-count adjudicator branch legitimately does
+    // its own (event_type, user_id) distinct exchange
+    assert("hashpartitioning\\(event_type#\\d+, bucket#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"registers must shuffle on (group, bucket):\n$plan")
+  }
+
   // ---- Count-Min ----------------------------------------------------
 
   test("cmsSketch: cell mass equals total token mass, d times") {
