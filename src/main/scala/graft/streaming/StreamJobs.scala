@@ -51,6 +51,37 @@ object StreamJobs {
         col("timestamp"),
         from_json(col("value").cast("string"), schema).as("log"))
 
+  /** S1: network line ingest — the engine-side equivalent of the
+    * reference's logger tier (LoggerController.java:19-24: receive a
+    * JSON payload per request, forward to `ods_base_log`). The
+    * transport here is Spark's built-in line-per-record socket source
+    * (the HTTP server itself is an app-tier concern the reference
+    * also keeps outside its Flink jobs); each line is parsed with the
+    * same corrupt-tolerant `from_json` as [[kafkaJsonStream]], so the
+    * downstream demux/sink path is source-agnostic. `is_corrupt`
+    * preserves undroppable malformed lines for the reject channel
+    * (JsonLines source convention). Live-socket end-to-end is
+    * asserted in StreamingSpec (real TCP server, real micro-batches);
+    * production swaps the socket for the Kafka source with the same
+    * output shape. */
+  def socketLogStream(spark: SparkSession, host: String, port: Int,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // same PERMISSIVE + corrupt-column contract as the JsonLines file
+    // source — malformed lines survive as data, not exceptions
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    spark.readStream.format("socket")
+      .option("host", host)
+      .option("port", port)
+      .load()
+      .select(col("value"),
+        from_json(col("value"), withCorrupt,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("log"))
+      .withColumn("is_corrupt",
+        when(col("log._corrupt_record").isNotNull, 1).otherwise(0).cast("int"))
+  }
+
   /** File-source stream over the events table (batch stand-in for the
     * reference's Kafka `ods_base_log`). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {

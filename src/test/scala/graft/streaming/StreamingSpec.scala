@@ -139,6 +139,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("socket line ingest: live TCP endpoint, parse + corrupt channel") {
+    // S1 end-to-end IN-SANDBOX: a real TCP server feeds JSON lines
+    // (one good, one truncated, one good) through real micro-batches
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val s = server.accept()
+      val w = new java.io.PrintWriter(s.getOutputStream, true)
+      w.println("""{"mid":1,"ch":"app"}""")
+      w.println("""{"mid":2,"ch":""")          // truncated → corrupt channel
+      w.println("""{"mid":3,"ch":"web"}""")
+      w.flush()
+      Thread.sleep(60000); s.close()            // keep the pipe open
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("mid", "long").add("ch", "string")
+    val q = StreamJobs.socketLogStream(spark, "localhost", port, schema)
+      .select(col("log.mid").as("mid"), col("log.ch").as("ch"),
+        col("is_corrupt"))
+      .writeStream.format("memory").queryName("sock_out")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table("sock_out").count() < 3 &&
+        System.currentTimeMillis < deadline) Thread.sleep(250)
+    } finally {
+      q.stop()
+      server.close()
+    }
+    val rows = spark.table("sock_out")
+      .as[(Option[Long], Option[String], Int)].collect()
+    assert(rows.length === 3, s"expected 3 ingested lines, got ${rows.toSeq}")
+    assert(rows.count(_._3 == 1) === 1, "exactly the truncated line is corrupt")
+    assert(rows.filter(_._3 == 0).flatMap(_._1).sorted.toSeq === Seq(1L, 3L))
+    assert(rows.filter(_._3 == 0).flatMap(_._2).sorted.toSeq ===
+      Seq("app", "web"))
+  }
+
   test("kafka source construction resolves up to the missing connector") {
     // the sandbox ships no spark-sql-kafka jar: the production path
     // must fail AT SOURCE RESOLUTION (proving the format/options wiring
