@@ -195,4 +195,49 @@ class PropertiesSpec extends SparkSpec {
       }, "within the tied score, lower doc_ids are kept first")
     }
   }
+
+  test("HLL register max-merge is the union sketch on random splits") {
+    // the merge law that makes the sketch a distributed aggregate:
+    // sketch(A ∪ B) = cellwise max(sketch(A), sketch(B)) — including
+    // empty sides, disjoint and heavily-overlapping splits
+    val rnd = new scala.util.Random(29)
+    (1 to 5).foreach { _ =>
+      val texts = List.fill(1 + rnd.nextInt(40))(
+        s"doc-${rnd.nextInt(25)}")    // duplicates on purpose
+      val cut = rnd.nextInt(texts.size + 1)
+      val (a, b) = texts.splitAt(cut) // cut=0 → empty left side
+      def sk(xs: List[String]): Map[Long, Long] =
+        if (xs.isEmpty) Map.empty
+        else llm.Sketches.hllSketchOf(xs.zipWithIndex
+            .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+          .as[(Long, Long)].collect().toMap
+      val whole = sk(texts)
+      val (sa, sb) = (sk(a), sk(b))
+      val merged = (sa.keySet ++ sb.keySet).map(k =>
+        k -> math.max(sa.getOrElse(k, 0L), sb.getOrElse(k, 0L))).toMap
+      assert(merged === whole)
+    }
+  }
+
+  test("CMS cellwise sum is the union sketch on random splits") {
+    // the Count-Min merge law: sketch(A ⊎ B) = cellwise add
+    val rnd = new scala.util.Random(31)
+    (1 to 5).foreach { _ =>
+      val texts = List.fill(1 + rnd.nextInt(30))(
+        List.fill(1 + rnd.nextInt(8))(s"w${rnd.nextInt(12)}").mkString(" "))
+      val cut = rnd.nextInt(texts.size + 1)
+      val (a, b) = texts.splitAt(cut)
+      def sk(xs: List[String]): Map[(Long, Long), Long] =
+        if (xs.isEmpty) Map.empty
+        else llm.Sketches.cmsSketchOf(xs.zipWithIndex
+            .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+          .as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+      val whole = sk(texts)
+      val (sa, sb) = (sk(a), sk(b))
+      val merged = (sa.keySet ++ sb.keySet).map(k =>
+        k -> (sa.getOrElse(k, 0L) + sb.getOrElse(k, 0L))).toMap
+      assert(merged === whole)
+    }
+  }
 }
