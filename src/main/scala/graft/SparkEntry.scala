@@ -242,7 +242,9 @@ object SparkEntry {
     "q_llm_cluster_hist"    -> (llm.Dedup.clusterHist(_, _)),
     // per-group HLL UV estimate — the sketch form of the reference's
     // per-window HashSet distinct counts (r9)
-    "q_ads_uv_sketch"       -> (llm.Sketches.uvSketch(_, _))
+    "q_ads_uv_sketch"       -> (llm.Sketches.uvSketch(_, _)),
+    // triangle count via degree-ordered orientation (r9)
+    "q_ads_triangles"       -> (ads.ItemRank.triangles(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -400,6 +402,7 @@ object SparkEntry {
     "q_llm_phrase_search"   -> llm.Index.phraseSearchOracle,
     "q_llm_weighted_sample" -> llm.Sampling.weightedSampleOracle,
     "q_llm_cluster_hist"    -> llm.Dedup.clusterHistOracle,
-    "q_ads_uv_sketch"       -> llm.Sketches.uvSketchOracle
+    "q_ads_uv_sketch"       -> llm.Sketches.uvSketchOracle,
+    "q_ads_triangles"       -> ads.ItemRank.trianglesOracle
   )
 }

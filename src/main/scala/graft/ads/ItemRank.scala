@@ -36,8 +36,10 @@ object ItemRank {
   /** Damping factor in ppm. */
   val DampPpm = 850000L
 
-  def itemRank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir)
+  /** Support-filtered co-purchase pair graph (pa < pb by
+    * construction) — shared by [[itemRank]] and [[triangles]]. */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(explode(expr(
@@ -48,8 +50,9 @@ object ItemRank {
       .select(col("g.pa").as("pa"), col("g.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
       .filter(col("support") >= Queries.CopurchaseMinSupport)
-    itemRankOf(pairs)
-  }
+
+  def itemRank(spark: SparkSession, dir: String): DataFrame =
+    itemRankOf(copurchasePairs(spark, dir))
 
   /** [[itemRank]] over any undirected (pa, pb, support) pair frame —
     * public for tests. */
@@ -80,6 +83,97 @@ object ItemRank {
     }
     scores.select(col("src").as("item"), col("score").as("rank_ppm"))
   }
+
+  /** Triangle count + global clustering coefficient over the
+    * co-purchase graph — the graph-density data card (how cliquey is
+    * "bought together"), computed with DEGREE-ORDERED ORIENTATION:
+    * every undirected edge is directed from its lower-(deg, id)
+    * endpoint to the higher one, so each vertex's out-degree is
+    * O(√E) and each triangle is enumerated exactly once at its
+    * min-order apex. This is the device that makes distributed
+    * triangle counting skew-proof — a hub vertex never fans out its
+    * full neighborhood, because almost all its edges point INTO it.
+    *
+    * Scale shape (100 TB of orders): edges are support-filtered
+    * (≪ lineitem); the wedge join is src-keyed over the oriented
+    * edge list (out-degree-bounded fan-out), and the closing check
+    * is a (b, c)-keyed LEFT SEMI join against the same oriented
+    * list — three bounded exchanges, no vertex ever materializes
+    * its neighborhood in one task. All-integer output: edge count,
+    * wedge count Σ deg·(deg−1)/2, triangle count, and the global
+    * clustering coefficient 3·T/wedges in ppm. */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(copurchasePairs(spark, dir))
+
+  /** [[triangles]] over any undirected (pa, pb) pair frame, pa < pb. */
+  def trianglesOf(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(col("pa"), col("pb"))
+    val deg = und.select(col("pa").as("v"))
+      .unionByName(und.select(col("pb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val fwd = expr("da < db OR (da = db AND pa < pb)")
+    // LAZY localCheckpoint: the oriented edge list feeds the wedge
+    // join TWICE and the closing semi join (PLANS.md rule #17)
+    val e = und
+      .join(deg.select(col("v").as("pa"), col("deg").as("da")), Seq("pa"))
+      .join(deg.select(col("v").as("pb"), col("deg").as("db")), Seq("pb"))
+      .select(
+        when(fwd, col("pa")).otherwise(col("pb")).as("src"),
+        when(fwd, col("pb")).otherwise(col("pa")).as("dst"),
+        when(fwd, col("db")).otherwise(col("da")).as("ddeg"))
+      .localCheckpoint(false)
+    val wedges = e.as("x").join(e.as("y"),
+        col("x.src") === col("y.src") &&
+          (col("x.ddeg") < col("y.ddeg") ||
+            (col("x.ddeg") === col("y.ddeg") && col("x.dst") < col("y.dst"))))
+      .select(col("x.dst").as("b"), col("y.dst").as("c"))
+    val tri = wedges
+      .join(e.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val ne = und.agg(count(lit(1)).as("n_edges"))
+    val nw = deg.agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+    tri.crossJoin(broadcast(ne)).crossJoin(broadcast(nw))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("CASE WHEN n_wedges = 0 THEN 0 " +
+          "ELSE 1000000 * 3 * n_triangles DIV n_wedges END")
+          .as("clustering_ppm"))
+  }
+
+  lazy val trianglesOracle: String =
+    s"""WITH it AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |sup AS MATERIALIZED (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM it a JOIN it b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= ${Queries.CopurchaseMinSupport}),
+       |dg AS MATERIALIZED (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT pa AS v FROM sup UNION ALL SELECT pb FROM sup)
+       |  GROUP BY 1),
+       |e AS MATERIALIZED (
+       |  SELECT CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND pa < pb)
+       |              THEN pa ELSE pb END AS src,
+       |         CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND pa < pb)
+       |              THEN pb ELSE pa END AS dst,
+       |         CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND pa < pb)
+       |              THEN b.deg ELSE a.deg END AS ddeg
+       |  FROM sup JOIN dg a ON sup.pa = a.v JOIN dg b ON sup.pb = b.v),
+       |w AS (SELECT x.dst AS b, y.dst AS c
+       |      FROM e x JOIN e y ON x.src = y.src AND
+       |        (x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst))),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w
+       |      WHERE EXISTS (SELECT 1 FROM e
+       |                    WHERE e.src = w.b AND e.dst = w.c)),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM sup),
+       |nw AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       |       FROM dg)
+       |SELECT n_edges, n_wedges, n_triangles,
+       |       CAST(CASE WHEN n_wedges = 0 THEN 0
+       |            ELSE (1000000 * 3 * n_triangles) // n_wedges END
+       |         AS BIGINT) AS clustering_ppm
+       |FROM t, ne, nw""".stripMargin
 
   lazy val itemRankOracle: String = {
     def round(k: Int): String =

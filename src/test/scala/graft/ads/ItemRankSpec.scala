@@ -35,4 +35,23 @@ class ItemRankSpec extends SparkSpec {
       "teleport mass is a floor on every score")
     assert(out.map(_.getLong(0)).distinct.length === out.length)
   }
+  test("triangles: K4 plus a pendant, counted once each") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant edge (1,5)
+    val pairs = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),(1L,5L))
+      .toDF("pa", "pb")
+    val r = ItemRank.trianglesOf(pairs).collect().head
+    assert(r.getAs[Long]("n_edges") === 7L)
+    // degrees 4,3,3,3,1 -> wedges = 6 + 3*3 + 0 = 15
+    assert(r.getAs[Long]("n_wedges") === 15L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+    // 3*4/15 in ppm
+    assert(r.getAs[Long]("clustering_ppm") === 800000L)
+  }
+
+  test("triangles at Sf: closed wedges never exceed all wedges") {
+    val r = ItemRank.triangles(spark, Sf).collect().head
+    assert(r.getAs[Long]("n_triangles") * 3 <= r.getAs[Long]("n_wedges"))
+    assert(r.getAs[Long]("clustering_ppm") <= 1000000L)
+  }
 }
