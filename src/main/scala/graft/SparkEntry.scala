@@ -244,7 +244,9 @@ object SparkEntry {
     // per-window HashSet distinct counts (r9)
     "q_ads_uv_sketch"       -> (llm.Sketches.uvSketch(_, _)),
     // triangle count via degree-ordered orientation (r9)
-    "q_ads_triangles"       -> (ads.ItemRank.triangles(_, _))
+    "q_ads_triangles"       -> (ads.ItemRank.triangles(_, _)),
+    // dup-rate-vs-threshold sweep over verified near-dup pairs (r9)
+    "q_llm_dedup_sweep"     -> (llm.Similarity.dedupSweep(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -403,6 +405,7 @@ object SparkEntry {
     "q_llm_weighted_sample" -> llm.Sampling.weightedSampleOracle,
     "q_llm_cluster_hist"    -> llm.Dedup.clusterHistOracle,
     "q_ads_uv_sketch"       -> llm.Sketches.uvSketchOracle,
-    "q_ads_triangles"       -> ads.ItemRank.trianglesOracle
+    "q_ads_triangles"       -> ads.ItemRank.trianglesOracle,
+    "q_llm_dedup_sweep"     -> llm.Similarity.dedupSweepOracle
   )
 }

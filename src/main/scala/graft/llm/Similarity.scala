@@ -951,6 +951,69 @@ object Similarity {
        |FROM cand WHERE CAST(floor($dotNv * 1e6) AS BIGINT) >= $NearDupPpm""".stripMargin
   }
 
+  /** Thresholds for the [[dedupSweep]] data card (ppm cosine). All
+    * above [[NearDupPpm]] so the LSH-verified pair list is the
+    * complete candidate population for every row of the sweep. */
+  val SweepThresholds: Seq[Long] =
+    Seq(400000L, 500000L, 600000L, 700000L, 800000L, 900000L)
+
+  /** Dup-rate-vs-threshold sweep — the tuning curve a SemDeDup-style
+    * run reads before picking its cosine cutoff: for each threshold,
+    * how many verified near-dup pairs and how many distinct vectors
+    * those pairs touch. One row per [[SweepThresholds]] entry, zero
+    * rows coalesced in (a threshold stricter than every pair still
+    * reports 0/0).
+    *
+    * Scale shape (100 TB): the pair list is the ALREADY-BUCKETED
+    * [[lshNearDup]] output (LSH bands did the heavy lifting); the
+    * sweep is a |thresholds|-way broadcast fan-out of that bounded
+    * pair frame and two map-side-combined aggregates. Nothing
+    * corpus-sized is touched twice — the pair frame is checkpointed
+    * across its two consumers (PLANS.md rule #17). */
+  def dedupSweep(spark: SparkSession, dir: String): DataFrame =
+    dedupSweepFrom(lshNearDup(spark, dir))
+
+  /** [[dedupSweep]] over any (vec_a, vec_b, cos_ppm) pair frame. */
+  def dedupSweepFrom(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val tdf = SweepThresholds.toDF("threshold_ppm")
+    val tagged = pairs.localCheckpoint(false)
+      .crossJoin(broadcast(tdf))
+      .filter(col("cos_ppm") >= col("threshold_ppm"))
+      .localCheckpoint(false)
+    val np = tagged.groupBy("threshold_ppm").agg(count(lit(1)).as("n_pairs"))
+    val nv = tagged
+      .select(col("threshold_ppm"),
+        explode(array(col("vec_a"), col("vec_b"))).as("v"))
+      .groupBy("threshold_ppm").agg(countDistinct(col("v")).as("n_vecs"))
+    tdf.join(np, Seq("threshold_ppm"), "left")
+      .join(nv, Seq("threshold_ppm"), "left")
+      .select(col("threshold_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+  }
+
+  lazy val dedupSweepOracle: String = {
+    val ts = SweepThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH p AS (SELECT * FROM (
+       |  ${lshNearDupOracle.replace("\n", "\n  ")}
+       |) t0),
+       |ts AS (SELECT * FROM (VALUES $ts) v(threshold_ppm)),
+       |tg AS (SELECT ts.threshold_ppm, vec_a, vec_b
+       |       FROM p CROSS JOIN ts WHERE cos_ppm >= ts.threshold_ppm),
+       |np AS (SELECT threshold_ppm, CAST(count(*) AS BIGINT) AS n_pairs
+       |       FROM tg GROUP BY 1),
+       |nv AS (SELECT threshold_ppm, CAST(count(DISTINCT v) AS BIGINT) AS n_vecs
+       |       FROM (SELECT threshold_ppm, vec_a AS v FROM tg
+       |             UNION ALL SELECT threshold_ppm, vec_b FROM tg)
+       |       GROUP BY 1)
+       |SELECT CAST(ts.threshold_ppm AS BIGINT) AS threshold_ppm,
+       |       coalesce(np.n_pairs, 0) AS n_pairs,
+       |       coalesce(nv.n_vecs, 0) AS n_vecs
+       |FROM ts LEFT JOIN np USING (threshold_ppm)
+       |        LEFT JOIN nv USING (threshold_ppm)""".stripMargin
+  }
+
   // ---- embedding-space dedup keep-list ----------------------------
 
   /** End-to-end SEMANTIC dedup — the embedding-space analog of

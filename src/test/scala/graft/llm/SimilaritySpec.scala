@@ -268,4 +268,27 @@ class SimilaritySpec extends SparkSpec {
     assert(w.count(_ > 0) > w.size / 3 && w.count(_ < 0) > w.size / 3,
       "roughly balanced signs")
   }
+  test("dedupSweep: monotone in threshold, exact on a hand pair frame") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L, 950000L), (1L, 3L, 850000L), (4L, 5L, 450000L))
+      .toDF("vec_a", "vec_b", "cos_ppm")
+    val out = Similarity.dedupSweepFrom(pairs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(400000L) === ((3L, 5L)))
+    assert(out(500000L) === ((2L, 3L)))
+    assert(out(900000L) === ((1L, 2L)))
+    // every threshold present, including past-the-max zeros
+    assert(out.keySet === Similarity.SweepThresholds.toSet)
+
+    val sf = Similarity.dedupSweep(spark, Sf)
+      .orderBy("threshold_ppm").as[(Long, Long, Long)].collect()
+    assert(sf.length === Similarity.SweepThresholds.size)
+    sf.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 >= hi._2 && lo._3 >= hi._3,
+          s"dup counts must fall as the threshold rises: $lo vs $hi")
+      case _ =>
+    }
+  }
 }
