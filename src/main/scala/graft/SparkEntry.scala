@@ -246,7 +246,9 @@ object SparkEntry {
     // triangle count via degree-ordered orientation (r9)
     "q_ads_triangles"       -> (ads.ItemRank.triangles(_, _)),
     // dup-rate-vs-threshold sweep over verified near-dup pairs (r9)
-    "q_llm_dedup_sweep"     -> (llm.Similarity.dedupSweep(_, _))
+    "q_llm_dedup_sweep"     -> (llm.Similarity.dedupSweep(_, _)),
+    // MMR diversified selection over the ANN candidate pool (r9)
+    "q_llm_mmr_select"      -> (llm.Similarity.mmrSelect(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -406,6 +408,7 @@ object SparkEntry {
     "q_llm_cluster_hist"    -> llm.Dedup.clusterHistOracle,
     "q_ads_uv_sketch"       -> llm.Sketches.uvSketchOracle,
     "q_ads_triangles"       -> ads.ItemRank.trianglesOracle,
-    "q_llm_dedup_sweep"     -> llm.Similarity.dedupSweepOracle
+    "q_llm_dedup_sweep"     -> llm.Similarity.dedupSweepOracle,
+    "q_llm_mmr_select"      -> llm.Similarity.mmrSelectOracle
   )
 }

@@ -1014,6 +1014,121 @@ object Similarity {
        |        LEFT JOIN nv USING (threshold_ppm)""".stripMargin
   }
 
+  /** MMR trade-off λ in ppm (relevance weight; 1−λ weights the
+    * redundancy penalty). */
+  val MmrLambda = 700000L
+
+  /** Candidate pool size (top relevance) and selections made. */
+  val MmrPool = 16
+  val MmrK = 8
+
+  /** The query vector for the MMR demo (vec 0 — same fixed-anchor
+    * convention as the ANN query population). */
+  val MmrQueryVec = 0L
+
+  /** Maximal-marginal-relevance diversified selection (Carbonell &
+    * Goldstein 1998): greedily pick [[MmrK]] vectors maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    * diversified-sampling op a curation run uses where plain top-k
+    * returns near-duplicates of one region. All scores are the
+    * repo's floored-ppm cosine, so every mmr value is an exact
+    * BIGINT both engines replay.
+    *
+    * Scale shape (100 TB): candidate generation is the distributed
+    * part — one scan + TakeOrderedAndProject down to the
+    * [[MmrPool]]-row pool (at production scale the pool comes from
+    * [[ivfTopK]] instead; same downstream). The greedy loop is
+    * INHERENTLY sequential (selection i depends on 1..i−1), so it
+    * runs on the driver over the pool's bounded C×C ppm matrix —
+    * the IVF centroid-collect precedent: K-bounded driver state,
+    * never corpus-sized. */
+  def mmrSelect(spark: SparkSession, dir: String): DataFrame =
+    mmrSelectOf(Tables.embeddings(spark, dir))
+
+  /** [[mmrSelect]] over any (vec_id, embedding) frame. */
+  def mmrSelectOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") === MmrQueryVec)
+      .select(col("embedding").as("qv"))
+    // LAZY localCheckpoint: the pool feeds the C×C matrix join twice
+    // and the candidate collect (PLANS.md rule #17)
+    val pool = e.filter(col("vec_id") =!= MmrQueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        cosinePpm(col("qv"), col("embedding")).as("rel_ppm"))
+      .orderBy(col("rel_ppm").desc, col("vec_id")).limit(MmrPool)
+      .localCheckpoint(false)
+    val mat = pool.as("a")
+      .join(pool.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        cosinePpm(col("a.embedding"), col("b.embedding")).as("sim_ppm"))
+    val cands = pool.select(col("vec_id"), col("rel_ppm"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val sims = mat.as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    var chosen = Vector.empty[Long]
+    // a pool smaller than MmrK just stops early — the oracle's
+    // empty-step LIMIT 1 contributes zero rows, same semantics
+    val out = (1 to math.min(MmrK, cands.length)).map { k =>
+      val best = cands.filterNot(c => chosen.contains(c._1))
+        .map { case (v, rel) =>
+          val maxSim =
+            if (chosen.isEmpty) 0L else chosen.map(s => sims((v, s))).max
+          (v, rel, MmrLambda * rel - (1000000L - MmrLambda) * maxSim)
+        }
+        .minBy { case (v, _, mmr) => (-mmr, v) }
+      chosen :+= best._1
+      (k.toLong, best._1, best._2, best._3)
+    }
+    out.toDF("sel_rank", "vec_id", "rel_ppm", "mmr")
+  }
+
+  lazy val mmrSelectOracle: String = {
+    val lam = MmrLambda
+    val pen = 1000000L - MmrLambda
+    // every CTE MATERIALIZED: inlined CTEs re-expand the whole prefix
+    // chain at each of the 8 steps (and re-run the 64-dim cosine fold
+    // inside every correlated subquery) — observed as a >5 min oracle
+    // where the materialized form is milliseconds
+    def step(i: Int): String =
+      if (i == 1)
+        s"""s1 AS MATERIALIZED (
+           |  SELECT vec_id, rel_ppm, CAST($lam * rel_ppm AS BIGINT) AS mmr
+           |  FROM pool ORDER BY mmr DESC, vec_id LIMIT 1),
+           |c1 AS MATERIALIZED (SELECT vec_id FROM s1)""".stripMargin
+      else
+        s"""s$i AS MATERIALIZED (
+           |  SELECT vec_id, rel_ppm,
+           |  CAST($lam * rel_ppm - $pen * coalesce(
+           |    (SELECT max(sim_ppm) FROM m
+           |     WHERE m.va = p.vec_id
+           |       AND m.vb IN (SELECT vec_id FROM c${i - 1})), 0)
+           |    AS BIGINT) AS mmr
+           |  FROM pool p WHERE vec_id NOT IN (SELECT vec_id FROM c${i - 1})
+           |  ORDER BY mmr DESC, vec_id LIMIT 1),
+           |c$i AS MATERIALIZED (SELECT vec_id FROM c${i - 1}
+           |        UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    val steps = (1 to MmrK).map(step).mkString(",\n")
+    val sel = (1 to MmrK).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS sel_rank, vec_id, rel_ppm, mmr FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = $MmrQueryVec),
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id, v, ${cosPpmSql("qv", "v")} AS rel_ppm
+       |  FROM e, q WHERE vec_id <> $MmrQueryVec
+       |  ORDER BY rel_ppm DESC, vec_id LIMIT $MmrPool),
+       |m AS MATERIALIZED (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |         ${cosPpmSql("a.v", "b.v")} AS sim_ppm
+       |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |$steps
+       |$sel""".stripMargin
+  }
+
   // ---- embedding-space dedup keep-list ----------------------------
 
   /** End-to-end SEMANTIC dedup — the embedding-space analog of

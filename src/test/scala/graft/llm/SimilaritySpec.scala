@@ -291,4 +291,40 @@ class SimilaritySpec extends SparkSpec {
       case _ =>
     }
   }
+  test("mmrSelect: the redundancy penalty demotes a near-duplicate") {
+    import spark.implicits._
+    // query = x-hat; v1 and v2 identical (theta off-axis), v3 mirrored
+    // across x: rel(v1)=rel(v2)=rel(v3)=cos(theta), sim(v1,v2)=1,
+    // sim(v1,v3)=cos(2*theta) < rel — so after picking v1, diverse v3
+    // must beat the duplicate v2 despite equal relevance
+    val dim = Similarity.Dim
+    def vec(xs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      xs.foreach { case (i, v) => a(i) = v }
+      a.toSeq
+    }
+    val c = 0.9f; val sn = 0.43589f
+    val emb = Seq(
+      (0L, vec(0 -> 1.0f)),          // query
+      (1L, vec(0 -> c, 1 -> sn)),
+      (2L, vec(0 -> c, 1 -> sn)),    // duplicate of 1
+      (3L, vec(0 -> c, 1 -> -sn)))   // mirrored: diverse
+      .toDF("vec_id", "embedding")
+    val sel = Similarity.mmrSelectOf(emb)
+      .orderBy("sel_rank").select("vec_id").as[Long].collect().toSeq
+    assert(sel.take(3) === Seq(1L, 3L, 2L),
+      s"expected duplicate demoted below the diverse vector, got $sel")
+  }
+
+  test("mmrSelect at Sf: k rows, first pick is the top-relevance vector") {
+    val out = Similarity.mmrSelect(spark, Sf)
+      .orderBy("sel_rank").collect()
+    assert(out.length === Similarity.MmrK)
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length === out.length)
+    // selection 1 has no penalty: it is the relevance argmax
+    assert(out.head.getAs[Long]("mmr") ===
+      Similarity.MmrLambda * out.head.getAs[Long]("rel_ppm"))
+    assert(out.head.getAs[Long]("rel_ppm") ===
+      out.map(_.getAs[Long]("rel_ppm")).max)
+  }
 }
