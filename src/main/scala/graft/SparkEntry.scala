@@ -248,7 +248,9 @@ object SparkEntry {
     // dup-rate-vs-threshold sweep over verified near-dup pairs (r9)
     "q_llm_dedup_sweep"     -> (llm.Similarity.dedupSweep(_, _)),
     // MMR diversified selection over the ANN candidate pool (r9)
-    "q_llm_mmr_select"      -> (llm.Similarity.mmrSelect(_, _))
+    "q_llm_mmr_select"      -> (llm.Similarity.mmrSelect(_, _)),
+    // CSV file source: same corrupt-column contract via Univocity (r9)
+    "q_src_csv_roundtrip"   -> (sources.CsvLines.csvRoundtrip(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -409,6 +411,7 @@ object SparkEntry {
     "q_ads_uv_sketch"       -> llm.Sketches.uvSketchOracle,
     "q_ads_triangles"       -> ads.ItemRank.trianglesOracle,
     "q_llm_dedup_sweep"     -> llm.Similarity.dedupSweepOracle,
-    "q_llm_mmr_select"      -> llm.Similarity.mmrSelectOracle
+    "q_llm_mmr_select"      -> llm.Similarity.mmrSelectOracle,
+    "q_src_csv_roundtrip"   -> sources.CsvLines.csvRoundtripOracle
   )
 }
