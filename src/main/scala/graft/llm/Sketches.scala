@@ -58,6 +58,20 @@ object Sketches {
   private def rhoOf(v: Column): Column =
     when(v === 0L, lit(33L)).otherwise(lit(33L) - length(bin(v)).cast("long"))
 
+  /** (group*, bucket, r_max) register table for md5-hashed items,
+    * shared by the global and grouped HLL forms. */
+  private def registersOf(df: DataFrame, groupCols: Seq[String],
+      itemMd5: Column, m: Long): DataFrame = {
+    val gs = groupCols.map(col)
+    df.select(gs :+ itemMd5.as("m"): _*)
+      .select(gs ++ Seq(
+        (conv(substring(col("m"), 1, 2), 16, 10).cast("long") % m)
+          .as("bucket"),
+        conv(substring(col("m"), 3, 8), 16, 10).cast("long").as("v")): _*)
+      .select(gs ++ Seq(col("bucket"), rhoOf(col("v")).as("rho")): _*)
+      .groupBy((gs :+ col("bucket")): _*).agg(max("rho").as("r_max"))
+  }
+
   /** HLL register table over DISTINCT DOCUMENT CONTENT (item hash =
     * md5(text) — the exact-dedup key, llm/Dedup.scala): one row per
     * non-empty bucket, `r_max` = max rho observed. Duplicate documents
@@ -68,13 +82,7 @@ object Sketches {
 
   /** [[hllSketch]] over any frame with a `text` column. */
   def hllSketchOf(docs: DataFrame): DataFrame =
-    docs.select(md5(col("text")).as("m"))
-      .select(
-        (conv(substring(col("m"), 1, 2), 16, 10).cast("long") % HllM)
-          .as("bucket"),
-        conv(substring(col("m"), 3, 8), 16, 10).cast("long").as("v"))
-      .select(col("bucket"), rhoOf(col("v")).as("rho"))
-      .groupBy("bucket").agg(max("rho").as("r_max"))
+    registersOf(docs, Nil, md5(col("text")), HllM)
 
   private def hllSketchSql: String = {
     val bucket = OracleSql.hexNibblesAt("m", 1, 2)
@@ -191,14 +199,8 @@ object Sketches {
   /** [[uvSketch]] over any (event_type, user_id) frame. */
   def uvSketchOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val regs = events
-      .select(col("event_type"), md5(col("user_id").cast("string")).as("m"))
-      .select(col("event_type"),
-        (conv(substring(col("m"), 1, 2), 16, 10).cast("long") % GroupHllM)
-          .as("bucket"),
-        conv(substring(col("m"), 3, 8), 16, 10).cast("long").as("v"))
-      .select(col("event_type"), col("bucket"), rhoOf(col("v")).as("rho"))
-      .groupBy("event_type", "bucket").agg(max("rho").as("r_max"))
+    val regs = registersOf(events, Seq("event_type"),
+      md5(col("user_id").cast("string")), GroupHllM)
     val grp = regs
       .withColumn("rr", max("r_max").over(Window.partitionBy("event_type")))
       .groupBy("event_type", "rr")
