@@ -250,7 +250,9 @@ object SparkEntry {
     // MMR diversified selection over the ANN candidate pool (r9)
     "q_llm_mmr_select"      -> (llm.Similarity.mmrSelect(_, _)),
     // CSV file source: same corrupt-column contract via Univocity (r9)
-    "q_src_csv_roundtrip"   -> (sources.CsvLines.csvRoundtrip(_, _))
+    "q_src_csv_roundtrip"   -> (sources.CsvLines.csvRoundtrip(_, _)),
+    // Heaps-law vocabulary growth curve (r9)
+    "q_llm_vocab_growth"    -> (llm.VocabCoverage.vocabGrowth(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -412,6 +414,7 @@ object SparkEntry {
     "q_ads_triangles"       -> ads.ItemRank.trianglesOracle,
     "q_llm_dedup_sweep"     -> llm.Similarity.dedupSweepOracle,
     "q_llm_mmr_select"      -> llm.Similarity.mmrSelectOracle,
-    "q_src_csv_roundtrip"   -> sources.CsvLines.csvRoundtripOracle
+    "q_src_csv_roundtrip"   -> sources.CsvLines.csvRoundtripOracle,
+    "q_llm_vocab_growth"    -> llm.VocabCoverage.vocabGrowthOracle
   )
 }

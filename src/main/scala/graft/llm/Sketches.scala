@@ -197,10 +197,18 @@ object Sketches {
     uvSketchOf(Tables.events(spark, dir))
 
   /** [[uvSketch]] over any (event_type, user_id) frame. */
+  /** The grouped register table alone — the streaming-safe half of
+    * [[uvSketchOf]] (groupBy + max runs in update/complete mode; the
+    * R/S estimator below needs a batch window). In production the
+    * streaming job maintains THIS as its state store and the serving
+    * layer runs the estimator over the stored registers. */
+  def uvRegistersOf(events: DataFrame): DataFrame =
+    registersOf(events, Seq("event_type"),
+      md5(col("user_id").cast("string")), GroupHllM)
+
   def uvSketchOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val regs = registersOf(events, Seq("event_type"),
-      md5(col("user_id").cast("string")), GroupHllM)
+    val regs = uvRegistersOf(events)
     val grp = regs
       .withColumn("rr", max("r_max").over(Window.partitionBy("event_type")))
       .groupBy("event_type", "rr")

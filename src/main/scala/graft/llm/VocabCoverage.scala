@@ -79,6 +79,60 @@ object VocabCoverage {
        |FROM v""".stripMargin
   }
 
+  /** Decile count for the [[vocabGrowth]] curve. */
+  val GrowthDeciles = 10L
+
+  /** Heaps-law vocabulary growth curve: sweep the corpus in ingest
+    * order (ascending doc_id), report per decile of the id range how
+    * many NEW words first appear there and the cumulative vocabulary
+    * size — the "is the corpus still contributing new types" data
+    * card that decides whether more of a source is worth ingesting.
+    * Empty deciles report 0 (spine-joined), so the output is always
+    * exactly [[GrowthDeciles]] rows.
+    *
+    * Scale shape (100 TB): first-seen attribution is the Novelty
+    * device — ONE word-keyed map-side-combined min aggregate (the
+    * corpus collapses to the vocabulary before any exchange); the
+    * decile rollup and the 10-row cumulative window are
+    * vocabulary-then-constant sized. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthOf(Tables.documents(spark, dir))
+
+  /** [[vocabGrowth]] over any (doc_id, text) frame. */
+  def vocabGrowthOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val mx = docs.agg((max("doc_id") + 1L).as("n_ids"))
+    val first = docs
+      .select(col("doc_id"), Tokenizer.explodeTokens(col("text")).as("w"))
+      .groupBy("w").agg(min("doc_id").as("first_seen"))
+    val perB = first.crossJoin(broadcast(mx))
+      .select(expr(s"first_seen * $GrowthDeciles DIV n_ids").as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_words"))
+    val spine = (0L until GrowthDeciles).toDF("decile")
+    spine.join(perB, Seq("decile"), "left")
+      .select(col("decile"), coalesce(col("new_words"), lit(0L)).as("new_words"))
+      // constant 10-row frame: the unpartitioned window is a formality
+      .withColumn("cum_vocab", sum("new_words").over(Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  lazy val vocabGrowthOracle: String = {
+    val toks = OracleSql.toks
+    s"""WITH w AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+       |f AS (SELECT w, min(doc_id) AS first_seen FROM w GROUP BY 1),
+       |mx AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+       |pb AS (SELECT first_seen * $GrowthDeciles // n_ids AS decile,
+       |              CAST(count(*) AS BIGINT) AS new_words
+       |       FROM f, mx GROUP BY 1),
+       |sp AS (SELECT unnest(range(0, $GrowthDeciles)) AS decile)
+       |SELECT CAST(sp.decile AS BIGINT) AS decile,
+       |       coalesce(pb.new_words, 0) AS new_words,
+       |       CAST(sum(coalesce(pb.new_words, 0)) OVER (ORDER BY sp.decile
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+       |FROM sp LEFT JOIN pb ON sp.decile = pb.decile""".stripMargin
+  }
+
   /** Vocabulary budget for the OOV report. */
   val VocabBudget = 20
 

@@ -102,4 +102,35 @@ class VocabNoveltySpec extends SparkSpec {
     assert(bands.values.max - bands.values.min <= 1L,
       "equal rank-width bands")
   }
+  // ---- Vocabulary growth --------------------------------------------
+
+  test("vocabGrowth: first-seen deciles partition the vocabulary") {
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"), (2L, ""), (3L, "d"),
+      (4L, "a"), (5L, "e f"), (6L, "a"), (7L, "a"),
+      (8L, "a"), (9L, "g"))
+      .toDF("doc_id", "text")
+    val out = VocabCoverage.vocabGrowthOf(docs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length === VocabCoverage.GrowthDeciles)
+    // decile d covers exactly doc d here (10 ids, 10 deciles)
+    assert(out(0) === ((0L, 2L, 2L)))   // a b
+    assert(out(1) === ((1L, 1L, 3L)))   // c
+    assert(out(2) === ((2L, 0L, 3L)))   // empty doc
+    assert(out(3) === ((3L, 1L, 4L)))   // d
+    assert(out(5) === ((5L, 2L, 6L)))   // e f
+    assert(out(9) === ((9L, 1L, 7L)))   // g
+    assert(out.last._3 === 7L, "cumulative = total distinct words")
+  }
+
+  test("vocabGrowth at Sf: monotone cumulative, total = vocab size") {
+    val out = VocabCoverage.vocabGrowth(spark, Sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted.toSeq)
+    val vocab = graft.Tables.documents(spark, Sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.func.Tokenizer.tokens($"text")).as("w"))
+      .distinct().count()
+    assert(out.last._3 === vocab)
+  }
 }

@@ -349,6 +349,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("streaming grouped HLL registers match the batch register table") {
+    // the per-key register store is the streaming UV state a 100 TB
+    // job keeps instead of exact per-key sets; complete mode over the
+    // events file stream must converge to the batch registers
+    val q = graft.llm.Sketches
+      .uvRegistersOf(StreamJobs.eventsStream(spark, Sf))
+      .writeStream.format("memory").queryName("uvreg_stream_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("uvreg_stream_out")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = graft.llm.Sketches
+      .uvRegistersOf(graft.Tables.events(spark, Sf))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("session_window sessions agree with the batch lag-based sessionize") {
     // the same 30-minute gap notion, two formulations: streaming
     // session_window vs batch lag → flag → running sum. Per-session
