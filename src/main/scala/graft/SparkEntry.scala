@@ -252,7 +252,9 @@ object SparkEntry {
     // CSV file source: same corrupt-column contract via Univocity (r9)
     "q_src_csv_roundtrip"   -> (sources.CsvLines.csvRoundtrip(_, _)),
     // Heaps-law vocabulary growth curve (r9)
-    "q_llm_vocab_growth"    -> (llm.VocabCoverage.vocabGrowth(_, _))
+    "q_llm_vocab_growth"    -> (llm.VocabCoverage.vocabGrowth(_, _)),
+    // word-break DP as a codegen'd aggregate HOF (r9)
+    "q_llm_word_break"      -> (llm.Segmentation.wordBreak(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -415,6 +417,7 @@ object SparkEntry {
     "q_llm_dedup_sweep"     -> llm.Similarity.dedupSweepOracle,
     "q_llm_mmr_select"      -> llm.Similarity.mmrSelectOracle,
     "q_src_csv_roundtrip"   -> sources.CsvLines.csvRoundtripOracle,
-    "q_llm_vocab_growth"    -> llm.VocabCoverage.vocabGrowthOracle
+    "q_llm_vocab_growth"    -> llm.VocabCoverage.vocabGrowthOracle,
+    "q_llm_word_break"      -> llm.Segmentation.wordBreakOracle
   )
 }

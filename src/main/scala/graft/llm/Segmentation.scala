@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.{OracleSql, Tokenizer}
+
+/** Dictionary word-break segmentation — the classic per-item dynamic
+  * program (minimum dictionary words covering an unspaced string).
+  *
+  * The recurrence runs in a typed `mapPartitions` loop, NOT an
+  * `aggregate` higher-order function: the HOF form was built first
+  * and measured 24 s warm at sf0.1 — Spark evaluates higher-order
+  * lambdas INTERPRETED (they have no codegen path), and the nested
+  * per-position × per-word lambda binding costs ~5 ms/doc where the
+  * JVM loop costs microseconds. Same trade as
+  * [[Similarity.signatures]] (mapPartitions over a janino-hostile
+  * expression); the oracle replays the identical integer recurrence
+  * so the engine boundary is unaffected.
+  *
+  * Fixture: each document's unspaced string is its own tokens
+  * concatenated; the dictionary is the corpus top-[[DictSize]] words
+  * (the [[VocabCoverage.oovRateOf]] population), so segmentability
+  * measures top-vocab coverage at the CHARACTER level — aliasing
+  * across token boundaries is real (the DP may find fewer words than
+  * the original token count).
+  *
+  * Scale shape (100 TB): the dictionary is vocabulary-derived and
+  * budget-bounded — one tiny aggregate collected to [[DictSize]]
+  * driver rows (the IVF-seed/BPE-merge precedent) and closed over by
+  * the partition loop; scoring is a zero-shuffle narrow projection,
+  * O(len·|dict|) per document. */
+object Segmentation {
+  /** Dictionary budget (top corpus words, freq desc / word asc). */
+  val DictSize = 20
+
+  /** Unreachable sentinel for the DP (any real count is < this). */
+  val Big = 1000000L
+
+  def wordBreak(spark: SparkSession, dir: String): DataFrame =
+    wordBreakOf(Tables.documents(spark, dir))
+
+  /** [[wordBreak]] over any (doc_id, text) frame: per doc, the
+    * unspaced length, whether the top-vocab dictionary can tile it,
+    * and the minimum word count when it can (NULL otherwise). */
+  def wordBreakOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // DictSize driver rows — the IVF-seed / BPE-merge bounded-collect
+    // precedent; sorted so the closure is deterministic
+    val dict: Array[String] = docs
+      .select(Tokenizer.explodeTokens(col("text")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(DictSize)
+      .select("w").as[String].collect().sorted
+    docs
+      .select(col("doc_id"),
+        concat_ws("", Tokenizer.tokens(col("text"))).as("ns"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val words = dict
+        it.map { case (id, s) =>
+          val n = s.length
+          val dp = Array.fill(n + 1)(Big)
+          dp(0) = 0L
+          var i = 1
+          while (i <= n) {
+            var k = 0
+            while (k < words.length) {
+              val w = words(k); val lw = w.length
+              if (i >= lw && dp(i - lw) < Big &&
+                s.regionMatches(i - lw, w, 0, lw)) {
+                val c = dp(i - lw) + 1L
+                if (c < dp(i)) dp(i) = c
+              }
+              k += 1
+            }
+            i += 1
+          }
+          (id, n.toLong, if (dp(n) < Big) 1L else 0L,
+            if (dp(n) < Big) Some(dp(n)) else Option.empty[Long])
+        }
+      }
+      .toDF("doc_id", "ns_len", "seg_ok", "min_words")
+  }
+
+  lazy val wordBreakOracle: String = {
+    val toks = OracleSql.toks
+    // DuckDB list_reduce has no init accumulator and requires
+    // acc/element type equality — fold over single-element BIGINT
+    // lists with the [0] seed prepended (the dotSql device, lifted to
+    // a list-typed accumulator)
+    val dp = s"""list_reduce(
+      list_prepend([0::BIGINT], list_transform(range(1, length(ns) + 1),
+                                               i -> [i::BIGINT])),
+      (acc, x) -> list_append(acc, list_min(list_transform(dict, w ->
+        CASE WHEN x[1] >= length(w)
+                  AND substr(ns, CAST(x[1] - length(w) + 1 AS INTEGER),
+                             CAST(length(w) AS INTEGER)) = w
+                  AND acc[CAST(x[1] - length(w) + 1 AS INTEGER)] < $Big
+             THEN acc[CAST(x[1] - length(w) + 1 AS INTEGER)] + 1
+             ELSE $Big END))))[CAST(length(ns) + 1 AS INTEGER)]"""
+    s"""WITH vf AS (SELECT w, count(*) AS freq
+       |           FROM (SELECT unnest($toks) AS w FROM documents)
+       |           GROUP BY 1),
+       |d AS (SELECT list_sort(list(w)) AS dict
+       |      FROM (SELECT w FROM vf ORDER BY freq DESC, w LIMIT $DictSize)),
+       |n AS (SELECT doc_id,
+       |             array_to_string($toks, '') AS ns
+       |      FROM documents),
+       |s AS (SELECT doc_id, ns, ($dp) AS dpv FROM n, d)
+       |SELECT doc_id, CAST(length(ns) AS BIGINT) AS ns_len,
+       |       CAST(CASE WHEN dpv < $Big THEN 1 ELSE 0 END AS BIGINT) AS seg_ok,
+       |       CASE WHEN dpv < $Big THEN CAST(dpv AS BIGINT) ELSE NULL END
+       |         AS min_words
+       |FROM s""".stripMargin
+  }
+}
