@@ -253,8 +253,10 @@ object SparkEntry {
     "q_src_csv_roundtrip"   -> (sources.CsvLines.csvRoundtrip(_, _)),
     // Heaps-law vocabulary growth curve (r9)
     "q_llm_vocab_growth"    -> (llm.VocabCoverage.vocabGrowth(_, _)),
-    // word-break DP as a codegen'd aggregate HOF (r9)
-    "q_llm_word_break"      -> (llm.Segmentation.wordBreak(_, _))
+    // word-break DP (typed partition loop; HOF form is interpreted) (r9)
+    "q_llm_word_break"      -> (llm.Segmentation.wordBreak(_, _)),
+    // asymmetric containment (near-subsumption) pairs (r9)
+    "q_llm_containment"     -> (llm.Dedup.containment(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -418,6 +420,7 @@ object SparkEntry {
     "q_llm_mmr_select"      -> llm.Similarity.mmrSelectOracle,
     "q_src_csv_roundtrip"   -> sources.CsvLines.csvRoundtripOracle,
     "q_llm_vocab_growth"    -> llm.VocabCoverage.vocabGrowthOracle,
-    "q_llm_word_break"      -> llm.Segmentation.wordBreakOracle
+    "q_llm_word_break"      -> llm.Segmentation.wordBreakOracle,
+    "q_llm_containment"     -> llm.Dedup.containmentOracle
   )
 }

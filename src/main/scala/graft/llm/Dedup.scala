@@ -359,7 +359,25 @@ object Dedup {
     * within candidates (the same contract as [[lshDuplicates]], which
     * it must agree with on any pair both generate). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val (cands, shl) = jaccardCandidates(Tables.documents(spark, dir))
+    cands
+      .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("i_ct"),
+        size(array_union(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("u_ct"))
+      .withColumn("jac_ppm", expr("(1000000 * i_ct) DIV u_ct"))
+      .filter(col("jac_ppm") >= JaccardPpmThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+  }
+
+  /** Shared inverted-index candidate generation for the exact-shingle
+    * scorers ([[ngramJaccard]], [[containment]]): df-pruned postings →
+    * same-shingle id-only pairs → MinShared count filter. Returns the
+    * (doc_a < doc_b) candidate frame and the shingle-set frame. */
+  private def jaccardCandidates(docs: DataFrame): (DataFrame, DataFrame) = {
     val shl = shingleSetsShared(docs)
     val postings = shl.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val rare = postings.groupBy(col("sh"))
@@ -373,18 +391,67 @@ object Dedup {
       .agg(count(lit(1)).as("shared_ct"))
       .filter(col("shared_ct") >= MinShared)
       .select(col("doc_a"), col("doc_b"))
+    (cands, shl)
+  }
+
+  /** Containment floor (ppm of the SMALLER doc's shingles inside the
+    * intersection) for a reported subsumption pair. */
+  val ContainmentPpmThreshold = 600000L
+
+  /** Asymmetric containment — near-SUBSUMPTION detection, the case
+    * symmetric Jaccard under-scores: a short doc fully embedded in a
+    * long one has tiny J (union is big) but containment ≈ 1. Reports
+    * candidate pairs where the smaller shingle set is ≥
+    * [[ContainmentPpmThreshold]] inside the intersection, with the
+    * contained side identified — the quote/excerpt/boilerplate-reuse
+    * relation a dedup pass needs beside [[ngramJaccard]].
+    *
+    * Scale shape: identical to [[ngramJaccard]] (same candidate
+    * pipeline, same bounded posting joins) — only the final verify
+    * arithmetic differs. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val (cands, shl) = jaccardCandidates(Tables.documents(spark, dir))
     cands
       .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa.shingles"), col("sb.shingles")))
           .cast("long").as("i_ct"),
-        size(array_union(col("sa.shingles"), col("sb.shingles")))
-          .cast("long").as("u_ct"))
-      .withColumn("jac_ppm", expr("(1000000 * i_ct) DIV u_ct"))
-      .filter(col("jac_ppm") >= JaccardPpmThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+        size(col("sa.shingles")).cast("long").as("size_a"),
+        size(col("sb.shingles")).cast("long").as("size_b"))
+      .withColumn("cont_ppm",
+        expr("(1000000 * i_ct) DIV least(size_a, size_b)"))
+      .filter(col("cont_ppm") >= ContainmentPpmThreshold)
+      .select(col("doc_a"), col("doc_b"),
+        when(col("size_a") <= col("size_b"), col("doc_a"))
+          .otherwise(col("doc_b")).as("contained_doc"),
+        col("cont_ppm"))
   }
+
+  lazy val containmentOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |shl AS (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM toks),
+       |post AS (SELECT doc_id, unnest(shingles) AS sh FROM shl),
+       |rare AS (SELECT sh FROM post GROUP BY sh HAVING count(*) <= $MaxDf),
+       |pr AS (SELECT p.doc_id, p.sh FROM post p JOIN rare r ON p.sh = r.sh),
+       |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2 HAVING count(*) >= $MinShared),
+       |sc AS (SELECT c.doc_a, c.doc_b,
+       |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+       |           AS i_ct,
+       |         CAST(len(sa.shingles) AS BIGINT) AS size_a,
+       |         CAST(len(sb.shingles) AS BIGINT) AS size_b
+       |       FROM cand c
+       |       JOIN shl sa ON c.doc_a = sa.doc_id
+       |       JOIN shl sb ON c.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b,
+       |       CASE WHEN size_a <= size_b THEN doc_a ELSE doc_b END
+       |         AS contained_doc,
+       |       (1000000 * i_ct) // least(size_a, size_b) AS cont_ppm
+       |FROM sc
+       |WHERE (1000000 * i_ct) // least(size_a, size_b)
+       |      >= $ContainmentPpmThreshold""".stripMargin
 
   val ngramJaccardOracle: String =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),

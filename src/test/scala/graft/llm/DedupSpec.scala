@@ -213,4 +213,24 @@ class DedupSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_docs")).as[Long].head()
     assert(total === docs)
   }
+  test("containment dominates Jaccard on every shared pair") {
+    import org.apache.spark.sql.functions._
+    val cont = Dedup.containment(spark, Sf)
+      .select(col("doc_a"), col("doc_b"), col("cont_ppm"), col("contained_doc"))
+      .collect()
+    assert(cont.nonEmpty)
+    cont.foreach { r =>
+      assert(r.getLong(2) >= Dedup.ContainmentPpmThreshold &&
+        r.getLong(2) <= 1000000L)
+      assert(r.getLong(3) === r.getLong(0) || r.getLong(3) === r.getLong(1))
+    }
+    // containment uses min-size in the denominator, Jaccard the union:
+    // for any pair both report, cont_ppm >= jac_ppm
+    val jac = Dedup.ngramJaccard(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val both = cont.flatMap(r =>
+      jac.get((r.getLong(0), r.getLong(1))).map(j => (r.getLong(2), j)))
+    assert(both.nonEmpty, "thresholds overlap on this corpus")
+    both.foreach { case (c, j) => assert(c >= j) }
+  }
 }
