@@ -35,8 +35,12 @@ object Segmentation {
   /** Dictionary budget (top corpus words, freq desc / word asc). */
   val DictSize = 20
 
-  /** Unreachable sentinel for the DP (any real count is < this). */
-  val Big = 1000000L
+  /** Unreachable sentinel for the DP. Far above any real count (dp
+    * values are bounded by the unspaced length, so a fixed 1e6-style
+    * sentinel would collide with legitimately megachar documents);
+    * never incremented (the relaxation guards dp < Big first), so no
+    * overflow on either engine. */
+  val Big = 1L << 60
 
   def wordBreak(spark: SparkSession, dir: String): DataFrame =
     wordBreakOf(Tables.documents(spark, dir))
@@ -106,7 +110,7 @@ object Segmentation {
        |d AS (SELECT list_sort(list(w)) AS dict
        |      FROM (SELECT w FROM vf ORDER BY freq DESC, w LIMIT $DictSize)),
        |n AS (SELECT doc_id,
-       |             array_to_string($toks, '') AS ns
+       |             coalesce(array_to_string($toks, ''), '') AS ns
        |      FROM documents),
        |s AS (SELECT doc_id, ns, ($dp) AS dpv FROM n, d)
        |SELECT doc_id, CAST(length(ns) AS BIGINT) AS ns_len,

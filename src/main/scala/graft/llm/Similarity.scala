@@ -977,7 +977,9 @@ object Similarity {
   def dedupSweepFrom(pairs: DataFrame): DataFrame = {
     import pairs.sparkSession.implicits._
     val tdf = SweepThresholds.toDF("threshold_ppm")
-    val tagged = pairs.localCheckpoint(false)
+    // LAZY localCheckpoint: tagged feeds BOTH rollups below (rule #17);
+    // pairs itself has only this one consumer — no checkpoint there
+    val tagged = pairs
       .crossJoin(broadcast(tdf))
       .filter(col("cos_ppm") >= col("threshold_ppm"))
       .localCheckpoint(false)

@@ -196,7 +196,6 @@ object Sketches {
   def uvSketch(spark: SparkSession, dir: String): DataFrame =
     uvSketchOf(Tables.events(spark, dir))
 
-  /** [[uvSketch]] over any (event_type, user_id) frame. */
   /** The grouped register table alone — the streaming-safe half of
     * [[uvSketchOf]] (groupBy + max runs in update/complete mode; the
     * R/S estimator below needs a batch window). In production the
@@ -206,6 +205,7 @@ object Sketches {
     registersOf(events, Seq("event_type"),
       md5(col("user_id").cast("string")), GroupHllM)
 
+  /** [[uvSketch]] over any (event_type, user_id) frame. */
   def uvSketchOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val regs = uvRegistersOf(events)
@@ -301,7 +301,12 @@ object Sketches {
 
   /** [[cmsSketch]] over any frame with a `text` column. */
   def cmsSketchOf(docs: DataFrame): DataFrame =
-    cmsCellsOf(vocabOf(docs))
+    sketchFromVocab(vocabOf(docs))
+
+  /** The (r, cell) → Σc sketch aggregate off a (w, c) vocabulary —
+    * single construction point for both CMS queries. */
+  private def sketchFromVocab(vocab: DataFrame): DataFrame =
+    cmsCellsOf(vocab)
       .groupBy("r", "cell").agg(sum("c").as("c_cell"))
 
   private def cmsSql(toks: String): String = {
@@ -337,8 +342,7 @@ object Sketches {
     // LAZY localCheckpoint: the vocabulary feeds the sketch AND the
     // top-k candidates — one corpus pass (PLANS.md rule #17)
     val vocab = vocabOf(docs).localCheckpoint(false)
-    val sk = cmsCellsOf(vocab)
-      .groupBy("r", "cell").agg(sum("c").as("c_cell"))
+    val sk = sketchFromVocab(vocab)
     val top = vocab.orderBy(col("c").desc, col("w")).limit(CmsTopK)
     cmsCellsOf(top)
       .join(broadcast(sk), Seq("r", "cell"))
