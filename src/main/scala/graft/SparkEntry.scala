@@ -256,7 +256,9 @@ object SparkEntry {
     // word-break DP (typed partition loop; HOF form is interpreted) (r9)
     "q_llm_word_break"      -> (llm.Segmentation.wordBreak(_, _)),
     // asymmetric containment (near-subsumption) pairs (r9)
-    "q_llm_containment"     -> (llm.Dedup.containment(_, _))
+    "q_llm_containment"     -> (llm.Dedup.containment(_, _)),
+    // schema-evolution read: mergeSchema + generation partition (r9)
+    "q_src_schema_evolution" -> (sources.SchemaEvolution.schemaEvolution(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -421,6 +423,7 @@ object SparkEntry {
     "q_src_csv_roundtrip"   -> sources.CsvLines.csvRoundtripOracle,
     "q_llm_vocab_growth"    -> llm.VocabCoverage.vocabGrowthOracle,
     "q_llm_word_break"      -> llm.Segmentation.wordBreakOracle,
-    "q_llm_containment"     -> llm.Dedup.containmentOracle
+    "q_llm_containment"     -> llm.Dedup.containmentOracle,
+    "q_src_schema_evolution" -> sources.SchemaEvolution.schemaEvolutionOracle
   )
 }
