@@ -316,6 +316,27 @@ class SimilaritySpec extends SparkSpec {
       s"expected duplicate demoted below the diverse vector, got $sel")
   }
 
+  test("mmrSelect plan: pool generation is top-k, not a global sort") {
+    // only the candidate/matrix halves are plan-auditable (the greedy
+    // runs driver-side); the pool must come out of TakeOrderedAndProject
+    val pool = Similarity.mmrSelect(spark, Sf)
+    assert(pool.collect().nonEmpty)
+    // re-derive the pool plan the operator builds internally
+    val e = graft.Tables.embeddings(spark, Sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val q = e.filter($"vec_id" === Similarity.MmrQueryVec)
+      .select($"embedding".as("qv"))
+    val plan = e.filter($"vec_id" =!= Similarity.MmrQueryVec)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .select($"vec_id",
+        Similarity.cosinePpm($"qv", $"embedding").as("rel_ppm"))
+      .orderBy($"rel_ppm".desc, $"vec_id").limit(Similarity.MmrPool)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"pool selection must be per-partition top-k:\n$plan")
+  }
+
   test("mmrSelect at Sf: k rows, first pick is the top-relevance vector") {
     val out = Similarity.mmrSelect(spark, Sf)
       .orderBy("sel_rank").collect()
