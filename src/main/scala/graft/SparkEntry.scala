@@ -258,7 +258,9 @@ object SparkEntry {
     // asymmetric containment (near-subsumption) pairs (r9)
     "q_llm_containment"     -> (llm.Dedup.containment(_, _)),
     // schema-evolution read: mergeSchema + generation partition (r9)
-    "q_src_schema_evolution" -> (sources.SchemaEvolution.schemaEvolution(_, _))
+    "q_src_schema_evolution" -> (sources.SchemaEvolution.schemaEvolution(_, _)),
+    // content-defined chunking: rolling-hash boundaries (r9)
+    "q_llm_cdc_chunks"      -> (llm.Segmentation.cdcChunks(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -424,6 +426,7 @@ object SparkEntry {
     "q_llm_vocab_growth"    -> llm.VocabCoverage.vocabGrowthOracle,
     "q_llm_word_break"      -> llm.Segmentation.wordBreakOracle,
     "q_llm_containment"     -> llm.Dedup.containmentOracle,
-    "q_src_schema_evolution" -> sources.SchemaEvolution.schemaEvolutionOracle
+    "q_src_schema_evolution" -> sources.SchemaEvolution.schemaEvolutionOracle,
+    "q_llm_cdc_chunks"      -> llm.Segmentation.cdcChunksOracle
   )
 }

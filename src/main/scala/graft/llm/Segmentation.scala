@@ -88,6 +88,103 @@ object Segmentation {
       .toDF("doc_id", "ns_len", "seg_ok", "min_words")
   }
 
+  /** Rolling-hash window width for [[cdcChunks]]. */
+  val CdcW = 8
+  /** Polynomial base. 131, NOT the folkloric 31: 31² ≡ 1 (mod 64),
+    * so with a power-of-two divisor the window hash collapses onto
+    * two effective multipliers and boundary density is wildly biased
+    * (measured: an 850-char fixture produced ZERO boundaries).
+    * Largest term: 122·131^7 ≈ 7.6e16 — safe BIGINT on both engines
+    * with no modulus needed. */
+  val CdcB = 131L
+  /** Boundary divisor — prime, coprime to every base power, giving
+    * ~[[CdcD]]-char average chunks at unbiased 1/D density. */
+  val CdcD = 61L
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(spark, dir))
+
+  /** Content-defined chunking — boundaries where the rolling hash of
+    * the last [[CdcW]] characters divides [[CdcD]] — the
+    * storage-dedup chunker (Rabin/FastCDC family): unlike the
+    * fixed-window chunker ([[CorpusOps.chunk]]), an insertion early
+    * in a document shifts only the chunks it touches, so chunk-level
+    * dedup across document revisions keeps working. One row per
+    * chunk: (doc_id, chunk_id, start_pos, chunk_len), 1-based
+    * positions; token-less documents emit no chunks.
+    *
+    * Per-item sequential scan → typed flatMap partition loop (the
+    * [[wordBreak]] HOF lesson); the hash is recomputed per position
+    * (O(len·W), W = 8) to match the oracle's unrolled-term sum
+    * exactly — both engines evaluate the identical integer
+    * polynomial, so boundaries are bit-portable.
+    *
+    * Scale shape (100 TB): zero-shuffle narrow projection; output is
+    * corpus-length / [[CdcD]] rows. */
+  def cdcChunksOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"),
+        concat_ws("", Tokenizer.tokens(col("text"))).as("ns"))
+      .as[(Long, String)]
+      .flatMap { case (id, s) =>
+        val n = s.length
+        val bs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = CdcW
+        while (i <= n) {
+          var h = 0L; var j = 0; var p = 1L
+          while (j < CdcW) {
+            h += s.charAt(i - 1 - j).toLong * p
+            p *= CdcB; j += 1
+          }
+          if (h % CdcD == 0L) bs += i
+          i += 1
+        }
+        val ends = if (n > 0 && (bs.isEmpty || bs.last < n)) bs :+ n else bs
+        var prev = 0
+        ends.iterator.zipWithIndex.map { case (e, k) =>
+          val r = (id, (k + 1).toLong, (prev + 1).toLong, (e - prev).toLong)
+          prev = e
+          r
+        }
+      }
+      .toDF("doc_id", "chunk_id", "start_pos", "chunk_len")
+  }
+
+  lazy val cdcChunksOracle: String = {
+    val toks = OracleSql.toks
+    val hash = (0 until CdcW).map(j =>
+      s"CAST(unicode(substr(ns, CAST(i - $j AS INTEGER), 1)) AS BIGINT) * ${
+        (0 until j).foldLeft(1L)((a, _) => a * CdcB)}")
+      .mkString("(", " + ", ")")
+    s"""WITH n AS (SELECT doc_id,
+       |             coalesce(array_to_string($toks, ''), '') AS ns
+       |           FROM documents),
+       |pos AS (SELECT doc_id, i
+       |        FROM n, LATERAL (SELECT unnest(range($CdcW,
+       |               length(ns) + 1)) AS i) t
+       |        WHERE ($hash) % $CdcD = 0),
+       |b AS (SELECT doc_id, i AS e,
+       |             CAST(row_number() OVER w AS BIGINT) AS k,
+       |             lag(i, 1, 0) OVER w AS p
+       |      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+       |c1 AS (SELECT doc_id, k AS chunk_id,
+       |              CAST(p + 1 AS BIGINT) AS start_pos,
+       |              CAST(e - p AS BIGINT) AS chunk_len
+       |       FROM b),
+       |fin AS (SELECT n.doc_id,
+       |               CAST(coalesce(max(b.k), 0) + 1 AS BIGINT) AS chunk_id,
+       |               CAST(coalesce(max(b.e), 0) + 1 AS BIGINT) AS start_pos,
+       |               CAST(length(n.ns) - coalesce(max(b.e), 0) AS BIGINT)
+       |                 AS chunk_len
+       |        FROM n LEFT JOIN b ON n.doc_id = b.doc_id
+       |        GROUP BY n.doc_id, length(n.ns)
+       |        HAVING length(n.ns) > coalesce(max(b.e), 0))
+       |SELECT doc_id, chunk_id, start_pos, chunk_len FROM c1
+       |UNION ALL
+       |SELECT doc_id, chunk_id, start_pos, chunk_len FROM fin""".stripMargin
+  }
+
   lazy val wordBreakOracle: String = {
     val toks = OracleSql.toks
     // DuckDB list_reduce has no init accumulator and requires

@@ -41,6 +41,47 @@ class SegmentationSpec extends SparkSpec {
     assert(out(100L) === 0L, "sub-budget-frequency word rejected")
   }
 
+  test("cdcChunks: chunks tile each doc exactly and contiguously") {
+    val out = Segmentation.cdcChunks(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 === 1L, "first chunk starts at 1")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 === a._3 + a._4, "chunks are contiguous")
+          assert(b._2 === a._2 + 1L)
+        case _ =>
+      }
+      assert(cs.forall(_._4 > 0L), "no empty chunk")
+    }
+  }
+
+  test("cdcChunks: boundaries resynchronize after an insertion") {
+    // THE content-defined property: prepending text shifts only the
+    // chunks before the first surviving boundary — the fixed-window
+    // chunker would shift every chunk after the edit
+    val base = ("the quick brown fox jumps over the lazy dog and then " +
+      "walks back home across the wide green field at dusk ") * 8
+    val docs = Seq((1L, base), (2L, "inserted prefix words " + base))
+      .toDF("doc_id", "text")
+    val chunks = Segmentation.cdcChunksOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSeq
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSeq
+    // ~850 unspaced chars at 1/64 boundary density: this fixed fixture
+    // chunks multiple times (deterministic — verified once, holds forever)
+    assert(a.length > 2 && b.length > 2,
+      s"fixture must produce several chunks: a=$a b=$b")
+    // the chunk-length sequences share a common suffix once the
+    // rolling window clears the edit (same char suffix → same hashes)
+    val common = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }
+    assert(common.nonEmpty,
+      s"chunk tails must realign after the edit: a=$a b=$b")
+    assert(a != b, "the edit must move at least the leading chunk")
+  }
+
   test("wordBreak at Sf: every doc of only-top-vocab words tiles") {
     val out = Segmentation.wordBreak(spark, Sf)
     val rows = out.collect()
