@@ -33,11 +33,14 @@ object Tables {
     * 2^53 exact range. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The TIMESTAMP_NTZ→TIMESTAMP fallback below is session-TZ-dependent;
-    // pin UTC here so the loader is self-contained for both encodings
-    // (every entry point already runs UTC — this makes it a guarantee,
-    // not an assumption).
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    // The TIMESTAMP_NTZ→TIMESTAMP fallback below is session-TZ-dependent.
+    // FAIL FAST instead of silently mutating session state: a caller
+    // that deliberately runs another TZ would otherwise have every
+    // later timestamp expression in unrelated queries shift under it
+    // (review r9). Every repo entry point pins UTC at session build.
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.events requires spark.sql.session.timeZone=UTC " +
+        "(the TIMESTAMP_NTZ fallback cast is session-TZ-dependent)")
     normalizeTs(read(s, d, "events"))
   }
 

@@ -177,7 +177,15 @@ object Bpe {
 
   /** Train-once memo: the four BPE queries share one learned table
     * per (session, testdata dir) — localCheckpoint pins the final
-    * segmentation, so reuse is safe within the session. */
+    * segmentation, so reuse is safe within the session.
+    *
+    * CONTRACT (review r9): this assumes the testdata under `dir` is
+    * immutable for the JVM's lifetime — the driver's contract (fresh
+    * JVM per run; TempDirs fixtures share the same assumption).
+    * Regenerating testdata inside one long-lived session would serve
+    * stale BPE tables; such a service would key the memo on a data
+    * fingerprint and evict. Size is bounded by the handful of sf
+    * dirs, so the pinned checkpoint blocks are small and few. */
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (Seq[(String, Long)], DataFrame)]
 

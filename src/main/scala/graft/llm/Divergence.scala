@@ -56,8 +56,10 @@ object Divergence {
       .groupBy("source")
       .agg(
         sum(abs(expr("1000000 * c_sw DIV n_s") - col("ppm_w"))).as("a_s"),
-        sum("ppm_w").as("c_s"))
-      .join(broadcast(ns), Seq("source"))
+        sum("ppm_w").as("c_s"),
+        // constant per source (join inputs) — carrying them through
+        // the aggregate drops the second broadcast join (review r9)
+        max("n_s").as("n_s"), max("vocab_s").as("vocab_s"))
       .crossJoin(broadcast(b))
       .select(col("source"), col("n_s").as("n_tokens"),
         col("vocab_s").as("vocab_size"),

@@ -282,9 +282,13 @@ object StreamJobs {
         val s = batch.sparkSession
         import org.apache.spark.sql.expressions.Window
         val hashed = batch.select(col("doc_id"), md5(col("text")).as("h"))
+        // a committed-but-empty batch leaves only _SUCCESS in the state
+        // dir; reading that as parquet throws schema-inference errors,
+        // so the existence test must see actual DATA files
+        val stateFiles = Option(new java.io.File(stateDir).listFiles())
+          .getOrElse(Array.empty)
         val snapshot: DataFrame =
-          if (new java.io.File(stateDir).listFiles() != null &&
-            new java.io.File(stateDir).list().nonEmpty)
+          if (stateFiles.exists(_.getName.endsWith(".parquet")))
             s.read.parquet(stateDir)
           else s.createDataFrame(
             s.sparkContext.emptyRDD[org.apache.spark.sql.Row],

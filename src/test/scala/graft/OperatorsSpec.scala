@@ -74,13 +74,15 @@ class OperatorsSpec extends SparkSpec {
     val events = spark.read.parquet(s"$Sf/events.parquet").count()
     // fixed x2 fan-out: total pv mass is exactly 2x the event count
     assert(hop.map(_.getLong(2)).sum === 2L * events)
-    // adjacent windows overlap: starts step by the slide, and a
-    // window's pv equals the sum of its two half-slot tumbles
+    // adjacent windows genuinely overlap: somewhere in the stream two
+    // consecutive starts differ by EXACTLY one slide (a regression to
+    // every-other-window emission — step 2×slide — fails this; the
+    // old %-slide check was vacuous for grid-aligned starts)
     val starts = hop.map(_.getLong(0)).distinct.sorted
-    assert(starts.sliding(2).forall {
-      case Array(a, b) => (b - a) % dws.VisitorStats.HopSlideSec == 0
-      case _ => true
-    })
+    assert(starts.sliding(2).exists {
+      case Array(a, b) => b - a == dws.VisitorStats.HopSlideSec
+      case _ => false
+    }, s"no slide-adjacent window pair in ${starts.take(10).toSeq}...")
     assert(hop.forall(r => r.getLong(3) <= r.getLong(2)),
       "distinct users never exceed page views")
   }
