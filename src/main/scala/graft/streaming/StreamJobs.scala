@@ -86,7 +86,10 @@ object StreamJobs {
     * reference's Kafka `ods_base_log`). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // same fail-fast TZ contract as Tables.events (normalizeTs's
+    // TIMESTAMP_NTZ fallback is session-TZ-dependent)
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "eventsStream requires spark.sql.session.timeZone=UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file source wants a directory; glob-filter to the events file
     graft.Tables.normalizeTs(
