@@ -259,8 +259,9 @@ object SparkEntry {
     "q_llm_containment"     -> (llm.Dedup.containment(_, _)),
     // schema-evolution read: mergeSchema + generation partition (r9)
     "q_src_schema_evolution" -> (sources.SchemaEvolution.schemaEvolution(_, _)),
-    // content-defined chunking: rolling-hash boundaries (r9)
-    "q_llm_cdc_chunks"      -> (llm.Segmentation.cdcChunks(_, _))
+    // content-defined chunking: rolling-hash boundaries + chunk dedup (r9)
+    "q_llm_cdc_chunks"      -> (llm.Segmentation.cdcChunks(_, _)),
+    "q_llm_cdc_dedup"       -> (llm.Segmentation.cdcDedup(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -427,6 +428,7 @@ object SparkEntry {
     "q_llm_word_break"      -> llm.Segmentation.wordBreakOracle,
     "q_llm_containment"     -> llm.Dedup.containmentOracle,
     "q_src_schema_evolution" -> sources.SchemaEvolution.schemaEvolutionOracle,
-    "q_llm_cdc_chunks"      -> llm.Segmentation.cdcChunksOracle
+    "q_llm_cdc_chunks"      -> llm.Segmentation.cdcChunksOracle,
+    "q_llm_cdc_dedup"       -> llm.Segmentation.cdcDedupOracle
   )
 }

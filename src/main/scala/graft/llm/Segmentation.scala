@@ -128,36 +128,23 @@ object Segmentation {
         concat_ws("", Tokenizer.tokens(col("text"))).as("ns"))
       .as[(Long, String)]
       .flatMap { case (id, s) =>
-        val n = s.length
-        val bs = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var i = CdcW
-        while (i <= n) {
-          var h = 0L; var j = 0; var p = 1L
-          while (j < CdcW) {
-            h += s.charAt(i - 1 - j).toLong * p
-            p *= CdcB; j += 1
-          }
-          if (h % CdcD == 0L) bs += i
-          i += 1
-        }
-        val ends = if (n > 0 && (bs.isEmpty || bs.last < n)) bs :+ n else bs
-        var prev = 0
-        ends.iterator.zipWithIndex.map { case (e, k) =>
-          val r = (id, (k + 1).toLong, (prev + 1).toLong, (e - prev).toLong)
-          prev = e
-          r
+        cdcEnds(s).zipWithIndex.map { case ((st, en), k) =>
+          (id, (k + 1).toLong, (st + 1).toLong, (en - st).toLong)
         }
       }
       .toDF("doc_id", "chunk_id", "start_pos", "chunk_len")
   }
 
-  lazy val cdcChunksOracle: String = {
+  /** Shared oracle prefix: the (doc_id, chunk_id, start_pos,
+    * chunk_len) chunk table plus the unspaced-text CTE `n`, reused by
+    * both CDC queries. */
+  private lazy val cdcCoreSql: String = {
     val toks = OracleSql.toks
     val hash = (0 until CdcW).map(j =>
       s"CAST(unicode(substr(ns, CAST(i - $j AS INTEGER), 1)) AS BIGINT) * ${
         (0 until j).foldLeft(1L)((a, _) => a * CdcB)}")
       .mkString("(", " + ", ")")
-    s"""WITH n AS (SELECT doc_id,
+    s"""n AS (SELECT doc_id,
        |             coalesce(array_to_string($toks, ''), '') AS ns
        |           FROM documents),
        |pos AS (SELECT doc_id, i
@@ -179,11 +166,87 @@ object Segmentation {
        |                 AS chunk_len
        |        FROM n LEFT JOIN b ON n.doc_id = b.doc_id
        |        GROUP BY n.doc_id, length(n.ns)
-       |        HAVING length(n.ns) > coalesce(max(b.e), 0))
-       |SELECT doc_id, chunk_id, start_pos, chunk_len FROM c1
-       |UNION ALL
-       |SELECT doc_id, chunk_id, start_pos, chunk_len FROM fin""".stripMargin
+       |        HAVING length(n.ns) > coalesce(max(b.e), 0)),
+       |ch AS (SELECT doc_id, chunk_id, start_pos, chunk_len FROM c1
+       |       UNION ALL
+       |       SELECT doc_id, chunk_id, start_pos, chunk_len FROM fin)"""
+      .stripMargin
   }
+
+  lazy val cdcChunksOracle: String =
+    s"""WITH $cdcCoreSql
+       |SELECT doc_id, chunk_id, start_pos, chunk_len FROM ch""".stripMargin
+
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcDedupOf(Tables.documents(spark, dir))
+
+  /** Chunk-level dedup report — the payoff of content-defined
+    * boundaries: shared passages across documents (revisions,
+    * mirrors, boilerplate reuse) land in IDENTICAL chunks, so a
+    * corpus-wide rollup of chunk-content hashes measures how much of
+    * the corpus is chunk-duplicated. One row: total chunks, distinct
+    * chunk contents, and the dup share in ppm.
+    *
+    * The chunk MD5 is computed inside the same partition loop (Java
+    * MessageDigest over UTF-8 = the md5() of both engines); the
+    * rollup is one map-side-combined distinct over the fixed-width
+    * hash — the exact-dedup shape, at chunk grain.
+    *
+    * Scale shape (100 TB): this is how storage-level dedup actually
+    * runs — chunk, hash, count distinct; cost is one scan plus an
+    * exchange of 16-byte keys bounded by corpus-length/[[CdcD]]. */
+  def cdcDedupOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val hashes = docs
+      .select(col("doc_id"),
+        concat_ws("", Tokenizer.tokens(col("text"))).as("ns"))
+      .as[(Long, String)]
+      .flatMap { case (_, s) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        cdcEnds(s).map { case (st, en) =>
+          md.reset()
+          md.digest(s.substring(st, en).getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+        }
+      }
+      .toDF("h")
+    hashes.agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_unique"))
+      .select(col("n_chunks"), col("n_unique"),
+        expr("1000000 * (n_chunks - n_unique) DIV n_chunks").as("dup_ppm"))
+  }
+
+  /** Chunk (start, end) 0-based exclusive spans of an unspaced
+    * string — the single boundary-scan shared by [[cdcChunksOf]] and
+    * [[cdcDedupOf]]. */
+  private def cdcEnds(s: String): Seq[(Int, Int)] = {
+    val n = s.length
+    val bs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = CdcW
+    while (i <= n) {
+      var h = 0L; var j = 0; var p = 1L
+      while (j < CdcW) {
+        h += s.charAt(i - 1 - j).toLong * p
+        p *= CdcB; j += 1
+      }
+      if (h % CdcD == 0L) bs += i
+      i += 1
+    }
+    val ends = if (n > 0 && (bs.isEmpty || bs.last < n)) bs :+ n else bs
+    var prev = 0
+    ends.toSeq.map { e => val r = (prev, e); prev = e; r }
+  }
+
+  lazy val cdcDedupOracle: String =
+    s"""WITH $cdcCoreSql,
+       |hs AS (SELECT md5(substr(n.ns, CAST(ch.start_pos AS INTEGER),
+       |                         CAST(ch.chunk_len AS INTEGER))) AS h
+       |       FROM ch JOIN n ON ch.doc_id = n.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+       |       CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+       |       CAST(1000000 * (count(*) - count(DISTINCT h)) // count(*)
+       |            AS BIGINT) AS dup_ppm
+       |FROM hs""".stripMargin
 
   lazy val wordBreakOracle: String = {
     val toks = OracleSql.toks
