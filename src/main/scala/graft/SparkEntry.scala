@@ -261,7 +261,9 @@ object SparkEntry {
     "q_src_schema_evolution" -> (sources.SchemaEvolution.schemaEvolution(_, _)),
     // content-defined chunking: rolling-hash boundaries + chunk dedup (r9)
     "q_llm_cdc_chunks"      -> (llm.Segmentation.cdcChunks(_, _)),
-    "q_llm_cdc_dedup"       -> (llm.Segmentation.cdcDedup(_, _))
+    "q_llm_cdc_dedup"       -> (llm.Segmentation.cdcDedup(_, _)),
+    // sorted-neighborhood blocking (third candidate family) (r9)
+    "q_llm_sorted_neighbor" -> (llm.Dedup.sortedNeighborDups(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -429,6 +431,7 @@ object SparkEntry {
     "q_llm_containment"     -> llm.Dedup.containmentOracle,
     "q_src_schema_evolution" -> sources.SchemaEvolution.schemaEvolutionOracle,
     "q_llm_cdc_chunks"      -> llm.Segmentation.cdcChunksOracle,
-    "q_llm_cdc_dedup"       -> llm.Segmentation.cdcDedupOracle
+    "q_llm_cdc_dedup"       -> llm.Segmentation.cdcDedupOracle,
+    "q_llm_sorted_neighbor" -> llm.Dedup.sortedNeighborDupsOracle
   )
 }

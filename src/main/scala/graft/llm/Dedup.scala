@@ -394,6 +394,98 @@ object Dedup {
     (cands, shl)
   }
 
+  /** Sorted-neighborhood sort-key width (unspaced-text prefix). */
+  val SnKeyLen = 32
+  /** Neighborhood window: pairs within this rank distance compare. */
+  val SnWindow = 4L
+
+  /** Sorted-neighborhood dedup (Hernández & Stolfo's merge/purge) —
+    * the third blocking family beside LSH bands ([[lshDuplicates]])
+    * and inverted-index candidates ([[ngramJaccard]]): sort the
+    * corpus by a key (here the [[SnKeyLen]]-char unspaced prefix),
+    * compare only documents within [[SnWindow]] ranks, verify with
+    * exact Jaccard. Catches the near-identical-prefix class (mirrors,
+    * recrawls, head-edited revisions) with a candidate count of
+    * n·window — no quadratic blowup, no banding tuning.
+    *
+    * Scale shape (100 TB): ONE global sort by the key (inherent to
+    * the method — this is the sortBy exchange), ranks assigned by
+    * partition-offset indexing (`zipWithIndex`: a count job + local
+    * increments; the values depend only on the total (key, doc_id)
+    * order, so they are deterministic regardless of partition
+    * boundaries). The window join is an EQUIJOIN on rank-buckets
+    * (each left row probes its own and the next bucket — a 2× fanout,
+    * never a non-equi nested loop), and the Jaccard verify runs only
+    * on window pairs. */
+  def sortedNeighborDups(spark: SparkSession, dir: String): DataFrame =
+    sortedNeighborDupsOf(Tables.documents(spark, dir))
+
+  /** [[sortedNeighborDups]] over any (doc_id, text) frame. */
+  def sortedNeighborDupsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val shl = shingleSetsShared(docs)
+    val keyed = docs.select(col("doc_id"),
+      substring(concat_ws("", Tokenizer.tokens(col("text"))), 1, SnKeyLen)
+        .as("k"))
+    val ranked = keyed.as[(Long, String)].rdd
+      .map { case (id, k) => (k, id) }
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case ((_, id), r) => (id, r) }
+      .toDF("doc_id", "rank")
+      .withColumn("b", expr(s"rank DIV $SnWindow"))
+      .localCheckpoint(false)
+    val probes = ranked.select(col("doc_id"), col("rank"),
+      explode(array(col("b"), col("b") + 1L)).as("jb"))
+    val cands = probes.as("x")
+      .join(ranked.withColumnRenamed("b", "jb").as("y"), Seq("jb"))
+      .filter(col("y.rank") > col("x.rank") &&
+        col("y.rank") <= col("x.rank") + SnWindow)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    cands
+      .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("i_ct"),
+        size(array_union(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("u_ct"))
+      .filter(col("u_ct") > 0)
+      .withColumn("jac_ppm", expr("(1000000 * i_ct) DIV u_ct"))
+      .filter(col("jac_ppm") >= JaccardPpmThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+  }
+
+  lazy val sortedNeighborDupsOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |shl AS (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM toks),
+       |kk AS (SELECT doc_id,
+       |              substr(coalesce(array_to_string(toks, ''), ''), 1,
+       |                     $SnKeyLen) AS k
+       |       FROM toks),
+       |r AS (SELECT doc_id,
+       |             CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT)
+       |               AS rank
+       |      FROM kk),
+       |p AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+       |             greatest(a.doc_id, b.doc_id) AS doc_b
+       |      FROM r a JOIN r b
+       |        ON b.rank > a.rank AND b.rank <= a.rank + $SnWindow),
+       |jac AS (SELECT p.doc_a, p.doc_b,
+       |          CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+       |            AS i_ct,
+       |          CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+       |            AS BIGINT) AS u_ct
+       |        FROM p
+       |        JOIN shl sa ON p.doc_a = sa.doc_id
+       |        JOIN shl sb ON p.doc_b = sb.doc_id
+       |        WHERE len(list_distinct(
+       |                list_concat(sa.shingles, sb.shingles))) > 0)
+       |SELECT doc_a, doc_b, (1000000 * i_ct) // u_ct AS jac_ppm
+       |FROM jac WHERE (1000000 * i_ct) // u_ct >= $JaccardPpmThreshold"""
+      .stripMargin
+
   /** Containment floor (ppm of the SMALLER doc's shingles inside the
     * intersection) for a reported subsumption pair. */
   val ContainmentPpmThreshold = 600000L

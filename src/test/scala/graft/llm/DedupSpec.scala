@@ -233,4 +233,39 @@ class DedupSpec extends SparkSpec {
     assert(both.nonEmpty, "thresholds overlap on this corpus")
     both.foreach { case (c, j) => assert(c >= j) }
   }
+  test("sortedNeighbor: adjacent-prefix dups found, agreement with LSH") {
+    import spark.implicits._
+    // two docs sharing the 32-char prefix sort adjacent and verify;
+    // the same text moved AFTER a long differing prefix sorts far
+    // away — the method's documented blind spot (LSH covers it)
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
+      "omega alef bet gimel dalet he vav"  // 30 tokens: J = 28/32 > 0.8
+    val far = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, body + " one extra"),
+      (2L, body + " two extra"),
+      (3L, far + " " + body)) // same body, alien prefix
+      .toDF("doc_id", "text")
+    val out = Dedup.sortedNeighborDupsOf(docs)
+      .as[(Long, Long, Long)].collect()
+    assert(out.exists(r => r._1 == 1L && r._2 == 2L),
+      s"prefix-adjacent near-dup must be found: ${out.toSeq}")
+    assert(!out.exists(r => r._2 == 3L || r._1 == 3L),
+      "prefix-shifted dup is out of the window (LSH family covers it)")
+
+    // cross-family agreement at Sf: any pair BOTH blockers emit
+    // carries the identical exact-Jaccard verdict
+    val sn = Dedup.sortedNeighborDups(spark, Sf)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Dedup.lshDuplicates(spark, Sf)
+      .select("doc_a", "doc_b", "jac_ppm")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val shared = sn.keySet intersect lsh.keySet
+    assert(shared.nonEmpty, "the blockers overlap on this corpus")
+    shared.foreach(k => assert(sn(k) === lsh(k),
+      s"same pair, same exact Jaccard: $k"))
+  }
 }
