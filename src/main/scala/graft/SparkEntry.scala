@@ -263,7 +263,9 @@ object SparkEntry {
     "q_llm_cdc_chunks"      -> (llm.Segmentation.cdcChunks(_, _)),
     "q_llm_cdc_dedup"       -> (llm.Segmentation.cdcDedup(_, _)),
     // sorted-neighborhood blocking (third candidate family) (r9)
-    "q_llm_sorted_neighbor" -> (llm.Dedup.sortedNeighborDups(_, _))
+    "q_llm_sorted_neighbor" -> (llm.Dedup.sortedNeighborDups(_, _)),
+    // join-key skew diagnostic feeding the salting decision (r9)
+    "q_ads_skew_report"     -> (func.Skew.skewReport(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -432,6 +434,7 @@ object SparkEntry {
     "q_src_schema_evolution" -> sources.SchemaEvolution.schemaEvolutionOracle,
     "q_llm_cdc_chunks"      -> llm.Segmentation.cdcChunksOracle,
     "q_llm_cdc_dedup"       -> llm.Segmentation.cdcDedupOracle,
-    "q_llm_sorted_neighbor" -> llm.Dedup.sortedNeighborDupsOracle
+    "q_llm_sorted_neighbor" -> llm.Dedup.sortedNeighborDupsOracle,
+    "q_ads_skew_report"     -> func.Skew.skewReportOracle
   )
 }

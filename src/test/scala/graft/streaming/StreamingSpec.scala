@@ -349,6 +349,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("streamed CDC chunking matches the batch chunker") {
+    // the boundary scan is per-row (stateless flatMap) — it runs on
+    // the documents file stream unchanged, ingest-time chunking
+    val q = graft.llm.Segmentation
+      .cdcChunksOf(StreamJobs.documentsStream(spark, Sf))
+      .writeStream.format("memory").queryName("cdc_stream_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cdc_stream_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.llm.Segmentation.cdcChunks(spark, Sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("streaming grouped HLL registers match the batch register table") {
     // the per-key register store is the streaming UV state a 100 TB
     // job keeps instead of exact per-key sets; complete mode over the
