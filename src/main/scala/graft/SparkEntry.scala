@@ -265,7 +265,9 @@ object SparkEntry {
     // sorted-neighborhood blocking (third candidate family) (r9)
     "q_llm_sorted_neighbor" -> (llm.Dedup.sortedNeighborDups(_, _)),
     // join-key skew diagnostic feeding the salting decision (r9)
-    "q_ads_skew_report"     -> (func.Skew.skewReport(_, _))
+    "q_ads_skew_report"     -> (func.Skew.skewReport(_, _)),
+    // Z-order layout stats: multi-column data-skipping envelopes (r9)
+    "q_ads_zorder_stats"    -> (func.ZOrder.zorderStats(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -435,6 +437,7 @@ object SparkEntry {
     "q_llm_cdc_chunks"      -> llm.Segmentation.cdcChunksOracle,
     "q_llm_cdc_dedup"       -> llm.Segmentation.cdcDedupOracle,
     "q_llm_sorted_neighbor" -> llm.Dedup.sortedNeighborDupsOracle,
-    "q_ads_skew_report"     -> func.Skew.skewReportOracle
+    "q_ads_skew_report"     -> func.Skew.skewReportOracle,
+    "q_ads_zorder_stats"    -> func.ZOrder.zorderStatsOracle
   )
 }
