@@ -267,7 +267,9 @@ object SparkEntry {
     // join-key skew diagnostic feeding the salting decision (r9)
     "q_ads_skew_report"     -> (func.Skew.skewReport(_, _)),
     // Z-order layout stats: multi-column data-skipping envelopes (r9)
-    "q_ads_zorder_stats"    -> (func.ZOrder.zorderStats(_, _))
+    "q_ads_zorder_stats"    -> (func.ZOrder.zorderStats(_, _)),
+    // perceptual-hash near-dup over binary payloads (r9)
+    "q_llm_media_phash"     -> (llm.Multimodal.phashDups(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -438,6 +440,7 @@ object SparkEntry {
     "q_llm_cdc_dedup"       -> llm.Segmentation.cdcDedupOracle,
     "q_llm_sorted_neighbor" -> llm.Dedup.sortedNeighborDupsOracle,
     "q_ads_skew_report"     -> func.Skew.skewReportOracle,
-    "q_ads_zorder_stats"    -> func.ZOrder.zorderStatsOracle
+    "q_ads_zorder_stats"    -> func.ZOrder.zorderStatsOracle,
+    "q_llm_media_phash"     -> llm.Multimodal.phashDupsOracle
   )
 }

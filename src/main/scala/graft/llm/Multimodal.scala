@@ -193,6 +193,99 @@ object Multimodal {
 
   /** The oracle replays the stub's md5 arithmetic on the text bytes
     * (hex-nibble pairs = digest bytes; ASCII text ⇒ blob == text). */
+  /** aHash cells (bits of the perceptual hash). */
+  val PhCells = 32
+  /** Band layout over the 32-bit hash: 4 bands × 8 bits — pairs with
+    * hamming ≤ [[PhMaxHamming]] = 3 share ≥ 1 intact band. */
+  val PhBands = 4
+  /** Reported pairs must be within this hamming distance (exact,
+    * verified on the full hash after band blocking). */
+  val PhMaxHamming = 3
+
+  /** Perceptual-hash near-duplicates over the BINARY payload — the
+    * modality-agnostic average-hash (aHash) device: sample
+    * [[PhCells]] evenly-spaced payload bytes, set bit k when cell k
+    * exceeds the cell mean (32·c_k > Σc — no division), then find
+    * close pairs with the SimHash band machinery and verify exact
+    * hamming ≤ [[PhMaxHamming]]. On real media the cells would be
+    * decoded luma averages (the decodeStub swap point); the banding,
+    * verify, and scale shape are identical.
+    *
+    * Spark side computes the hash in a typed partition loop — the
+    * 32-cell × 33-term expression form is janino-hostile (the
+    * signBits lesson, Similarity.scala:854); the oracle evaluates
+    * the identical integer arithmetic from the text bytes (blob =
+    * UTF-8(text) in this fixture, single-byte chars).
+    *
+    * Scale shape (100 TB of media): hash = narrow scan; band join
+    * buckets candidates (never all-pairs); verify carries two
+    * BIGINTs per pair. */
+  def phashDups(spark: SparkSession, dir: String): DataFrame =
+    phashDupsOf(mediaTable(spark, dir))
+
+  /** [[phashDups]] over any (doc_id, format, blob) frame. */
+  def phashDupsOf(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    val ph = media.select(col("doc_id"), col("format"), col("blob"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, _, b) =>
+        if (b.isEmpty) (id, -1L)
+        else {
+          val cells = Array.tabulate(PhCells)(k =>
+            (b((k * b.length) / PhCells) & 0xff).toLong)
+          val s = cells.sum
+          var h = 0L
+          var k = 0
+          while (k < PhCells) {
+            if (PhCells * cells(k) > s) h |= 1L << k
+            k += 1
+          }
+          (id, h)
+        }
+      })
+      .toDF("doc_id", "ph")
+      .filter(col("ph") =!= -1L) // empty payloads carry no hash
+      .localCheckpoint(false) // feeds the band join twice + the verify
+    val bandW = 32 / PhBands
+    val bands = ph.select(col("doc_id"), col("ph"),
+      posexplode(array((0 until PhBands).map(j =>
+        shiftright(col("ph"), bandW * j).bitwiseAND((1 << bandW) - 1)): _*))
+        .as(Seq("band", "v")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ph").as("pa"), col("b.ph").as("pb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(pa ^ pb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= PhMaxHamming)
+  }
+
+  lazy val phashDupsOracle: String = {
+    def cell(k: Int): String =
+      s"CAST(unicode(substr(text, CAST(($k * ln) // $PhCells + 1 AS INTEGER)," +
+        s" 1)) AS BIGINT)"
+    val csum = (0 until PhCells).map(cell).mkString("(", " + ", ")")
+    val phash = (0 until PhCells).map(k =>
+      s"(CASE WHEN $PhCells * ${cell(k)} > $csum THEN ${1L << k} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val bandW = 32 / PhBands
+    s"""WITH t AS (SELECT doc_id, text, strlen(text) AS ln
+       |           FROM documents WHERE strlen(text) > 0),
+       |p AS MATERIALIZED (SELECT doc_id, $phash AS ph FROM t),
+       |bands AS (SELECT doc_id, ph, j,
+       |                 (ph >> ($bandW * j)) & ${(1 << bandW) - 1} AS v
+       |          FROM p, (SELECT unnest(range(0, $PhBands)) AS j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.ph AS pa, b.ph AS pb
+       |         FROM bands a JOIN bands b
+       |           ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= $PhMaxHamming""".stripMargin
+  }
+
   val metaOracle: String = {
     def byteSql(i: Int): String =
       s"((instr('0123456789abcdef', m[${2 * i + 1}]) - 1) * 16 + instr('0123456789abcdef', m[${2 * i + 2}]) - 1)"

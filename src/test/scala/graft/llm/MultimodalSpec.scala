@@ -47,4 +47,21 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.select("format").distinct().as[String].collect().toSet ==
       Set("png", "jpeg", "wav"))
   }
+  test("phashDups: identical payloads pair at hamming 0; alien absent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy sleeping dog again"
+    val media = Seq(
+      (1L, "png", base.getBytes("UTF-8")),
+      (2L, "png", base.getBytes("UTF-8")),        // exact copy
+      (3L, "png", ("zzz 999 " * 12).getBytes("UTF-8")), // alien bytes
+      (4L, "png", Array.empty[Byte]))              // empty: no hash
+      .toDF("doc_id", "format", "blob")
+    val out = Multimodal.phashDupsOf(media)
+      .as[(Long, Long, Long)].collect()
+    assert(out.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0L),
+      s"identical payloads must pair at hamming 0: ${out.toSeq}")
+    assert(!out.exists(r => r._1 == 4L || r._2 == 4L),
+      "empty payload carries no hash")
+  }
 }
