@@ -269,7 +269,9 @@ object SparkEntry {
     // Z-order layout stats: multi-column data-skipping envelopes (r9)
     "q_ads_zorder_stats"    -> (func.ZOrder.zorderStats(_, _)),
     // perceptual-hash near-dup over binary payloads (r9)
-    "q_llm_media_phash"     -> (llm.Multimodal.phashDups(_, _))
+    "q_llm_media_phash"     -> (llm.Multimodal.phashDups(_, _)),
+    // language-ID confusion matrix: the classifier eval harness (r9)
+    "q_llm_langid_eval"     -> (llm.TextAnalysis.langIdEval(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -441,6 +443,7 @@ object SparkEntry {
     "q_llm_sorted_neighbor" -> llm.Dedup.sortedNeighborDupsOracle,
     "q_ads_skew_report"     -> func.Skew.skewReportOracle,
     "q_ads_zorder_stats"    -> func.ZOrder.zorderStatsOracle,
-    "q_llm_media_phash"     -> llm.Multimodal.phashDupsOracle
+    "q_llm_media_phash"     -> llm.Multimodal.phashDupsOracle,
+    "q_llm_langid_eval"     -> llm.TextAnalysis.langIdEvalOracle
   )
 }

@@ -83,6 +83,38 @@ object TextAnalysis {
        |FROM m""".stripMargin
   }
 
+  /** Language-ID confusion matrix — the evaluation artifact for
+    * [[langId]]: one row per (labeled, predicted) pair with the doc
+    * count and the cell's recall share of its labeled row in ppm.
+    * This is the harness view a classifier swap is judged by: which
+    * languages leak into which, and the per-label recall on the
+    * diagonal.
+    *
+    * Scale shape: rides the zero-shuffle scorer; the matrix is ONE
+    * map-side-combined aggregate bounded by |langs|·(|langs|+1)
+    * cells; the row-total window runs over that tiny frame. */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame =
+    langIdEvalOf(Tables.documents(spark, dir))
+
+  /** [[langIdEval]] over any (doc_id, text, lang) frame. */
+  def langIdEvalOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langIdOf(docs)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("recall_ppm",
+        expr("1000000 * n_docs DIV " +
+          "sum(n_docs) OVER (PARTITION BY lang)"))
+  }
+
+  lazy val langIdEvalOracle: String =
+    s"""WITH base AS ($langIdOracle)
+       |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(1000000 * count(*) //
+       |            sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+       |         AS recall_ppm
+       |FROM base GROUP BY 1, 2""".stripMargin
+
   /** Quality score: stopword ratio, mean token length, and a composite
     * — all ppm integers. The shape every corpus-filtering pass needs:
     * per-doc, embarrassingly parallel. */

@@ -92,4 +92,18 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
+  test("langIdEval: rows partition labels; recall sums to 1e6 per label") {
+    val out = TextAnalysis.langIdEval(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, Sf).count()
+    assert(out.map(_._2._1).sum === docs, "matrix covers every doc once")
+    out.groupBy(_._1._1).foreach { case (lang, cells) =>
+      val total = cells.map(_._2._2).sum
+      // floor division: Σ recall_ppm ∈ (1e6 − |cells|, 1e6]
+      assert(total <= 1000000L && total > 1000000L - cells.length,
+        s"$lang recalls sum to ~1e6: $total")
+    }
+  }
 }
