@@ -271,7 +271,9 @@ object SparkEntry {
     // perceptual-hash near-dup over binary payloads (r9)
     "q_llm_media_phash"     -> (llm.Multimodal.phashDups(_, _)),
     // language-ID confusion matrix: the classifier eval harness (r9)
-    "q_llm_langid_eval"     -> (llm.TextAnalysis.langIdEval(_, _))
+    "q_llm_langid_eval"     -> (llm.TextAnalysis.langIdEval(_, _)),
+    // model-vs-heuristic quality agreement (filter-swap diagnostic) (r9)
+    "q_llm_quality_agreement" -> (llm.QualityModel.qualityAgreement(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -444,6 +446,7 @@ object SparkEntry {
     "q_ads_skew_report"     -> func.Skew.skewReportOracle,
     "q_ads_zorder_stats"    -> func.ZOrder.zorderStatsOracle,
     "q_llm_media_phash"     -> llm.Multimodal.phashDupsOracle,
-    "q_llm_langid_eval"     -> llm.TextAnalysis.langIdEvalOracle
+    "q_llm_langid_eval"     -> llm.TextAnalysis.langIdEvalOracle,
+    "q_llm_quality_agreement" -> llm.QualityModel.qualityAgreementOracle
   )
 }

@@ -62,6 +62,58 @@ object QualityModel {
           lit(0L)).as("score"))
       .withColumn("pred", when(col("score") >= 0L, 1L).otherwise(0L))
 
+  /** Quality bands for the agreement matrix (clamped fifths of the
+    * heuristic composite's ppm scale; −1 = undefined/zero-token). */
+  val AgreementBands = 5L
+
+  /** Model-vs-heuristic agreement matrix — the filter-swap diagnostic:
+    * cross the hashed-feature model's keep/drop verdict with the
+    * heuristic composite's quality band and report cell counts plus
+    * the model keep-rate within each band (window over the bounded
+    * matrix). A model worth swapping in agrees with the heuristic at
+    * the extremes and adds signal in the middle — this is the table
+    * that shows whether it does.
+    *
+    * Scale shape: both scorers are zero-shuffle projections over the
+    * same scan; the join is doc_id-keyed and the matrix bounded by
+    * 2·([[AgreementBands]]+1) cells. */
+  def qualityAgreement(spark: SparkSession, dir: String): DataFrame =
+    qualityAgreementOf(Tables.documents(spark, dir))
+
+  /** [[qualityAgreement]] over any (doc_id, lang, text) frame. */
+  def qualityAgreementOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val heur = TextAnalysis.qualityOf(docs)
+      .select(col("doc_id"),
+        when(col("quality_ppm").isNull, lit(-1L))
+          .otherwise(least(expr(s"quality_ppm * $AgreementBands DIV 1000000"),
+            lit(AgreementBands - 1))).as("band"))
+    scoreOf(docs).select(col("doc_id"), col("pred"))
+      .join(heur, Seq("doc_id"))
+      .groupBy("band", "pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("band_keep_ppm",
+        expr("1000000 * sum(CASE WHEN pred = 1 THEN n_docs ELSE 0 END) " +
+          "OVER (PARTITION BY band) DIV sum(n_docs) OVER (PARTITION BY band)"))
+  }
+
+  lazy val qualityAgreementOracle: String =
+    s"""WITH ${TextAnalysis.qualityCtesSql(withLang = false, nonEmptyOnly = false)},
+       |hb AS (SELECT doc_id,
+       |         CASE WHEN quality_ppm IS NULL THEN -1
+       |              ELSE least(quality_ppm * $AgreementBands // 1000000,
+       |                         ${AgreementBands - 1}) END AS band
+       |       FROM q),
+       |md AS (SELECT doc_id, pred FROM ($scoreOracle) m),
+       |cells AS (SELECT band, pred, CAST(count(*) AS BIGINT) AS n_docs
+       |          FROM hb JOIN md USING (doc_id) GROUP BY 1, 2)
+       |SELECT CAST(band AS BIGINT) AS band, pred, n_docs,
+       |       CAST(1000000 * sum(CASE WHEN pred = 1 THEN n_docs ELSE 0 END)
+       |              OVER (PARTITION BY band)
+       |            // sum(n_docs) OVER (PARTITION BY band) AS BIGINT)
+       |         AS band_keep_ppm
+       |FROM cells""".stripMargin
+
   lazy val scoreOracle: String = {
     val toks = OracleSql.toks
     val bucket = s"(${OracleSql.hexNibbles("md5(w)", 4)}) % $Buckets"

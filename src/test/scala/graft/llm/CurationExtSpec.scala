@@ -165,4 +165,20 @@ class CurationExtSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"upsampling must not shuffle:\n$plan")
   }
+  test("qualityAgreement: cells partition the corpus; keep-rate bounded") {
+    val out = QualityModel.qualityAgreement(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, Sf).count()
+    assert(out.map(_.getLong(2)).sum === docs, "every doc in one cell")
+    out.foreach { r =>
+      assert(r.getLong(0) >= -1L &&
+        r.getLong(0) < QualityModel.AgreementBands)
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+    // within a band, every cell reports the same keep-rate (it is a
+    // band-level statistic riding the cell rows)
+    out.groupBy(_.getLong(0)).foreach { case (_, cells) =>
+      assert(cells.map(_.getLong(3)).distinct.length === 1)
+    }
+  }
 }
