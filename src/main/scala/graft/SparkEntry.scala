@@ -273,7 +273,9 @@ object SparkEntry {
     // language-ID confusion matrix: the classifier eval harness (r9)
     "q_llm_langid_eval"     -> (llm.TextAnalysis.langIdEval(_, _)),
     // model-vs-heuristic quality agreement (filter-swap diagnostic) (r9)
-    "q_llm_quality_agreement" -> (llm.QualityModel.qualityAgreement(_, _))
+    "q_llm_quality_agreement" -> (llm.QualityModel.qualityAgreement(_, _)),
+    // CUBE grouping sets: the column-marginal rollup cannot express (r9)
+    "q_ads_gmv_cube"        -> (ads.Rollups.gmvCube(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -447,6 +449,7 @@ object SparkEntry {
     "q_ads_zorder_stats"    -> func.ZOrder.zorderStatsOracle,
     "q_llm_media_phash"     -> llm.Multimodal.phashDupsOracle,
     "q_llm_langid_eval"     -> llm.TextAnalysis.langIdEvalOracle,
-    "q_llm_quality_agreement" -> llm.QualityModel.qualityAgreementOracle
+    "q_llm_quality_agreement" -> llm.QualityModel.qualityAgreementOracle,
+    "q_ads_gmv_cube"        -> ads.Rollups.gmvCubeOracle
   )
 }

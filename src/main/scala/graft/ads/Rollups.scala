@@ -87,6 +87,31 @@ object Rollups {
       |       CAST(count(*) AS BIGINT) AS n_orders
       |FROM orders GROUP BY ROLLUP(yr, mo)""".stripMargin
 
+  /** CUBE companion to [[gmvRollup]]: ALL four grouping sets over
+    * (year, order-priority) — rollup's hierarchy plus the
+    * column-marginal (priority totals across years) that a rollup
+    * cannot express. Same single-pass Expand + grouping_id plan; the
+    * fan-out is 2^dims rows per input row before map-side combine,
+    * which is why dims stay few and low-cardinality at 100 TB. */
+  def gmvCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority").as("prio"),
+        cents(col("o_totalprice")).as("c"))
+      .cube("yr", "prio")
+      .agg(sum("c").as("gmv_cents"), count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+      .select("yr", "prio", "gid", "gmv_cents", "n_orders")
+
+  lazy val gmvCubeOracle: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |       o_orderpriority AS prio,
+      |       CAST(GROUPING_ID(CAST(year(o_orderdate) AS BIGINT),
+      |                        o_orderpriority) AS BIGINT) AS gid,
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS gmv_cents,
+      |       CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY CUBE(yr, prio)""".stripMargin
+
   /** Calendar-aware trailing-7-day GMV average (integer cents): the
     * RANGE frame is over epoch-day numbers, so a 3-day gap leaves a
     * 4-day window — `ROWS BETWEEN 6 PRECEDING` would silently span

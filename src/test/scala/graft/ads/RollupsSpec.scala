@@ -65,4 +65,20 @@ class RollupsSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(c_mktsegment"),
       s"median window must be segment-keyed:\n$plan")
   }
+  test("gmvCube: all four grouping sets, marginals consistent") {
+    import org.apache.spark.sql.functions._
+    val out = Rollups.gmvCube(spark, Sf).collect()
+    val gids = out.map(_.getLong(2)).toSet
+    assert(gids === Set(0L, 1L, 2L, 3L),
+      "cube emits detail, both marginals, and the grand total")
+    val grand = out.filter(_.getLong(2) == 3L)
+    assert(grand.length === 1)
+    val detailGmv = out.filter(_.getLong(2) == 0L).map(_.getLong(3)).sum
+    assert(grand.head.getLong(3) === detailGmv,
+      "grand total equals the sum of detail cells")
+    // the priority marginal (gid=2: yr null, prio set) is what ROLLUP
+    // cannot express — it must aggregate across every year
+    val prioMarg = out.filter(r => r.getLong(2) == 2L).map(_.getLong(3)).sum
+    assert(prioMarg === detailGmv, "column marginal covers all mass")
+  }
 }
