@@ -349,6 +349,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("stream-static enrichment: broadcast dim join matches batch") {
+    // the remaining standard streaming join: a static dimension
+    // broadcast against each micro-batch (the streaming face of the
+    // reference's async dim lookups) — per-batch planning re-reads
+    // the static side, and the result must equal the batch join
+    val dim = graft.Tables.customer(spark, Sf)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val q = StreamJobs.eventsStream(spark, Sf)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ss_join_out")
+      .as[(Long, Long)].collect().toSet
+    val batch = graft.Tables.events(spark, Sf)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("streamed CDC chunking matches the batch chunker") {
     // the boundary scan is per-row (stateless flatMap) — it runs on
     // the documents file stream unchanged, ingest-time chunking
