@@ -231,8 +231,10 @@ object Multimodal {
       .mapPartitions(_.map { case (id, _, b) =>
         if (b.isEmpty) (id, -1L)
         else {
+          // k.toLong: Int k*length overflows past ~69 MB payloads
+          // (the resized() guard convention)
           val cells = Array.tabulate(PhCells)(k =>
-            (b((k * b.length) / PhCells) & 0xff).toLong)
+            (b((k.toLong * b.length / PhCells).toInt) & 0xff).toLong)
           val s = cells.sum
           var h = 0L
           var k = 0

@@ -74,15 +74,19 @@ object QualityModel {
     * the extremes and adds signal in the middle — this is the table
     * that shows whether it does.
     *
-    * Scale shape: both scorers are zero-shuffle projections over the
-    * same scan; the join is doc_id-keyed and the matrix bounded by
+    * Scale shape: each scorer is itself a zero-shuffle projection;
+    * the corpus is scanned twice and the two narrow (doc_id, flag)
+    * frames join doc_id-keyed — the deliberate two-scan trade
+    * (oov_rate precedent, PLANS.md rule #17): fusing into one
+    * projection would require duplicating both scorers' formulas,
+    * the drift hazard the shared-oracle-CTE design exists to
+    * prevent. The matrix itself is bounded by
     * 2·([[AgreementBands]]+1) cells. */
   def qualityAgreement(spark: SparkSession, dir: String): DataFrame =
     qualityAgreementOf(Tables.documents(spark, dir))
 
   /** [[qualityAgreement]] over any (doc_id, lang, text) frame. */
   def qualityAgreementOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val heur = TextAnalysis.qualityOf(docs)
       .select(col("doc_id"),
         when(col("quality_ppm").isNull, lit(-1L))

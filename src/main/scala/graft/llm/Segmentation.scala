@@ -213,7 +213,11 @@ object Segmentation {
     hashes.agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("h")).as("n_unique"))
       .select(col("n_chunks"), col("n_unique"),
-        expr("1000000 * (n_chunks - n_unique) DIV n_chunks").as("dup_ppm"))
+        // zero-guard: an all-empty corpus has 0 chunks, and ANSI
+        // division-by-zero would kill the job (repo CASE convention)
+        expr("CASE WHEN n_chunks = 0 THEN 0 " +
+          "ELSE 1000000 * (n_chunks - n_unique) DIV n_chunks END")
+          .as("dup_ppm"))
   }
 
   /** Chunk (start, end) 0-based exclusive spans of an unspaced
@@ -244,8 +248,9 @@ object Segmentation {
        |       FROM ch JOIN n ON ch.doc_id = n.doc_id)
        |SELECT CAST(count(*) AS BIGINT) AS n_chunks,
        |       CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
-       |       CAST(1000000 * (count(*) - count(DISTINCT h)) // count(*)
-       |            AS BIGINT) AS dup_ppm
+       |       CAST(CASE WHEN count(*) = 0 THEN 0
+       |            ELSE 1000000 * (count(*) - count(DISTINCT h)) // count(*)
+       |            END AS BIGINT) AS dup_ppm
        |FROM hs""".stripMargin
 
   lazy val wordBreakOracle: String = {

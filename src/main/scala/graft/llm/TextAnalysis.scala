@@ -97,15 +97,13 @@ object TextAnalysis {
     langIdEvalOf(Tables.documents(spark, dir))
 
   /** [[langIdEval]] over any (doc_id, text, lang) frame. */
-  def langIdEvalOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def langIdEvalOf(docs: DataFrame): DataFrame =
     langIdOf(docs)
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("recall_ppm",
         expr("1000000 * n_docs DIV " +
           "sum(n_docs) OVER (PARTITION BY lang)"))
-  }
 
   lazy val langIdEvalOracle: String =
     s"""WITH base AS ($langIdOracle)

@@ -28,7 +28,10 @@ object SchemaEvolution {
   /** The two-generation parquet layout for `dir`'s events table —
     * cached per (JVM, dir) like the other fixture sinks. */
   def evoDir(spark: SparkSession, dir: String): String = {
-    val out = TempDirs.cached(s"schemaevo-${dir.replaceAll("[^a-z0-9]", "_")}")
+    val out = TempDirs.cached(
+      // shardExport keying: wide charset + lowercase-collision-proof
+      s"schemaevo-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+        s"-${Integer.toHexString(dir.hashCode)}")
     val ev = Tables.events(spark, dir)
     ev.filter(col("event_id") % 2 === 0)
       .select(col("event_id"), col("user_id"))
@@ -47,7 +50,11 @@ object SchemaEvolution {
     val path = evoDir(spark, dir)
     spark.read.option("mergeSchema", "true").parquet(path)
       .select(col("gen").cast("long").as("gen"),
-        coalesce(col("event_type"), lit("_missing_")).as("event_type"),
+        // _missing_ labels the PRE-EVOLUTION generation only — a
+        // genuinely-NULL gen-2 value must stay NULL (the oracle's
+        // CASE is gen-keyed, and a blanket coalesce would diverge)
+        when(col("gen") === 1, lit("_missing_"))
+          .otherwise(col("event_type")).as("event_type"),
         col("user_id"))
       .groupBy("gen", "event_type")
       .agg(count(lit(1)).as("n_rows"), sum("user_id").as("user_sum"))

@@ -236,23 +236,30 @@ class DedupSpec extends SparkSpec {
   test("sortedNeighbor: adjacent-prefix dups found, agreement with LSH") {
     import spark.implicits._
     // two docs sharing the 32-char prefix sort adjacent and verify;
-    // the same text moved AFTER a long differing prefix sorts far
-    // away — the method's documented blind spot (LSH covers it)
+    // doc 9 carries NEAR-DUP CONTENT (one-word shift: J = 28/34 >
+    // 0.8, so the Jaccard verify would PASS it) behind a
+    // sort-last prefix, with enough spacer docs between that its
+    // rank distance exceeds SnWindow — isolating the method's
+    // documented blind spot: exclusion by BLOCKING, not by verify
+    // (the LSH family covers this class)
     val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
       "omega alef bet gimel dalet he vav"  // 30 tokens: J = 28/32 > 0.8
-    val far = (1 to 40).map(i => s"filler$i").mkString(" ")
-    val docs = Seq(
+    val spacers = ('b' to 'g').zipWithIndex.map { case (c, i) =>
+      (10L + i, (1 to 25).map(j => s"$c$c$j").mkString(" "))
+    }
+    val docs = (Seq(
       (1L, body + " one extra"),
       (2L, body + " two extra"),
-      (3L, far + " " + body)) // same body, alien prefix
+      (9L, "zzshift " + body)) ++ spacers)  // near-dup behind 'z' prefix
       .toDF("doc_id", "text")
     val out = Dedup.sortedNeighborDupsOf(docs)
       .as[(Long, Long, Long)].collect()
     assert(out.exists(r => r._1 == 1L && r._2 == 2L),
       s"prefix-adjacent near-dup must be found: ${out.toSeq}")
-    assert(!out.exists(r => r._2 == 3L || r._1 == 3L),
-      "prefix-shifted dup is out of the window (LSH family covers it)")
+    assert(!out.exists(r => r._2 == 9L || r._1 == 9L),
+      "verify-passing dup beyond the window must be EXCLUDED BY " +
+        "BLOCKING (rank distance > SnWindow) — the LSH family's job")
 
     // cross-family agreement at Sf: any pair BOTH blockers emit
     // carries the identical exact-Jaccard verdict

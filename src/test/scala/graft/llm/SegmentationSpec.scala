@@ -70,8 +70,9 @@ class SegmentationSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3))
     val a = chunks.filter(_._1 == 1L).map(_._2).toSeq
     val b = chunks.filter(_._1 == 2L).map(_._2).toSeq
-    // ~850 unspaced chars at 1/64 boundary density: this fixed fixture
-    // chunks multiple times (deterministic — verified once, holds forever)
+    // ~850 unspaced chars at 1/61 boundary density (CdcD = 61): this
+    // fixed fixture chunks multiple times (deterministic — verified
+    // once, holds forever)
     assert(a.length > 2 && b.length > 2,
       s"fixture must produce several chunks: a=$a b=$b")
     // the chunk-length sequences share a common suffix once the
