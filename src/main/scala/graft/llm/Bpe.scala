@@ -218,9 +218,11 @@ object Bpe {
   /** Apply the learned merges back to the corpus: per document, the
     * word count and the BPE token count under the induced vocabulary —
     * the number a packing/pricing pass would bill. The segmented word
-    * table IS the final loop state (vocabulary-bounded → broadcast);
-    * the corpus-side work is one explode + broadcast join + per-doc
-    * aggregate. */
+    * table IS the final loop state; it is keyed by distinct corpus
+    * WORDS, which grow with an open-domain corpus, so the join is
+    * UNHINTED (PLANS.md rule #2) — AQE broadcasts it while it fits
+    * and shuffles past that instead of OOMing the driver. The
+    * corpus-side work is one explode + join + per-doc aggregate. */
   def tokenize(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (_, seg) = learnCached(spark, dir)
@@ -228,7 +230,7 @@ object Bpe {
       size(split(trim(col("syms")), " ")).cast("long").as("n_syms"))
     val perDoc = docs
       .select(col("doc_id"), explode(graft.func.Tokenizer.tokens(col("text"))).as("word"))
-      .join(broadcast(segmented), Seq("word"))
+      .join(segmented, Seq("word")) // unhinted: word-keyed, corpus-derived
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
@@ -337,10 +339,11 @@ object Bpe {
     * as [[tokenize]]; the aggregate key space is langs, so the final
     * shuffle carries a handful of rows per map task.
     *
-    * Scale shape: the segmented-word table is vocabulary-bounded —
-    * broadcast; the corpus side is one explode + broadcast join; the
-    * 1e6 scaling stays exact under Long to 10¹² BPE tokens per
-    * language. */
+    * Scale shape: the segmented-word table is keyed by distinct
+    * corpus words — corpus-derived, so its join is UNHINTED
+    * (PLANS.md rule #2; AQE decides); the corpus side is one explode
+    * + join; the 1e6 scaling stays exact under Long to 10¹² BPE
+    * tokens per language. */
   def fertility(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (_, seg) = learnCached(spark, dir)
@@ -349,7 +352,7 @@ object Bpe {
     docs
       .select(col("lang"),
         explode(graft.func.Tokenizer.tokens(col("text"))).as("word"))
-      .join(broadcast(segmented), Seq("word"))
+      .join(segmented, Seq("word")) // unhinted: word-keyed, corpus-derived
       .groupBy("lang")
       .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
       .withColumn("fertility_ppm",

@@ -20,13 +20,18 @@ import graft.func.{OracleSql, Tokenizer}
   * only ranks and raw counts (all BIGINT — a hapax pair's lift itself
   * can exceed Long at scale even though its rank is well-defined).
   *
-  * Scale shape: the unigram table is vocabulary-bounded — broadcast
-  * twice (left and right word). The bigram counts stay where their
-  * groupBy put them (distinct bigram types grow with the corpus —
-  * never broadcast, never reshuffled). The pair total N is a 1-row
-  * broadcast. Global top-k goes through orderBy+limit, which Spark
-  * plans as TakeOrderedAndProject — per-partition heaps, no full
-  * sort exchange.
+  * Scale shape: the unigram table is vocabulary-sized — i.e.
+  * corpus-derived, NOT bounded by construction (PLANS.md rule #2:
+  * open-domain token universes grow with the corpus), so both its
+  * joins (left and right word) are UNHINTED: AQE broadcasts at every
+  * size where that is right and falls back to shuffle joins instead
+  * of a driver OOM past the threshold. The bigram counts stay where
+  * their groupBy put them (distinct bigram types grow with the
+  * corpus — never broadcast, never reshuffled). The pair total N is
+  * a 1-row broadcast (bounded by construction — hint kept). Global
+  * top-k goes through orderBy+limit, which Spark plans as
+  * TakeOrderedAndProject — per-partition heaps, no full sort
+  * exchange.
   */
 object Colloc {
   /** Noise floor: pairs seen fewer times than this are not ranked
@@ -56,10 +61,10 @@ object Colloc {
       .filter(col("c_ab") >= MinPairCount)
     val n = pairs.agg(count(lit(1)).as("n_pairs"))
     val scored = bi
-      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))),
-        Seq("w1"))
-      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))),
-        Seq("w2"))
+      // no broadcast hints on the unigram sides: corpus-derived
+      // (PLANS.md rule #2) — AQE decides
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
       .crossJoin(broadcast(n))
       .withColumn("lift",
         graft.func.Exprs.decimalFloorDiv(

@@ -76,11 +76,16 @@ object Index {
     * integer-DIV IDF keeps the score hash-exact where `ln(N/df)`
     * would be transcendental and engine-dependent.
     *
-    * Scale shape: the df table is vocabulary-sized — broadcast it;
-    * the occurrence stream then never shuffles on token, only the
-    * final per-doc aggregate shuffles (and map-side combines) on
-    * doc_id. Docs with zero tokens survive via the left join with
-    * null score. */
+    * Scale shape: the df table is vocabulary-sized, i.e.
+    * corpus-derived and NOT bounded by construction (open-domain text
+    * — URLs, code identifiers — grows the token universe with the
+    * corpus), so the join carries NO broadcast hint: AQE picks
+    * broadcast whenever the runtime size clears the threshold and
+    * degrades to a shuffle join instead of a driver OOM when it does
+    * not (PLANS.md rule #2, the Boilerplate precedent). The final
+    * per-doc aggregate shuffles (and map-side combines) on doc_id.
+    * Docs with zero tokens survive via the left join with null
+    * score. */
   def idfRarity(spark: SparkSession, dir: String): DataFrame =
     idfRarityOf(Tables.documents(spark, dir))
 
@@ -90,7 +95,9 @@ object Index {
       explode(Tokenizer.tokens(col("text"))).as("token"))
     val dfs = exploded.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = exploded.join(broadcast(dfs), "token")
+    // no broadcast hint on dfs: vocabulary-sized = corpus-derived
+    // (PLANS.md rule #2) — AQE decides
+    val scored = exploded.join(dfs, "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(expr("1000000 DIV df")).as("idf_sum"))
@@ -136,8 +143,12 @@ object Index {
     *
     * Scale shape: the corpus-side work is one tokenize + filter to
     * the query terms (explode emits ONLY matching occurrences) and a
-    * (doc, term) aggregate; term stats (|terms| rows) and the scalar
-    * (N, A) row are broadcast; the global top-k is orderBy+limit →
+    * (doc, term) aggregate; term stats (≤ |terms| rows) join
+    * UNHINTED — AQE broadcasts them at any realistic size, and
+    * token-keyed frames derived from the corpus carry no hints by
+    * convention (PLANS.md rule #2) even when, as here, the row count
+    * is term-list-bounded. Only the scalar one-row (N, A) frame keeps
+    * its hint. The global top-k is orderBy+limit →
     * TakeOrderedAndProject, per-partition heaps, no sort exchange. */
   def bm25(spark: SparkSession, dir: String): DataFrame =
     bm25Of(Tables.documents(spark, dir))
@@ -156,7 +167,7 @@ object Index {
       .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf
-      .join(broadcast(dfs), "token")
+      .join(dfs, "token") // unhinted: AQE broadcasts (rule #2)
       .crossJoin(broadcast(stats))
       .withColumn("idf_ppm", graft.func.Exprs.decimalFloorDiv(
         lit(1000000L).cast(dec) * col("n_docs"), col("df").cast(dec)))

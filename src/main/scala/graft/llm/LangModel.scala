@@ -16,10 +16,12 @@ import graft.func.{OracleSql, Tokenizer}
   * continuations score high, improbable ones drag the mean down) and
   * bit-portable to the oracle.
   *
-  * Scale shape: the unigram table is vocabulary-bounded — broadcast.
-  * The BIGRAM table is NOT: distinct bigram types grow ~linearly with
-  * a natural-language corpus, so forcing it to broadcast would OOM at
-  * scale; its join stays unhinted — the pairs frame is already
+  * Scale shape: BOTH count tables are corpus-derived, so neither
+  * join carries a broadcast hint (PLANS.md rule #2): a word
+  * vocabulary is unbounded over open-domain text just as the bigram
+  * type space is, and forcing either to broadcast would OOM the
+  * driver at scale; AQE still broadcasts whichever side is small at
+  * runtime. The pairs frame is already
   * grouped on (w1, w2) to build the counts, so the scoring join
   * reuses that partitioning, and AQE still picks broadcast when the
   * table is actually small. The only other corpus-scale shuffle is
@@ -46,7 +48,7 @@ object LangModel {
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val scored = pairs
       .join(bi, Seq("w1", "w2"))
-      .join(broadcast(uni), Seq("w1"))
+      .join(uni, Seq("w1")) // unhinted: corpus-derived (rule #2)
       .withColumn("p_ppm", expr("(1000000 * c2) DIV c1"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("p_ppm").as("p_sum"))
