@@ -47,9 +47,11 @@ object CsvLines {
   }
 
   /** Parse the CSV directory back under the declared schema and
-    * account per event type; rows whose id field fails the LONG cast
-    * aggregate under `_corrupt_`. Output: (event_type, n_rows,
-    * user_sum) — the same contract as [[JsonLines.jsonRoundtrip]]. */
+    * account per event type; rows mangled with an extra token (wrong
+    * token count — the only corruption Univocity PERMISSIVE flags,
+    * see the object comment) aggregate under `_corrupt_`. Output:
+    * (event_type, n_rows, user_sum) — the same contract as
+    * [[JsonLines.jsonRoundtrip]]. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = csvDir(spark, dir)
     val schema = StructType(Seq(
@@ -60,10 +62,13 @@ object CsvLines {
     // with CSV column pruning (default on) Univocity parses only the
     // projected fields, so a stray extra token is never even read and
     // the row is silently "clean" — the corrupt contract needs the
-    // full-row parse (self-contained conf set, Tables.events pattern)
-    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    // full-row parse. Disabled PER-READ via the CSVOptions
+    // "columnPruning" key (Spark 4) instead of mutating the session
+    // conf, which would have turned pruning off for every later CSV
+    // read in the session (review r10).
     spark.read
       .schema(schema)
+      .option("columnPruning", "false")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)

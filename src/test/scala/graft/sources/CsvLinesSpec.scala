@@ -28,6 +28,18 @@ class CsvLinesSpec extends SparkSpec {
     assert(out("click").getLong(2) === clean.getLong(1))
   }
 
+  test("csv roundtrip leaves session CSV column pruning untouched") {
+    // the full-row-parse requirement is satisfied per-read via the
+    // CSVOptions "columnPruning" key, NOT by mutating the session
+    // conf — later CSV reads in the same session must still prune
+    val key = "spark.sql.csv.parser.columnPruning.enabled"
+    val before = spark.conf.get(key)
+    assert(CsvLines.csvRoundtrip(spark, Sf).count() > 0L)
+    assert(spark.conf.get(key) === before,
+      "csvRoundtrip must not mutate the session pruning conf")
+    assert(before === "true", "default pruning stays on for the session")
+  }
+
   test("csv roundtrip plan: no shuffle before the accounting aggregate") {
     val plan = CsvLines.csvRoundtrip(spark, Sf)
       .queryExecution.executedPlan.toString
