@@ -46,17 +46,22 @@ import graft.func.OracleSql
   */
 object Bpe {
   /** Batched merge rounds: up to [[MergeRounds]] × [[BatchCap]]
-    * merges learned. */
-  val MergeRounds = 8
+    * merges learned. 16 × 64 = a 1024-merge capacity — a credible
+    * subword vocabulary for the test corpora (r9 verdict task 6); a
+    * 32k-vocab production run raises BatchCap, not the loop count. */
+  val MergeRounds = 16
 
   /** Max merges applied per round (the dominant set, rank-capped). */
-  val BatchCap = 32
+  val BatchCap = 64
 
   /** Candidate pool per round: dominance is decided within the
     * top-[[CandCap]] pairs by (freq desc, pair). Exact for every
     * member: anything outside the pool ranks after everything inside,
-    * and dominance only consults higher-ranked pairs. */
-  val CandCap = 128
+    * and dominance only consults higher-ranked pairs. Kept at
+    * 4×[[BatchCap]] so the rank-cap, not pool exhaustion, bounds the
+    * batch; the per-round driver collect stays CandCap rows and the
+    * dominance check CandCap² ≈ 65k comparisons. */
+  val CandCap = 256
 
   /** First-occurrence replace passes per merge. Each pass splices out
     * exactly the LEFTMOST " a b " occurrence, which is precisely the

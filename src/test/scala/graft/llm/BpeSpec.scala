@@ -99,9 +99,20 @@ class BpeSpec extends SparkSpec {
     assert(gotMerges.map(_._1) === (1 to gotMerges.length).toSeq)
     val gotVocab = Bpe.vocab(spark, Sf).as[(String, Long)].collect().toMap
     assert(gotVocab === expVocab)
-    // merged symbols actually appear: round 1's pair exists in vocab
-    val sym0 = expMerges.head._1.replace(" ", "")
-    assert(gotVocab.contains(sym0), s"merged symbol $sym0 present")
+    // merges actually happened and the vocab is closed over them:
+    // every multi-char symbol in the final vocab must be the merged
+    // form of some learned merge (a round-1 symbol may legitimately
+    // be ABSENT — later rounds can consume it entirely, e.g. "er" →
+    // "er</w>" at the 1024-merge config)
+    assert(expMerges.nonEmpty, "at least one merge learned")
+    val mergedForms = expMerges.map(_._1.replace(" ", "")).toSet
+    // atomic = the seg0 alphabet: single chars and the bare eow marker
+    // (even "g</w>" needs a learned ("g </w>") merge to exist)
+    val atomic = gotVocab.keySet.filter(s => s.length == 1 || s == Bpe.Eow)
+    val unexplained = (gotVocab.keySet -- atomic) -- mergedForms
+    assert(unexplained.isEmpty,
+      s"vocab symbols not produced by any learned merge: $unexplained")
+    assert((gotVocab.keySet -- atomic).nonEmpty, "merged symbols present")
   }
 
   test("bpe tokenize: per-doc symbol counts follow the learned segmentation") {
