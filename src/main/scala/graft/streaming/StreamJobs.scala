@@ -277,10 +277,26 @@ object StreamJobs {
     * at 100 TB the join's snapshot side prunes to candidate buckets
     * via a bloom pre-filter (the contaminationBloom pattern), and the
     * snapshot files would be bucketed by hash prefix so the append
-    * stays partition-local. */
+    * stays partition-local.
+    *
+    * Restart recovery: pass `checkpointDir` and the query resumes
+    * from the last COMMITTED source offset — batches that finished
+    * before a stop/crash are not re-read, so their verdicts are not
+    * re-emitted, and data added while the query was down is picked up
+    * on restart (spec: "incremental dedup stream: restart against the
+    * same checkpoint"). The md5 snapshot itself is durable
+    * independently of the checkpoint (it outlives the query by
+    * design); the checkpoint adds the source-offset half of the
+    * exactly-once story. A batch interrupted MID-write is the usual
+    * foreachBatch caveat: the parquet append is not transactional
+    * with the offset commit, so a hard kill inside a batch can
+    * re-emit THAT batch's rows on restart (at-least-once within the
+    * interrupted batch; a production sink would dedup on
+    * (batch_id, doc_id) or write via a committing table format). */
   def incrementalDedupStream(docs: DataFrame, stateDir: String,
-      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
+      outDir: String, checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         import org.apache.spark.sql.expressions.Window
@@ -314,7 +330,8 @@ object StreamJobs {
           .select("h").distinct()
           .write.mode("append").parquet(stateDir)
       }
-      .start()
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
 
   /** T3 streaming: bounce = session with exactly one event. The same
     * expression runs in batch, where it must agree with the lag/lead

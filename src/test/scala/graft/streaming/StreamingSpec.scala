@@ -331,6 +331,64 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(stateDir).distinct().count() === 3)
   }
 
+  test("incremental dedup stream: restart against the same checkpoint " +
+      "re-emits nothing and loses nothing") {
+    // the exactly-once recovery story §2.10 claims: a query stopped
+    // after committed batches and RESTARTED from the same checkpoint
+    // must (a) not re-read committed offsets — no duplicate verdicts
+    // for already-processed docs, (b) pick up data that arrived while
+    // it was down, and (c) see batch-1 hashes in the durable snapshot
+    // so cross-restart dedup verdicts stay correct
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stateDir = graft.func.TempDirs.scoped("dedup-rst-state")
+    val outDir = graft.func.TempDirs.scoped("dedup-rst-verdicts")
+    val ckDir = graft.func.TempDirs.scoped("dedup-rst-ck")
+    val src = mem.toDF().toDF("doc_id", "text")
+
+    // ---- incarnation 1: two committed batches, then stop (the kill)
+    val q1 = StreamJobs.incrementalDedupStream(src, stateDir, outDir,
+      Some(ckDir))
+    mem.addData((1L, "a"), (2L, "b"), (3L, "a"))
+    q1.processAllAvailable()
+    mem.addData((4L, "a"))
+    q1.processAllAvailable()
+    q1.stop()
+    val afterStop = spark.read.parquet(outDir).count()
+    assert(afterStop === 4L, "4 verdicts committed before the stop")
+
+    // data arrives WHILE THE QUERY IS DOWN
+    mem.addData((5L, "b"), (6L, "d"))
+
+    // ---- incarnation 2: same checkpoint, same dirs
+    val q2 = StreamJobs.incrementalDedupStream(src, stateDir, outDir,
+      Some(ckDir))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val v = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // no loss: every doc has a verdict; no re-emission: exactly one
+    assert(v.length === 6, s"one verdict per doc, got ${v.toSeq.sorted}")
+    assert(v.map(_._1).distinct.length === 6, "no doc re-emitted")
+    val m = v.toMap
+    assert(m(1L) === "kept" && m(2L) === "kept" && m(6L) === "kept")
+    assert(m(3L) === "dup_in_batch")
+    assert(m(4L) === "dup_of_base")
+    assert(m(5L) === "dup_of_base",
+      "post-restart batch must see pre-restart snapshot hashes")
+    // snapshot = distinct kept hashes across both incarnations
+    assert(spark.read.parquet(stateDir).distinct().count() === 3L)
+
+    // ---- incarnation 3: restart with NOTHING pending → zero emission
+    val q3 = StreamJobs.incrementalDedupStream(src, stateDir, outDir,
+      Some(ckDir))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(outDir).count() === 6L,
+      "an idle restart must not replay any committed batch")
+  }
+
   test("streaming HLL registers converge to the batch sketch") {
     // the register table is a streaming-natural aggregate (groupBy
     // bucket, max) — complete mode over the documents file stream must
