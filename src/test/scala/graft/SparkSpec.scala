@@ -10,6 +10,20 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Smallest driver-generated scale factor — smoke-scale inputs. */
   val Sf = "/root/testdata/sf0.001"
+
+  /** Run `body` with size-based auto-broadcast disabled, so an
+    * equijoin's keys surface as `hashpartitioning(...)` exchanges in
+    * the pre-execution plan even at smoke scale (where AQE would
+    * otherwise broadcast everything and hide the shuffle keys).
+    * Explicit broadcast() hints still win — only the size-based
+    * choice is suppressed. Restores the prior threshold: the session
+    * is shared across suites. */
+  def withForcedShuffleJoins[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prior)
+  }
 }
 
 object SparkSpec {

@@ -54,4 +54,24 @@ class ItemRankSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") * 3 <= r.getAs[Long]("n_wedges"))
     assert(r.getAs[Long]("clustering_ppm") <= 1000000L)
   }
+
+  test("triangles plan: keyed joins only — src-keyed wedges, " +
+      "(b,c)-keyed semi close, no cartesian") {
+    // the documented 100 TB shape (ItemRank.trianglesOf): the wedge
+    // self-join shuffles on src, the closing check is a LEFT SEMI
+    // keyed on (b, c), and nothing falls back to a cartesian.
+    // Forcing shuffle joins makes the keys visible at smoke scale.
+    withForcedShuffleJoins {
+      val plan = ItemRank.triangles(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"no cartesian anywhere in the triangle plan:\n$plan")
+      assert(plan.contains("LeftSemi"),
+        s"the closing check must be a LEFT SEMI join:\n$plan")
+      assert("hashpartitioning\\(src".r.findFirstIn(plan).nonEmpty,
+        s"wedge join must shuffle on src:\n$plan")
+      assert("hashpartitioning\\(b[#,]".r.findFirstIn(plan).nonEmpty,
+        s"semi close must shuffle on (b, c):\n$plan")
+    }
+  }
 }

@@ -275,4 +275,23 @@ class DedupSpec extends SparkSpec {
     shared.foreach(k => assert(sn(k) === lsh(k),
       s"same pair, same exact Jaccard: $k"))
   }
+
+  test("sortedNeighbor plan: rank-bucket EQUIJOIN window, no cartesian") {
+    // the documented shape (Dedup.sortedNeighborDupsOf): the window
+    // join is an equijoin on the rank bucket jb (2× probe fanout) —
+    // never a non-equi nested loop — and the Jaccard verify attaches
+    // shingle sets via doc-keyed equijoins. Forced-shuffle mode makes
+    // the keys visible at smoke scale.
+    withForcedShuffleJoins {
+      val plan = Dedup.sortedNeighborDups(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"window join must stay an equijoin:\n$plan")
+      assert("hashpartitioning\\(jb".r.findFirstIn(plan).nonEmpty,
+        s"window join must shuffle on the rank bucket jb:\n$plan")
+      assert("hashpartitioning\\(doc_a".r.findFirstIn(plan).nonEmpty,
+        s"verify joins key on the candidate doc ids:\n$plan")
+    }
+  }
 }

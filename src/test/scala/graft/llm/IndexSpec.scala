@@ -51,7 +51,8 @@ class IndexSpec extends SparkSpec {
     val idfPlan = Index.idfRarity(spark, Sf)
       .queryExecution.executedPlan.toString
     assert(idfPlan.contains("BroadcastHashJoin"),
-      s"vocabulary-sized df table must broadcast:\n$idfPlan")
+      s"AQE should pick broadcast for the df table at this scale " +
+        s"(no mandatory hint — VocabHintSpec):\n$idfPlan")
   }
 
   test("idfRarity: exact-rational IDF, occurrence-weighted, null-safe on empty docs") {

@@ -64,4 +64,20 @@ class MultimodalSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == 4L || r._2 == 4L),
       "empty payload carries no hash")
   }
+
+  test("phashDups plan: band-bucketed equijoin candidates, no all-pairs") {
+    // the documented shape (Multimodal.phashDupsOf): candidates come
+    // from an equijoin on (band, v) — the SimHash band device — with
+    // the id inequality as a residual condition, never a cartesian /
+    // nested-loop all-pairs. Forced-shuffle mode surfaces the keys.
+    withForcedShuffleJoins {
+      val plan = Multimodal.phashDups(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"band blocking must stay an equijoin:\n$plan")
+      assert("hashpartitioning\\(band".r.findFirstIn(plan).nonEmpty,
+        s"candidate join must shuffle on the (band, v) bucket:\n$plan")
+    }
+  }
 }

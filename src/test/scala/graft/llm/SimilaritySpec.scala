@@ -318,23 +318,34 @@ class SimilaritySpec extends SparkSpec {
 
   test("mmrSelect plan: pool generation is top-k, not a global sort") {
     // only the candidate/matrix halves are plan-auditable (the greedy
-    // runs driver-side); the pool must come out of TakeOrderedAndProject
-    val pool = Similarity.mmrSelect(spark, Sf)
-    assert(pool.collect().nonEmpty)
-    // re-derive the pool plan the operator builds internally
-    val e = graft.Tables.embeddings(spark, Sf)
-      .select(org.apache.spark.sql.functions.col("vec_id"),
-        org.apache.spark.sql.functions.col("embedding"))
-    val q = e.filter($"vec_id" === Similarity.MmrQueryVec)
-      .select($"embedding".as("qv"))
-    val plan = e.filter($"vec_id" =!= Similarity.MmrQueryVec)
-      .crossJoin(org.apache.spark.sql.functions.broadcast(q))
-      .select($"vec_id",
-        Similarity.cosinePpm($"qv", $"embedding").as("rel_ppm"))
-      .orderBy($"rel_ppm".desc, $"vec_id").limit(Similarity.MmrPool)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"pool selection must be per-partition top-k:\n$plan")
+    // runs driver-side), and they execute INSIDE mmrSelectOf — so
+    // capture the operator's actual executed plans with a
+    // QueryExecutionListener instead of auditing a re-derived copy
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      assert(Similarity.mmrSelect(spark, Sf).collect().nonEmpty)
+      // the listener bus is async — poll until the pool plan lands
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def captured = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(plans).asScala.toVector
+      while (!captured.exists(_.contains("TakeOrderedAndProject")) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      val all = captured
+      assert(all.exists(_.contains("TakeOrderedAndProject")),
+        s"pool selection must be per-partition top-k; captured " +
+          s"${all.length} plans:\n${all.mkString("\n----\n")}")
+      assert(all.forall(!_.contains("CartesianProduct")),
+        "no cartesian in any stage the operator executed")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("mmrSelect at Sf: k rows, first pick is the top-relevance vector") {
