@@ -1,0 +1,241 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-10 scale rehearsal (VERDICT r9 "Next round" task 3) — a
+  * standalone main, NOT part of the query board. Everything written
+  * goes under [[Root]] in /tmp; /root/testdata is never touched.
+  *
+  * Two deterministic scratch corpora, 10×+ the sf0.1 document count:
+  *
+  * 1. CLOSURE corpus (100k docs): 900 near-duplicate clusters of 100
+  *    docs (pairwise shingle-Jaccard 58/60 ≈ 0.967 — every pair
+  *    passes the 0.8 verify) plus 40 sliding-window chains of 250
+  *    docs (adjacent J = 74/82 ≈ 0.902, distance-2 J = 70/86 ≈
+  *    0.814, distance-3 below threshold — so components are ±2-step
+  *    paths with diameter ~125, forcing REAL pointer-doubling
+  *    rounds). The banded pair graph is ~900·C(100,2) + chain pairs
+  *    ≈ 4.47M undirected pairs > DriverClosureMaxEdges = 4M, so
+  *    [[Dedup.closureKeepers]]'s dispatch (2×pairs > 8M doubled
+  *    rows) takes the DISTRIBUTED loop on real LSH output — the
+  *    path that previously ran only on DedupSpec's synthetic toy.
+  *    Ground truth is known by construction (cluster/chain minimum
+  *    doc_id), so the labels are verified exactly.
+  *
+  * 2. VOCAB corpus (50k docs × 200 tokens): a 30k-word Zipf core
+  *    plus 20 unique tokens per doc (the URL/id class that makes
+  *    open-domain vocabularies corpus-sized). Measures the actual
+  *    row counts and byte sizes of the frames whose broadcast hints
+  *    round 10 deleted (token df table, unigram/bigram counts, the
+  *    BPE word table = the word-type frame), then runs idfRarity /
+  *    bigramScore / pmi end-to-end UNHINTED and reports which join
+  *    strategy AQE picked at this size.
+  */
+object ScaleRehearsal {
+  val Root = "/tmp/graft-scale"
+
+  // closure corpus
+  val Clusters = 900
+  val ClusterSize = 100
+  val ClusterBaseTokens = 60
+  val Chains = 40
+  val ChainLen = 250
+  val ChainTokens = 80
+  val ChainStride = 4
+
+  // vocab corpus
+  val VocabDocs = 50000
+  val CoreVocab = 30000
+  val CoreTokensPerDoc = 180
+  val UniqueTokensPerDoc = 20
+
+  private def time[A](tag: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[scale] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-rehearsal")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- corpus generation (idempotent: skip when present) ---------
+    val closureDir = s"$Root/closure"
+    if (!new java.io.File(s"$closureDir/documents.parquet").exists())
+      time("generate closure corpus") {
+        val clusters = spark.range(Clusters.toLong * ClusterSize).map { i =>
+          val k = i / ClusterSize; val j = i % ClusterSize
+          val base = (0 until ClusterBaseTokens)
+            .map(t => s"k${k}b$t").mkString(" ")
+          (k * 1000L + j, s"$base k${k}u$j")
+        }
+        val chains = spark.range(Chains.toLong * ChainLen).map { i =>
+          val c = i / ChainLen; val j = i % ChainLen
+          val start = ChainStride * j.toInt
+          val toks = (start until start + ChainTokens).map(t => s"c${c}w$t")
+          (10000000L + c * 1000L + j, toks.mkString(" "))
+        }
+        clusters.union(chains).toDF("doc_id", "text")
+          .withColumn("lang", lit("en"))
+          .withColumn("source", lit("scale"))
+          .withColumn("n_chars", length(col("text")))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$closureDir/documents.parquet")
+      }
+
+    val vocabDir = s"$Root/vocab"
+    if (!new java.io.File(s"$vocabDir/documents.parquet").exists())
+      time("generate vocab corpus") {
+        spark.range(VocabDocs.toLong).map { i =>
+          val rnd = new java.util.Random(i * 2654435761L + 12345L)
+          val b = new StringBuilder
+          var u = 0
+          (0 until CoreTokensPerDoc).foreach { t =>
+            // inverse-CDF Zipf-ish rank: log-uniform over [1, CoreVocab]
+            val r = math.min(CoreVocab - 1,
+              math.exp(rnd.nextDouble() * math.log(CoreVocab.toDouble)).toInt)
+            b.append('w').append(r).append(' ')
+            if (t % (CoreTokensPerDoc / UniqueTokensPerDoc) == 0
+                && u < UniqueTokensPerDoc) { // intersperse the unique ids
+              b.append('u').append(i).append('x').append(u).append(' ')
+              u += 1
+            }
+          }
+          (i, b.result().trim)
+        }.toDF("doc_id", "text")
+          .withColumn("lang", lit("en"))
+          .withColumn("source", lit("scale"))
+          .withColumn("n_chars", length(col("text")))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$vocabDir/documents.parquet")
+      }
+
+    // ---- (a) the >4M-edge closure on real LSH output ----------------
+    println(s"[scale] === closure rehearsal ($closureDir) ===")
+    val pairs = time("lshDuplicates (shingle→minhash→band→verify)") {
+      val p = Dedup.lshDuplicates(spark, closureDir)
+        .select("doc_a", "doc_b").localCheckpoint()
+      p.count(); p
+    }
+    val nPairs = pairs.count()
+    println(s"[scale] banded+verified pairs: $nPairs " +
+      s"(bound ${Dedup.DriverClosureMaxEdges}; doubled rows " +
+      s"${2 * nPairs} > ${2 * Dedup.DriverClosureMaxEdges} ⇒ " +
+      s"closureKeepers dispatches to the DISTRIBUTED loop)")
+    require(nPairs > Dedup.DriverClosureMaxEdges,
+      "rehearsal corpus must exceed the driver-closure bound")
+    val (labels, rounds) = time("closureKeepersCounted (pointer doubling)") {
+      val (l, r) = Dedup.closureKeepersCounted(pairs)
+      l.count(); (l, r)
+    }
+    println(s"[scale] pointer-doubling rounds: $rounds " +
+      s"(cap ${Dedup.ClosureMaxRounds})")
+    // EXACT adjudication: the distributed loop must equal the
+    // connected components of the pair graph LSH ACTUALLY EMITTED —
+    // so recompute them with an independent driver union-find over
+    // the same collected edges (a rehearsal-only 4.5M×16B collect).
+    val exact = time("driver union-find adjudicator") {
+      val es = pairs.as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) x = parent.get(x)
+        var y = x0
+        while (parent.getOrDefault(y, y) != y) {
+          val nxt = parent.get(y); parent.put(y, x); y = nxt
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct
+        .map(v => (v, find(v))).toDF("doc_id", "exact_keeper")
+    }
+    val wrong = labels.join(exact, Seq("doc_id"))
+      .filter(col("keeper") =!= col("exact_keeper")).count()
+    val labeled = labels.count()
+    println(s"[scale] labels: $labeled docs; distributed loop vs " +
+      s"driver union-find mismatches: $wrong")
+    require(wrong == 0 && labeled == exact.count(),
+      "distributed closure disagrees with the exact component labels")
+
+    // separately: banding RECALL vs the constructed cluster/chain
+    // truth — informational, NOT a closure property (LSH is
+    // probabilistic by design; a missed band pair can split a chain)
+    val intended = expr(
+      """CASE WHEN doc_id >= 10000000
+        |     THEN 10000000 + ((doc_id - 10000000) DIV 1000) * 1000
+        |     ELSE (doc_id DIV 1000) * 1000 END""".stripMargin)
+    val offTruth = labels.filter(col("keeper") =!= intended).count()
+    println(f"[scale] banding recall: $offTruth of $labeled docs " +
+      f"(${100.0 * offTruth / labeled}%.3f%%) differ from the " +
+      "constructed-corpus components (missed band edges)")
+    require(offTruth < labeled / 100,
+      "banding recall collapsed — investigate signature pipeline")
+
+    // ---- (b) vocabulary-frame sizes at 10× sf0.1 --------------------
+    println(s"[scale] === vocab-frame measurement ($vocabDir) ===")
+    val docs = graft.Tables.documents(spark, vocabDir)
+    val toks = docs.select(
+      explode(graft.func.Tokenizer.tokens(col("text"))).as("w"))
+    val Seq(nTok, nTypes, wBytes) = time("word-type frame") {
+      val t = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val r = t.agg(sum("c"), count(lit(1)),
+        // UnsafeRow(string, long) ≈ 8B header + 16B field slots +
+        // padded string bytes — the broadcast-side cost model
+        sum(length(col("w")) + lit(28L))).head()
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    println(s"[scale] tokens=$nTok wordTypes=$nTypes " +
+      f"dfTableEst=${wBytes / 1e6}%.1f MB " +
+      "(= df/unigram/BPE-word frame row count)")
+    val Seq(nBg, bgBytes) = time("bigram-type frame") {
+      val bg = docs
+        .select(graft.func.Tokenizer.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+      val r = bg.agg(count(lit(1)), sum(length(col("bg")) + lit(28L))).head()
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    println(f"[scale] bigramTypes=$nBg est=${bgBytes / 1e6}%.1f MB")
+
+    // end-to-end unhinted runs: what did AQE actually pick?
+    def joins(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join")).map(_.trim.take(100))
+        .mkString(" | ")
+    // toRdd.count() (the BenchOne device) evaluates THIS df's full
+    // plan — no column pruning (a bare Dataset.count() lets Catalyst
+    // skip the scoring expressions) — and finalizes its AQE plan so
+    // joins() reads what actually ran
+    def full(d: org.apache.spark.sql.DataFrame): d.type = {
+      d.queryExecution.toRdd.count(); d
+    }
+    val idf = time("idfRarity end-to-end (unhinted)")(
+      full(Index.idfRarityOf(docs)))
+    println(s"[scale] idfRarity joins: ${joins(idf)}")
+    val lm = time("bigramScore end-to-end (unhinted)")(
+      full(LangModel.bigramScoreOf(docs)))
+    println(s"[scale] bigramScore joins: ${joins(lm)}")
+    val pmi = time("pmi end-to-end (unhinted)")(full(Colloc.pmiOf(docs)))
+    println(s"[scale] pmi joins: ${joins(pmi)}")
+
+    spark.stop()
+    println("[scale] DONE")
+  }
+}
