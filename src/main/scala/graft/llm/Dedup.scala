@@ -644,7 +644,9 @@ object Dedup {
     * invariant that every root IS its component's minimum id, and path
     * compression makes the whole pass near-linear. Only reachable
     * under the [[DriverClosureMaxEdges]] bound. */
-  private def driverClosure(edges: DataFrame): DataFrame = {
+  // private[llm] so ScaleRehearsal can use it as the exact adjudicator
+  // against loopOnEdges (review r10) — not part of the public surface
+  private[llm] def driverClosure(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val es = edges.as[(Long, Long)].collect()

@@ -67,9 +67,13 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // ---- corpus generation (idempotent: skip when present) ---------
+    // ---- corpus generation (idempotent: skip when COMPLETE —
+    // _SUCCESS, not bare dir existence, or an interrupted write would
+    // be silently reused as a partial corpus; review r10) ------------
+    def complete(dir: String): Boolean =
+      new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()
     val closureDir = s"$Root/closure"
-    if (!new java.io.File(s"$closureDir/documents.parquet").exists())
+    if (!complete(closureDir))
       time("generate closure corpus") {
         val clusters = spark.range(Clusters.toLong * ClusterSize).map { i =>
           val k = i / ClusterSize; val j = i % ClusterSize
@@ -92,7 +96,7 @@ object ScaleRehearsal {
       }
 
     val vocabDir = s"$Root/vocab"
-    if (!new java.io.File(s"$vocabDir/documents.parquet").exists())
+    if (!complete(vocabDir))
       time("generate vocab corpus") {
         spark.range(VocabDocs.toLong).map { i =>
           val rnd = new java.util.Random(i * 2654435761L + 12345L)
@@ -120,12 +124,11 @@ object ScaleRehearsal {
 
     // ---- (a) the >4M-edge closure on real LSH output ----------------
     println(s"[scale] === closure rehearsal ($closureDir) ===")
-    val pairs = time("lshDuplicates (shingle→minhash→band→verify)") {
+    val (pairs, nPairs) = time("lshDuplicates (shingle→minhash→band→verify)") {
       val p = Dedup.lshDuplicates(spark, closureDir)
         .select("doc_a", "doc_b").localCheckpoint()
-      p.count(); p
+      (p, p.count())
     }
-    val nPairs = pairs.count()
     println(s"[scale] banded+verified pairs: $nPairs " +
       s"(bound ${Dedup.DriverClosureMaxEdges}; doubled rows " +
       s"${2 * nPairs} > ${2 * Dedup.DriverClosureMaxEdges} ⇒ " +
@@ -140,34 +143,24 @@ object ScaleRehearsal {
       s"(cap ${Dedup.ClosureMaxRounds})")
     // EXACT adjudication: the distributed loop must equal the
     // connected components of the pair graph LSH ACTUALLY EMITTED —
-    // so recompute them with an independent driver union-find over
-    // the same collected edges (a rehearsal-only 4.5M×16B collect).
+    // Dedup.driverClosure (union-by-min + path compression) over the
+    // same edges, the path closureKeepers takes BELOW the bound
+    // (a rehearsal-scale 4.5M×16B collect).
     val exact = time("driver union-find adjudicator") {
-      val es = pairs.as[(Long, Long)].collect()
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x0: Long): Long = {
-        var x = x0
-        while (parent.getOrDefault(x, x) != x) x = parent.get(x)
-        var y = x0
-        while (parent.getOrDefault(y, y) != y) {
-          val nxt = parent.get(y); parent.put(y, x); y = nxt
-        }
-        x
-      }
-      es.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra < rb) parent.put(rb, ra)
-        else if (rb < ra) parent.put(ra, rb)
-      }
-      es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSeq.distinct
-        .map(v => (v, find(v))).toDF("doc_id", "exact_keeper")
+      val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(
+          pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      Dedup.driverClosure(e)
+        .withColumnRenamed("keeper", "exact_keeper")
+        .localCheckpoint()
     }
+    val nExact = exact.count()
     val wrong = labels.join(exact, Seq("doc_id"))
       .filter(col("keeper") =!= col("exact_keeper")).count()
     val labeled = labels.count()
     println(s"[scale] labels: $labeled docs; distributed loop vs " +
       s"driver union-find mismatches: $wrong")
-    require(wrong == 0 && labeled == exact.count(),
+    require(wrong == 0 && labeled == nExact,
       "distributed closure disagrees with the exact component labels")
 
     // separately: banding RECALL vs the constructed cluster/chain

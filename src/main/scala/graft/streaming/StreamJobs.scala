@@ -296,7 +296,7 @@ object StreamJobs {
   def incrementalDedupStream(docs: DataFrame, stateDir: String,
       outDir: String, checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val w = docs.writeStream
+    val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         import org.apache.spark.sql.expressions.Window
@@ -330,7 +330,8 @@ object StreamJobs {
           .select("h").distinct()
           .write.mode("append").parquet(stateDir)
       }
-    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+    checkpointDir.fold(writer)(d =>
+      writer.option("checkpointLocation", d)).start()
   }
 
   /** T3 streaming: bounce = session with exactly one event. The same

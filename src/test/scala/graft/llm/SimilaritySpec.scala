@@ -333,13 +333,19 @@ class SimilaritySpec extends SparkSpec {
     spark.listenerManager.register(listener)
     try {
       assert(Similarity.mmrSelect(spark, Sf).collect().nonEmpty)
-      // the listener bus is async — poll until the pool plan lands
+      // the listener bus is async — the operator performs two internal
+      // collects (pool candidates, C×C matrix) and the test's own
+      // collect makes three action events; poll until ALL have landed
+      // so the no-cartesian sweep checks every stage, not just the
+      // first to arrive (review r10)
       val deadline = System.nanoTime() + 10_000_000_000L
       def captured = scala.jdk.CollectionConverters
         .CollectionHasAsScala(plans).asScala.toVector
-      while (!captured.exists(_.contains("TakeOrderedAndProject")) &&
-          System.nanoTime() < deadline) Thread.sleep(50)
+      while (captured.size < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
       val all = captured
+      assert(all.size >= 3,
+        s"expected the pool, matrix, and result plans; got ${all.size}")
       assert(all.exists(_.contains("TakeOrderedAndProject")),
         s"pool selection must be per-partition top-k; captured " +
           s"${all.length} plans:\n${all.mkString("\n----\n")}")
