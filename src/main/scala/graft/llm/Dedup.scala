@@ -635,7 +635,9 @@ object Dedup {
     } finally { edges.unpersist(); () }
   }
 
-  private def undirectedEdges(pairs: DataFrame): DataFrame =
+  // private[llm] so ScaleRehearsal adjudicates over the IDENTICAL
+  // doubled+distinct edge frame the production dispatch would build
+  private[llm] def undirectedEdges(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()

@@ -147,10 +147,7 @@ object ScaleRehearsal {
     // same edges, the path closureKeepers takes BELOW the bound
     // (a rehearsal-scale 4.5M×16B collect).
     val exact = time("driver union-find adjudicator") {
-      val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(
-          pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      Dedup.driverClosure(e)
+      Dedup.driverClosure(Dedup.undirectedEdges(pairs))
         .withColumnRenamed("keeper", "exact_keeper")
         .localCheckpoint()
     }
@@ -174,6 +171,14 @@ object ScaleRehearsal {
     println(f"[scale] banding recall: $offTruth of $labeled docs " +
       f"(${100.0 * offTruth / labeled}%.3f%%) differ from the " +
       "constructed-corpus components (missed band edges)")
+    // recall guard must ALSO catch docs dropped from the pair graph
+    // entirely (they are absent from `labels`, not mislabeled): by
+    // construction every doc has ≥1 intra-cluster/adjacent edge, so
+    // the label set itself must stay near-complete (review r10)
+    val nDocs = Clusters.toLong * ClusterSize + Chains.toLong * ChainLen
+    require(labeled >= nDocs - nDocs / 100,
+      s"label set lost docs: $labeled of $nDocs — edges dropped " +
+        "wholesale, investigate signature pipeline")
     require(offTruth < labeled / 100,
       "banding recall collapsed — investigate signature pipeline")
 
