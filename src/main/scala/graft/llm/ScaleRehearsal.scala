@@ -217,6 +217,21 @@ object ScaleRehearsal {
       df.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Join")).map(_.trim.take(100))
         .mkString(" | ")
+    // vocabCoverage was REWRITTEN in r9 for exactly this regime (the
+    // freq-keyed offsets device replacing a global-rank window over
+    // the vocabulary) — validate the Zipf-collapse premise and the
+    // device's exactness at 1M+ open-domain types
+    time("vocabCoverage at 1M types (freq-keyed device)") {
+      val cov = VocabCoverage.vocabCoverageOf(docs).localCheckpoint()
+      val nFreqs = cov.select("freq").distinct().count()
+      val r = cov.agg(count(lit(1)), max("rank"), max("cum_ppm")).head()
+      println(s"[scale] coverage rows=${r.getLong(0)} " +
+        s"distinctFreqs=$nFreqs (the O(√tokens) offsets frame) " +
+        s"maxRank=${r.getLong(1)} finalCum=${r.getLong(2)} ppm")
+      require(r.getLong(0) == r.getLong(1) && r.getLong(2) == 1000000L,
+        "coverage must rank every word exactly once and close at 1e6")
+    }
+
     // toRdd.count() (the BenchOne device) evaluates THIS df's full
     // plan — no column pruning (a bare Dataset.count() lets Catalyst
     // skip the scoring expressions) — and finalizes its AQE plan so
