@@ -1,5 +1,9 @@
 package graft
+import org.apache.spark.graftshim.ListenerShim
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.LongAdder
 
 /** Benchmark main: times every SparkEntry query at the given scale
   * factor and prints one JSON line with the total and the per-query
@@ -19,9 +23,33 @@ import org.apache.spark.sql.SparkSession
   *  - the warmup sweep derives its directory from the bench dir's
   *    sibling sf0.001 (falling back to the bench dir itself), skips
   *    the double-run when they coincide, and logs instead of
-  *    swallowing warmup failures.
+  *    swallowing warmup failures;
+  *  - (round 11) per-query `executorRunTime` / `executorCpuTime` are
+  *    accumulated by a [[SparkListener]] and reported alongside wall
+  *    time (`task_s` / `cpu_s` maps). Wall time inflates under
+  *    ambient box load while summed task CPU time does not, so
+  *    wall-vs-cpu divergence is the load signature that lets a round
+  *    distinguish "the machine was busy" from "the plan regressed"
+  *    without out-of-band re-runs (the r10 official total swung +20%
+  *    on pure sandbox contention and could not self-adjudicate).
   */
 object Bench {
+
+  /** Accumulates executor task time across all tasks seen since
+    * construction. RunTime is wall-on-executor (includes shuffle-fetch
+    * wait + GC); CpuTime is actual CPU ns — the contention-robust one.
+    * Diffing [[snapshot]] around a blocking action (after a listener
+    * bus drain) attributes the interval's tasks to that action. */
+  private final class TaskTimeListener extends SparkListener {
+    private val runMs = new LongAdder
+    private val cpuNs = new LongAdder
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) { runMs.add(m.executorRunTime); cpuNs.add(m.executorCpuTime) }
+    }
+    /** (task seconds, cpu seconds) totals so far. */
+    def snapshot: (Double, Double) = (runMs.sum / 1e3, cpuNs.sum / 1e9)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,6 +60,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val taskTimes = new TaskTimeListener
+    spark.sparkContext.addSparkListener(taskTimes)
 
     // 1-minute load average — recorded in the artifact so a round timed
     // under machine contention self-identifies (the round-5 official
@@ -76,29 +106,50 @@ object Bench {
 
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      // min-of-2: immune to one-off stalls (GC pause, page-cache miss)
+      // min-of-2: immune to one-off stalls (GC pause, page-cache miss).
+      // Each rep also diffs the task-time listener around the run (bus
+      // drained on both sides so async task-end events land in the
+      // right interval); the rep with the min WALL time supplies the
+      // reported task_s/cpu_s so the three numbers describe ONE run.
       val times = (1 to 2).flatMap { _ =>
         // pay earlier queries' garbage debt OUTSIDE the timed window:
         // without this, whichever query first tips the old gen eats a
         // full-GC stall (observed 1.7 s -> 15-41 s on the same query
         // across otherwise-identical runs)
         System.gc()
+        ListenerShim.drainListenerBus(spark.sparkContext)
+        val (task0, cpu0) = taskTimes.snapshot
         val t0 = System.nanoTime()
-        try { run(fn, sfDir); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        try {
+          run(fn, sfDir)
+          val wall = (System.nanoTime() - t0) / 1e9
+          ListenerShim.drainListenerBus(spark.sparkContext)
+          val (task1, cpu1) = taskTimes.snapshot
+          Some((wall, task1 - task0, cpu1 - cpu0))
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           None
         }
       }
       if (times.size < 2 && !failed.contains(name)) failed ::= name
-      name -> (if (times.nonEmpty && times.size == 2) times.min else -1.0)
+      name -> (if (times.nonEmpty && times.size == 2) times.minBy(_._1)
+               else (-1.0, -1.0, -1.0))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    def num(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jmap(f: ((Double, Double, Double)) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + num(f(v)) }
+        .mkString("{", ",", "}")
+    val qs = jmap(_._1)
+    val ok2 = results.values.filter(_._1 >= 0)
+    val total = ok2.map(_._1).sum
+    val totalTask = ok2.map(_._2).sum
+    val totalCpu = ok2.map(_._3).sum
     val loadEnd = load1
     val load = s""""load1_start":$loadStart,"load1_end":$loadEnd"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$load,"sf":"$sfDir"}""")
+    val aux = s""""task_s":${jmap(_._2)},"cpu_s":${jmap(_._3)},"total_task_s":${num(totalTask)},"total_cpu_s":${num(totalCpu)}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$aux,$load,"sf":"$sfDir"}""")
     // The full line above grows with the query count and harvesters that
     // keep only the head+tail of program output can truncate it mid-map
     // (round 4 lost the headline total exactly this way). Repeat the
@@ -106,8 +157,8 @@ object Bench {
     // n_queries counts only the timings inside `value` — a failed query
     // contributes to neither, and the failed count is its own field so
     // a partial run can't masquerade as a fast complete one.
-    val ok = results.count(_._2 >= 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$ok,"failed":${results.size - ok},$load,"sf":"$sfDir"}""")
+    val ok = results.count(_._2._1 >= 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$ok,"failed":${results.size - ok},"total_task_s":${num(totalTask)},"total_cpu_s":${num(totalCpu)},$load,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
