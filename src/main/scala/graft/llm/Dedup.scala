@@ -247,10 +247,13 @@ object Dedup {
        |FROM sig, LATERAL (SELECT * FROM (VALUES $branches) t(h, sig)) u""".stripMargin
   }
 
-  /** Banded bucket frame from a wide signature frame. */
-  private def bandedOf(sigWide: DataFrame): DataFrame = {
-    val bandCols = (0 until Bands).map(b =>
-      md5(concat_ws("|", (0 until R).map(r => col(s"h${b * R + r}")): _*)))
+  /** Banded bucket frame from a wide signature frame, for any
+    * (bands × rows) split of the K minhashes. */
+  private def bandedOf(sigWide: DataFrame, bands: Int, rows: Int): DataFrame = {
+    require(bands * rows <= K,
+      s"banding $bands×$rows needs ${bands * rows} hashes, have $K")
+    val bandCols = (0 until bands).map(b =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)))
     sigWide.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bsig")))
   }
@@ -260,11 +263,28 @@ object Dedup {
     * pass and the per-doc signature aggregate are each materialized
     * once (lazy checkpoint) — the band self-join and both verify joins
     * re-read them instead of re-tokenizing the corpus per branch. */
-  def lshDuplicates(spark: SparkSession, dir: String): DataFrame = {
+  def lshDuplicates(spark: SparkSession, dir: String): DataFrame =
+    lshDuplicatesWith(spark, dir, Bands, R)
+
+  /** [[lshDuplicates]] with an explicit bands×rows banding — the
+    * RECALL knob. The default [[Bands]]×[[R]] = 8×4 has band-hit
+    * probability 1−(1−J⁴)⁸ ≈ 0.990 at J = 0.81, which the round-10
+    * scale rehearsal measured as 97/100k docs (0.097%) losing every
+    * band cut on an adversarial chain corpus. When recall at the 0.8
+    * verify threshold matters, 16×2 over the same K = 32 signature
+    * raises the hit probability to 1−(1−J²)¹⁶ ≈ 1−3e-8 at the same
+    * verify cost per emitted candidate (more candidates, same exact
+    * Jaccard filter — precision is unchanged by construction). The
+    * board query stays on the default; the rehearsal re-runs the
+    * constructed-truth corpus at 16×2 and measures recall → 100%
+    * (PLANS.md §r11). */
+  def lshDuplicatesWith(spark: SparkSession, dir: String,
+                        bands: Int, rows: Int): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val shl = shingleSetsShared(docs)
-    val bands = bandedOf(signaturesWideOf(shl).localCheckpoint(false))
-    val cands = bands.as("a").join(bands.as("b"),
+    val bands0 = bandedOf(signaturesWideOf(shl).localCheckpoint(false),
+      bands, rows)
+    val cands = bands0.as("a").join(bands0.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -645,7 +665,16 @@ object Dedup {
   /** Min-union-find over a collected edge list: union-by-min keeps the
     * invariant that every root IS its component's minimum id, and path
     * compression makes the whole pass near-linear. Only reachable
-    * under the [[DriverClosureMaxEdges]] bound. */
+    * under the [[DriverClosureMaxEdges]] bound.
+    *
+    * Driver-heap budget (review r11): the collected edge array is the
+    * dominant term — `Array[(Long, Long)]` specializes to unboxed
+    * `Tuple2$mcJJ$sp`, ~32 B/edge, so the 2×[[DriverClosureMaxEdges]]
+    * = 8M-doubled-row ceiling costs ~256 MB plus the vertex HashMap
+    * (~50 B/vertex, vertices ≤ 2×edges in pathological graphs). The
+    * vertex set is accumulated in ONE pass alongside the unions —
+    * an earlier draft built a 2×|edges| boxed Seq and `.distinct`ed
+    * it, hundreds of MB of avoidable garbage at the ceiling. */
   // private[llm] so ScaleRehearsal can use it as the exact adjudicator
   // against loopOnEdges (review r10) — not part of the public surface
   private[llm] def driverClosure(edges: DataFrame): DataFrame = {
@@ -653,6 +682,7 @@ object Dedup {
     import spark.implicits._
     val es = edges.as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long]()
+    val vertices = new java.util.LinkedHashSet[java.lang.Long]()
     def find(x0: Long): Long = {
       var x = x0
       while (parent.getOrDefault(x, x) != x) x = parent.get(x)
@@ -663,12 +693,14 @@ object Dedup {
       x
     }
     es.foreach { case (a, b) =>
+      vertices.add(a); vertices.add(b)
       val ra = find(a); val rb = find(b)
       if (ra < rb) parent.put(rb, ra)
       else if (rb < ra) parent.put(ra, rb)
     }
-    es.iterator.flatMap { case (a, b) => Iterator(a, b) }
-      .toSeq.distinct.map(v => (v, find(v)))
+    import scala.jdk.CollectionConverters._
+    vertices.iterator().asScala
+      .map(v => (v.longValue(), find(v.longValue()))).toSeq
       .toDF("doc_id", "keeper")
   }
 

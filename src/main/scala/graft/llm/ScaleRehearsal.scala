@@ -1,36 +1,56 @@
 package graft.llm
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.graftshim.ListenerShim
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-10 scale rehearsal (VERDICT r9 "Next round" task 3) — a
-  * standalone main, NOT part of the query board. Everything written
-  * goes under [[Root]] in /tmp; /root/testdata is never touched.
+/** Scale rehearsals (VERDICT r9 task 3, extended per VERDICT r10
+  * tasks 2/3/5/6) — a standalone main, NOT part of the query board.
+  * Everything written goes under [[Root]] in /tmp; /root/testdata is
+  * never touched.
   *
-  * Two deterministic scratch corpora, 10×+ the sf0.1 document count:
+  * Sections (select by passing names as args; no args = all):
   *
-  * 1. CLOSURE corpus (100k docs): 900 near-duplicate clusters of 100
-  *    docs (pairwise shingle-Jaccard 58/60 ≈ 0.967 — every pair
-  *    passes the 0.8 verify) plus 40 sliding-window chains of 250
-  *    docs (adjacent J = 74/82 ≈ 0.902, distance-2 J = 70/86 ≈
-  *    0.814, distance-3 below threshold — so components are ±2-step
-  *    paths with diameter ~125, forcing REAL pointer-doubling
-  *    rounds). The banded pair graph is ~900·C(100,2) + chain pairs
-  *    ≈ 4.47M undirected pairs > DriverClosureMaxEdges = 4M, so
-  *    [[Dedup.closureKeepers]]'s dispatch (2×pairs > 8M doubled
-  *    rows) takes the DISTRIBUTED loop on real LSH output — the
-  *    path that previously ran only on DedupSpec's synthetic toy.
-  *    Ground truth is known by construction (cluster/chain minimum
-  *    doc_id), so the labels are verified exactly.
+  * - `closure` (r10): 100k-doc corpus of 900 near-dup clusters × 100
+  *   plus 40 sliding-window chains × 250 — the banded pair graph is
+  *   ~4.47M pairs > DriverClosureMaxEdges = 4M, so
+  *   [[Dedup.closureKeepers]]'s dispatch takes the DISTRIBUTED loop
+  *   on real LSH output. Labels adjudicated exactly against a driver
+  *   union-find over the same edges.
   *
-  * 2. VOCAB corpus (50k docs × 200 tokens): a 30k-word Zipf core
-  *    plus 20 unique tokens per doc (the URL/id class that makes
-  *    open-domain vocabularies corpus-sized). Measures the actual
-  *    row counts and byte sizes of the frames whose broadcast hints
-  *    round 10 deleted (token df table, unigram/bigram counts, the
-  *    BPE word table = the word-type frame), then runs idfRarity /
-  *    bigramScore / pmi end-to-end UNHINTED and reports which join
-  *    strategy AQE picked at this size.
+  * - `vocab` (r10): 50k docs × 200 tokens (30k-word Zipf core + 20
+  *   unique URL/id-class tokens per doc = 10M tokens, 1M+ word
+  *   types). Measures the vocabulary frames whose broadcast hints
+  *   r10 deleted, runs idfRarity/bigramScore/pmi unhinted, and
+  *   validates vocabCoverage's freq-keyed device at 1M+ types.
+  *
+  * - `recall` (r11, VERDICT r10 task 5): re-runs the closure corpus
+  *   through [[Dedup.lshDuplicatesWith]] at the stricter 16×2
+  *   banding and requires the r10-measured 97-doc recall gap to
+  *   close to zero against the constructed truth.
+  *
+  * - `graph` (r11, VERDICT r10 task 2): a hubbed co-purchase corpus
+  *   ≥10× the sf0.1 order count with engineered hub items (up to
+  *   ~5% of orders each, LOWEST item ids so a naive lexicographic
+  *   orientation would be maximally skewed). Runs the REAL
+  *   [[graft.ads.ItemRank.copurchasePairs]] → triangles → itemRank
+  *   pipeline, adjudicates triangle counts AND all 4-round rank
+  *   scores exactly against driver recomputes, and measures the
+  *   wedge-join balance (per-vertex wedge bound and per-task
+  *   shuffle-read skew under AQE) for the degree-ordered
+  *   orientation vs the naive one.
+  *
+  * - `offsets` (r11, VERDICT r10 task 3): measures the one surviving
+  *   broadcast-device class without a rehearsal number — the
+  *   (lang, score)-grid offsets frames of [[LangModel.pplFilterOf]]
+  *   and [[CorpusLayout.curriculumOf]] — at the vocab corpus, and
+  *   runs both end-to-end to record the AQE join choices.
+  *
+  * - `bpe` (r11, VERDICT r10 task 6): runs [[Bpe.learnWith]] at a
+  *   production-scale configuration (≥4k learned merges; batch 256,
+  *   pool 1024) on a 10M-token letter-word corpus and records
+  *   runtime and merge-table size. Board constants are untouched.
   */
 object ScaleRehearsal {
   val Root = "/tmp/graft-scale"
@@ -50,13 +70,75 @@ object ScaleRehearsal {
   val CoreTokensPerDoc = 180
   val UniqueTokensPerDoc = 20
 
+  // graph corpus: ≥10× sf0.1's 150k orders (TESTDATA.md), with hub
+  // items engineered into a fixed fraction of orders. Hub ids are the
+  // SMALLEST in the catalog on purpose: a naive pa<pb orientation
+  // sends every hub edge OUT of the hub, so the contrast between the
+  // two orientations is measured at its worst case, not dodged by id
+  // luck. Head items form the dense triangle-bearing core; tail items
+  // are the long tail that only hubs connect to often enough to pass
+  // the support filter.
+  val GraphOrders = 1600000L
+  val SlotsPerOrder = 5
+  val HeadItems = 5000
+  val TailItems = 100000
+  val HeadProb = 0.40
+  val HubSpec: Seq[(Long, Double)] = Seq((1L, 0.05), (2L, 0.03), (3L, 0.02))
+
+  // recall knob rehearsal: 16 bands × 2 rows over the same K=32
+  // signature (band-hit prob at J=0.81: 1-(1-J²)¹⁶ ≈ 1-3e-8, vs
+  // ≈0.990 for the default 8×4 — the measured 97-doc gap's cause)
+  val RecallBands = 16
+  val RecallRows = 2
+
+  // bpe production config: 300 × 256 capacity, targeting ≥4k
+  // LEARNED merges. The first r11 attempt ran 16×256 on the
+  // digit-alphabet vocab corpus and learned 30 merges in 26 s — the
+  // dominance batch is bounded by SYMBOL-DISJOINT pairs, and a
+  // 13-character alphabet ('w','u','x',0-9,eow) caps that at a
+  // handful per round regardless of BatchCap. A real tokenizer
+  // corpus has natural-language symbol diversity, so the rehearsal
+  // gets its own corpus of Zipf-distributed random LETTER words
+  // (26-char alphabet; the batch widens as merges mint new symbols)
+  // and enough rounds for the batch to ramp. Board constants and
+  // the 1024-merge oracle lockstep are untouched.
+  // measured ramp: 363 merges @64 rounds, 2,716 @200, 6,751 @300
+  // in 275 s (the batch widens as merges mint symbols)
+  val BpeRounds = 300
+  val BpeBatchCap = 256
+  val BpeCandCap = 1024
+  val BpeDocs = 50000
+  val BpeVocab = 30000
+  val BpeTokensPerDoc = 200
+
   private def time[A](tag: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
     println(f"[scale] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     r
   }
 
+  /** Per-stage shuffle-read records per task — the balance evidence
+    * for the wedge join: a skewed join puts one task orders of
+    * magnitude above the stage mean. */
+  private final class StageInputListener extends SparkListener {
+    val stages = scala.collection.concurrent.TrieMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val tm = e.taskMetrics
+      if (tm != null)
+        stages.getOrElseUpdate(e.stageId,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+          tm.shuffleReadMetrics.recordsRead
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe")
+    val sections = if (args.isEmpty) all else {
+      val s = args.toSet
+      require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
+      s
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scale-rehearsal")
@@ -65,64 +147,152 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
-    // ---- corpus generation (idempotent: skip when COMPLETE —
-    // _SUCCESS, not bare dir existence, or an interrupted write would
-    // be silently reused as a partial corpus; review r10) ------------
-    def complete(dir: String): Boolean =
-      new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()
+    // corpus generation is idempotent: skip when COMPLETE — _SUCCESS,
+    // not bare dir existence, or an interrupted write would be
+    // silently reused as a partial corpus (review r10)
     val closureDir = s"$Root/closure"
-    if (!complete(closureDir))
-      time("generate closure corpus") {
-        val clusters = spark.range(Clusters.toLong * ClusterSize).map { i =>
-          val k = i / ClusterSize; val j = i % ClusterSize
-          val base = (0 until ClusterBaseTokens)
-            .map(t => s"k${k}b$t").mkString(" ")
-          (k * 1000L + j, s"$base k${k}u$j")
-        }
-        val chains = spark.range(Chains.toLong * ChainLen).map { i =>
-          val c = i / ChainLen; val j = i % ChainLen
-          val start = ChainStride * j.toInt
-          val toks = (start until start + ChainTokens).map(t => s"c${c}w$t")
-          (10000000L + c * 1000L + j, toks.mkString(" "))
-        }
-        clusters.union(chains).toDF("doc_id", "text")
-          .withColumn("lang", lit("en"))
-          .withColumn("source", lit("scale"))
-          .withColumn("n_chars", length(col("text")))
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$closureDir/documents.parquet")
-      }
-
+    if (sections("closure") || sections("recall"))
+      genClosureCorpus(spark, closureDir)
     val vocabDir = s"$Root/vocab"
-    if (!complete(vocabDir))
-      time("generate vocab corpus") {
-        spark.range(VocabDocs.toLong).map { i =>
-          val rnd = new java.util.Random(i * 2654435761L + 12345L)
-          val b = new StringBuilder
-          var u = 0
-          (0 until CoreTokensPerDoc).foreach { t =>
-            // inverse-CDF Zipf-ish rank: log-uniform over [1, CoreVocab]
-            val r = math.min(CoreVocab - 1,
-              math.exp(rnd.nextDouble() * math.log(CoreVocab.toDouble)).toInt)
-            b.append('w').append(r).append(' ')
-            if (t % (CoreTokensPerDoc / UniqueTokensPerDoc) == 0
-                && u < UniqueTokensPerDoc) { // intersperse the unique ids
-              b.append('u').append(i).append('x').append(u).append(' ')
-              u += 1
-            }
-          }
-          (i, b.result().trim)
-        }.toDF("doc_id", "text")
-          .withColumn("lang", lit("en"))
-          .withColumn("source", lit("scale"))
-          .withColumn("n_chars", length(col("text")))
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$vocabDir/documents.parquet")
-      }
+    if (sections("vocab") || sections("offsets"))
+      genVocabCorpus(spark, vocabDir)
+    val bpeDir = s"$Root/bpetext"
+    if (sections("bpe")) genBpeCorpus(spark, bpeDir)
+    val graphDir = s"$Root/graph"
+    if (sections("graph")) genGraphCorpus(spark, graphDir)
 
-    // ---- (a) the >4M-edge closure on real LSH output ----------------
+    if (sections("closure")) closureSection(spark, closureDir)
+    if (sections("vocab")) vocabSection(spark, vocabDir)
+    if (sections("recall")) recallSection(spark, closureDir)
+    if (sections("graph")) graphSection(spark, graphDir)
+    if (sections("offsets")) offsetsSection(spark, vocabDir)
+    if (sections("bpe")) bpeSection(spark, bpeDir)
+
+    spark.stop()
+    println("[scale] DONE")
+  }
+
+  private def complete(dir: String, table: String = "documents"): Boolean =
+    new java.io.File(s"$dir/$table.parquet/_SUCCESS").exists()
+
+  // ---- corpus generators -------------------------------------------
+
+  private def genClosureCorpus(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    if (complete(dir)) return
+    time("generate closure corpus") {
+      val clusters = spark.range(Clusters.toLong * ClusterSize).map { i =>
+        val k = i / ClusterSize; val j = i % ClusterSize
+        val base = (0 until ClusterBaseTokens)
+          .map(t => s"k${k}b$t").mkString(" ")
+        (k * 1000L + j, s"$base k${k}u$j")
+      }
+      val chains = spark.range(Chains.toLong * ChainLen).map { i =>
+        val c = i / ChainLen; val j = i % ChainLen
+        val start = ChainStride * j.toInt
+        val toks = (start until start + ChainTokens).map(t => s"c${c}w$t")
+        (10000000L + c * 1000L + j, toks.mkString(" "))
+      }
+      clusters.union(chains).toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("scale"))
+        .withColumn("n_chars", length(col("text")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+  }
+
+  private def genVocabCorpus(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    if (complete(dir)) return
+    time("generate vocab corpus") {
+      spark.range(VocabDocs.toLong).map { i =>
+        val rnd = new java.util.Random(i * 2654435761L + 12345L)
+        val b = new StringBuilder
+        var u = 0
+        (0 until CoreTokensPerDoc).foreach { t =>
+          // inverse-CDF Zipf-ish rank: log-uniform over [1, CoreVocab]
+          val r = math.min(CoreVocab - 1,
+            math.exp(rnd.nextDouble() * math.log(CoreVocab.toDouble)).toInt)
+          b.append('w').append(r).append(' ')
+          if (t % (CoreTokensPerDoc / UniqueTokensPerDoc) == 0
+              && u < UniqueTokensPerDoc) { // intersperse the unique ids
+            b.append('u').append(i).append('x').append(u).append(' ')
+            u += 1
+          }
+        }
+        (i, b.result().trim)
+      }.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("scale"))
+        .withColumn("n_chars", length(col("text")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+  }
+
+  private def genBpeCorpus(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    if (complete(dir)) return
+    time("generate bpe letter-word corpus") {
+      // deterministic random letter word for vocabulary rank r:
+      // 4-12 lowercase chars (ReplacePasses guard allows ≤ 15)
+      def wordOf(r: Int): String = {
+        val rnd = new java.util.Random(r * 1103515245L + 54321L)
+        val len = 4 + rnd.nextInt(9)
+        val sb = new StringBuilder
+        (0 until len).foreach(_ => sb.append(('a' + rnd.nextInt(26)).toChar))
+        sb.result()
+      }
+      val nVocab = BpeVocab
+      val perDoc = BpeTokensPerDoc
+      spark.range(BpeDocs.toLong).map { i =>
+        val rnd = new java.util.Random(i * 2654435761L + 98765L)
+        val b = new StringBuilder
+        (0 until perDoc).foreach { _ =>
+          val r = math.min(nVocab - 1,
+            math.exp(rnd.nextDouble() * math.log(nVocab.toDouble)).toInt)
+          b.append(wordOf(r)).append(' ')
+        }
+        (i, b.result().trim)
+      }.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("scale"))
+        .withColumn("n_chars", length(col("text")))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+  }
+
+  private def genGraphCorpus(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    if (complete(dir, "lineitem")) return
+    time("generate graph corpus (hubbed co-purchase orders)") {
+      val hubs = HubSpec // local: don't capture the outer object
+      val (slots, headP, nHead, nTail) =
+        (SlotsPerOrder, HeadProb, HeadItems, TailItems)
+      spark.range(GraphOrders).flatMap { o =>
+        val rnd = new java.util.Random(
+          o * 6364136223846793005L + 1442695040888963407L)
+        val items = scala.collection.mutable.ArrayBuffer.empty[Long]
+        hubs.foreach { case (id, p) =>
+          if (rnd.nextDouble() < p) items += id
+        }
+        (0 until slots).foreach { _ =>
+          if (rnd.nextDouble() < headP) items += 1000L + 1 + rnd.nextInt(nHead)
+          else items += 100000L + 1 + rnd.nextInt(nTail)
+        }
+        items.map(pk => (o, pk))
+      }.toDF("l_orderkey", "l_partkey")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
+  }
+
+  // ---- (closure) the >4M-edge closure on real LSH output -----------
+
+  private def closureSection(spark: SparkSession, closureDir: String): Unit = {
     println(s"[scale] === closure rehearsal ($closureDir) ===")
     val (pairs, nPairs) = time("lshDuplicates (shingle→minhash→band→verify)") {
       val p = Dedup.lshDuplicates(spark, closureDir)
@@ -144,31 +314,46 @@ object ScaleRehearsal {
     // EXACT adjudication: the distributed loop must equal the
     // connected components of the pair graph LSH ACTUALLY EMITTED —
     // Dedup.driverClosure (union-by-min + path compression) over the
-    // same edges, the path closureKeepers takes BELOW the bound
-    // (a rehearsal-scale 4.5M×16B collect).
+    // same edges, the path closureKeepers takes BELOW the bound.
+    // Driver heap note (review r11): union-find is direction-
+    // agnostic, so collect the SINGLE-direction pair list (~4.5M ×
+    // 32 B specialized tuples ≈ 145 MB), not the doubled edge frame —
+    // half the heap of the symmetric form for the same components.
     val exact = time("driver union-find adjudicator") {
-      Dedup.driverClosure(Dedup.undirectedEdges(pairs))
+      Dedup.driverClosure(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
         .withColumnRenamed("keeper", "exact_keeper")
         .localCheckpoint()
     }
     val nExact = exact.count()
-    val wrong = labels.join(exact, Seq("doc_id"))
-      .filter(col("keeper") =!= col("exact_keeper")).count()
+    // label-SET equality, made explicit (review r11): equal mismatch-
+    // free inner-join cardinality alone admits equal-sized sets with
+    // different membership — require joined == labeled == nExact so
+    // the doc_id sets provably coincide.
+    val joined = labels.join(exact, Seq("doc_id")).localCheckpoint()
+    val nJoined = joined.count()
+    val wrong = joined.filter(col("keeper") =!= col("exact_keeper")).count()
     val labeled = labels.count()
-    println(s"[scale] labels: $labeled docs; distributed loop vs " +
-      s"driver union-find mismatches: $wrong")
-    require(wrong == 0 && labeled == nExact,
+    println(s"[scale] labels: $labeled docs (exact: $nExact, joined: " +
+      s"$nJoined); distributed loop vs driver union-find mismatches: $wrong")
+    require(wrong == 0 && labeled == nExact && nJoined == labeled,
       "distributed closure disagrees with the exact component labels")
 
-    // separately: banding RECALL vs the constructed cluster/chain
-    // truth — informational, NOT a closure property (LSH is
-    // probabilistic by design; a missed band pair can split a chain)
+    reportRecall(labels, labeled, tag = s"${Dedup.Bands}×${Dedup.R}",
+      requireComplete = false)
+  }
+
+  /** Banding RECALL vs the constructed cluster/chain truth —
+    * informational for the default banding (LSH is probabilistic by
+    * design), REQUIRED complete for the stricter recall knob. */
+  private def reportRecall(labels: DataFrame, labeled: Long, tag: String,
+                           requireComplete: Boolean): Unit = {
     val intended = expr(
       """CASE WHEN doc_id >= 10000000
         |     THEN 10000000 + ((doc_id - 10000000) DIV 1000) * 1000
         |     ELSE (doc_id DIV 1000) * 1000 END""".stripMargin)
     val offTruth = labels.filter(col("keeper") =!= intended).count()
-    println(f"[scale] banding recall: $offTruth of $labeled docs " +
+    println(f"[scale] banding recall ($tag): $offTruth of $labeled docs " +
       f"(${100.0 * offTruth / labeled}%.3f%%) differ from the " +
       "constructed-corpus components (missed band edges)")
     // recall guard must ALSO catch docs dropped from the pair graph
@@ -176,13 +361,224 @@ object ScaleRehearsal {
     // construction every doc has ≥1 intra-cluster/adjacent edge, so
     // the label set itself must stay near-complete (review r10)
     val nDocs = Clusters.toLong * ClusterSize + Chains.toLong * ChainLen
-    require(labeled >= nDocs - nDocs / 100,
-      s"label set lost docs: $labeled of $nDocs — edges dropped " +
-        "wholesale, investigate signature pipeline")
-    require(offTruth < labeled / 100,
-      "banding recall collapsed — investigate signature pipeline")
+    if (requireComplete) {
+      require(labeled == nDocs,
+        s"stricter banding still lost docs: $labeled of $nDocs")
+      require(offTruth == 0L,
+        s"stricter banding left $offTruth docs off the constructed truth")
+    } else {
+      require(labeled >= nDocs - nDocs / 100,
+        s"label set lost docs: $labeled of $nDocs — edges dropped " +
+          "wholesale, investigate signature pipeline")
+      require(offTruth < labeled / 100,
+        "banding recall collapsed — investigate signature pipeline")
+    }
+  }
 
-    // ---- (b) vocabulary-frame sizes at 10× sf0.1 --------------------
+  // ---- (recall) the bands/rows knob closes the measured gap --------
+
+  private def recallSection(spark: SparkSession, closureDir: String): Unit = {
+    println(s"[scale] === recall-knob rehearsal " +
+      s"($RecallBands×$RecallRows banding) ===")
+    val (pairs, nPairs) =
+      time(s"lshDuplicatesWith($RecallBands, $RecallRows)") {
+        val p = Dedup
+          .lshDuplicatesWith(spark, closureDir, RecallBands, RecallRows)
+          .select("doc_a", "doc_b").localCheckpoint()
+        (p, p.count())
+      }
+    println(s"[scale] verified pairs at $RecallBands×$RecallRows: $nPairs")
+    val (labels, rounds) = time("closureKeepersCounted") {
+      val (l, r) = Dedup.closureKeepersCounted(pairs)
+      l.count(); (l, r)
+    }
+    println(s"[scale] rounds: $rounds")
+    reportRecall(labels, labels.count(),
+      tag = s"$RecallBands×$RecallRows", requireComplete = true)
+    println(s"[scale] recall knob CLOSES the gap: 100% of docs on the " +
+      "constructed truth (vs 0.097% adrift at 8×4 in r10)")
+  }
+
+  // ---- (graph) hubbed triangles + itemRank, exactly adjudicated ----
+
+  private def graphSection(spark: SparkSession, graphDir: String): Unit = {
+    import spark.implicits._
+    println(s"[scale] === hubbed-graph rehearsal ($graphDir) ===")
+    val li = graft.Tables.lineitem(spark, graphDir)
+    println(s"[scale] corpus: ${li.select("l_orderkey").distinct().count()} " +
+      s"orders, ${li.count()} lineitem rows " +
+      s"(sf0.1 = 150k orders; ≥10× mandate)")
+
+    // the REAL pipeline under measurement — support-filtered pairs,
+    // eagerly pinned: three consumers (triangles, itemRank, driver
+    // adjudicators) must see the identical graph
+    val pairs = time("copurchasePairs (the corpus-scale shuffle)") {
+      val p = graft.ads.ItemRank.copurchasePairs(spark, graphDir)
+        .localCheckpoint()
+      p.count(); p
+    }
+    val nEdges = pairs.count()
+    println(s"[scale] support-filtered pair graph: $nEdges edges")
+
+    // ---- wedge balance: degree-ordered vs naive orientation --------
+    val deg = pairs.select(col("pa").as("v"))
+      .unionByName(pairs.select(col("pb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val degStats = deg.agg(max("deg"), sum("deg")).head()
+    val maxDeg = degStats.getLong(0)
+    println(s"[scale] max vertex degree: $maxDeg " +
+      f"(hub engineered; √(2E) = ${math.sqrt(2.0 * nEdges)}%.0f)")
+    val fwd = expr("da < db OR (da = db AND pa < pb)")
+    val oriented = pairs
+      .join(deg.select(col("v").as("pa"), col("deg").as("da")), Seq("pa"))
+      .join(deg.select(col("v").as("pb"), col("deg").as("db")), Seq("pb"))
+      .select(when(fwd, col("pa")).otherwise(col("pb")).as("src"))
+    def wedgeProfile(srcs: DataFrame, tag: String): (Long, Long) = {
+      val r = srcs.groupBy("src").agg(count(lit(1)).as("d"))
+        .agg(sum(expr("d * (d - 1) DIV 2")).as("w"),
+          max(expr("d * (d - 1) DIV 2")).as("m"),
+          max("d").as("od")).head()
+      val (w, m, od) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      println(f"[scale] $tag orientation: wedge-join rows = $w " +
+        f"(max single-vertex share $m = ${100.0 * m / w}%.1f%%, " +
+        s"max out-degree $od)")
+      (w, m)
+    }
+    val (wOrd, mOrd) =
+      wedgeProfile(oriented, "degree-ordered")
+    val (wNaive, mNaive) =
+      wedgeProfile(pairs.select(col("pa").as("src")), "naive pa<pb")
+    require(mOrd * 10 < wOrd,
+      "degree-ordered orientation failed to spread the hub's wedges")
+    println(f"[scale] orientation wins ${wNaive.toDouble / wOrd}%.1f× on " +
+      f"total wedges and ${mNaive.toDouble / mOrd}%.0f× on the worst " +
+      "vertex — the hub never fans out its neighborhood")
+
+    // ---- distributed triangles, with per-task skew capture ---------
+    val skew = new StageInputListener
+    spark.sparkContext.addSparkListener(skew)
+    val triRow = time("trianglesOf (distributed, AQE)") {
+      graft.ads.ItemRank.trianglesOf(pairs).head()
+    }
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.removeSparkListener(skew)
+    val (dEdges, dWedges, dTris) =
+      (triRow.getLong(0), triRow.getLong(1), triRow.getLong(2))
+    println(s"[scale] distributed: n_edges=$dEdges n_wedges=$dWedges " +
+      s"n_triangles=$dTris clustering_ppm=${triRow.getLong(3)}")
+    // per-task shuffle-read balance of the triangle job's stages: the
+    // wedge join is the one at risk — a hub-skewed join would put its
+    // stage's max task far above the mean
+    skew.stages.toSeq
+      .map { case (sid, rs) =>
+        (sid, rs.size, rs.sum, rs.max, rs.sum.toDouble / rs.size) }
+      .filter(_._3 > 0).sortBy(-_._3).take(4)
+      .foreach { case (sid, n, sum0, mx, mean) =>
+        println(f"[scale] stage $sid: $n tasks, $sum0 shuffle-read rows, " +
+          f"max/mean = $mx/${mean}%.0f = ${mx / mean}%.1f×")
+      }
+    val worst = skew.stages.values.filter(_.sum > 100000)
+      .map(rs => rs.max / (rs.sum.toDouble / rs.size)).maxOption
+    worst.foreach { w =>
+      println(f"[scale] worst max/mean task skew on a >100k-row stage: $w%.1f×")
+      require(w < 8.0,
+        f"wedge-join stage skew $w%.1f× — orientation not holding under AQE")
+    }
+
+    // ---- driver adjudication: triangles ----------------------------
+    val es = time("collect pair graph for adjudication") {
+      pairs.select(col("pa"), col("pb"), col("support"))
+        .as[(Long, Long, Long)].collect()
+    }
+    require(es.length == nEdges)
+    val degM = new java.util.HashMap[Long, Long]()
+    es.foreach { case (a, b, _) =>
+      degM.merge(a, 1L, _ + _); degM.merge(b, 1L, _ + _)
+    }
+    time("driver triangle recompute") {
+      def before(a: Long, b: Long): Boolean = {
+        val da = degM.get(a); val db = degM.get(b)
+        da < db || (da == db && a < b)
+      }
+      val eset = new java.util.HashSet[Long](es.length * 2)
+      def pack(a: Long, b: Long): Long = (a << 32) | b
+      val out = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+      es.foreach { case (a, b, _) =>
+        val (s, d) = if (before(a, b)) (a, b) else (b, a)
+        eset.add(pack(s, d))
+        out.computeIfAbsent(s, _ => new java.util.ArrayList[Long]()).add(d)
+      }
+      var wedges = 0L
+      var tris = 0L
+      out.forEach { (_, ns) =>
+        // wedge order (x before y) is by (ddeg, dst) — sort out-lists
+        val arr = new Array[Long](ns.size())
+        (0 until ns.size()).foreach(i => arr(i) = ns.get(i))
+        val sorted = arr.sortBy(d => (degM.get(d), d))
+        var i = 0
+        while (i < sorted.length) {
+          var j = i + 1
+          while (j < sorted.length) {
+            wedges += 1
+            if (eset.contains(pack(sorted(i), sorted(j)))) tris += 1
+            j += 1
+          }
+          i += 1
+        }
+      }
+      var undWedges = 0L
+      degM.forEach((_, d) => undWedges += d * (d - 1) / 2)
+      println(s"[scale] driver recompute: n_edges=${es.length} " +
+        s"n_wedges=$undWedges orientedWedges=$wedges n_triangles=$tris")
+      require(dEdges == es.length && dWedges == undWedges && dTris == tris,
+        s"triangle adjudication failed: distributed " +
+          s"($dEdges, $dWedges, $dTris) vs driver " +
+          s"(${es.length}, $undWedges, $tris)")
+      require(wedges == wOrd,
+        "oriented wedge profile disagrees with the driver recompute")
+    }
+
+    // ---- driver adjudication: itemRank (all scores, all rounds) ----
+    val ranked = time("itemRankOf (distributed, 4 rounds)") {
+      graft.ads.ItemRank.itemRankOf(pairs)
+        .as[(Long, Long)].collect().toMap
+    }
+    time("driver rank recompute + compare") {
+      val wOut = new java.util.HashMap[Long, Long]()
+      es.foreach { case (a, b, w) =>
+        wOut.merge(a, w, _ + _); wOut.merge(b, w, _ + _)
+      }
+      var scores = new java.util.HashMap[Long, Long]()
+      wOut.forEach((v, _) => scores.put(v, 1000000L))
+      (1 to graft.ads.ItemRank.Rounds).foreach { _ =>
+        val cin = new java.util.HashMap[Long, Long]()
+        es.foreach { case (a, b, w) =>
+          cin.merge(b, scores.get(a) * w / wOut.get(a), _ + _)
+          cin.merge(a, scores.get(b) * w / wOut.get(b), _ + _)
+        }
+        val next = new java.util.HashMap[Long, Long]()
+        cin.forEach { (v, c) =>
+          next.put(v, graft.ads.ItemRank.BasePpm +
+            graft.ads.ItemRank.DampPpm * c / 1000000L)
+        }
+        scores = next
+      }
+      require(ranked.size == scores.size(),
+        s"rank node sets differ: ${ranked.size} vs ${scores.size()}")
+      var bad = 0L
+      scores.forEach { (v, s) =>
+        if (!ranked.get(v).contains(s)) bad += 1
+      }
+      println(s"[scale] itemRank adjudication: ${ranked.size} nodes, " +
+        s"$bad score mismatches across ${graft.ads.ItemRank.Rounds} rounds")
+      require(bad == 0, s"$bad itemRank scores differ from the driver replay")
+    }
+  }
+
+  // ---- (vocab) vocabulary-frame sizes at 10× sf0.1 -----------------
+
+  private def vocabSection(spark: SparkSession, vocabDir: String): Unit = {
     println(s"[scale] === vocab-frame measurement ($vocabDir) ===")
     val docs = graft.Tables.documents(spark, vocabDir)
     val toks = docs.select(
@@ -212,11 +608,6 @@ object ScaleRehearsal {
     }
     println(f"[scale] bigramTypes=$nBg est=${bgBytes / 1e6}%.1f MB")
 
-    // end-to-end unhinted runs: what did AQE actually pick?
-    def joins(df: org.apache.spark.sql.DataFrame): String =
-      df.queryExecution.executedPlan.toString.linesIterator
-        .filter(l => l.contains("Join")).map(_.trim.take(100))
-        .mkString(" | ")
     // vocabCoverage was REWRITTEN in r9 for exactly this regime (the
     // freq-keyed offsets device replacing a global-rank window over
     // the vocabulary) — validate the Zipf-collapse premise and the
@@ -232,13 +623,6 @@ object ScaleRehearsal {
         "coverage must rank every word exactly once and close at 1e6")
     }
 
-    // toRdd.count() (the BenchOne device) evaluates THIS df's full
-    // plan — no column pruning (a bare Dataset.count() lets Catalyst
-    // skip the scoring expressions) — and finalizes its AQE plan so
-    // joins() reads what actually ran
-    def full(d: org.apache.spark.sql.DataFrame): d.type = {
-      d.queryExecution.toRdd.count(); d
-    }
     val idf = time("idfRarity end-to-end (unhinted)")(
       full(Index.idfRarityOf(docs)))
     println(s"[scale] idfRarity joins: ${joins(idf)}")
@@ -247,8 +631,81 @@ object ScaleRehearsal {
     println(s"[scale] bigramScore joins: ${joins(lm)}")
     val pmi = time("pmi end-to-end (unhinted)")(full(Colloc.pmiOf(docs)))
     println(s"[scale] pmi joins: ${joins(pmi)}")
+  }
 
-    spark.stop()
-    println("[scale] DONE")
+  /** Executed-plan join lines — what AQE actually picked. */
+  private def joins(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join")).map(_.trim.take(100))
+      .mkString(" | ")
+
+  /** toRdd.count() (the BenchOne device) evaluates THIS df's full
+    * plan — no column pruning (a bare Dataset.count() lets Catalyst
+    * skip the scoring expressions) — and finalizes its AQE plan so
+    * [[joins]] reads what actually ran. */
+  private def full(d: DataFrame): d.type = {
+    d.queryExecution.toRdd.count(); d
+  }
+
+  // ---- (offsets) the (lang, score)-grid offsets frames -------------
+
+  private def offsetsSection(spark: SparkSession, vocabDir: String): Unit = {
+    println(s"[scale] === offsets-frame measurement ($vocabDir) ===")
+    val docs = graft.Tables.documents(spark, vocabDir)
+    // pplFilter's broadcast side: one row per distinct (lang,
+    // fluency_ppm) — bounded by |langs| × 1e6 grid points by
+    // construction (LangModel.scala), and in practice by the corpus'
+    // distinct score count. Measure BOTH facts at 50k docs/10M tokens.
+    val Seq(pplRows, pplBytes) = time("pplFilter offsets frame") {
+      val scored = LangModel.bigramScoreOf(docs)
+        .filter(col("n_bigrams") >= 1L)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      val counts = scored.groupBy("lang", "fluency_ppm")
+        .agg(count(lit(1)).as("cnt"))
+      // UnsafeRow(lang string, 3 longs) ≈ 8B header + 32B slots + str
+      val r = counts.agg(count(lit(1)),
+        sum(length(col("lang")) + lit(40L))).head()
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    println(f"[scale] pplFilter offsets: $pplRows rows ≈ " +
+      f"${pplBytes / 1e6}%.3f MB (grid cap = |langs|×1e6; corpus cap = " +
+      s"n_docs — broadcast-safe at ANY corpus size by the grid bound)")
+    val Seq(curRows, curBytes) = time("curriculum offsets frame") {
+      val counts = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      val r = counts.agg(count(lit(1)), sum(lit(40L))).head()
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    println(f"[scale] curriculum offsets: $curRows rows ≈ " +
+      f"${curBytes / 1e6}%.3f MB (one row per distinct doc LENGTH — " +
+      "physically bounded far below any corpus scale)")
+    val ppl = time("pplFilter end-to-end")(full(LangModel.pplFilterOf(docs)))
+    println(s"[scale] pplFilter joins: ${joins(ppl)}")
+    val cur = time("curriculum end-to-end")(
+      full(CorpusLayout.curriculumOf(docs)))
+    println(s"[scale] curriculum joins: ${joins(cur)}")
+  }
+
+  // ---- (bpe) the 4096-merge production configuration ---------------
+
+  private def bpeSection(spark: SparkSession, bpeDir: String): Unit = {
+    println(s"[scale] === BPE production-config rehearsal " +
+      s"($BpeRounds×$BpeBatchCap = ${BpeRounds * BpeBatchCap}-merge " +
+      "capacity, letter-word corpus) ===")
+    val docs = graft.Tables.documents(spark, bpeDir)
+    val nTok = docs.select(sum(size(
+      graft.func.Tokenizer.tokens(col("text"))))).head().getLong(0)
+    println(s"[scale] corpus: $nTok tokens")
+    val t0 = System.nanoTime()
+    val (merges, vocab) =
+      Bpe.learnWith(docs, BpeRounds, BpeBatchCap, BpeCandCap)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val tableBytes = merges.map { case (p, _) => p.length + 16 }.sum
+    val nSyms = vocab.select(explode(split(trim(col("syms")), " ")))
+      .distinct().count()
+    println(f"[scale] learned ${merges.size} merges in $secs%.1f s " +
+      f"(${secs / BpeRounds}%.1f s/round; merge table ≈ " +
+      f"${tableBytes / 1e3}%.1f KB, final symbol vocabulary $nSyms)")
+    require(merges.size >= 4000,
+      s"production config must learn ≥4k merges, got ${merges.size}")
   }
 }
