@@ -192,17 +192,24 @@ object CorpusLayout {
       .groupBy("lang").agg(sum("n").as("tokens"))
     val all = Window.partitionBy(lit(1))
     val dec = "decimal(38,0)"
+    // m = 0 (every document tokenless — NULL/empty text) would mod-by-
+    // zero under ANSI; there is nothing to allocate against, so each
+    // lang's quota is 0 (DegenerateSpec). The driver's corpora always
+    // have tokens, so board semantics are untouched.
     val scaled = perLang
       .withColumn("m", sum("tokens").over(all).cast(dec))
       .withColumn("nm", lit(AllocBudget).cast(dec) * col("tokens"))
-      .withColumn("qf", Exprs.decimalFloorDiv(col("nm"), col("m")))
-      .withColumn("rem", col("nm") % col("m"))
+      .withColumn("qf", when(col("m") === 0, lit(0).cast(dec))
+        .otherwise(Exprs.decimalFloorDiv(col("nm"), col("m"))))
+      .withColumn("rem", when(col("m") === 0, lit(0).cast(dec))
+        .otherwise(col("nm") % col("m")))
     scaled
       .withColumn("left_over", lit(AllocBudget).cast(dec) - sum("qf").over(all))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("rem").desc, col("lang"))))
       .select(col("lang"), col("tokens"),
-        (col("qf") + when(col("rk") <= col("left_over"), 1L).otherwise(0L))
+        (col("qf") + when(col("m") > 0 && col("rk") <= col("left_over"), 1L)
+          .otherwise(0L))
           .cast("long").as("quota"))
   }
 

@@ -965,8 +965,14 @@ object CorpusOps {
     // the count, the bloom aggregate, and the exact verify join
     val trainSh = pruned.filter(col("split") === "train")
       .select(col("sh")).distinct().localCheckpoint()
-    val bloom = trainSh.stat.bloomFilter("sh",
-      math.max(trainSh.count(), 1000L), BloomFpp)
+    val nTrain = trainSh.count()
+    // stat.bloomFilter NPEs on a 0-row frame (null aggregation buffer);
+    // an empty train split means an empty filter — nothing can be
+    // contaminated by it (DegenerateSpec)
+    val bloom =
+      if (nTrain == 0L)
+        org.apache.spark.util.sketch.BloomFilter.create(1000L, BloomFpp)
+      else trainSh.stat.bloomFilter("sh", math.max(nTrain, 1000L), BloomFpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val candidates = pruned.filter(col("split") === "test")
       .select(col("doc_id"), col("sh")).as[(Long, String)]
@@ -1318,9 +1324,13 @@ object CorpusOps {
     val path = graft.func.TempDirs.cached(
       s"graft_llm_shard_export_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
         s"_${Integer.toHexString(dir.hashCode)}")
-    packPayload(spark, dir).write.mode("overwrite")
+    val packed = packPayload(spark, dir)
+    packed.write.mode("overwrite")
       .partitionBy("lang", "shard").parquet(path)
-    spark.read.parquet(path)
+    // explicit schema: an empty corpus leaves a footerless partitioned
+    // dir that schema inference refuses (DegenerateSpec; the sink-route
+    // precedent)
+    spark.read.schema(packed.schema).parquet(path)
       .groupBy(col("lang").cast("string").as("lang"),
         col("shard").cast("long").as("shard"))
       .agg(

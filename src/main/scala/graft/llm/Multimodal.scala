@@ -38,7 +38,13 @@ object Multimodal {
       element_at(
         array(Formats.map(lit): _*), (col("doc_id") % 3 + 1).cast("int"))
         .as("format"),
-      encode(col("text"), "UTF-8").as("blob"))
+      // NULL text → ZERO-byte payload, not a NULL blob: every typed
+      // stage downstream (decodeStub's digest, blob.length, phash's
+      // cell sampler) reads the array unconditionally, and a null
+      // payload row is routine ingest damage at scale (DegenerateSpec;
+      // the tokensOf(null) precedent)
+      coalesce(encode(col("text"), "UTF-8"),
+        lit(Array.emptyByteArray)).as("blob"))
 
   /** FAKE DECODER (deterministic stub): derives media dimensions from
     * the payload's md5 — stands in for an image/audio decode the
@@ -107,7 +113,9 @@ object Multimodal {
         val l = tw * th
         var sum = 0L
         var j = 0
-        while (j < l) {
+        // a ZERO-byte payload has nothing to sample — thumb_sum 0
+        // (dims still come from the decode stub; DegenerateSpec)
+        while (n > 0 && j < l) {
           sum += r.blob((j.toLong * n / l).toInt) & 0xff
           j += 1
         }

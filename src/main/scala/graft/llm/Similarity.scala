@@ -153,9 +153,18 @@ object Similarity {
     val typed = env.select(col("vec_id"), col("nv")).as[(Long, Seq[Double])]
     var cents: Array[Array[Double]] = typed
       .filter(_._1 < KCells).collect().sortBy(_._1).map(_._2.toArray)
-    require(cents.nonEmpty,
-      s"kmeansCentroids: no seed vectors with vec_id < $KCells — empty or " +
-        "renumbered embeddings table; seed ids must start at 0")
+    if (cents.isEmpty) {
+      // an EMPTY table has no cells to build and no rows for the
+      // downstream assignment passes to touch — return no centroids
+      // instead of throwing (empty partitions/tables are routine at
+      // scale; DegenerateSpec). A NONEMPTY table with no low-id seeds
+      // stays a hard error: that is a renumbered table, and silently
+      // probing zero cells would return wrong (empty) neighbors.
+      require(typed.isEmpty,
+        s"kmeansCentroids: no seed vectors with vec_id < $KCells on a " +
+          "non-empty embeddings table — renumbered ids? seeds must start at 0")
+      return Array.empty
+    }
     for (_ <- 1 to LloydIters) {
       val bc = env.sparkSession.sparkContext.broadcast(cents)
       val partials = typed.mapPartitions { it =>
@@ -520,14 +529,24 @@ object Similarity {
   def pqCodebooks(env: DataFrame): Array[Array[Array[Double]]] = {
     import env.sparkSession.implicits._
     val typed = env.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
-    val seeds = typed.filter(_._1 < PqK).collect().sortBy(_._1)
+    val seeds0 = typed.filter(_._1 < PqK).collect().sortBy(_._1)
     // downstream LUT/norm tables index all PqK codes (Array.tabulate
-    // (PqM, PqK) in pqTopK/ivfPqTopK) — a partial seed set would pass
-    // a nonEmpty check here and AIOOBE inside an executor task instead
-    require(seeds.length == PqK,
-      s"pqCodebooks: ${seeds.length} of $PqK seed vectors with " +
-        s"vec_id < $PqK — empty, tiny, or renumbered embeddings table; " +
-        "seed ids must cover 0 until PqK")
+    // (PqM, PqK) in pqTopK/ivfPqTopK — ivfPqTopK builds them DRIVER-
+    // side), so the books must always carry exactly PqK centroids:
+    //  - empty table → PqK zero-vectors (the tables stay indexable;
+    //    no row ever consults them — DegenerateSpec);
+    //  - 1..PqK-1 seeds (a tiny table) → pad by cycling the seeds.
+    //    Duplicate centroids never win an assignment (L2 ulp-ties
+    //    keep the LOWEST code), so the padded books are a valid
+    //    degenerate codebook and the board configuration (≥PqK
+    //    seeds) is bit-for-bit unchanged;
+    //  - 0 seeds on a NONEMPTY table stays a hard error (renumbered).
+    if (seeds0.isEmpty && typed.isEmpty)
+      return Array.fill(PqM, PqK)(new Array[Double](PqSubDim))
+    require(seeds0.nonEmpty,
+      s"pqCodebooks: no seed vectors with vec_id < $PqK on a non-empty " +
+        "embeddings table — renumbered ids? seeds must cover 0 until PqK")
+    val seeds = Array.tabulate(PqK)(i => seeds0(i % seeds0.length))
     var books: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
       seeds.map { case (_, v) =>
         v.slice(m * PqSubDim, (m + 1) * PqSubDim).toArray }

@@ -200,7 +200,12 @@ object Sinks {
       .select(col("event_id"), col("user_id"), col("event_type").as("topic"))
     val path = tmpDir("route")
     writeRouted(events, "topic", path)
-    spark.read.parquet(path)
+    // explicit schema: a partitionBy write of an EMPTY frame leaves no
+    // data files (and no footers), so schema inference fails on the
+    // read-back — an empty day of events must still round-trip
+    // (DegenerateSpec). Non-empty reads are unchanged: the partition
+    // column parses from the directory names against this schema.
+    spark.read.schema(events.schema).parquet(path)
       .groupBy(col("topic").cast("string").as("topic"))
       .agg(count(lit(1)).as("row_ct"), countDistinct(col("user_id")).as("user_ct"))
   }
