@@ -48,8 +48,14 @@ class IndexSpec extends SparkSpec {
       .findAllIn(invPlan).size
     assert(tokenExchanges === 1,
       s"df window, head window, and final groupBy must share ONE token partitioning:\n$invPlan")
-    val idfPlan = Index.idfRarity(spark, Sf)
-      .queryExecution.executedPlan.toString
+    // execute FIRST, then read the AQE FINAL plan: the pre-execution
+    // plan's join pick rides Catalyst's static size estimate of an
+    // explode+aggregate subtree, which an estimator or fixture change
+    // could flip spuriously — the claim under test is that RUNTIME
+    // AQE broadcasts the df table at this measured size (review r11)
+    val idf = Index.idfRarity(spark, Sf)
+    idf.queryExecution.toRdd.count()
+    val idfPlan = idf.queryExecution.executedPlan.toString
     assert(idfPlan.contains("BroadcastHashJoin"),
       s"AQE should pick broadcast for the df table at this scale " +
         s"(no mandatory hint — VocabHintSpec):\n$idfPlan")

@@ -332,18 +332,23 @@ class SimilaritySpec extends SparkSpec {
     }
     spark.listenerManager.register(listener)
     try {
+      // the execution-listener bus is ASYNC and shared JVM-wide: a
+      // late-delivered event from an EARLIER action in this JVM could
+      // land in the queue and be swept as if the operator executed it,
+      // and a slow bus could miss a fixed deadline (review r11).
+      // Deterministic capture instead: drain the bus, discard anything
+      // already delivered, run the operator, drain again — the queue
+      // then holds exactly this call's plans, no polling loop.
+      org.apache.spark.graftshim.ListenerShim
+        .drainListenerBus(spark.sparkContext)
+      plans.clear()
       assert(Similarity.mmrSelect(spark, Sf).collect().nonEmpty)
-      // the listener bus is async — the operator performs two internal
-      // collects (pool candidates, C×C matrix) and the test's own
-      // collect makes three action events; poll until ALL have landed
-      // so the no-cartesian sweep checks every stage, not just the
-      // first to arrive (review r10)
-      val deadline = System.nanoTime() + 10_000_000_000L
-      def captured = scala.jdk.CollectionConverters
+      // the operator performs two internal collects (pool candidates,
+      // C×C matrix) and the test's own collect is the third event
+      org.apache.spark.graftshim.ListenerShim
+        .drainListenerBus(spark.sparkContext)
+      val all = scala.jdk.CollectionConverters
         .CollectionHasAsScala(plans).asScala.toVector
-      while (captured.size < 3 && System.nanoTime() < deadline)
-        Thread.sleep(50)
-      val all = captured
       assert(all.size >= 3,
         s"expected the pool, matrix, and result plans; got ${all.size}")
       assert(all.exists(_.contains("TakeOrderedAndProject")),

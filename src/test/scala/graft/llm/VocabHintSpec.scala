@@ -75,4 +75,30 @@ class VocabHintSpec extends SparkSpec {
     assert(hintOutputs(df).isEmpty, "fertility must carry zero hints")
     assert(df.count() > 0L)
   }
+
+  // ---- the offsets-frame device class (VERDICT r10 task 3) ---------
+  // The distributed-rank device broadcasts a cumulative-offsets frame
+  // keyed on the SCORE GRID, not the corpus: one row per distinct
+  // (lang, fluency_ppm) / n_chars / quality_ppm value, bounded by the
+  // ppm domain (≤ |langs|×1e6 rows) regardless of corpus size — the
+  // one hint class that IS bounded by construction. These specs pin
+  // that the offsets frame is the ONLY hinted frame in each plan
+  // (rehearsal-measured at the 10M-token / 50k-doc corpus: 5,486
+  // rows ≈ 0.23 MB for pplFilter; 167 rows for curriculum —
+  // PLANS.md §r11).
+
+  test("pplFilter: only the (lang, score)-grid offsets frame is hinted") {
+    assertNoVocabHint(LangModel.pplFilter(spark, Sf),
+      allowed = Set(Set("lang", "fluency_ppm", "off", "n_lang")))
+  }
+
+  test("curriculum: only the n_chars-grid offsets frame is hinted") {
+    assertNoVocabHint(CorpusLayout.curriculum(spark, Sf),
+      allowed = Set(Set("n_chars", "off", "total")))
+  }
+
+  test("budgetSelect: only the quality-grid offsets frame is hinted") {
+    assertNoVocabHint(CorpusLayout.budgetSelect(spark, Sf),
+      allowed = Set(Set("quality_ppm", "off")))
+  }
 }
