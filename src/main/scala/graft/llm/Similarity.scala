@@ -38,6 +38,19 @@ object Similarity {
     * must be initialized before any of them. */
   val Dim = 64
 
+  /** The embeddings table restricted to WELL-FORMED vectors: non-null
+    * and exactly [[Dim]] wide. Ingest corruption (a null or truncated
+    * vector) is routine at scale and would NPE / index-out-of-bounds
+    * inside the typed kernels (VecOps iterates Dim unconditionally) —
+    * this is the vector analog of the P3 malformed-record filter, and
+    * EVERY similarity operator reads through it so all ANN outputs
+    * agree on one row universe (a malformed vector can be neither a
+    * query, a neighbor, nor a keep-list row). Driver testdata is all
+    * well-formed, so board results and oracle parity are unchanged. */
+  private def embRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === Dim)
+
   /** Every `QueryStride`-th vector is a query (deterministic subset). */
   val QueryStride = 50
   val TopK = 10
@@ -102,7 +115,7 @@ object Similarity {
     * computed once per vector before the pair join — at n·|Q| pairs,
     * recomputing them per pair would triple the hot-path flops. */
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = embRows(spark, dir)
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
     val queries = e.filter(col("vec_id") % QueryStride === 0 &&
@@ -243,7 +256,7 @@ object Similarity {
   private def ivfTopKProbes(spark: SparkSession, dir: String,
       nprobe: Int): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
+    val e = embRows(spark, dir)
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
       .withColumn("nv", transform(col("embedding"),
@@ -319,7 +332,7 @@ object Similarity {
     * statement of the `vec_id % stride` predicate every ANN query and
     * recall check shares. */
   private def queryIds(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    embRows(spark, dir)
       .filter(col("vec_id") % QueryStride === 0 &&
         col("vec_id") < QueryStride * MaxQueries)
       .select(col("vec_id").as("query_id"))
@@ -432,7 +445,7 @@ object Similarity {
     * ppm floor. Narrow projection + bounded explode (×[[Dim]]), no
     * shuffle. */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = embRows(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .select(col("vec_id"), col("v"),
@@ -595,7 +608,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
 
   private def pqBooksFor(spark: SparkSession, dir: String) = {
-    val raw = Tables.embeddings(spark, dir)
+    val raw = embRows(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     pqBookCache.getOrElseUpdate(dir, pqCodebooks(raw))
@@ -634,7 +647,7 @@ object Similarity {
     import spark.implicits._
     val books = pqBooksFor(spark, dir)
     val bcBooks = spark.sparkContext.broadcast(books)
-    val e = Tables.embeddings(spark, dir)
+    val e = embRows(spark, dir)
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding"), x => x.cast("double")).as("v"),
         norm(col("embedding")).as("nrm"))
@@ -776,7 +789,7 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val books = pqBooksFor(spark, dir)
-    val e = Tables.embeddings(spark, dir)
+    val e = embRows(spark, dir)
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding"), x => x.cast("double")).as("v"),
         norm(col("embedding")).as("nrm"))
@@ -915,7 +928,7 @@ object Similarity {
     * exact cosine ≥ 0.35. Bands bucket the join; recall (vs the exact
     * all-pairs answer) is probabilistic and asserted in tests. */
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val e = embRows(spark, dir).select(col("vec_id"), col("embedding"))
     // heavy expressions evaluated exactly once, in narrow projections:
     // bands carry only ids so the candidate join + distinct shuffles
     // 16-byte rows, never embedding arrays
@@ -1064,7 +1077,7 @@ object Similarity {
     * the IVF centroid-collect precedent: K-bounded driver state,
     * never corpus-sized. */
   def mmrSelect(spark: SparkSession, dir: String): DataFrame =
-    mmrSelectOf(Tables.embeddings(spark, dir))
+    mmrSelectOf(embRows(spark, dir))
 
   /** [[mmrSelect]] over any (vec_id, embedding) frame. */
   def mmrSelectOf(emb: DataFrame): DataFrame = {
@@ -1169,7 +1182,7 @@ object Similarity {
   def embedKeepList(spark: SparkSession, dir: String): DataFrame = {
     val pairs = lshNearDup(spark, dir)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    Tables.embeddings(spark, dir).select(col("vec_id"))
+    embRows(spark, dir).select(col("vec_id"))
       .join(Dedup.closureKeepers(pairs)
         .withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),

@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   *    window frames of one, self-joins with no second row);
   *  - `nulltext`: `documents` holding only a NULL-text and an
   *    empty-text row (ingest feeds both constantly), other tables
-  *    single-row.
+  *    single-row;
+  *  - `badvec`: `embeddings` holding one well-formed vector plus a
+  *    NULL, a truncated (7-dim), and an empty-array vector — the
+  *    corrupt-ingest classes the similarity family's malformed-row
+  *    guard must drop rather than NPE on. Other tables single-row.
   *
   * Individual null-class fixes existed before (r9's word-break NULL
   * fix), but nothing swept the whole surface. Each variant runs all
@@ -31,7 +35,7 @@ class DegenerateSpec extends SparkSpec {
   private lazy val scratch: Map[String, String] = {
     val base = java.nio.file.Files
       .createTempDirectory("graft-degenerate").toString
-    Seq("empty", "single", "nulltext").map { v =>
+    Seq("empty", "single", "nulltext", "badvec").map { v =>
       val dir = s"$base/$v"
       tables.foreach { t =>
         // events: write through the normalized reader — the raw file
@@ -49,6 +53,18 @@ class DegenerateSpec extends SparkSpec {
               .unionByName(one
                 .withColumn("doc_id", col("doc_id") + 1000000L)
                 .withColumn("text", lit("")))
+          case ("badvec", "embeddings") =>
+            // vec_id 0 keeps the ANN seed contract; the corrupt rows
+            // get distinct far-away ids
+            val one = src.orderBy("vec_id").limit(1)
+            def corrupt(off: Long, emb: org.apache.spark.sql.Column) =
+              one.withColumn("vec_id", col("vec_id") + off)
+                .withColumn("embedding", emb)
+            one
+              .unionByName(corrupt(1000000L, lit(null).cast("array<float>")))
+              .unionByName(corrupt(2000000L, expr("slice(embedding, 1, 7)")))
+              .unionByName(corrupt(3000000L,
+                expr("array()").cast("array<float>")))
           case _ => src.limit(1)
         }
         out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
@@ -92,4 +108,5 @@ class DegenerateSpec extends SparkSpec {
   test("all operators survive empty tables")(sweep("empty"))
   test("all operators survive single-row tables")(sweep("single"))
   test("all operators survive null/empty-text documents")(sweep("nulltext"))
+  test("all operators survive null/truncated/empty vectors")(sweep("badvec"))
 }
