@@ -40,7 +40,7 @@ object Bench {
     * wait + GC); CpuTime is actual CPU ns — the contention-robust one.
     * Diffing [[snapshot]] around a blocking action (after a listener
     * bus drain) attributes the interval's tasks to that action. */
-  private final class TaskTimeListener extends SparkListener {
+  private[graft] final class TaskTimeListener extends SparkListener {
     private val runMs = new LongAdder
     private val cpuNs = new LongAdder
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {

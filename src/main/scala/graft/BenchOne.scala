@@ -29,11 +29,23 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val q = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'"))
+    // same task/cpu attribution as the full Bench (r11): task CPU time
+    // is contention-robust, so an A/B on a loaded box compares cpu_s,
+    // not wall
+    val taskTimes = new Bench.TaskTimeListener
+    spark.sparkContext.addSparkListener(taskTimes)
     try (1 to reps).foreach { i =>
+      org.apache.spark.graftshim.ListenerShim
+        .drainListenerBus(spark.sparkContext)
+      val (task0, cpu0) = taskTimes.snapshot
       val t0 = System.nanoTime()
       val n = q(spark, dir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[bench-one] $name rep$i: $sec%.3f s ($n rows)")
+      org.apache.spark.graftshim.ListenerShim
+        .drainListenerBus(spark.sparkContext)
+      val (task1, cpu1) = taskTimes.snapshot
+      println(f"[bench-one] $name rep$i: $sec%.3f s " +
+        f"(task ${task1 - task0}%.3f s, cpu ${cpu1 - cpu0}%.3f s, $n rows)")
     } finally spark.stop()
   }
 }

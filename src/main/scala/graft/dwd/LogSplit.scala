@@ -28,11 +28,16 @@ object LogSplit {
     min(to_date(col("ts"))).over(Window.partitionBy(col("user_id")))
 
   /** Parsed log with JSON payload field extracted (P1). regexp_extract
-    * keeps the whole pipeline inside whole-stage codegen. */
-  def parsed(spark: SparkSession, dir: String): DataFrame =
+    * keeps the whole pipeline inside whole-stage codegen. A props
+    * payload WITHOUT the field extracts as '' — NULL it before the
+    * cast (the oracle's TRY_CAST): under ANSI a bare cast('') aborts
+    * the job on the first malformed log line (DegenerateSpec), and a
+    * behavior-log ingest must shrug at damaged payloads, not die. */
+  def parsed(spark: SparkSession, dir: String): DataFrame = {
+    val raw = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
     Tables.events(spark, dir).withColumn(
-      "prop_k",
-      regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      "prop_k", when(raw === "", lit(null)).otherwise(raw).cast("long"))
+  }
 
   /** P5 three-way demux as a single labelled frame: page / start / err
     * streams (reference side outputs, BaseLogApp2.java:118-157).

@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   *  - `badvec`: `embeddings` holding one well-formed vector plus a
   *    NULL, a truncated (7-dim), and an empty-array vector — the
   *    corrupt-ingest classes the similarity family's malformed-row
-  *    guard must drop rather than NPE on. Other tables single-row.
+  *    guard must drop rather than NPE on. Other tables single-row;
+  *  - `nullevents`: `events` holding one intact row plus rows with a
+  *    NULL event_type / NULL props / malformed-JSON props / NULL ts /
+  *    NULL user_id — what a lossy behavior-log ingest actually
+  *    delivers. Other tables single-row.
   *
   * Individual null-class fixes existed before (r9's word-break NULL
   * fix), but nothing swept the whole surface. Each variant runs all
@@ -35,7 +39,7 @@ class DegenerateSpec extends SparkSpec {
   private lazy val scratch: Map[String, String] = {
     val base = java.nio.file.Files
       .createTempDirectory("graft-degenerate").toString
-    Seq("empty", "single", "nulltext", "badvec").map { v =>
+    Seq("empty", "single", "nulltext", "badvec", "nullevents").map { v =>
       val dir = s"$base/$v"
       tables.foreach { t =>
         // events: write through the normalized reader — the raw file
@@ -53,6 +57,22 @@ class DegenerateSpec extends SparkSpec {
               .unionByName(one
                 .withColumn("doc_id", col("doc_id") + 1000000L)
                 .withColumn("text", lit("")))
+          case ("nullevents", "events") =>
+            val one = src.limit(1)
+            def corrupt(off: Long, c: String,
+                        v: org.apache.spark.sql.Column) =
+              one.withColumn("event_id", col("event_id") + off)
+                .withColumn(c, v)
+            one
+              .unionByName(corrupt(1000000L, "event_type",
+                lit(null).cast("string")))
+              .unionByName(corrupt(2000000L, "props",
+                lit(null).cast("string")))
+              .unionByName(corrupt(3000000L, "props", lit("{oops")))
+              .unionByName(corrupt(4000000L, "ts",
+                lit(null).cast("timestamp")))
+              .unionByName(corrupt(5000000L, "user_id",
+                lit(null).cast("long")))
           case ("badvec", "embeddings") =>
             // vec_id 0 keeps the ANN seed contract; the corrupt rows
             // get distinct far-away ids
@@ -109,4 +129,5 @@ class DegenerateSpec extends SparkSpec {
   test("all operators survive single-row tables")(sweep("single"))
   test("all operators survive null/empty-text documents")(sweep("nulltext"))
   test("all operators survive null/truncated/empty vectors")(sweep("badvec"))
+  test("all operators survive corrupt event rows")(sweep("nullevents"))
 }
