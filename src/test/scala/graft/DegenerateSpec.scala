@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   *  - `nullevents`: `events` holding one intact row plus rows with a
   *    NULL event_type / NULL props / malformed-JSON props / NULL ts /
   *    NULL user_id — what a lossy behavior-log ingest actually
-  *    delivers. Other tables single-row.
+  *    delivers. Other tables single-row;
+  *  - `nullorders`: `orders`/`lineitem` holding one intact row each
+  *    plus rows with NULL dates / amounts / keys — CDC envelopes
+  *    deliver partial records on schema drift, and the interval-join,
+  *    money-arithmetic, and graph families must drop or
+  *    null-propagate them, never abort. Other tables single-row.
   *
   * Individual null-class fixes existed before (r9's word-break NULL
   * fix), but nothing swept the whole surface. Each variant runs all
@@ -39,7 +44,8 @@ class DegenerateSpec extends SparkSpec {
   private lazy val scratch: Map[String, String] = {
     val base = java.nio.file.Files
       .createTempDirectory("graft-degenerate").toString
-    Seq("empty", "single", "nulltext", "badvec", "nullevents").map { v =>
+    Seq("empty", "single", "nulltext", "badvec", "nullevents",
+      "nullorders").map { v =>
       val dir = s"$base/$v"
       tables.foreach { t =>
         // events: write through the normalized reader — the raw file
@@ -73,6 +79,19 @@ class DegenerateSpec extends SparkSpec {
                 lit(null).cast("timestamp")))
               .unionByName(corrupt(5000000L, "user_id",
                 lit(null).cast("long")))
+          case ("nullorders", "orders" | "lineitem") =>
+            val one = src.limit(1)
+            val key = if (t == "orders") "o_orderkey" else "l_orderkey"
+            val nulled = t match {
+              case "orders" => Seq("o_orderdate", "o_totalprice", "o_custkey")
+              case _ => Seq("l_shipdate", "l_quantity", "l_partkey",
+                "l_extendedprice")
+            }
+            nulled.zipWithIndex.foldLeft(one) { case (acc, (c, i)) =>
+              acc.unionByName(one
+                .withColumn(key, col(key) + (i + 1) * 1000000L)
+                .withColumn(c, lit(null).cast(one.schema(c).dataType)))
+            }
           case ("badvec", "embeddings") =>
             // vec_id 0 keeps the ANN seed contract; the corrupt rows
             // get distinct far-away ids
@@ -130,4 +149,5 @@ class DegenerateSpec extends SparkSpec {
   test("all operators survive null/empty-text documents")(sweep("nulltext"))
   test("all operators survive null/truncated/empty vectors")(sweep("badvec"))
   test("all operators survive corrupt event rows")(sweep("nullevents"))
+  test("all operators survive partial order/lineitem rows")(sweep("nullorders"))
 }
