@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   *    plus rows with NULL dates / amounts / keys — CDC envelopes
   *    deliver partial records on schema drift, and the interval-join,
   *    money-arithmetic, and graph families must drop or
-  *    null-propagate them, never abort. Other tables single-row.
+  *    null-propagate them, never abort. Other tables single-row;
+  *  - `dupkeys`: every table holds the SAME row twice — the
+  *    at-least-once redelivery every CDC/Kafka ingest produces.
+  *    Operators may emit duplicates or dedup them, but none may
+  *    abort on a violated primary-key assumption.
   *
   * Individual null-class fixes existed before (r9's word-break NULL
   * fix), but nothing swept the whole surface. Each variant runs all
@@ -45,7 +49,7 @@ class DegenerateSpec extends SparkSpec {
     val base = java.nio.file.Files
       .createTempDirectory("graft-degenerate").toString
     Seq("empty", "single", "nulltext", "badvec", "nullevents",
-      "nullorders").map { v =>
+      "nullorders", "dupkeys").map { v =>
       val dir = s"$base/$v"
       tables.foreach { t =>
         // events: write through the normalized reader — the raw file
@@ -79,6 +83,9 @@ class DegenerateSpec extends SparkSpec {
                 lit(null).cast("timestamp")))
               .unionByName(corrupt(5000000L, "user_id",
                 lit(null).cast("long")))
+          case ("dupkeys", _) =>
+            val one = src.limit(1)
+            one.unionByName(one)
           case ("nullorders", "orders" | "lineitem") =>
             val one = src.limit(1)
             val key = if (t == "orders") "o_orderkey" else "l_orderkey"
@@ -150,4 +157,5 @@ class DegenerateSpec extends SparkSpec {
   test("all operators survive null/truncated/empty vectors")(sweep("badvec"))
   test("all operators survive corrupt event rows")(sweep("nullevents"))
   test("all operators survive partial order/lineitem rows")(sweep("nullorders"))
+  test("all operators survive redelivered duplicate rows")(sweep("dupkeys"))
 }
