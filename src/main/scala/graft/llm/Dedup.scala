@@ -655,9 +655,10 @@ object Dedup {
     } finally { edges.unpersist(); () }
   }
 
-  // private[llm] so ScaleRehearsal adjudicates over the IDENTICAL
-  // doubled+distinct edge frame the production dispatch would build
-  private[llm] def undirectedEdges(pairs: DataFrame): DataFrame =
+  // r11: ScaleRehearsal now feeds driverClosure the SINGLE-direction
+  // pair list (union-find is direction-agnostic; half the collect
+  // heap), so this is Dedup-internal again
+  private def undirectedEdges(pairs: DataFrame): DataFrame =
     pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()

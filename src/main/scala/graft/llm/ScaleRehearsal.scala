@@ -305,10 +305,11 @@ object ScaleRehearsal {
       s"closureKeepers dispatches to the DISTRIBUTED loop)")
     require(nPairs > Dedup.DriverClosureMaxEdges,
       "rehearsal corpus must exceed the driver-closure bound")
-    val (labels, rounds) = time("closureKeepersCounted (pointer doubling)") {
-      val (l, r) = Dedup.closureKeepersCounted(pairs)
-      l.count(); (l, r)
-    }
+    val (labels, labeled, rounds) =
+      time("closureKeepersCounted (pointer doubling)") {
+        val (l, r) = Dedup.closureKeepersCounted(pairs)
+        (l, l.count(), r)
+      }
     println(s"[scale] pointer-doubling rounds: $rounds " +
       s"(cap ${Dedup.ClosureMaxRounds})")
     // EXACT adjudication: the distributed loop must equal the
@@ -333,7 +334,6 @@ object ScaleRehearsal {
     val joined = labels.join(exact, Seq("doc_id")).localCheckpoint()
     val nJoined = joined.count()
     val wrong = joined.filter(col("keeper") =!= col("exact_keeper")).count()
-    val labeled = labels.count()
     println(s"[scale] labels: $labeled docs (exact: $nExact, joined: " +
       s"$nJoined); distributed loop vs driver union-find mismatches: $wrong")
     require(wrong == 0 && labeled == nExact && nJoined == labeled,
@@ -388,12 +388,12 @@ object ScaleRehearsal {
         (p, p.count())
       }
     println(s"[scale] verified pairs at $RecallBands×$RecallRows: $nPairs")
-    val (labels, rounds) = time("closureKeepersCounted") {
+    val (labels, labeled, rounds) = time("closureKeepersCounted") {
       val (l, r) = Dedup.closureKeepersCounted(pairs)
-      l.count(); (l, r)
+      (l, l.count(), r)
     }
     println(s"[scale] rounds: $rounds")
-    reportRecall(labels, labels.count(),
+    reportRecall(labels, labeled,
       tag = s"$RecallBands×$RecallRows", requireComplete = true)
     println(s"[scale] recall knob CLOSES the gap: 100% of docs on the " +
       "constructed truth (vs 0.097% adrift at 8×4 in r10)")
@@ -412,12 +412,11 @@ object ScaleRehearsal {
     // the REAL pipeline under measurement — support-filtered pairs,
     // eagerly pinned: three consumers (triangles, itemRank, driver
     // adjudicators) must see the identical graph
-    val pairs = time("copurchasePairs (the corpus-scale shuffle)") {
+    val (pairs, nEdges) = time("copurchasePairs (the corpus-scale shuffle)") {
       val p = graft.ads.ItemRank.copurchasePairs(spark, graphDir)
         .localCheckpoint()
-      p.count(); p
+      (p, p.count())
     }
-    val nEdges = pairs.count()
     println(s"[scale] support-filtered pair graph: $nEdges edges")
 
     // ---- wedge balance: degree-ordered vs naive orientation --------
@@ -457,6 +456,11 @@ object ScaleRehearsal {
 
     // ---- distributed triangles, with per-task skew capture ---------
     val skew = new StageInputListener
+    // drain BEFORE registering: in-flight task-end events from the
+    // wedge-profile jobs above would otherwise be delivered to the
+    // fresh listener and misattributed to the triangle job's skew
+    // profile (review r11 — the same both-sides discipline as Bench)
+    ListenerShim.drainListenerBus(spark.sparkContext)
     spark.sparkContext.addSparkListener(skew)
     val triRow = time("trianglesOf (distributed, AQE)") {
       graft.ads.ItemRank.trianglesOf(pairs).head()

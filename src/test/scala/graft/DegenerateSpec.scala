@@ -84,7 +84,7 @@ class DegenerateSpec extends SparkSpec {
               .unionByName(corrupt(5000000L, "user_id",
                 lit(null).cast("long")))
           case ("dupkeys", _) =>
-            val one = src.limit(1)
+            val one = if (t == "embeddings") lowestVec(src) else src.limit(1)
             one.unionByName(one)
           case ("nullorders", "orders" | "lineitem") =>
             val one = src.limit(1)
@@ -102,7 +102,7 @@ class DegenerateSpec extends SparkSpec {
           case ("badvec", "embeddings") =>
             // vec_id 0 keeps the ANN seed contract; the corrupt rows
             // get distinct far-away ids
-            val one = src.orderBy("vec_id").limit(1)
+            val one = lowestVec(src)
             def corrupt(off: Long, emb: org.apache.spark.sql.Column) =
               one.withColumn("vec_id", col("vec_id") + off)
                 .withColumn("embedding", emb)
@@ -111,6 +111,7 @@ class DegenerateSpec extends SparkSpec {
               .unionByName(corrupt(2000000L, expr("slice(embedding, 1, 7)")))
               .unionByName(corrupt(3000000L,
                 expr("array()").cast("array<float>")))
+          case (_, "embeddings") => lowestVec(src)
           case _ => src.limit(1)
         }
         out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
@@ -118,6 +119,14 @@ class DegenerateSpec extends SparkSpec {
       v -> dir
     }.toMap
   }
+
+  /** The single-row embeddings fixture must be the LOWEST vec_id —
+    * the ANN seed contract (seeds are vec_id < K) distinguishes a
+    * tiny table (degrade gracefully) from a renumbered one (hard
+    * error); an unordered limit(1) would pick an arbitrary row and
+    * trip the renumbered guard on a fixture-order change. */
+  private def lowestVec(src: org.apache.spark.sql.DataFrame) =
+    src.orderBy("vec_id").limit(1)
 
   /** Reference schemas from the real sf dir — analysis only, no
     * execution (schema stability is judged against what the driver's

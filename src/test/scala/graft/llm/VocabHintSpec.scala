@@ -39,6 +39,13 @@ class VocabHintSpec extends SparkSpec {
       assert(allowed.exists(_.subsetOf(out)),
         s"unexpected broadcast hint (not in the bounded allow-list): $out")
     }
+    // the allowed frame is not merely tolerated — it IS the bounded
+    // device and must still be hinted; without this the test passes
+    // vacuously if someone deletes the hint outright (review r11)
+    allowed.foreach { want =>
+      assert(hints.exists(want.subsetOf(_)),
+        s"the bounded frame $want lost its broadcast hint")
+    }
     assert(df.count() >= 0L) // the join must still resolve + execute
   }
 
