@@ -133,7 +133,8 @@ object ScaleRehearsal {
   }
 
   def main(args: Array[String]): Unit = {
-    val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe")
+    val all =
+      Set("closure", "vocab", "recall", "graph", "offsets", "bpe", "skew")
     val sections = if (args.isEmpty) all else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
@@ -168,6 +169,7 @@ object ScaleRehearsal {
     if (sections("graph")) graphSection(spark, graphDir)
     if (sections("offsets")) offsetsSection(spark, vocabDir)
     if (sections("bpe")) bpeSection(spark, bpeDir)
+    if (sections("skew")) skewSection(spark)
 
     spark.stop()
     println("[scale] DONE")
@@ -400,6 +402,120 @@ object ScaleRehearsal {
   }
 
   // ---- (graph) hubbed triangles + itemRank, exactly adjudicated ----
+
+  // ---- (skew) hot-key join: unmitigated vs AQE split vs salting ----
+
+  /** One key holds HALF the fact rows — the viral-item/null-key shape
+    * `func.Skew`'s Scaladoc names. Three configurations of the same
+    * 10M-row join, each with per-task shuffle-read capture:
+    * (1) skew-join disabled = the unmitigated hot reducer;
+    * (2) AQE skew split (thresholds lowered so the 10M-row rehearsal
+    *     crosses them — at 100 TB the defaults trigger on their own);
+    * (3) the production [[graft.func.Skew.saltedEquiJoin]].
+    * The salted result must equal the plain join EXACTLY (the
+    * result-invisible contract, adjudicated on all group rows), and
+    * each mitigation must beat the unmitigated max/mean by a real
+    * factor. Frames are built from `spark.range` (deterministic);
+    * nothing is written. */
+  private def skewSection(spark: SparkSession): Unit = {
+    import spark.implicits._
+    println("[scale] === hot-key skew rehearsal (10M-row join) ===")
+    val factRows = 10000000L
+    val dimKeys = 1000000L
+    val buckets = 32
+    // fk: even ids collapse onto hot key 0; odd ids spread uniformly
+    val fact = spark.range(factRows).select(
+      when(col("id") % 2 === 0, 0L)
+        .otherwise(col("id") % (dimKeys - 1) + 1).as("fk"),
+      col("id").as("v"))
+    val dim = spark.range(dimKeys).select(col("id").as("dk"),
+      (col("id") % 25).as("grp"))
+
+    def agg(joined: org.apache.spark.sql.DataFrame) =
+      joined.groupBy("grp")
+        .agg(count(lit(1)).as("ct"), sum("v").as("v_sum"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    /** Run `body` with per-task shuffle-read capture; returns (result,
+      * worst max/mean over stages reading ≥ 1M rows). */
+    def measured[A](tag: String)(body: => A): (A, Double) = {
+      val l = new StageInputListener
+      ListenerShim.drainListenerBus(spark.sparkContext)
+      spark.sparkContext.addSparkListener(l)
+      val r = time(tag)(body)
+      ListenerShim.drainListenerBus(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(l)
+      val worst = l.stages.values.filter(_.sum >= 1000000)
+        .map(rs => rs.max / (rs.sum.toDouble / rs.size))
+        .maxOption.getOrElse(1.0)
+      println(f"[scale] $tag worst max/mean task skew: $worst%.1f×")
+      (r, worst)
+    }
+
+    def withConfs[A](kvs: (String, String)*)(body: => A): A = {
+      val prior = kvs.map { case (k, _) => k -> spark.conf.get(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+
+    // dim (~30 MB estimated) must take the shuffle path for reducer
+    // skew to exist at all — disable size-based broadcast for the
+    // unsalted runs (at 100 TB the dim side is past any threshold)
+    val noBc = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    val (unmitigated, wUnmit) = withConfs(noBc,
+      "spark.sql.adaptive.skewJoin.enabled" -> "false") {
+      measured("plain join, skew split OFF") {
+        collectMap(agg(fact.join(dim, col("fk") === col("dk"))))
+      }
+    }
+    val ((aqe, aqePlanSkew), wAqe) = withConfs(noBc,
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // rehearsal-scale trigger: the hot partition is ~tens of MB,
+      // under the 256 MB default threshold a real cluster would use
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB",
+      // MEASURED FINDING (r11): without this, AQE plans the split and
+      // then REVERTS it — its cost check is conservative about the
+      // extra-shuffle risk in a join→aggregate shape, and the final
+      // plan keeps the hot reducer (probed: SortMergeJoin with no
+      // skew=true at ANY threshold/factor; flipping either this flag
+      // or coalescePartitions.enabled=false lets the split stand).
+      // Production note: the salting device below needs no flag —
+      // it is immune to the cost check by construction.
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
+      measured("plain join, AQE skew split ON") {
+        // inspect the plan of the EXACT dataset that executes —
+        // `.as[...]` derives a new QueryExecution, so reading the
+        // pre-derivation frame would show an unexecuted initial plan
+        val ds = agg(fact.join(dim, col("fk") === col("dk")))
+          .as[(Long, Long, Long)]
+        val m = ds.collect().map(r => r._1 -> (r._2, r._3)).toMap
+        // the split shows as SortMergeJoin(skew=true) over an
+        // AQEShuffleRead marked "skewed"
+        val skewLines = ds.queryExecution.executedPlan.toString
+          .linesIterator.filter(_.toLowerCase.contains("skew"))
+          .map(_.trim.take(90)).toVector
+        skewLines.foreach(l => println(s"[scale]   plan: $l"))
+        (m, skewLines.nonEmpty)
+      }
+    }
+    val (salted, wSalt) = withConfs(noBc) {
+      measured(s"saltedEquiJoin (buckets = $buckets)") {
+        collectMap(agg(graft.func.Skew
+          .saltedEquiJoin(fact, dim, "fk", "dk", col("v"), buckets)))
+      }
+    }
+    require(aqePlanSkew, "AQE final plan shows no skew=true split")
+    require(salted == unmitigated && aqe == unmitigated,
+      "mitigated results diverge from the plain join (result-invisible " +
+        "contract broken)")
+    println(f"[scale] balance: unmitigated $wUnmit%.1f× → AQE split " +
+      f"$wAqe%.1f×, salted $wSalt%.1f× (all three results identical " +
+      "on every group)")
+    require(wUnmit / wAqe > 2.0 && wUnmit / wSalt > 2.0,
+      "mitigations did not materially beat the unmitigated hot reducer")
+  }
 
   private def graphSection(spark: SparkSession, graphDir: String): Unit = {
     import spark.implicits._
