@@ -51,6 +51,11 @@ import org.apache.spark.sql.functions._
   *   production-scale configuration (≥4k learned merges; batch 256,
   *   pool 1024) on a 10M-token letter-word corpus and records
   *   runtime and merge-table size. Board constants are untouched.
+  *
+  * - `skew` (r11): a 10M-row hot-key join (one key = half the fact)
+  *   in three configurations — unmitigated, AQE skew split, and
+  *   [[graft.func.Skew.saltedEquiJoin]] — with per-task shuffle-read
+  *   balance capture and exact result adjudication across all three.
   */
 object ScaleRehearsal {
   val Root = "/tmp/graft-scale"
