@@ -56,6 +56,14 @@ import org.apache.spark.sql.functions._
   *   in three configurations — unmitigated, AQE skew split, and
   *   [[graft.func.Skew.saltedEquiJoin]] — with per-task shuffle-read
   *   balance capture and exact result adjudication across all three.
+  *
+  * - `stream` (r11): 5M events through the stateful streaming family
+  *   ([[graft.streaming.StreamJobs.visitorTumble]] watermarked window
+  *   agg; [[graft.streaming.StreamJobs.uvDedup]] watermark-evicted
+  *   dedup state) via MemoryStream micro-batches — throughput in
+  *   rows/s, state row counts from the progress API, and EXACT
+  *   parity of the streamed window aggregates against a batch
+  *   recompute of the identical event set.
   */
 object ScaleRehearsal {
   val Root = "/tmp/graft-scale"
@@ -138,8 +146,8 @@ object ScaleRehearsal {
   }
 
   def main(args: Array[String]): Unit = {
-    val all =
-      Set("closure", "vocab", "recall", "graph", "offsets", "bpe", "skew")
+    val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe",
+      "skew", "stream")
     val sections = if (args.isEmpty) all else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
@@ -175,6 +183,7 @@ object ScaleRehearsal {
     if (sections("offsets")) offsetsSection(spark, vocabDir)
     if (sections("bpe")) bpeSection(spark, bpeDir)
     if (sections("skew")) skewSection(spark)
+    if (sections("stream")) streamSection(spark)
 
     spark.stop()
     println("[scale] DONE")
@@ -520,6 +529,107 @@ object ScaleRehearsal {
       "on every group)")
     require(wUnmit / wAqe > 2.0 && wUnmit / wSalt > 2.0,
       "mitigations did not materially beat the unmitigated hot reducer")
+  }
+
+  // ---- (stream) stateful streaming throughput + batch parity -------
+
+  /** Synthetic event row for the streaming rehearsal (a stable
+    * top-of-object case class so the MemoryStream encoder resolves). */
+  case class RehEv(event_id: Long, user_id: Long, event_type: String,
+    value: Double, ts: java.sql.Timestamp)
+
+  private def streamSection(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    println("[scale] === streaming rehearsal (5M events, MemoryStream) ===")
+    val nEvents = 5000000L
+    val nBatches = 10
+    val users = 100000L
+    val types = Array("view", "click", "cart", "order")
+    val base = 1616300000000L // fixed epoch ms; 1 ms/event → ~83 min sim
+    def ev(i: Long): RehEv = RehEv(i, i % users, types((i % 4).toInt),
+      (i % 100).toDouble, new java.sql.Timestamp(base + i))
+    // the batch twin of ev(), expression-for-expression — parity is
+    // meaningful only because both sides derive from the same id
+    val batchEvents = spark.range(nEvents).select(
+      col("id").as("event_id"),
+      (col("id") % users).as("user_id"),
+      element_at(array(types.map(lit).toIndexedSeq: _*),
+        (col("id") % 4 + 1).cast("int")).as("event_type"),
+      (col("id") % 100).cast("double").as("value"),
+      timestamp_millis(lit(base) + col("id")).as("ts"))
+
+    // driver-side generation happens OUTSIDE the timed windows — the
+    // measurement is the engine's micro-batch path (encode, shuffle,
+    // state read/write, sink), not the rehearsal's row synthesis
+    val per = nEvents / nBatches
+    val batches = (0 until nBatches)
+      .map(b => (b * per until (b + 1) * per).map(ev))
+
+    // --- visitorTumble: watermarked 10 s window agg -----------------
+    val src = MemoryStream[RehEv]
+    val q = graft.streaming.StreamJobs.visitorTumble(src.toDF())
+      .writeStream.format("memory").queryName("scale_vt")
+      .outputMode("append").start()
+    val t0 = System.nanoTime()
+    batches.foreach { data =>
+      src.addData(data)
+      q.processAllAvailable()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    // far-future sentinel drives the watermark past every real window
+    val sentinelTs = base + 1000000000L
+    src.addData(RehEv(nEvents, 0L, "view", 0.0,
+      new java.sql.Timestamp(sentinelTs)))
+    q.processAllAvailable()
+    val vtState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    println(f"[scale] visitorTumble: $nEvents events in $secs%.1f s = " +
+      f"${nEvents / secs / 1e6}%.2f M rows/s ($nBatches micro-batches, " +
+      s"final state rows $vtState)")
+    val streamed = spark.table("scale_vt")
+      .filter(unix_millis(col("stt")) < sentinelTs - 10000)
+      .select(unix_millis(col("stt")), col("ar"), col("ch"),
+        col("pv_ct"), col("dur_sum"))
+      .as[(Long, Long, String, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+    // the batch twin of visitorTumble's aggregate, minus the watermark
+    val batchAgg = batchEvents
+      .groupBy(window(col("ts"), "10 seconds"),
+        (col("user_id") % 10).as("ar"), col("event_type").as("ch"))
+      .agg(count(lit(1)).as("pv_ct"), sum(col("value")).as("dur_sum"))
+      .select(unix_millis(col("window.start")), col("ar"), col("ch"),
+        col("pv_ct"), col("dur_sum"))
+      .as[(Long, Long, String, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+    require(streamed == batchAgg,
+      s"stream/batch window parity broken: ${streamed.size} streamed " +
+        s"groups vs ${batchAgg.size} batch groups")
+    println(s"[scale] visitorTumble parity: ${streamed.size} window " +
+      "groups identical to the batch recompute (counts AND sums)")
+
+    // --- uvDedup: watermark-evicted keyed dedup state ---------------
+    val src2 = MemoryStream[RehEv]
+    val q2 = graft.streaming.StreamJobs.uvDedup(src2.toDF())
+      .writeStream.format("memory").queryName("scale_uv")
+      .outputMode("append").start()
+    val t1 = System.nanoTime()
+    batches.foreach { data =>
+      src2.addData(data)
+      q2.processAllAvailable()
+    }
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    val uvState = q2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q2.stop()
+    val uv = spark.table("scale_uv").select(col("mid")).distinct().count()
+    println(f"[scale] uvDedup: $nEvents events in $secs2%.1f s = " +
+      f"${nEvents / secs2 / 1e6}%.2f M rows/s (state rows $uvState " +
+      s"= distinct keys, output $uv distinct mids)")
+    require(uv == users && spark.table("scale_uv").count() == users,
+      "uvDedup must emit each (mid, day) exactly once")
+    require(uvState <= users * 2,
+      s"dedup state $uvState grew past the key space — eviction broken?")
   }
 
   private def graphSection(spark: SparkSession, graphDir: String): Unit = {
