@@ -567,27 +567,43 @@ object ScaleRehearsal {
     val batches = (0 until nBatches)
       .map(b => (b * per until (b + 1) * per).map(ev))
 
-    // --- visitorTumble: watermarked 10 s window agg -----------------
-    val src = MemoryStream[RehEv]
-    val q = graft.streaming.StreamJobs.visitorTumble(src.toDF())
-      .writeStream.format("memory").queryName("scale_vt")
-      .outputMode("append").start()
-    val t0 = System.nanoTime()
-    batches.foreach { data =>
-      src.addData(data)
-      q.processAllAvailable()
-    }
-    val secs = (System.nanoTime() - t0) / 1e9
-    // far-future sentinel drives the watermark past every real window
+    // --- visitorTumble: watermarked 10 s window agg, once per state
+    // store provider (the default HDFS-backed store vs RocksDB — the
+    // production knob when per-batch state-commit latency dominates,
+    // which it does at this batch size) --------------------------------
     val sentinelTs = base + 1000000000L
-    src.addData(RehEv(nEvents, 0L, "view", 0.0,
-      new java.sql.Timestamp(sentinelTs)))
-    q.processAllAvailable()
-    val vtState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
-    q.stop()
-    println(f"[scale] visitorTumble: $nEvents events in $secs%.1f s = " +
-      f"${nEvents / secs / 1e6}%.2f M rows/s ($nBatches micro-batches, " +
-      s"final state rows $vtState)")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val defaultProvider = spark.conf.get(providerKey)
+    val rocks = "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider"
+    def runTumble(tag: String, provider: Option[String]): Double = {
+      provider.foreach(spark.conf.set(providerKey, _))
+      try {
+        val src = MemoryStream[RehEv]
+        val q = graft.streaming.StreamJobs.visitorTumble(src.toDF())
+          .writeStream.format("memory").queryName("scale_vt")
+          .outputMode("append").start()
+        val t0 = System.nanoTime()
+        batches.foreach { data =>
+          src.addData(data)
+          q.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        // far-future sentinel drives the watermark past every window
+        src.addData(RehEv(nEvents, 0L, "view", 0.0,
+          new java.sql.Timestamp(sentinelTs)))
+        q.processAllAvailable()
+        val vtState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        q.stop()
+        println(f"[scale] visitorTumble[$tag]: $nEvents events in " +
+          f"$secs%.1f s = ${nEvents / secs / 1e6}%.2f M rows/s " +
+          s"($nBatches micro-batches, final state rows $vtState)")
+        secs
+      } finally provider.foreach(_ => spark.conf.set(providerKey,
+        defaultProvider))
+    }
+    runTumble("rocksdb", Some(rocks))
+    runTumble("default-hdfs", None)
     val streamed = spark.table("scale_vt")
       .filter(unix_millis(col("stt")) < sentinelTs - 10000)
       .select(unix_millis(col("stt")), col("ar"), col("ch"),
