@@ -28,15 +28,14 @@ object LogSplit {
     min(to_date(col("ts"))).over(Window.partitionBy(col("user_id")))
 
   /** Parsed log with JSON payload field extracted (P1). regexp_extract
-    * keeps the whole pipeline inside whole-stage codegen. A props
-    * payload WITHOUT the field extracts as '' — NULL it before the
-    * cast (the oracle's TRY_CAST): under ANSI a bare cast('') aborts
-    * the job on the first malformed log line (DegenerateSpec), and a
-    * behavior-log ingest must shrug at damaged payloads, not die. */
+    * keeps the whole pipeline inside whole-stage codegen. A damaged
+    * payload must not die: try_cast NULLs every malformed extract —
+    * the '' a non-matching pattern yields AND digit runs that overflow
+    * BIGINT — exactly like the oracle's TRY_CAST, where the previous
+    * empty-string-only guard still aborted under ANSI on overflow. */
   def parsed(spark: SparkSession, dir: String): DataFrame = {
     val raw = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
-    Tables.events(spark, dir).withColumn(
-      "prop_k", when(raw === "", lit(null)).otherwise(raw).cast("long"))
+    Tables.events(spark, dir).withColumn("prop_k", raw.try_cast("long"))
   }
 
   /** P5 three-way demux as a single labelled frame: page / start / err

@@ -64,6 +64,21 @@ import org.apache.spark.sql.functions._
   *   rows/s, state row counts from the progress API, and EXACT
   *   parity of the streamed window aggregates against a batch
   *   recompute of the identical event set.
+  *
+  * - `ladder` (r12, VERDICT r11 task 1): the board's cost GROWTH,
+  *   measured, not argued. A three-rung corpus ladder (x1 mirrors
+  *   sf0.1 cardinalities per TESTDATA.md; x3 and x10 scale facts,
+  *   catalog, time range, documents, and embeddings together — the
+  *   TPC-H convention: growth adds days and SKUs, not just density)
+  *   runs the six top-CPU board pipelines end-to-end with the Bench
+  *   task-CPU listener and fits the log-log growth exponent of
+  *   cpu_s per query. Targets: product_stats, copurchase, item_rank,
+  *   triangles, lshDuplicates, embedKeepList — plus the scale-aware
+  *   banding variant of the last one, because fixed 8×4 sign-LSH is
+  *   the ONE shape with an expected super-linear term (chance
+  *   candidates ~ bands·n²/2^bits) and the knob that removes it
+  *   ([[Similarity.lshNearDupWith]], bits ≈ log2(n/targetBucket))
+  *   must be demonstrated, not asserted.
   */
 object ScaleRehearsal {
   val Root = "/tmp/graft-scale"
@@ -123,6 +138,26 @@ object ScaleRehearsal {
   val BpeDocs = 50000
   val BpeVocab = 30000
   val BpeTokensPerDoc = 200
+
+  // ladder corpus: x1 mirrors sf0.1 cardinalities (TESTDATA.md —
+  // 150k orders / ~600k lineitem / 20k part / 5k documents / 2k
+  // embeddings). Catalog and time range scale WITH the fact rows:
+  // that is how 100 TB actually arrives (more days, more SKUs), and
+  // it is the TPC-H scaling convention. Duplicate-cluster and
+  // planted-near-dup FRACTIONS are held constant across rungs so the
+  // dedup pipelines see a scale-invariant task, not a densifying one.
+  val LadderScales: Seq[Int] = Seq(1, 3, 10)
+  val LadderOrders = 150000L
+  val LadderParts = 20000
+  val LadderDocs = 5000L
+  val LadderVecs = 2000L
+  val LadderWindows = 2400 // distinct 10 s ship windows at x1
+  val LadderDocVocab = 30000
+  /** Sign-LSH bucket-occupancy target for the scale-aware banding:
+    * chosen so the x1 rung (2k vectors) lands on the board's default
+    * 4 bits exactly — the knob REDUCES to the oracle-locked banding
+    * at board scale. Capped at 7 bits (8 bands × 7 = 56 ≤ 63). */
+  val LadderVecBucket = 125.0
 
   private def time[A](tag: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
@@ -576,12 +611,19 @@ object ScaleRehearsal {
     val defaultProvider = spark.conf.get(providerKey)
     val rocks = "org.apache.spark.sql.execution.streaming" +
       ".state.RocksDBStateStoreProvider"
-    def runTumble(tag: String, provider: Option[String]): Double = {
+    // returns (secs, streamed window groups) — the output map is
+    // collected INSIDE the run, from a per-tag view name, so the
+    // second provider's run cannot clobber the first's sink before
+    // parity is adjudicated (earlier shape parity-checked only the
+    // last provider despite the A/B framing)
+    def runTumble(tag: String, provider: Option[String])
+        : (Double, Map[(Long, Long, String), (Long, Double)]) = {
       provider.foreach(spark.conf.set(providerKey, _))
       try {
         val src = MemoryStream[RehEv]
+        val view = "scale_vt_" + tag.replaceAll("[^a-zA-Z0-9]", "_")
         val q = graft.streaming.StreamJobs.visitorTumble(src.toDF())
-          .writeStream.format("memory").queryName("scale_vt")
+          .writeStream.format("memory").queryName(view)
           .outputMode("append").start()
         val t0 = System.nanoTime()
         batches.foreach { data =>
@@ -598,18 +640,18 @@ object ScaleRehearsal {
         println(f"[scale] visitorTumble[$tag]: $nEvents events in " +
           f"$secs%.1f s = ${nEvents / secs / 1e6}%.2f M rows/s " +
           s"($nBatches micro-batches, final state rows $vtState)")
-        secs
+        val out = spark.table(view)
+          .filter(unix_millis(col("stt")) < sentinelTs - 10000)
+          .select(unix_millis(col("stt")), col("ar"), col("ch"),
+            col("pv_ct"), col("dur_sum"))
+          .as[(Long, Long, String, Long, Double)].collect()
+          .map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+        (secs, out)
       } finally provider.foreach(_ => spark.conf.set(providerKey,
         defaultProvider))
     }
-    runTumble("rocksdb", Some(rocks))
-    runTumble("default-hdfs", None)
-    val streamed = spark.table("scale_vt")
-      .filter(unix_millis(col("stt")) < sentinelTs - 10000)
-      .select(unix_millis(col("stt")), col("ar"), col("ch"),
-        col("pv_ct"), col("dur_sum"))
-      .as[(Long, Long, String, Long, Double)].collect()
-      .map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+    val (_, streamedRocks) = runTumble("rocksdb", Some(rocks))
+    val (_, streamed) = runTumble("default-hdfs", None)
     // the batch twin of visitorTumble's aggregate, minus the watermark
     val batchAgg = batchEvents
       .groupBy(window(col("ts"), "10 seconds"),
@@ -622,8 +664,12 @@ object ScaleRehearsal {
     require(streamed == batchAgg,
       s"stream/batch window parity broken: ${streamed.size} streamed " +
         s"groups vs ${batchAgg.size} batch groups")
+    require(streamedRocks == batchAgg,
+      s"RocksDB-provider run diverges from the batch recompute: " +
+        s"${streamedRocks.size} groups vs ${batchAgg.size}")
     println(s"[scale] visitorTumble parity: ${streamed.size} window " +
-      "groups identical to the batch recompute (counts AND sums)")
+      "groups identical to the batch recompute (counts AND sums), " +
+      "BOTH state-store providers")
 
     // --- uvDedup: watermark-evicted keyed dedup state ---------------
     val src2 = MemoryStream[RehEv]

@@ -899,16 +899,26 @@ object Similarity {
     * projection made janino the bottleneck (~20 s compile per plan,
     * data-size-independent); the loop does the identical
     * left-associative IEEE sum, so signatures are unchanged. */
-  def signatures(e: DataFrame): DataFrame = {
+  def signatures(e: DataFrame): DataFrame =
+    signaturesWith(e, Planes)
+
+  /** [[signatures]] with an explicit plane count ≤ 63 — the first
+    * [[Planes]] bits are identical to the default signature (the
+    * plane family is one deterministic [[planeWeight]] sequence), so
+    * widening the signature never perturbs the default banding. */
+  def signaturesWith(e: DataFrame, planes: Int): DataFrame = {
+    require(planes >= 1 && planes <= 63, s"planes $planes not in [1,63]")
     import e.sparkSession.implicits._
     e.select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
-        val w = planeW
+        val w =
+          if (planes == Planes) planeW
+          else Array.tabulate(planes, Dim)((j, d) => planeWeight(j, d))
         it.map { case (id, v) =>
           var sig = 0L
           var j = 0
-          while (j < Planes) {
+          while (j < planes) {
             var acc = 0.0
             var d = 0
             while (d < Dim) {
@@ -927,18 +937,35 @@ object Similarity {
   /** Near-duplicate pairs: banded sign-LSH candidates verified with
     * exact cosine ≥ 0.35. Bands bucket the join; recall (vs the exact
     * all-pairs answer) is probabilistic and asserted in tests. */
-  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame =
+    lshNearDupWith(spark, dir, BandsCount, BitsPerBand)
+
+  /** [[lshNearDup]] with an explicit bands×bits banding — the
+    * CANDIDATE-VOLUME knob. Per band, two vectors collide with
+    * probability ~2^-bits on an unclustered corpus, so expected
+    * chance candidates are bands·n²/2^(bits+1): at FIXED bits that
+    * term is quadratic in corpus size (confirmed by the r12 ladder —
+    * see PLANS.md §r12). Growing bits with the corpus —
+    * bits ≈ log2(n / targetBucket) — holds expected bucket
+    * occupancy constant and restores ~linear growth, trading per-band
+    * recall (p^bits for bit-agreement probability p = 1−θ/π), which
+    * stays ≈1 for the cos ≥ 0.9 near-dup regime even at 8 bits. The
+    * board query stays on 8×4 (oracle lockstep); production picks
+    * bits from the corpus cardinality. */
+  def lshNearDupWith(spark: SparkSession, dir: String,
+                     bands: Int, bits: Int): DataFrame = {
+    require(bands * bits <= 63, s"signature ${bands}x$bits exceeds 63 bits")
     val e = embRows(spark, dir).select(col("vec_id"), col("embedding"))
     // heavy expressions evaluated exactly once, in narrow projections:
     // bands carry only ids so the candidate join + distinct shuffles
     // 16-byte rows, never embedding arrays
-    val sigs = signatures(e)
-    val bands = sigs.select(col("vec_id"), posexplode(
-      array((0 until BandsCount).map(b =>
-        shiftright(col("sig"), BitsPerBand * b)
-          .bitwiseAND((1 << BitsPerBand) - 1)): _*))
+    val sigs = signaturesWith(e, bands * bits)
+    val bandsDf = sigs.select(col("vec_id"), posexplode(
+      array((0 until bands).map(b =>
+        shiftright(col("sig"), bits * b)
+          .bitwiseAND((1 << bits) - 1)): _*))
       .as(Seq("band", "nib")))
-    val pairs = bands.as("a").join(bands.as("b"),
+    val pairs = bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -1179,8 +1206,14 @@ object Similarity {
     * from the embeddings scan pruned to vec_id. The oracle restates
     * the WHOLE chain: the sign-LSH pipeline as CTEs feeding a
     * recursive-CTE reachability walk — hash-exact end to end. */
-  def embedKeepList(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = lshNearDup(spark, dir)
+  def embedKeepList(spark: SparkSession, dir: String): DataFrame =
+    embedKeepListWith(spark, dir, BandsCount, BitsPerBand)
+
+  /** [[embedKeepList]] with the banding knob exposed — the scale path
+    * picks bits from corpus cardinality (see [[lshNearDupWith]]). */
+  def embedKeepListWith(spark: SparkSession, dir: String,
+                        bands: Int, bits: Int): DataFrame = {
+    val pairs = lshNearDupWith(spark, dir, bands, bits)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     embRows(spark, dir).select(col("vec_id"))
       .join(Dedup.closureKeepers(pairs)
