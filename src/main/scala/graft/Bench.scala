@@ -169,9 +169,20 @@ object Bench {
     // full per-query map is unrecoverable from the official artifact
     // alone (BENCH_r11's wall map survived only in PLANS.md). Persist
     // the complete line to a committed file as the per-query record.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // Default path is anchored to the repo root (nearest ancestor of
+    // the cwd holding build.sbt), not the process cwd — `sbt` forked
+    // runs and IDE runners differ on cwd, and the per-query record
+    // must land where it gets committed.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(
+      java.nio.file.Paths.get(_)).getOrElse {
+      val cwd = java.nio.file.Paths.get(".").toAbsolutePath.normalize
+      val root = Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(cwd)
+      root.resolve("BENCH_LOCAL.json")
+    }
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      java.nio.file.Files.write(outPath,
         (fullLine + "\n").getBytes("UTF-8")): Unit
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")

@@ -954,7 +954,11 @@ object Similarity {
     * bits from the corpus cardinality. */
   def lshNearDupWith(spark: SparkSession, dir: String,
                      bands: Int, bits: Int): DataFrame = {
-    require(bands * bits <= 63, s"signature ${bands}x$bits exceeds 63 bits")
+    // bits ≤ 31 keeps the band mask inside Int; anything wider is
+    // pointless anyway (2^31 buckets ≫ any corpus) and `1 << 32`
+    // silently wraps mod 32
+    require(bands >= 1 && bits >= 1 && bits <= 31 && bands * bits <= 63,
+      s"banding ${bands}x$bits outside 1<=bits<=31, bands>=1, bands*bits<=63")
     val e = embRows(spark, dir).select(col("vec_id"), col("embedding"))
     // heavy expressions evaluated exactly once, in narrow projections:
     // bands carry only ids so the candidate join + distinct shuffles
@@ -963,7 +967,7 @@ object Similarity {
     val bandsDf = sigs.select(col("vec_id"), posexplode(
       array((0 until bands).map(b =>
         shiftright(col("sig"), bits * b)
-          .bitwiseAND((1 << bits) - 1)): _*))
+          .bitwiseAND((1L << bits) - 1)): _*))
       .as(Seq("band", "nib")))
     val pairs = bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.nib") === col("b.nib") &&

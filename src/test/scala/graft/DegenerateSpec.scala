@@ -79,6 +79,11 @@ class DegenerateSpec extends SparkSpec {
               .unionByName(corrupt(2000000L, "props",
                 lit(null).cast("string")))
               .unionByName(corrupt(3000000L, "props", lit("{oops")))
+              // digit run past BIGINT range: regexp_extract matches,
+              // and only try_cast (not a bare ANSI cast) survives the
+              // overflow — guards the LogSplit.parsed r12 fix
+              .unionByName(corrupt(6000000L, "props",
+                lit("""{"k": 99999999999999999999}""")))
               .unionByName(corrupt(4000000L, "ts",
                 lit(null).cast("timestamp")))
               .unionByName(corrupt(5000000L, "user_id",
@@ -165,6 +170,15 @@ class DegenerateSpec extends SparkSpec {
   test("all operators survive null/empty-text documents")(sweep("nulltext"))
   test("all operators survive null/truncated/empty vectors")(sweep("badvec"))
   test("all operators survive corrupt event rows")(sweep("nullevents"))
+
+  test("BIGINT-overflow digit run in props parses to NULL, not an abort") {
+    val dir = scratch("nullevents")
+    val overflowed = graft.dwd.LogSplit.parsed(spark, dir)
+      .filter(col("event_id") >= 6000000L)
+      .select(col("prop_k")).collect()
+    assert(overflowed.nonEmpty && overflowed.forall(_.isNullAt(0)),
+      "try_cast must NULL the out-of-range extract")
+  }
   test("all operators survive partial order/lineitem rows")(sweep("nullorders"))
   test("all operators survive redelivered duplicate rows")(sweep("dupkeys"))
 }
