@@ -65,7 +65,7 @@ import org.apache.spark.sql.functions._
   *   parity of the streamed window aggregates against a batch
   *   recompute of the identical event set.
   *
-  * - `ladder` (r12, VERDICT r11 task 1): the board's cost GROWTH,
+  * - `ladder` (r13, VERDICT r11 task 1): the board's cost GROWTH,
   *   measured, not argued. A three-rung corpus ladder (x1 mirrors
   *   sf0.1 cardinalities per TESTDATA.md; x3 and x10 scale facts,
   *   catalog, time range, documents, and embeddings together — the
@@ -158,6 +158,33 @@ object ScaleRehearsal {
     * 4 bits exactly — the knob REDUCES to the oracle-locked banding
     * at board scale. Capped at 7 bits (8 bands × 7 = 56 ≤ 63). */
   val LadderVecBucket = 125.0
+  // scale-INVARIANT task structure. Co-purchase: the catalog is
+  // partitioned into fixed-size communities and each order draws its
+  // items from one community — more scale = more communities (new
+  // SKUs with their own neighborhoods), NOT a denser graph, so edge /
+  // wedge / triangle counts grow ∝ S and a fitted exponent measures
+  // the OPERATOR, not corpus densification. (A fixed head catalog
+  // would densify quadratically; a uniform growing catalog would
+  // dilute the support-filtered graph to nothing.)
+  val LadderLines = 4          // lineitem rows per order (600k at x1)
+  val LadderCommunity = 50     // items per co-purchase community
+  // documents: a fixed 20% of docs sit in 5-doc near-dup clusters
+  // (J ≈ 0.9 > the 0.8 verify threshold); the rest are unique draws
+  // from the shared vocabulary. Cluster count ∝ S, fractions fixed.
+  val LadderDocClusterSize = 5
+  val LadderDocClusterFrac = 0.20
+  val LadderDocTokens = 60
+  // embeddings: a fixed 10% of vectors sit in 4-vector near-dup
+  // clusters (cos ≈ 0.98 ≫ the 0.35 verify threshold); the rest are
+  // iid gaussian noise whose pairwise cos ~ N(0, 1/64).
+  val LadderVecClusterSize = 4
+  val LadderVecClusterFrac = 0.10
+
+  /** Scale-aware sign-LSH band width: bits ≈ log2(n / targetBucket),
+    * clamped to the board default 4 .. 7 (8 bands × 7 = 56 ≤ 63). */
+  def ladderBits(nVecs: Long): Int =
+    math.round(math.log(nVecs / LadderVecBucket) / math.log(2))
+      .toInt.max(4).min(7)
 
   private def time[A](tag: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
@@ -182,7 +209,7 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe",
-      "skew", "stream")
+      "skew", "stream", "ladder")
     val sections = if (args.isEmpty) all else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
@@ -210,6 +237,9 @@ object ScaleRehearsal {
     if (sections("bpe")) genBpeCorpus(spark, bpeDir)
     val graphDir = s"$Root/graph"
     if (sections("graph")) genGraphCorpus(spark, graphDir)
+    val ladderDir = s"$Root/ladder"
+    if (sections("ladder"))
+      LadderScales.foreach(s => genLadderRung(spark, s"$ladderDir/x$s", s))
 
     if (sections("closure")) closureSection(spark, closureDir)
     if (sections("vocab")) vocabSection(spark, vocabDir)
@@ -219,6 +249,7 @@ object ScaleRehearsal {
     if (sections("bpe")) bpeSection(spark, bpeDir)
     if (sections("skew")) skewSection(spark)
     if (sections("stream")) streamSection(spark)
+    if (sections("ladder")) ladderSection(spark, ladderDir)
 
     spark.stop()
     println("[scale] DONE")
@@ -1004,5 +1035,193 @@ object ScaleRehearsal {
       f"${tableBytes / 1e3}%.1f KB, final symbol vocabulary $nSyms)")
     require(merges.size >= 4000,
       s"production config must learn ≥4k merges, got ${merges.size}")
+  }
+
+  // ---- (ladder) growth exponents for the top-CPU pipelines ---------
+
+  /** One rung of the sf ladder at scale `s` — every table a top-CPU
+    * pipeline reads, at x`s` the sf0.1 cardinality, with scale-
+    * INVARIANT task structure (see the Ladder* constant comments):
+    * co-purchase communities of fixed size, dup-cluster and near-dup
+    * fractions fixed, time range and catalog growing WITH the facts. */
+  private def genLadderRung(spark: SparkSession, dir: String,
+                            s: Int): Unit = {
+    import spark.implicits._
+    if (complete(dir, "embeddings")) return
+    time(s"generate ladder rung x$s") {
+      val nOrders = LadderOrders * s
+      val nParts = LadderParts.toLong * s
+      val nComms = nParts / LadderCommunity
+      val nWindows = LadderWindows.toLong * s
+      val (lines, comm) = (LadderLines, LadderCommunity)
+      val baseTs = 1700000000L
+      spark.range(nOrders).flatMap { o =>
+        val rnd = new java.util.Random(
+          o * 6364136223846793005L + 99L)
+        val c = math.floorMod(rnd.nextLong(), nComms)
+        val w = math.floorMod(rnd.nextLong(), nWindows)
+        val shipS = baseTs + w * 10 + rnd.nextInt(10)
+        (0 until lines).map { i =>
+          (o, 1L + c * comm + rnd.nextInt(comm), 1L + rnd.nextInt(1000),
+            i + 1, (1 + rnd.nextInt(50)).toDouble,
+            (100 + rnd.nextInt(9000000)) / 100.0,
+            rnd.nextInt(11) / 100.0, rnd.nextInt(9) / 100.0,
+            Seq("A", "N", "R")(rnd.nextInt(3)),
+            Seq("O", "F")(rnd.nextInt(2)), shipS)
+        }
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "ship_s")
+        .withColumn("l_shipdate", timestamp_seconds(col("ship_s")))
+        .drop("ship_s")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+      spark.range(1, nParts + 1).select(
+        col("id").as("p_partkey"),
+        concat(lit("part-"), col("id")).as("p_name"),
+        concat(lit("brand-"), pmod(col("id"), lit(50))).as("p_brand"),
+        concat(lit("type-"), pmod(col("id"), lit(10))).as("p_type"),
+        pmod(col("id"), lit(50)).cast("int").as("p_size"),
+        (pmod(col("id"), lit(10000)) / lit(100.0) + lit(1.0))
+          .as("p_retailprice"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+
+      val nDocs = LadderDocs * s
+      val nClusters =
+        (nDocs * LadderDocClusterFrac / LadderDocClusterSize).toLong
+      val clusterDocs = nClusters * LadderDocClusterSize
+      val (dcs, dTok, vocab) =
+        (LadderDocClusterSize, LadderDocTokens, LadderDocVocab)
+      spark.range(nDocs).map { i =>
+        if (i < clusterDocs) {
+          val c = i / dcs; val j = i % dcs
+          val base = (0 until dTok).map(t => s"d${c}b$t").mkString(" ")
+          (i, s"$base d${c}u$j")
+        } else {
+          val rnd = new java.util.Random(i * 6364136223846793005L + 7L)
+          (i, (0 until dTok).map(_ => s"w${rnd.nextInt(vocab)}")
+            .mkString(" "))
+        }
+      }.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("ladder"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val nVecs = LadderVecs * s
+      val nVClusters =
+        (nVecs * LadderVecClusterFrac / LadderVecClusterSize).toLong
+      val vClusterVecs = nVClusters * LadderVecClusterSize
+      val (vcs, dim) = (LadderVecClusterSize, Similarity.Dim)
+      spark.range(nVecs).map { i =>
+        if (i < vClusterVecs) {
+          val c = i / vcs
+          val bRnd = new java.util.Random(c * 2862933555777941757L + 13L)
+          val base = Array.fill(dim)(bRnd.nextGaussian())
+          val mRnd = new java.util.Random(i * 6364136223846793005L + 17L)
+          // |noise|/|base| ≈ 0.15 ⇒ pairwise cos ≈ 0.98 within a
+          // cluster — safely past the 0.35 verify threshold and in
+          // the cos ≥ 0.9 regime where even 7-bit bands keep recall
+          (i, base.map(x => (x + 0.15 * mRnd.nextGaussian()).toFloat),
+            c.toInt)
+        } else {
+          val rnd = new java.util.Random(i * 6364136223846793005L + 23L)
+          (i, Array.fill(dim)(rnd.nextGaussian().toFloat), -1)
+        }
+      }.toDF("vec_id", "embedding", "label")
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+  }
+
+  /** The six top-CPU board pipelines (≈45% of board CPU per the r11
+    * plan audit) plus the scale-aware sign-LSH banding variant, run
+    * end-to-end per rung with the Bench task-CPU listener; the
+    * log-log slope of cpu_s vs scale is the measured growth
+    * exponent. cpu_s (not wall) is fitted — it is the
+    * contention-robust number, same convention as the bench. */
+  private def ladderSection(spark: SparkSession, ladderDir: String): Unit = {
+    println(s"[scale] === ladder rehearsal (${LadderScales.map("x" + _)
+      .mkString("/")} at $ladderDir) ===")
+    def pipesFor(s: Int): Seq[(String, (SparkSession, String) => DataFrame)] = {
+      val bits = ladderBits(LadderVecs * s)
+      Seq(
+        "product_stats" -> ((sp: SparkSession, d: String) =>
+          graft.dws.ProductStats(sp, d)),
+        "copurchase" -> (graft.ads.Queries.copurchase _),
+        "item_rank" -> (graft.ads.ItemRank.itemRank _),
+        "triangles" -> (graft.ads.ItemRank.triangles _),
+        "lsh_dups" -> (Dedup.lshDuplicates _),
+        "keeplist_8x4" -> ((sp: SparkSession, d: String) =>
+          Similarity.embedKeepListWith(sp, d, 8, 4)),
+        s"keeplist_aware_8x$bits" -> ((sp: SparkSession, d: String) =>
+          Similarity.embedKeepListWith(sp, d, 8, bits)))
+    }
+    // canonical pipe name across rungs (the aware variant's bits — and
+    // so its display name — change with the rung; the fit needs one key)
+    def key(name: String): String =
+      if (name.startsWith("keeplist_aware")) "keeplist_aware" else name
+
+    val listener = new graft.Bench.TaskTimeListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // one untimed x1 pass pays JVM/codegen warmup (the generated
+      // code is shape-keyed, so it stays warm for the larger rungs)
+      pipesFor(1).foreach { case (_, fn) =>
+        fn(spark, s"$ladderDir/x1").queryExecution.toRdd.count(): Unit
+      }
+      val res = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.LinkedHashMap[
+          Int, (Double, Double, Long)]]
+      LadderScales.foreach { s =>
+        val dir = s"$ladderDir/x$s"
+        pipesFor(s).foreach { case (name, fn) =>
+          System.gc()
+          ListenerShim.drainListenerBus(spark.sparkContext)
+          val (_, c0) = listener.snapshot
+          val w0 = System.nanoTime()
+          val rows = fn(spark, dir).queryExecution.toRdd.count()
+          val wall = (System.nanoTime() - w0) / 1e9
+          ListenerShim.drainListenerBus(spark.sparkContext)
+          val (_, c1) = listener.snapshot
+          val cpu = c1 - c0
+          println(f"[scale] ladder x$s $name: $cpu%.2f cpu_s / " +
+            f"$wall%.2f wall_s, $rows rows")
+          res.getOrElseUpdate(key(name),
+            scala.collection.mutable.LinkedHashMap.empty) +=
+            s -> (cpu, wall, rows)
+        }
+      }
+      // least-squares slope of ln(cpu) vs ln(scale)
+      def alphaOf(pts: Seq[(Int, Double)]): Double = {
+        val xs = pts.map(p => math.log(p._1.toDouble))
+        val ys = pts.map(p => math.log(p._2.max(1e-3)))
+        val (xm, ym) = (xs.sum / xs.size, ys.sum / ys.size)
+        xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+          xs.map(x => (x - xm) * (x - xm)).sum
+      }
+      println("[scale] ladder growth exponents (cpu_s ~ scale^alpha):")
+      val alphas = res.map { case (name, byScale) =>
+        val a = alphaOf(byScale.toSeq.map { case (s, v) => (s, v._1) })
+        val pts = byScale.map { case (s, (c, _, r)) =>
+          f"x$s $c%.2f cpu_s/$r rows" }.mkString("  ")
+        println(f"[scale]   $name%-16s alpha=$a%.2f   $pts")
+        name -> a
+      }
+      // The knob demonstration: fixed 8×4 banding carries a chance-
+      // candidate term ~ bands·n²/2^bits (quadratic at fixed bits);
+      // occupancy-targeted bits restore ~linear growth on the SAME
+      // corpus and verify threshold.
+      val (aFixed, aAware) = (alphas("keeplist_8x4"), alphas("keeplist_aware"))
+      require(aFixed - aAware >= 0.25,
+        f"scale-aware banding must beat fixed banding's growth: " +
+          f"fixed alpha=$aFixed%.2f aware alpha=$aAware%.2f")
+      require(aAware <= 1.5,
+        f"scale-aware sign-LSH should grow ~linearly, got $aAware%.2f")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

@@ -66,7 +66,17 @@ object Similarity {
   /** Fixed Lloyd iteration count — determinism beats convergence
     * detection here (no data-dependent round count to reproduce). */
   val LloydIters = 3
-  /** Near-dup cosine threshold, ppm. */
+  /** Near-dup cosine threshold, ppm.
+    *
+    * 100 TB caveat (measured, r13 ladder — PLANS.md §r13(d)): iid
+    * noise cosines at [[Dim]] = 64 are ~N(0, 1/64), so 0.35 sits
+    * only 2.8σ into the noise tail and VERIFIED chance pairs grow
+    * ∝ n²·0.002 — at millions of vectors the keep-list closure
+    * collapses toward one component no matter how the banding is
+    * tuned. Production dedup must pick t ≳ σ·√(2·ln(n²/ε)) for its
+    * corpus size (≈0.55 at n = 1M, dim 64) or use a higher-dim
+    * embedding; SemDeDup-style cos ≥ 0.9 is safely above any
+    * realistic floor. The board value is oracle-locked at sf scale. */
   val NearDupPpm = 350000L
 
   /** Dot product via the native [[graft.expr.VecDot]] expression: a
@@ -868,11 +878,28 @@ object Similarity {
   private val BandsCount = 8
   private val BitsPerBand = 4
 
-  /** Deterministic ±1 hyperplane weights (Weyl-sequence bit mix —
-    * reproducible in both engines because it is baked in as literals). */
+  /** Deterministic ±1 hyperplane weights — a splitmix64 avalanche of
+    * the (plane, dim) index, reproducible in both engines because the
+    * oracle bakes the evaluated weights in as SQL literals.
+    *
+    * The r13 ladder caught the previous single-multiply Weyl mix
+    * producing near-identical and ANTIPODAL plane pairs (plane 49
+    * equalled plane 0 exactly; the default 32-plane family had
+    * in-band antipodal pairs). An antipodal plane's sign bit is the
+    * complement of its twin's — agreement between two vectors on one
+    * is the SAME EVENT as agreement on the other — so each such pair
+    * costs its band one effective bit and doubles chance-candidate
+    * volume; wide bands collapsed outright (measured 82M candidates
+    * at 8×7 over 20k vectors where an independent family gives ~14M).
+    * A sign bit needs full avalanche, not one Weyl step; the new
+    * family's pairwise weight agreements are Binomial(64, ½)-clean
+    * (min 20 / mean 32 / max 44 over all 1,540 plane pairs ≤ 63). */
   def planeWeight(j: Int, d: Int): Double = {
-    val x = (j * Dim + d) * 0x9E3779B97F4A7C15L
-    if (((x >>> 17) & 1L) == 0L) 1.0 else -1.0
+    var z = (j * Dim + d) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    if (((z >>> 17) & 1L) == 0L) 1.0 else -1.0
   }
 
   /** Signed projection of the embedding onto plane j — unrolled for
@@ -944,8 +971,8 @@ object Similarity {
     * CANDIDATE-VOLUME knob. Per band, two vectors collide with
     * probability ~2^-bits on an unclustered corpus, so expected
     * chance candidates are bands·n²/2^(bits+1): at FIXED bits that
-    * term is quadratic in corpus size (confirmed by the r12 ladder —
-    * see PLANS.md §r12). Growing bits with the corpus —
+    * term is quadratic in corpus size (confirmed by the r13 ladder —
+    * see PLANS.md §r13). Growing bits with the corpus —
     * bits ≈ log2(n / targetBucket) — holds expected bucket
     * occupancy constant and restores ~linear growth, trading per-band
     * recall (p^bits for bit-agreement probability p = 1−θ/π), which
