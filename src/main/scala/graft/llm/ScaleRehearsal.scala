@@ -65,6 +65,19 @@ import org.apache.spark.sql.functions._
   *   parity of the streamed window aggregates against a batch
   *   recompute of the identical event set.
   *
+  * - `streamjoin` (r13, VERDICT r11 task 2): the stream-stream
+  *   interval join at 5M events — the ONE stateful streaming shape
+  *   whose state grows with the TIME WINDOW, not key cardinality.
+  *   Two watermarked MemoryStream sides through the real
+  *   [[graft.streaming.StreamJobs.intervalJoinBounds]] predicate in
+  *   both reference shapes (J1 order×detail ±5 s; J2 payment×order
+  *   [-30 min, 0]), asserting (a) EXACT parity of the joined
+  *   (l_id, r_id) set with a batch run of the identical transform
+  *   body over the identical rows, (b) join state bounded by the
+  *   watermark horizon — it plateaus at ~rate×(window+delay) rows
+  *   while events keep flowing, and collapses once a sentinel
+  *   closes the watermark — never O(total events).
+  *
   * - `ladder` (r13, VERDICT r11 task 1): the board's cost GROWTH,
   *   measured, not argued. A three-rung corpus ladder (x1 mirrors
   *   sf0.1 cardinalities per TESTDATA.md; x3 and x10 scale facts,
@@ -209,7 +222,7 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe",
-      "skew", "stream", "ladder")
+      "skew", "stream", "streamjoin", "ladder")
     val sections = if (args.isEmpty) all else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
@@ -249,6 +262,7 @@ object ScaleRehearsal {
     if (sections("bpe")) bpeSection(spark, bpeDir)
     if (sections("skew")) skewSection(spark)
     if (sections("stream")) streamSection(spark)
+    if (sections("streamjoin")) streamJoinSection(spark)
     if (sections("ladder")) ladderSection(spark, ladderDir)
 
     spark.stop()
@@ -1035,6 +1049,148 @@ object ScaleRehearsal {
       f"${tableBytes / 1e3}%.1f KB, final symbol vocabulary $nSyms)")
     require(merges.size >= 4000,
       s"production config must learn ≥4k merges, got ${merges.size}")
+  }
+
+  // ---- (streamjoin) stream-stream interval join at volume ----------
+
+  /** Left/right rows for the interval-join rehearsal (stable
+    * top-of-object case classes for the MemoryStream encoders). */
+  case class RehL(l_id: Long, lkey: Long, lts: java.sql.Timestamp,
+    lval: Double)
+  case class RehR(r_id: Long, rkey: Long, rts: java.sql.Timestamp,
+    rval: Double)
+
+  private def streamJoinSection(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    println("[scale] === stream-stream interval-join rehearsal " +
+      "(5M events total, MemoryStream) ===")
+    val base = 1616300000000L
+
+    /** One shape end-to-end over prebuilt micro-batches. Each stream
+      * must be fed in ITS OWN event-time order (out-of-orderness
+      * bounded by the 10 s watermark delay) — that is the streaming
+      * contract; an earlier draft fed the lagging side keyed to the
+      * other side's clock and Spark correctly dropped the rows as
+      * late data. The same rows are reused verbatim as the batch
+      * twin's input, so parity compares the identical transform body
+      * over the identical rows. Requires inside. */
+    def run(tag: String, lRows: IndexedSeq[Seq[RehL]],
+            rRows: IndexedSeq[Seq[RehR]], lo: String, hi: String,
+            horizonS: Long, stepMs: Long, expectPlateau: Boolean): Unit = {
+      val nBatches = lRows.size
+      val nPerSide = lRows.map(_.size.toLong).sum
+      val per = (nPerSide / nBatches).toInt
+
+      val lSrc = MemoryStream[RehL]
+      val rSrc = MemoryStream[RehR]
+      val joined = graft.streaming.StreamJobs.intervalJoinBounds(
+        lSrc.toDF(), rSrc.toDF(), "lkey", "rkey", "lts", "rts",
+        lo, hi, delay = "10 seconds")
+        .select(col("l_id"), col("r_id"), col("lkey"))
+      val view = "scale_sj_" + tag
+      val q = joined.writeStream.format("memory").queryName(view)
+        .outputMode("append").start()
+      val states = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val t0 = System.nanoTime()
+      (0 until nBatches).foreach { b =>
+        lSrc.addData(lRows(b))
+        rSrc.addData(rRows(b))
+        q.processAllAvailable()
+        states += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // sentinels on BOTH sides drive both watermarks past every row;
+      // disjoint negative keys so they can never join
+      val far = new java.sql.Timestamp(base + 4000000000L)
+      lSrc.addData(RehL(-1L, -1L, far, 0.0))
+      rSrc.addData(RehR(-2L, -2L, far, 0.0))
+      q.processAllAvailable()
+      val finalState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      val horizonRows = 2 * (per + horizonS * 1000 / stepMs)
+      println(f"[scale] intervalJoin[$tag]: ${2 * nPerSide} events in " +
+        f"$secs%.1f s = ${2 * nPerSide / secs / 1e6}%.2f M rows/s; " +
+        s"state rows per batch: ${states.mkString(", ")} " +
+        s"(max ${states.max}, ~horizon bound $horizonRows, " +
+        s"after sentinel flush $finalState)")
+      require(states.max < nPerSide,
+        s"join state ${states.max} is O(total events), not " +
+          s"watermark-bounded (${2 * nPerSide} rows ingested)")
+      if (expectPlateau)
+        require(states.last <= (states(nBatches - 4) * 13) / 10,
+          s"state kept growing past the horizon plateau: " +
+            states.mkString(", "))
+      require(finalState <= 10,
+        s"sentinel flush left $finalState buffered rows")
+
+      val streamed = spark.table(view).filter(col("lkey") >= 0)
+        .select(col("l_id"), col("r_id")).as[(Long, Long)]
+        .collect().toSet
+      // batch twin: the SAME transform body (watermarks are no-ops in
+      // batch) over the SAME rows
+      val batch = graft.streaming.StreamJobs.intervalJoinBounds(
+        spark.createDataset(lRows.flatten).toDF(),
+        spark.createDataset(rRows.flatten).toDF(),
+        "lkey", "rkey", "lts", "rts", lo, hi, delay = "10 seconds")
+        .select(col("l_id"), col("r_id")).as[(Long, Long)]
+        .collect().toSet
+      require(streamed == batch,
+        s"stream/batch interval-join parity broken: ${streamed.size} " +
+          s"streamed pairs vs ${batch.size} batch pairs")
+      println(s"[scale] intervalJoin[$tag] parity: ${streamed.size} " +
+        "joined pairs EXACTLY equal the batch run of the same body")
+    }
+
+    def chunk[A](xs: Seq[A], nBatches: Int): IndexedSeq[Seq[A]] = {
+      val per = xs.size / nBatches
+      (0 until nBatches).map(b =>
+        if (b == nBatches - 1) xs.drop(b * per)
+        else xs.slice(b * per, (b + 1) * per))
+    }
+
+    // J1 twin (OrderWideApp2 order×detail ±5 s): 1 kHz event time,
+    // right jitter sweeps ±9 s (inside the 10 s delay, so nothing is
+    // late) and 11/19 of pairs land in the ±5 s window
+    locally {
+      val (n, nb, step) = (1500000L, 10, 1L)
+      val l = chunk((0L until n).map(i =>
+        RehL(i, i, new java.sql.Timestamp(base + i * step),
+          i.toDouble)), nb)
+      val r = chunk((0L until n).map(i =>
+        RehR(i, i, new java.sql.Timestamp(
+          base + i * step + (i % 19 - 9) * 1000), i.toDouble))
+        .sortBy(_.rts.getTime), nb)
+      run("pm5s", l, r, lo = "5 seconds", hi = "5 seconds",
+        horizonS = 15, stepMs = step, expectPlateau = false)
+    }
+    // J2 twin (PaymentWideApp2 payment×order [-30 min, 0]): orders
+    // (right) arrive in rts order at 250 Hz; each payment (left)
+    // fires off_i = (i mod 3600) s AFTER its order and the payment
+    // stream arrives in ITS event-time order. Total sim time
+    // (4000 s) exceeds the 1800 s window, so the state curve must
+    // PLATEAU at ~rate×(window+delay) while events keep flowing —
+    // the state-grows-with-the-window shape, bounded: the ORDER side
+    // buffers the full 30 min window (a payment may still claim it),
+    // the payment side only the watermark delay
+    locally {
+      val (n, nb, step) = (1000000L, 10, 4L)
+      val r = chunk((0L until n).map(i =>
+        RehR(i, i, new java.sql.Timestamp(base + i * step),
+          i.toDouble)), nb)
+      val l = chunk((0L until n).map { i =>
+        // offsets taper near the sim end so every payment's event
+        // time stays inside the simulated range — otherwise payments
+        // "after the end" buffer until the sentinel and obscure the
+        // plateau the shape exists to demonstrate
+        val off = math.min(i % 3600, (n - 1 - i) * step / 1000)
+        RehL(i, i, new java.sql.Timestamp(
+          base + i * step + off * 1000), i.toDouble)
+      }.sortBy(_.lts.getTime), nb)
+      run("back30m", l, r, lo = "30 minutes", hi = "0 seconds",
+        horizonS = 1810, stepMs = step, expectPlateau = true)
+    }
   }
 
   // ---- (ladder) growth exponents for the top-CPU pipelines ---------

@@ -215,11 +215,28 @@ object StreamJobs {
   def intervalJoin(left: DataFrame, right: DataFrame,
       lkey: String, rkey: String, lts: String, rts: String,
       bound: String, delay: String = "1 minute"): DataFrame =
+    intervalJoinBounds(left, right, lkey, rkey, lts, rts,
+      bound, bound, delay)
+
+  /** [[intervalJoin]] with an asymmetric window — emits the inner
+    * join where rts ∈ [lts - lo, lts + hi]. This is J2's TRUE shape:
+    * the reference's payment×order join looks BACK only
+    * (PaymentWideApp2.java:76 `between(-30 min, 0)` — a payment can
+    * follow its order by up to 30 minutes, never precede it), and a
+    * symmetric ±30 min bound would both buffer twice the state and
+    * admit payments before their order. Spark's state eviction reads
+    * the bounds off the join predicate: each side's buffered rows
+    * drop once the watermark passes its bound + delay, so state is
+    * O(rate × (lo + hi + delay)) — rehearsed at 5M events in
+    * ScaleRehearsal streamjoin (PLANS.md §r13). */
+  def intervalJoinBounds(left: DataFrame, right: DataFrame,
+      lkey: String, rkey: String, lts: String, rts: String,
+      lo: String, hi: String, delay: String = "1 minute"): DataFrame =
     left.withWatermark(lts, delay)
       .join(right.withWatermark(rts, delay),
         col(lkey) === col(rkey) &&
-        col(rts) >= col(lts) - expr(s"INTERVAL $bound") &&
-        col(rts) <= col(lts) + expr(s"INTERVAL $bound"))
+        col(rts) >= col(lts) - expr(s"INTERVAL $lo") &&
+        col(rts) <= col(lts) + expr(s"INTERVAL $hi"))
 
   /** Funnel streaming: the [[graft.ads.EventFlows.funnelOf]] state
     * machine as keyed state — per user, first `view`, first `click`
