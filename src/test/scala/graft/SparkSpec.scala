@@ -27,8 +27,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  // local[4, 4]: the second number is task maxFailures — local mode
+  // defaults to 1 (first failure kills the job), which would make the
+  // RetryDeterminismSpec's inject-once failing partition fatal instead
+  // of retried. Production clusters retry by default; the suite should
+  // run under the semantics the library ships into.
   lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
