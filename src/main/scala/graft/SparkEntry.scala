@@ -306,7 +306,7 @@ object SparkEntry {
     "q_dws_visitor_stats_hop" -> dws.VisitorStats.hoppingOracle,
     "q_dws_product_stats"  -> dws.ProductStats.oracle,
     "q_dws_keyword_stats"  -> dws.KeywordStats.oracle,
-    "q_dws_keyword_stats_dict" -> dws.KeywordStats.oracle,
+    "q_dws_keyword_stats_dict" -> dws.KeywordStats.dictOracle,
     "q_dws_keyword_c2r"    -> dws.KeywordStats.productC2ROracle,
     "q_dws_province_stats" -> dws.ProvinceStats.oracle,
     "q_ads_gmv_day"          -> ads.Queries.gmvDayOracle,

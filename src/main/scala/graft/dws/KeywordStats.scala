@@ -33,7 +33,9 @@ object KeywordStats {
 
   val oracle: String =
     """SELECT keyword, 'SEARCH' AS source, count(*) AS ct
-      |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS keyword
+      |FROM (SELECT unnest(string_split_regex(translate(text,
+      |        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+      |        '[^a-z0-9]+')) AS keyword
       |      FROM documents)
       |WHERE keyword <> ''
       |GROUP BY keyword
@@ -41,13 +43,14 @@ object KeywordStats {
 
   /** A6 through the dictionary-shaped segmenter
     * ([[graft.func.DictTokenizer]]): forward-maximum-matching CJK path
-    * with the SAME ASCII contract as [[graft.func.Tokenizer]], so on
-    * this corpus the output — and therefore the oracle — is identical
-    * to [[apply]] (a driver-decidable guard that the dict path does
-    * not corrupt the ASCII contract; the CJK behavior itself is
-    * spec-tested on synthetic strings). Typed flatMap by nature
-    * (per-char dictionary scan); linear, zero shuffle before the
-    * partial+final aggregate. */
+    * with the SAME ASCII contract as [[graft.func.Tokenizer]]. Typed
+    * flatMap by nature (per-char dictionary scan); linear, zero
+    * shuffle before the partial+final aggregate. Oracle: since r13
+    * [[dictOracle]] replays the FULL algorithm — ASCII translate-split
+    * UNION a recursive-CTE forward-maximum-match over each CJK run
+    * (tractable because every lexicon word is exactly 2 chars) with
+    * the gaps-and-islands overlapping-bigram fallback — so the CJK
+    * path is hash-checked too, not just the ASCII subset. */
   def dictForm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -58,6 +61,69 @@ object KeywordStats {
       .agg(count(lit(1)).as("ct"))
       .select(col("keyword"), lit("SEARCH").as("source"), col("ct"))
       .orderBy("keyword")
+  }
+
+  /** [[dictForm]]'s oracle — the whole DictTokenizer contract in SQL.
+    * `fmm` marches each CJK run left-to-right: a lexicon bigram at
+    * position i emits and advances 2, anything else marks i unmatched
+    * and advances 1 (MaxWordLen = 2, so forward-maximum matching IS
+    * bigram matching). Unmatched islands (consecutive positions,
+    * found with the pos − row_number device) fall back to overlapping
+    * bigrams, a single leftover char to itself — exactly
+    * DictTokenizer.segmentCjkRun. */
+  lazy val dictOracle: String = {
+    val lex = graft.func.DictTokenizer.Lexicon.toSeq.sorted
+      .map(w => s"('$w')").mkString(", ")
+    val up = graft.func.Tokenizer.Uppers
+    val lo = graft.func.Tokenizer.Lowers
+    s"""WITH RECURSIVE ascii_toks AS (
+       |  SELECT unnest(string_split_regex(translate(text, '$up', '$lo'),
+       |           '[^a-z0-9]+')) AS keyword
+       |  FROM documents),
+       |lex(w) AS (VALUES $lex),
+       |runs AS (
+       |  SELECT doc_id, rid, run FROM (
+       |    SELECT doc_id,
+       |           unnest(regexp_extract_all(text,
+       |             '[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]+')) AS run,
+       |           generate_subscripts(regexp_extract_all(text,
+       |             '[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]+'), 1) AS rid
+       |    FROM documents)
+       |  WHERE length(run) > 0),
+       |fmm AS (
+       |  SELECT doc_id, rid, run, CAST(1 AS BIGINT) AS i,
+       |         CAST(NULL AS VARCHAR) AS tok, CAST(NULL AS BIGINT) AS upos
+       |  FROM runs
+       |  UNION ALL
+       |  SELECT f.doc_id, f.rid, f.run,
+       |         CASE WHEN l.w IS NOT NULL THEN f.i + 2 ELSE f.i + 1 END,
+       |         l.w,
+       |         CASE WHEN l.w IS NULL THEN f.i END
+       |  FROM fmm f LEFT JOIN lex l
+       |    ON l.w = substr(f.run, CAST(f.i AS INTEGER), 2)
+       |  WHERE f.i <= length(f.run)),
+       |upositions AS (
+       |  SELECT doc_id, rid, run, upos,
+       |         upos - row_number() OVER (PARTITION BY doc_id, rid
+       |                                   ORDER BY upos) AS grp
+       |  FROM fmm WHERE upos IS NOT NULL),
+       |islands AS (
+       |  SELECT doc_id, rid, run, grp, min(upos) AS a, max(upos) AS b,
+       |         count(*) AS len
+       |  FROM upositions GROUP BY doc_id, rid, run, grp),
+       |all_toks AS (
+       |  SELECT keyword FROM ascii_toks WHERE keyword <> ''
+       |  UNION ALL
+       |  SELECT tok AS keyword FROM fmm WHERE tok IS NOT NULL
+       |  UNION ALL
+       |  SELECT CASE WHEN len = 1 THEN substr(run, CAST(a AS INTEGER), 1)
+       |              ELSE substr(run, CAST(k AS INTEGER), 2) END AS keyword
+       |  FROM islands, LATERAL (SELECT unnest(range(a,
+       |         CASE WHEN len = 1 THEN a + 1 ELSE b END)) AS k) u)
+       |SELECT keyword, 'SEARCH' AS source, count(*) AS ct
+       |FROM all_toks
+       |GROUP BY keyword
+       |ORDER BY keyword""".stripMargin
   }
 
   /** U2 + A7: per-sku metric triple exploded to (keyword, source, ct)

@@ -51,7 +51,19 @@ object DictTokenizer {
     * [[Tokenizer]] parity case). */
   def segment(text: String): Seq[String] = {
     if (text == null) return Nil
-    val s = text.toLowerCase(java.util.Locale.ROOT)
+    // ASCII-only lowercasing — the shared tokenizer contract
+    // (Tokenizer.scala: Java's full toLowerCase expands U+0130 and
+    // disagrees with per-codepoint engines; CJK has no case anyway)
+    val s = {
+      val sb = new java.lang.StringBuilder(text.length)
+      var i = 0
+      while (i < text.length) {
+        val ch = text.charAt(i)
+        sb.append(if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
+        i += 1
+      }
+      sb.toString
+    }
     val out = ArrayBuffer.empty[String]
     var i = 0
     val n = s.length

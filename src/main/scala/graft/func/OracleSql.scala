@@ -6,9 +6,14 @@ package graft.func
   * to either side that isn't mirrored here breaks the oracle compare
   * loudly instead of drifting per-operator. */
 object OracleSql {
-  /** DuckDB equivalent of [[Tokenizer.tokens]] over a `text` column. */
+  /** DuckDB equivalent of [[Tokenizer.tokens]] over a `text` column —
+    * ASCII-translate lowercasing, NOT lower(): utf8proc's simple case
+    * mapping and Java's full mapping disagree on U+0130 'İ'
+    * (Tokenizer.scala, r13). */
   val toks: String =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    s"list_filter(string_split_regex(translate(text, " +
+      s"'${graft.func.Tokenizer.Uppers}', '${graft.func.Tokenizer.Lowers}')," +
+      s" '[^a-z0-9]+'), t -> t <> '')"
 
   /** Integer value of the first `n` hex nibbles of VARCHAR column `m`
     * (DuckDB has no conv(); rebuild from instr arithmetic — exact in

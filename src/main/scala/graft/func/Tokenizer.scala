@@ -17,11 +17,24 @@ import org.apache.spark.sql.functions._
   * UDF-based tokenizer would break at 100 TB.
   */
 object Tokenizer {
+  private[graft] val Uppers = ('A' to 'Z').mkString
+  private[graft] val Lowers = ('a' to 'z').mkString
+
   /** Tokenize into an array column; empty strings removed.
-    * Oracle equivalent: list_filter(string_split_regex(lower(x),
-    * '[^a-z0-9]+'), t -> t <> ''). */
+    * Oracle equivalent: list_filter(string_split_regex(
+    * translate(x, 'A..Z', 'a..z'), '[^a-z0-9]+'), t -> t <> '').
+    *
+    * Lower-casing is ASCII-ONLY `translate`, not `lower` — r13's
+    * unicode corpus caught the drift: Java's full case mapping
+    * expands U+0130 'İ' to 'i' + combining U+0307 (so Spark minted a
+    * token DuckDB didn't, and any two engines disagree on such
+    * inputs), while simple per-codepoint mappings don't. Since the
+    * split keeps only [a-z0-9] runs, non-ASCII letters were never
+    * token material — translating exactly A-Z makes the contract
+    * locale- and engine-independent with identical output on ASCII. */
   def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+    filter(split(translate(c, Uppers, Lowers), "[^a-z0-9]+"),
+      t => t =!= "")
 
   /** One row per token (the UDTF shape — explode of the array). */
   def explodeTokens(c: Column): Column = explode(tokens(c))

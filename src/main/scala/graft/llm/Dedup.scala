@@ -175,8 +175,20 @@ object Dedup {
     * it — the typed passes must not trade that tolerance for an NPE. */
   private[llm] def tokensOf(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase(java.util.Locale.ROOT)
-      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    else {
+      // ASCII-only lowercasing, the JVM twin of Tokenizer.tokens'
+      // translate — Java's full toLowerCase EXPANDS U+0130 'İ' to
+      // 'i' + combining dot (r13 unicode corpus), minting a token
+      // per-codepoint engines don't; see Tokenizer.scala
+      val sb = new java.lang.StringBuilder(text.length)
+      var i = 0
+      while (i < text.length) {
+        val ch = text.charAt(i)
+        sb.append(if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
+        i += 1
+      }
+      sb.toString.split("[^a-z0-9]+").filter(_.nonEmpty)
+    }
 
   /** (doc_id, shingles[]) via a typed map: the Column-expression
     * version (`transform` + `slice` higher-order functions) runs

@@ -130,21 +130,30 @@ object Multimodal {
   val resizeOracle: String = {
     def byteSql(i: Int): String =
       s"((instr('0123456789abcdef', m[${2 * i + 1}]) - 1) * 16 + instr('0123456789abcdef', m[${2 * i + 2}]) - 1)"
+    // the sampled payload is the UTF-8 BYTE sequence (blob =
+    // encode(text)); sampling `ord(substr(text, ...))` read CODEPOINT
+    // values at CODEPOINT indices instead — identical on ASCII, wrong
+    // the moment a multi-byte char appears (r13 unicode corpus). The
+    // byte at index j is read out of lower(hex(encode(text))).
     s"""WITH t AS (SELECT doc_id, text, strlen(text) AS n, md5(text) AS m,
+       |             lower(hex(encode(text))) AS hx,
        |             ['png','jpeg','wav'][CAST(doc_id % 3 + 1 AS INTEGER)] AS format
        |           FROM documents),
-       |dim AS (SELECT doc_id, text, n,
+       |dim AS (SELECT doc_id, text, n, hx,
        |          16 + ${byteSql(0)} % 64 AS w, 16 + ${byteSql(1)} % 64 AS h
        |        FROM t),
-       |fit AS (SELECT doc_id, text, n, w, h,
+       |fit AS (SELECT doc_id, text, n, hx, w, h,
        |          greatest(1, w * $ThumbSide // greatest(w, h)) AS tw,
        |          greatest(1, h * $ThumbSide // greatest(w, h)) AS th
        |        FROM dim)
        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
        |       CAST(tw AS INTEGER) AS t_width, CAST(th AS INTEGER) AS t_height,
        |       CAST(tw * th AS BIGINT) AS thumb_len,
-       |       CAST((SELECT sum(ord(substr(text, CAST(j * n // (tw * th) AS INTEGER) + 1, 1)))
-       |             FROM unnest(range(0, tw * th)) u(j)) AS BIGINT) AS thumb_sum
+       |       CAST(CASE WHEN n = 0 THEN 0 ELSE
+       |         (SELECT sum(
+       |            (instr('0123456789abcdef', substr(hx, 2 * CAST(j * n // (tw * th) AS INTEGER) + 1, 1)) - 1) * 16
+       |            + instr('0123456789abcdef', substr(hx, 2 * CAST(j * n // (tw * th) AS INTEGER) + 2, 1)) - 1)
+       |          FROM unnest(range(0, tw * th)) u(j)) END AS BIGINT) AS thumb_sum
        |FROM fit""".stripMargin
   }
 
@@ -222,8 +231,9 @@ object Multimodal {
     * Spark side computes the hash in a typed partition loop — the
     * 32-cell × 33-term expression form is janino-hostile (the
     * signBits lesson, Similarity.scala:854); the oracle evaluates
-    * the identical integer arithmetic from the text bytes (blob =
-    * UTF-8(text) in this fixture, single-byte chars).
+    * the identical integer arithmetic over the same UTF-8 bytes, read
+    * out of lower(hex(encode(text))) so multi-byte chars sample
+    * identically in both engines (r13).
     *
     * Scale shape (100 TB of media): hash = narrow scan; band join
     * buckets candidates (never all-pairs); verify carries two
@@ -274,15 +284,22 @@ object Multimodal {
   }
 
   lazy val phashDupsOracle: String = {
+    // cell k = the UTF-8 BYTE at index (k·ln)//cells, read from
+    // lower(hex(encode(text))) — `unicode(substr(text, ...))` was the
+    // CODEPOINT at a codepoint index, which only coincides on ASCII
+    // (r13 unicode corpus; same fix as resizeOracle)
     def cell(k: Int): String =
-      s"CAST(unicode(substr(text, CAST(($k * ln) // $PhCells + 1 AS INTEGER)," +
-        s" 1)) AS BIGINT)"
+      s"CAST((instr('0123456789abcdef', substr(hx, " +
+        s"2 * CAST(($k * ln) // $PhCells AS INTEGER) + 1, 1)) - 1) * 16" +
+        s" + instr('0123456789abcdef', substr(hx, " +
+        s"2 * CAST(($k * ln) // $PhCells AS INTEGER) + 2, 1)) - 1 AS BIGINT)"
     val csum = (0 until PhCells).map(cell).mkString("(", " + ", ")")
     val phash = (0 until PhCells).map(k =>
       s"(CASE WHEN $PhCells * ${cell(k)} > $csum THEN ${1L << k} ELSE 0 END)")
       .mkString("(", " + ", ")")
     val bandW = 32 / PhBands
-    s"""WITH t AS (SELECT doc_id, text, strlen(text) AS ln
+    s"""WITH t AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |             strlen(text) AS ln
        |           FROM documents WHERE strlen(text) > 0),
        |p AS MATERIALIZED (SELECT doc_id, $phash AS ph FROM t),
        |bands AS (SELECT doc_id, ph, j,

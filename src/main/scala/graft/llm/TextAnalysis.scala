@@ -31,6 +31,11 @@ object TextAnalysis {
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 
   private val toksSql = graft.func.OracleSql.toks
+  /** ASCII-translate lowercasing of `text` in DuckDB — the oracle
+    * twin of the Spark-side translate (see Tokenizer.scala, r13). */
+  private val translateSql =
+    s"translate(text, '${graft.func.Tokenizer.Uppers}', " +
+      s"'${graft.func.Tokenizer.Lowers}')"
 
   private def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t =>
@@ -199,7 +204,8 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars"),
         size(toks).cast("long").as("n_tokens"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
-        regexp_count(lower(col("text")), lit(BpePattern)).cast("long")
+        regexp_count(translate(col("text"), graft.func.Tokenizer.Uppers,
+          graft.func.Tokenizer.Lowers), lit(BpePattern)).cast("long")
           .as("n_bpe_tokens"),
         size(array_distinct(toks)).cast("long").as("n_types"))
       // same ANSI zero-guard as [[qualityOf]]: NULL, not a job kill
@@ -208,9 +214,9 @@ object TextAnalysis {
   }
 
   val tokenStatsOracle: String =
-    s"""WITH t AS (SELECT doc_id, strlen(text) AS n_chars, $toksSql AS toks,
+    s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, $toksSql AS toks,
        |             string_split_regex(trim(text), '\\s+') AS ws,
-       |             len(regexp_extract_all(lower(text), '$BpePattern')) AS n_bpe
+       |             len(regexp_extract_all($translateSql, '$BpePattern')) AS n_bpe
        |           FROM documents)
        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
        |       CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -267,12 +273,17 @@ object TextAnalysis {
             (id, null: String, None: Option[Long], None: Option[Long])
           else {
             val fp = md5Hex(Dedup.tokensOf(text).distinct.sorted.mkString(" "))
+            // rolling windows slide over CODEPOINTS, not UTF-16 code
+            // units — Java substring would split surrogate pairs and
+            // disagree with every codepoint-based engine's substr
+            // (r13 unicode corpus; ASCII behavior identical)
+            val cps = text.codePoints().toArray
             val roll: Option[Long] =
-              if (text.length >= 8) {
+              if (cps.length >= 8) {
                 var best = Long.MaxValue
                 var i = 0
-                while (i <= text.length - 8) {
-                  val h = hash48(text.substring(i, i + 8))
+                while (i <= cps.length - 8) {
+                  val h = hash48(new String(cps, i, 8))
                   if (h < best) best = h
                   i += 1
                 }
@@ -292,8 +303,8 @@ object TextAnalysis {
        |             md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
        |           FROM documents)
        |SELECT doc_id, fp,
-       |       CASE WHEN strlen(text) >= 8 THEN
-       |         list_min(list_transform(range(1, strlen(text) - 6),
+       |       CASE WHEN length(text) >= 8 THEN
+       |         list_min(list_transform(range(1, length(text) - 6),
        |           i -> CAST($gramNum AS BIGINT)))
        |       END AS roll_fp,
        |       ${graft.func.OracleSql.hexNibbles("fp", 4)} % 256 AS fp_bucket

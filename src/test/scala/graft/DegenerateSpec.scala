@@ -49,7 +49,7 @@ class DegenerateSpec extends SparkSpec {
     val base = java.nio.file.Files
       .createTempDirectory("graft-degenerate").toString
     Seq("empty", "single", "nulltext", "badvec", "nullevents",
-      "nullorders", "dupkeys").map { v =>
+      "nullorders", "dupkeys", "unicode").map { v =>
       val dir = s"$base/$v"
       tables.foreach { t =>
         // events: write through the normalized reader — the raw file
@@ -104,6 +104,31 @@ class DegenerateSpec extends SparkSpec {
                 .withColumn(key, col(key) + (i + 1) * 1000000L)
                 .withColumn(c, lit(null).cast(one.schema(c).dataType)))
             }
+          case ("unicode", "documents") =>
+            // the text-family hazard class: surrogate pairs (emoji),
+            // combining vs precomposed accents, CJK (the reference's
+            // IK tokenizer exists FOR this case), RTL scripts, ZWJ
+            // sequences, and case-folding traps — the inputs where
+            // UTF-16 code-unit engines and codepoint engines can
+            // legitimately drift (oracle parity separately verified
+            // on a full unicode corpus, PLANS.md §r13)
+            val one = src.limit(1)
+            def udoc(off: Long, text: String) =
+              one.withColumn("doc_id", col("doc_id") + off)
+                .withColumn("text", lit(text))
+                .withColumn("n_chars", length(lit(text)).cast("long"))
+            one
+              .unionByName(udoc(1000000L,
+                "smile 😀 flag 🇫🇷 emoji"))
+              .unionByName(udoc(2000000L, "café café combining"))
+              .unionByName(udoc(3000000L,
+                "中文分词 mixed ASCII 日本語"))
+              .unionByName(udoc(4000000L,
+                "שלום rtl مرحبا text"))
+              .unionByName(udoc(5000000L,
+                "zwj 👨‍👩‍👧 family"))
+              .unionByName(udoc(6000000L,
+                "TÜRKİYE straße UPPER lower"))
           case ("badvec", "embeddings") =>
             // vec_id 0 keeps the ANN seed contract; the corrupt rows
             // get distinct far-away ids
@@ -181,4 +206,5 @@ class DegenerateSpec extends SparkSpec {
   }
   test("all operators survive partial order/lineitem rows")(sweep("nullorders"))
   test("all operators survive redelivered duplicate rows")(sweep("dupkeys"))
+  test("all operators survive surrogate/CJK/RTL/ZWJ text")(sweep("unicode"))
 }
