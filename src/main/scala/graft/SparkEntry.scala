@@ -48,8 +48,8 @@ object SparkEntry {
     "q_dws_visitor_stats_hop" -> (dws.VisitorStats.hopping(_, _)),
     "q_dws_product_stats"  -> (dws.ProductStats(_, _)),
     "q_dws_keyword_stats"  -> (dws.KeywordStats(_, _)),
-    // dictionary-shaped segmenter (FMM + bigram fallback) — identical
-    // ASCII contract, so it shares the regex form's oracle
+    // dictionary-shaped segmenter (FMM + bigram fallback); its oracle
+    // replays the full algorithm incl. the CJK path (r13)
     "q_dws_keyword_stats_dict" -> (dws.KeywordStats.dictForm(_, _)),
     "q_dws_keyword_c2r"    -> (dws.KeywordStats.productC2R(_, _)),
     "q_dws_province_stats" -> (dws.ProvinceStats(_, _)),
@@ -95,6 +95,7 @@ object SparkEntry {
     "q_llm_exact_dedup"     -> (llm.Dedup.exact(_, _)),
     "q_llm_minhash_sig"     -> (llm.Dedup.minhashSignatures(_, _)),
     "q_llm_lsh_dups"        -> (llm.Dedup.lshDuplicates(_, _)),
+    "q_llm_lsh_dups_collapsed" -> (llm.Dedup.lshDuplicatesCollapsed(_, _)),
     "q_llm_dedup_keeplist"  -> (llm.Dedup.keepList(_, _)),
     "q_llm_dedup_closure"   -> (llm.Dedup.dedupClosure(_, _)),
     "q_llm_ngram_jaccard"   -> (llm.Dedup.ngramJaccard(_, _)),
@@ -344,6 +345,7 @@ object SparkEntry {
     "q_llm_exact_dedup"     -> llm.Dedup.exactOracle,
     "q_llm_minhash_sig"     -> llm.Dedup.minhashOracle,
     "q_llm_lsh_dups"        -> llm.Dedup.lshOracle,
+    "q_llm_lsh_dups_collapsed" -> llm.Dedup.lshCollapsedOracle,
     "q_llm_dedup_keeplist"  -> llm.Dedup.keepListOracle,
     "q_llm_dedup_closure"   -> llm.Dedup.dedupClosureOracle,
     "q_llm_ngram_jaccard"   -> llm.Dedup.ngramJaccardOracle,

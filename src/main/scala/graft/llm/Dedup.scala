@@ -291,8 +291,12 @@ object Dedup {
     * constructed-truth corpus at 16×2 and measures recall → 100%
     * (PLANS.md §r11). */
   def lshDuplicatesWith(spark: SparkSession, dir: String,
-                        bands: Int, rows: Int): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+                        bands: Int, rows: Int): DataFrame =
+    lshDuplicatesOf(Tables.documents(spark, dir), bands, rows)
+
+  /** [[lshDuplicatesWith]] over any (doc_id, text) frame. */
+  def lshDuplicatesOf(docs: DataFrame,
+                      bands: Int, rows: Int): DataFrame = {
     val shl = shingleSetsShared(docs)
     val bands0 = bandedOf(signaturesWideOf(shl).localCheckpoint(false),
       bands, rows)
@@ -313,6 +317,29 @@ object Dedup {
       .filter(col("jac_ppm") >= JaccardPpmThreshold)
       .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
   }
+
+  /** [[lshDuplicates]] behind an EXACT-duplicate pre-collapse — the
+    * mass-duplication guard (r13, VERDICT r11 task 5). A corpus with
+    * a boilerplate cluster at fraction f puts C(f·n, 2) candidate
+    * pairs into ONE (band, bsig) bucket — a quadratic hot task no
+    * banding knob can split, because identical texts have identical
+    * signatures in EVERY band. Collapsing to one representative per
+    * distinct text first (hash-groupBy — embarrassingly parallel)
+    * removes the hot bucket by construction and shrinks the output
+    * contract from quadratic (all pairs inside the cluster) to
+    * linear. Near-dup semantics are EXACTLY preserved at the
+    * component level: members of an exact group share signatures
+    * with their representative, so rep-level pairs + exact groups
+    * reconstruct the same connected components and the same min-id
+    * keepers (asserted in DedupSpec and measured at 20k docs in
+    * ScaleRehearsal skewcorpus). Production rule: ALWAYS exact-dedup
+    * before near-dup banding. */
+  def lshDuplicatesCollapsed(spark: SparkSession, dir: String): DataFrame =
+    lshDuplicatesOf(
+      Tables.documents(spark, dir)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text")),
+      Bands, R)
 
   val lshOracle: String = {
     val bandExprs = (0 until Bands).map { b =>
@@ -335,6 +362,16 @@ object Dedup {
        |SELECT doc_a, doc_b, (1000000 * i_ct) // u_ct AS jac_ppm
        |FROM jac WHERE (1000000 * i_ct) // u_ct >= $JaccardPpmThreshold""".stripMargin
   }
+
+  /** [[lshDuplicatesCollapsed]]'s oracle: the exact-collapse as a
+    * `documents` CTE shadowing the base table (DuckDB scoping), then
+    * the UNCHANGED [[lshOracle]] chain over it — the operator is
+    * literally "exact dedup, then the same near-dup pipeline". */
+  lazy val lshCollapsedOracle: String =
+    s"""WITH documents AS MATERIALIZED (
+       |  SELECT min(doc_id) AS doc_id, text
+       |  FROM main.documents GROUP BY text),
+       |${lshOracle.stripPrefix("WITH ")}""".stripMargin
 
   /** End-to-end corpus dedup: every document, flagged kept/dropped by
     * the MinHash-LSH verdicts — greedy keep-smallest-id within each

@@ -65,6 +65,19 @@ import org.apache.spark.sql.functions._
   *   parity of the streamed window aggregates against a batch
   *   recompute of the identical event set.
   *
+  * - `skewcorpus` (r13, VERDICT r11 task 5): corpus-scale equi-joins
+  *   under mass duplication and a viral item. A 20k-doc corpus with
+  *   ONE boilerplate text at 20% mass sends C(4000, 2) ≈ 8M
+  *   candidate pairs through single (band, bsig) buckets — the hot
+  *   shape no banding knob can split (identical texts share every
+  *   band) — measured plain vs [[Dedup.lshDuplicatesCollapsed]]
+  *   (exact-collapse first), with component/keeper equivalence
+  *   adjudicated exactly. Plus a 150k-order co-purchase corpus with
+  *   one item in 20% of orders, running the real itemRank/triangles
+  *   pipelines with per-task balance capture — the degree-ordered
+  *   orientation and partial aggregation are the devices that keep
+  *   the viral item from concentrating a reducer.
+  *
   * - `streamjoin` (r13, VERDICT r11 task 2): the stream-stream
   *   interval join at 5M events — the ONE stateful streaming shape
   *   whose state grows with the TIME WINDOW, not key cardinality.
@@ -222,7 +235,7 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe",
-      "skew", "stream", "streamjoin", "ladder")
+      "skew", "stream", "streamjoin", "ladder", "skewcorpus")
     val sections = if (args.isEmpty) all else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
@@ -264,6 +277,7 @@ object ScaleRehearsal {
     if (sections("stream")) streamSection(spark)
     if (sections("streamjoin")) streamJoinSection(spark)
     if (sections("ladder")) ladderSection(spark, ladderDir)
+    if (sections("skewcorpus")) skewCorpusSection(spark, s"$Root/skewcorpus")
 
     spark.stop()
     println("[scale] DONE")
@@ -1049,6 +1063,170 @@ object ScaleRehearsal {
       f"${tableBytes / 1e3}%.1f KB, final symbol vocabulary $nSyms)")
     require(merges.size >= 4000,
       s"production config must learn ≥4k merges, got ${merges.size}")
+  }
+
+  // ---- (skewcorpus) mass duplication + viral item ------------------
+
+  /** Per-stage task durations AND shuffle-read records — emit-bound
+    * skew (a band-join task iterating one giant bucket) shows in
+    * DURATION while its shuffle-read stays tiny, so both are needed. */
+  private final class StageBalanceListener extends SparkListener {
+    val durs = scala.collection.concurrent.TrieMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    val reads = scala.collection.concurrent.TrieMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val tm = e.taskMetrics
+      if (tm != null) {
+        durs.getOrElseUpdate(e.stageId,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += tm.executorRunTime
+        reads.getOrElseUpdate(e.stageId,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+          tm.shuffleReadMetrics.recordsRead
+      }
+    }
+    /** Worst stage's (maxTaskDur_ms, meanTaskDur_ms, nTasks) over
+      * stages whose total duration exceeds `minTotalMs`. */
+    def worstDurSkew(minTotalMs: Long): (Long, Double, Int) =
+      durs.values.filter(_.sum > minTotalMs).map { b =>
+        (b.max, b.sum.toDouble / b.size, b.size)
+      }.maxByOption(t => t._1 / t._2.max(1.0)).getOrElse((0L, 0.0, 0))
+    def clear(): Unit = { durs.clear(); reads.clear() }
+  }
+
+  val SkewDocs = 20000L
+  /** One boilerplate text at this fraction of the corpus. */
+  val SkewDupFrac = 5 // every 5th doc → 20%
+  val SkewNearClusters = 500
+  val SkewViralOrders = 150000L
+  val SkewViralProb = 0.20
+
+  private def genSkewCorpus(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    if (complete(dir)) return
+    time("generate skew corpus (20% boilerplate + clusters)") {
+      val (dupEvery, nClusters, vocab) =
+        (SkewDupFrac, SkewNearClusters, LadderDocVocab)
+      val boiler = (0 until 60).map(t => s"boiler$t").mkString(" ")
+      spark.range(SkewDocs).map { i =>
+        if (i % dupEvery == 0) (i, boiler)
+        else {
+          // cluster ids are the first 4·nClusters non-boilerplate docs
+          val j = i - i / dupEvery - 1 // rank among non-boilerplate
+          if (j < 4L * nClusters) {
+            val c = j / 4
+            val base = (0 until 60).map(t => s"s${c}b$t").mkString(" ")
+            (i, s"$base s${c}u${j % 4}")
+          } else {
+            val rnd = new java.util.Random(i * 6364136223846793005L + 31L)
+            (i, (0 until 60).map(_ => s"w${rnd.nextInt(vocab)}")
+              .mkString(" "))
+          }
+        }
+      }.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("skew"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+  }
+
+  private def genViralOrders(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    if (complete(dir, "lineitem")) return
+    time("generate viral-item co-purchase corpus") {
+      val (nComms, comm, viralP) =
+        (LadderParts.toLong / LadderCommunity, LadderCommunity, SkewViralProb)
+      spark.range(SkewViralOrders).flatMap { o =>
+        val rnd = new java.util.Random(o * 6364136223846793005L + 43L)
+        val c = math.floorMod(rnd.nextLong(), nComms)
+        val items = scala.collection.mutable.ArrayBuffer.empty[Long]
+        if (rnd.nextDouble() < viralP) items += 1L // the viral item
+        (0 until LadderLines).foreach { _ =>
+          items += 2L + c * comm + rnd.nextInt(comm)
+        }
+        items.map(pk => (o, pk))
+      }.toDF("l_orderkey", "l_partkey")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
+  }
+
+  private def skewCorpusSection(spark: SparkSession, dir: String): Unit = {
+    println("[scale] === skewed-corpus equi-join rehearsal ===")
+    genSkewCorpus(spark, dir)
+    genViralOrders(spark, dir)
+    val bal = new StageBalanceListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(bal)
+    try {
+      def measured[A](tag: String)(f: => A): A = {
+        bal.clear()
+        ListenerShim.drainListenerBus(spark.sparkContext)
+        val t0 = System.nanoTime()
+        val r = f
+        ListenerShim.drainListenerBus(spark.sparkContext)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val (mx, mean, n) = bal.worstDurSkew(5000L)
+        println(f"[scale] $tag: $secs%.1f s; worst stage task-duration " +
+          f"max/mean = ${mx / mean.max(1.0)}%.1f× ($n tasks, max ${mx / 1e3}%.1f s)")
+        r
+      }
+
+      // --- mass duplication: plain vs exact-collapsed LSH ----------
+      val plainPairs = measured("lshDuplicates PLAIN (20% boilerplate)") {
+        val p = Dedup.lshDuplicates(spark, dir)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val n = p.count()
+        println(s"[scale]   plain verified pairs: $n (quadratic: the " +
+          s"4,000-doc boilerplate cluster alone is ${4000L * 3999 / 2})")
+        p
+      }
+      val collapsedPairs = measured("lshDuplicatesCollapsed (reps only)") {
+        val p = Dedup.lshDuplicatesCollapsed(spark, dir)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        println(s"[scale]   collapsed verified pairs: ${p.count()} " +
+          "(linear: rep-level near-dups only)")
+        p
+      }
+      // component/keeper equivalence: collapsed pairs + exact-group
+      // edges must rebuild EXACTLY the plain labeling
+      val docs = graft.Tables.documents(spark, dir)
+      val reps = docs.groupBy("text").agg(min("doc_id").as("rep"))
+      val exactEdges = docs.join(reps, Seq("text"))
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      val plainK = Dedup.closureKeepers(plainPairs)
+        .withColumnRenamed("keeper", "pk")
+      val collK = Dedup.closureKeepers(
+        collapsedPairs.unionByName(exactEdges))
+        .withColumnRenamed("keeper", "ck")
+      val (nP, nC) = (plainK.count(), collK.count())
+      val joined = plainK.join(collK, Seq("doc_id"))
+      val nJ = joined.count()
+      val wrong = joined.filter(col("pk") =!= col("ck")).count()
+      println(s"[scale] keeper equivalence: plain labels $nP, collapsed " +
+        s"labels $nC, joined $nJ, mismatches $wrong")
+      require(wrong == 0 && nP == nC && nJ == nP,
+        "exact-collapse changed the component labeling")
+
+      // --- viral item through the co-purchase graph family ---------
+      val pairs = measured("copurchasePairs (viral item in 20% of orders)") {
+        graft.ads.ItemRank.copurchasePairs(spark, dir).localCheckpoint()
+      }
+      val vDeg = pairs.filter(col("pa") === 1L || col("pb") === 1L).count()
+      println(s"[scale]   viral item degree in the support-filtered " +
+        s"graph: $vDeg")
+      measured("itemRank over the viral graph") {
+        graft.ads.ItemRank.itemRankOf(pairs)
+          .queryExecution.toRdd.count(): Unit
+      }
+      measured("triangles over the viral graph") {
+        graft.ads.ItemRank.trianglesOf(pairs)
+          .queryExecution.toRdd.count(): Unit
+      }
+    } finally spark.sparkContext.removeSparkListener(bal)
   }
 
   // ---- (streamjoin) stream-stream interval join at volume ----------

@@ -53,6 +53,44 @@ class DedupSpec extends SparkSpec {
     assert(j12 > 0.8, s"fixture near-dup should have jaccard > 0.8, got $j12")
   }
 
+  test("exact-collapse LSH preserves components and min-id keepers") {
+    // two exact groups whose texts are near-dups of EACH OTHER, one
+    // exact group of unrelated text, one singleton: the collapsed
+    // rep-level pairs + exact-group edges must rebuild the same
+    // components (and the same min-id keepers) as the plain all-pairs
+    // pipeline over every document
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 37) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val d = docs(
+      (1L, base), (5L, base), (9L, base),          // exact group A
+      (2L, near), (7L, near),                      // exact group B (~A)
+      (3L, other), (8L, other),                    // exact group C
+      (4L, (200 to 240).map(i => s"q$i").mkString(" "))) // singleton
+    val plain = Dedup.closureKeepers(
+      Dedup.lshDuplicatesOf(d, Dedup.Bands, Dedup.R)
+        .select(col("doc_a"), col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reps = d.groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val repPairs = Dedup.lshDuplicatesOf(reps, Dedup.Bands, Dedup.R)
+      .select(col("doc_a"), col("doc_b"))
+    val exactEdges = d.as("m")
+      .join(reps.select(col("doc_id").as("rep"), col("text")), Seq("text"))
+      .filter(col("m.doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("m.doc_id").as("doc_b"))
+    val collapsed = Dedup.closureKeepers(repPairs.unionByName(exactEdges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == collapsed,
+      s"component labels diverged: plain=$plain collapsed=$collapsed")
+    // groups A+B merge under 1; C under 3 (both members); keeper maps
+    // only label docs that appear in the pair graph — the singleton is
+    // absent from both, identically
+    assert(plain(5L) == 1L && plain(2L) == 1L && plain(7L) == 1L &&
+      plain(8L) == 3L && !plain.contains(4L))
+  }
+
   test("closure keepers: chains collapse to one component minimum") {
     // a→b, b→c chain plus a disjoint pair: pairwise-greedy would keep
     // 3 (dropping only join partners); the closure keeps min per component
