@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * Everything written goes under [[Root]] in /tmp; /root/testdata is
   * never touched.
   *
-  * Sections (select by passing names as args; no args = all):
+  * Sections (select by passing names as args; no args = all — ~40 min
+  * with the r13 additions):
   *
   * - `closure` (r10): 100k-doc corpus of 900 near-dup clusters × 100
   *   plus 40 sliding-window chains × 250 — the banded pair graph is
