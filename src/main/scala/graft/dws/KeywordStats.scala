@@ -48,7 +48,7 @@ object KeywordStats {
     * shuffle before the partial+final aggregate. Oracle: since r13
     * [[dictOracle]] replays the FULL algorithm — ASCII translate-split
     * UNION a recursive-CTE forward-maximum-match over each CJK run
-    * (tractable because every lexicon word is exactly 2 chars) with
+    * (longest-word-first probes, one per lexicon word length) with
     * the gaps-and-islands overlapping-bigram fallback — so the CJK
     * path is hash-checked too, not just the ASCII subset. */
   def dictForm(spark: SparkSession, dir: String): DataFrame = {
@@ -64,16 +64,27 @@ object KeywordStats {
   }
 
   /** [[dictForm]]'s oracle — the whole DictTokenizer contract in SQL.
-    * `fmm` marches each CJK run left-to-right: a lexicon bigram at
-    * position i emits and advances 2, anything else marks i unmatched
-    * and advances 1 (MaxWordLen = 2, so forward-maximum matching IS
-    * bigram matching). Unmatched islands (consecutive positions,
-    * found with the pos − row_number device) fall back to overlapping
-    * bigrams, a single leftover char to itself — exactly
+    * `fmm` marches each CJK run left-to-right: the LONGEST lexicon
+    * word starting at position i wins (one LEFT JOIN per word length
+    * present in the lexicon, longest coalesced first — the r13
+    * self-review caught a bigram-only draft diverging on the 3-char
+    * 关键词), emits, and advances by its length; anything else marks
+    * i unmatched and advances 1. Unmatched islands (consecutive
+    * positions, found with the pos − row_number device) fall back to
+    * overlapping bigrams, a single leftover char to itself — exactly
     * DictTokenizer.segmentCjkRun. */
   lazy val dictOracle: String = {
     val lex = graft.func.DictTokenizer.Lexicon.toSeq.sorted
       .map(w => s"('$w')").mkString(", ")
+    // one probe per word length, longest first (forward MAXIMUM match)
+    val lens = graft.func.DictTokenizer.Lexicon.map(_.length)
+      .toSeq.distinct.sorted.reverse
+    val probes = lens.map(l =>
+      s"LEFT JOIN lex l$l ON length(l$l.w) = $l AND " +
+        s"l$l.w = substr(f.run, CAST(f.i AS INTEGER), $l)").mkString("\n  ")
+    val hit = lens.map(l => s"l$l.w").mkString("coalesce(", ", ", ")")
+    val advance = lens.map(l =>
+      s"WHEN l$l.w IS NOT NULL THEN f.i + $l").mkString(" ")
     val up = graft.func.Tokenizer.Uppers
     val lo = graft.func.Tokenizer.Lowers
     s"""WITH RECURSIVE ascii_toks AS (
@@ -96,11 +107,11 @@ object KeywordStats {
        |  FROM runs
        |  UNION ALL
        |  SELECT f.doc_id, f.rid, f.run,
-       |         CASE WHEN l.w IS NOT NULL THEN f.i + 2 ELSE f.i + 1 END,
-       |         l.w,
-       |         CASE WHEN l.w IS NULL THEN f.i END
-       |  FROM fmm f LEFT JOIN lex l
-       |    ON l.w = substr(f.run, CAST(f.i AS INTEGER), 2)
+       |         CASE $advance ELSE f.i + 1 END,
+       |         $hit,
+       |         CASE WHEN $hit IS NULL THEN f.i END
+       |  FROM fmm f
+       |  $probes
        |  WHERE f.i <= length(f.run)),
        |upositions AS (
        |  SELECT doc_id, rid, run, upos,

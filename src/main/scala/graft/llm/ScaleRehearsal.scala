@@ -1068,23 +1068,19 @@ object ScaleRehearsal {
 
   // ---- (skewcorpus) mass duplication + viral item ------------------
 
-  /** Per-stage task durations AND shuffle-read records — emit-bound
-    * skew (a band-join task iterating one giant bucket) shows in
-    * DURATION while its shuffle-read stays tiny, so both are needed. */
+  /** Per-stage task DURATIONS — the balance metric for emit-bound
+    * skew: a band-join task iterating one giant bucket shows in task
+    * runtime even while its shuffle-read stays tiny (shuffle-read
+    * balance is [[StageInputListener]]'s job; this one deliberately
+    * measures the dimension that catches emit-heavy hot tasks). */
   private final class StageBalanceListener extends SparkListener {
     val durs = scala.collection.concurrent.TrieMap
       .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
-    val reads = scala.collection.concurrent.TrieMap
-      .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val tm = e.taskMetrics
-      if (tm != null) {
+      if (tm != null)
         durs.getOrElseUpdate(e.stageId,
           scala.collection.mutable.ArrayBuffer.empty[Long]) += tm.executorRunTime
-        reads.getOrElseUpdate(e.stageId,
-          scala.collection.mutable.ArrayBuffer.empty[Long]) +=
-          tm.shuffleReadMetrics.recordsRead
-      }
     }
     /** Worst stage's (maxTaskDur_ms, meanTaskDur_ms, nTasks) over
       * stages whose total duration exceeds `minTotalMs`. */
@@ -1092,7 +1088,7 @@ object ScaleRehearsal {
       durs.values.filter(_.sum > minTotalMs).map { b =>
         (b.max, b.sum.toDouble / b.size, b.size)
       }.maxByOption(t => t._1 / t._2.max(1.0)).getOrElse((0L, 0.0, 0))
-    def clear(): Unit = { durs.clear(); reads.clear() }
+    def clear(): Unit = durs.clear()
   }
 
   val SkewDocs = 20000L

@@ -123,6 +123,10 @@ class DegenerateSpec extends SparkSpec {
               .unionByName(udoc(2000000L, "café café combining"))
               .unionByName(udoc(3000000L,
                 "中文分词 mixed ASCII 日本語"))
+              // contains the 3-char lexicon word 关键词 — exercises
+              // the dict segmenter's trigram FMM probe
+              .unionByName(udoc(7000000L,
+                "关键词统计与数据分析"))
               .unionByName(udoc(4000000L,
                 "שלום rtl مرحبا text"))
               .unionByName(udoc(5000000L,
@@ -198,8 +202,14 @@ class DegenerateSpec extends SparkSpec {
 
   test("BIGINT-overflow digit run in props parses to NULL, not an abort") {
     val dir = scratch("nullevents")
-    val overflowed = graft.dwd.LogSplit.parsed(spark, dir)
-      .filter(col("event_id") >= 6000000L)
+    val parsed = graft.dwd.LogSplit.parsed(spark, dir)
+    // the overflow row carries the LARGEST corrupt-offset (+6M), so it
+    // is the max event_id regardless of which fixture row limit(1)
+    // picked — a >= threshold would silently include other corrupt
+    // rows if the fixture's base ids ever grow (r11 self-review's
+    // unordered-limit flake class)
+    val maxId = parsed.agg(max(col("event_id"))).head().getLong(0)
+    val overflowed = parsed.filter(col("event_id") === maxId)
       .select(col("prop_k")).collect()
     assert(overflowed.nonEmpty && overflowed.forall(_.isNullAt(0)),
       "try_cast must NULL the out-of-range extract")
