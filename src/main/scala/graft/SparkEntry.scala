@@ -41,6 +41,9 @@ object SparkEntry {
     "q_dwm_payment_wide"   -> (dwm.OrderWide.paymentWide(_, _)),
     // As-of join (point-in-time lookup; J1/J2's unbounded-lower limit)
     "q_asof_latest_order"  -> (operators.AsOf.latestOrderQuery(_, _)),
+    // same operator on the custom-plan tier (AsOfJoinPlan/Exec +
+    // pushdown/pruning rule) — identical contract, shared oracle
+    "q_asof_latest_order_native" -> (plans.NativeAsOf.latestOrderQuery(_, _)),
     // Skew mitigation: salted fact×dim join, result-invisible salt
     "q_skew_salted_agg"    -> (func.Skew.saltedJoinQuery(_, _)),
     // DWS — windowed stats (§2.6)
@@ -122,6 +125,14 @@ object SparkEntry {
     "q_llm_ann_ivfpq_recall" -> (llm.Similarity.ivfPqRecall(_, _)),
     // semantic dedup: sign-LSH pairs -> connected components -> keepers
     "q_llm_embed_keeplist"  -> (llm.Similarity.embedKeepList(_, _)),
+    // production regime (cos >= 0.9, SemDeDup threshold — above the
+    // dim-64 noise floor at any corpus size)
+    "q_llm_embed_neardup_prod"  -> (llm.Similarity.lshNearDupProd(_, _)),
+    "q_llm_embed_keeplist_prod" -> (llm.Similarity.embedKeepListProd(_, _)),
+    // scale-aware banding: band width derived from corpus cardinality
+    // (the measured-linear configuration; oracle re-derives the width
+    // from count(*) so lockstep holds at any scale)
+    "q_llm_embed_keeplist_scaled" -> (llm.Similarity.embedKeepListScaled(_, _)),
     "q_llm_lang_id"         -> (llm.TextAnalysis.langId(_, _)),
     "q_llm_quality"         -> (llm.TextAnalysis.qualityScore(_, _)),
     "q_llm_token_stats"     -> (llm.TextAnalysis.tokenStats(_, _)),
@@ -302,6 +313,7 @@ object SparkEntry {
     "q_dwm_order_wide_dims" -> dwm.OrderWide.withDimsOracle,
     "q_dwm_payment_wide"   -> dwm.OrderWide.paymentWideOracle,
     "q_asof_latest_order"  -> operators.AsOf.latestOrderOracle,
+    "q_asof_latest_order_native" -> operators.AsOf.latestOrderOracle,
     "q_skew_salted_agg"    -> func.Skew.saltedJoinOracle,
     "q_dws_visitor_stats"  -> dws.VisitorStats.oracle,
     "q_dws_visitor_stats_hop" -> dws.VisitorStats.hoppingOracle,
@@ -362,6 +374,9 @@ object SparkEntry {
     "q_llm_ann_pq_recall"   -> llm.Similarity.pqRecallOracle,
     "q_llm_ann_ivfpq_recall" -> llm.Similarity.ivfPqRecallOracle,
     "q_llm_embed_keeplist"  -> llm.Similarity.embedKeepListOracle,
+    "q_llm_embed_neardup_prod"  -> llm.Similarity.lshNearDupProdOracle,
+    "q_llm_embed_keeplist_prod" -> llm.Similarity.embedKeepListProdOracle,
+    "q_llm_embed_keeplist_scaled" -> llm.Similarity.embedKeepListScaledOracle,
     "q_llm_doc_keywords"    -> llm.TextAnalysis.docKeywordsOracle,
     "q_llm_inverted_index"  -> llm.Index.invertedIndexOracle,
     "q_llm_idf_rarity"      -> llm.Index.idfRarityOracle,

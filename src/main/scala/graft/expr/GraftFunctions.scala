@@ -41,8 +41,14 @@ object GraftFunctions {
       Seq[Expression] => Expression)] = functions
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the native functions plus the
+  * as-of join's planner strategy and pushdown/pruning rule
+  * ([[graft.plans.NativeAsOf.install]] is the live-session retrofit of
+  * the same pair). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injected.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimization)
+  }
 }

@@ -114,9 +114,10 @@ object AsOfJoinStrategy extends SparkStrategy {
   * the same dual surface as [[graft.expr.GraftFunctions]]:
   * `spark.sql.extensions=graft.expr.GraftExtensions` injects the
   * strategy and rule at session build, [[install]] retrofits a live
-  * session through the public `experimental` hooks (idempotent; the
-  * query entries call it so the driver's plain sessions plan the node
-  * too).
+  * session through the public `experimental` hooks (idempotent;
+  * [[asOf]] calls it on construction, so the
+  * `q_asof_latest_order_native` board entry plans the node under the
+  * driver's plain sessions too).
   */
 object NativeAsOf {
   def install(spark: SparkSession): Unit = synchronized {

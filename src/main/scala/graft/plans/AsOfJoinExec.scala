@@ -76,7 +76,13 @@ case class AsOfJoinExec(
     val rk = BindReferences.bindReference(rightKey: Expression, AttributeSeq(rOut))
     val rt = BindReferences.bindReference(rightTime: Expression, AttributeSeq(rOut))
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val proj = UnsafeProjection.create(projList, lOut ++ rOut)
+      // Bind against a NULLABLE view of the right side (the outer-join
+      // device): unmatched left rows pair with an all-null row, and a
+      // projection bound at the right side's original nullability would
+      // skip the null check on a non-nullable payload attribute and
+      // emit 0/garbage instead of NULL.
+      val proj = UnsafeProjection.create(projList,
+        lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullRight: InternalRow = new GenericInternalRow(rOut.size)
       new Iterator[InternalRow] {

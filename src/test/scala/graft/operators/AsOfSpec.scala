@@ -61,6 +61,115 @@ class AsOfSpec extends SparkSpec {
     assert(out("e2") === ((None, None)))
   }
 
+  // ---- native custom-plan tier (graft.plans.NativeAsOf) ----
+
+  test("native asOf matches the composition on null keys/times and ties") {
+    val left = Seq(
+      (Some(1L), Some(5L), "e1"),   // before any right row -> null
+      (Some(1L), Some(10L), "e2"),  // ties right t=10 -> matches (<=)
+      (Some(1L), Some(25L), "e3"),  // after both -> t=20 wins
+      (Some(2L), Some(50L), "e4"),  // key with no right rows -> null
+      (None: Option[Long], Some(9L), "e5"),  // null left key -> null payload
+      (Some(1L), None: Option[Long], "e6")   // null left time -> null payload
+    ).toDF("k", "t", "ev")
+    val right = Seq(
+      (Some(1L), Some(10L), Some(100L)),
+      (Some(1L), Some(20L), Some(200L)),
+      (None: Option[Long], Some(1L), Some(666L)),  // null key: never matches
+      (Some(1L), None: Option[Long], Some(777L))   // null time: never matches
+    ).toDF("rk", "rt", "payload")
+
+    val native = graft.plans.NativeAsOf
+      .asOf(spark, left, right, "k", "rk", "t", "rt", Seq("payload"))
+    val composed = AsOf.asOf(left, right, "k", "rk", "t", "rt", Seq("payload"))
+    assert(native.schema === composed.schema)
+    val n = native.select("ev", "payload")
+      .as[(String, Option[Long])].collect().toMap
+    val c = composed.select("ev", "payload")
+      .as[(String, Option[Long])].collect().toMap
+    assert(n === c)
+    assert(n === Map("e1" -> None, "e2" -> Some(100L), "e3" -> Some(200L),
+      "e4" -> None, "e5" -> None, "e6" -> None))
+  }
+
+  test("native asOf nulls a NON-NULLABLE payload column on unmatched rows") {
+    // the projection must bind against a nullable view of the right
+    // side: a Seq[(Long,Long,Long)] frame carries non-nullable payload
+    // attributes, and a projection bound at that nullability skips the
+    // null check and emits 0 instead of NULL for unmatched left rows
+    val left = Seq((1L, 5L, "miss"), (1L, 30L, "hit")).toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, 0L)).toDF("rk", "rt", "payload")
+    assert(!right.schema("payload").nullable)
+    val out = graft.plans.NativeAsOf
+      .asOf(spark, left, right, "k", "rk", "t", "rt", Seq("payload"))
+    assert(out.schema("payload").nullable)
+    val got = out.select("ev", "payload")
+      .as[(String, Option[Long])].collect().toMap
+    assert(got === Map("miss" -> None, "hit" -> Some(0L)))
+  }
+
+  test("native asOf equals the composition row-for-row at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val composed = AsOf.latestOrderQuery(spark, dir)
+    val native = graft.plans.NativeAsOf.latestOrderQuery(spark, dir)
+    assert(native.schema.map(f => (f.name, f.dataType)) ===
+      composed.schema.map(f => (f.name, f.dataType)))
+    assert(native.count() === composed.count())
+    assert(native.exceptAll(composed).isEmpty &&
+      composed.exceptAll(native).isEmpty)
+  }
+
+  test("native asOf plans AsOfJoinExec; rule restores pushdown + pruning") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-asof-plan").toString
+    Seq((1L, 10L, 6L, 1L), (1L, 20L, 7L, 2L), (2L, 30L, 3L, 3L))
+      .toDF("k", "t", "extra1", "extra2")
+      .write.mode("overwrite").parquet(s"$base/left")
+    Seq((1L, 5L, 100L, 11L), (2L, 25L, 200L, 22L))
+      .toDF("rk", "rt", "p1", "p2")
+      .write.mode("overwrite").parquet(s"$base/right")
+
+    val out = graft.plans.NativeAsOf.asOf(spark,
+        spark.read.parquet(s"$base/left"),
+        spark.read.parquet(s"$base/right"),
+        "k", "rk", "t", "rt", Seq("p1", "p2"))
+      .filter(col("extra1") > 5L)
+      .select("k", "p1")
+    // rows first (also finalizes the AQE plan before inspection):
+    // extra1>5 keeps the two k=1 left rows; both see right (1, t=5)
+    val rows = out.as[(Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(rows === Seq((1L, Some(100L)), (1L, Some(100L))))
+
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"),
+      s"custom exec must be picked:\n$plan")
+    // 1. the left-only predicate commuted below the node into the scan
+    assert(plan.contains("GreaterThan(extra1,5)"),
+      s"left filter must land in PushedFilters:\n$plan")
+    // 2. pruning: unused left column and unused payload column never
+    //    reach either scan's ReadSchema
+    assert(!plan.contains("extra2"),
+      s"unused left column must be pruned from the scan:\n$plan")
+    assert(!plan.contains("p2"),
+      s"unused payload column must be pruned from the right scan:\n$plan")
+  }
+
+  test("native asOf executes on empty inputs (either side, both)") {
+    val l = Seq((1L, 10L, "e")).toDF("k", "t", "ev")
+    val r = Seq((1L, 5L, 9L)).toDF("rk", "rt", "payload")
+    val le = l.limit(0)
+    val re = r.limit(0)
+    def run(left: org.apache.spark.sql.DataFrame,
+            right: org.apache.spark.sql.DataFrame) =
+      graft.plans.NativeAsOf
+        .asOf(spark, left, right, "k", "rk", "t", "rt", Seq("payload"))
+        .collect()
+    assert(run(le, r).isEmpty)
+    val rightEmpty = run(l, re)
+    assert(rightEmpty.length === 1 && rightEmpty.head.isNullAt(3))
+    assert(run(le, re).isEmpty)
+  }
+
   test("asOf equals the join+row_number reference form on real tables") {
     val got = AsOf.latestOrderQuery(spark, Sf)
     // reference form: explode all qualifying (event, order) pairs,
