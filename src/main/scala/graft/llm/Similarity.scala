@@ -79,6 +79,28 @@ object Similarity {
     * realistic floor. The board value is oracle-locked at sf scale. */
   val NearDupPpm = 350000L
 
+  /** The PRODUCTION near-dup threshold (SemDeDup regime, cos ≥ 0.9) —
+    * the value the caveat above prescribes at real corpus sizes:
+    * 0.9 ≫ σ·√(2·ln(n²/ε)) for any realistic n at [[Dim]] = 64, so
+    * verified pairs are genuine near-duplicates, not noise-floor
+    * chance pairs, and the keep-list closure stays fragmented the way
+    * a dedup pass needs. Board queries `q_llm_embed_neardup_prod` /
+    * `q_llm_embed_keeplist_prod` lock this regime to the oracle. */
+  val NearDupProdPpm = 900000L
+
+  /** Scale-aware sign-LSH band width: bits ≈ log2(n / target bucket
+    * occupancy), clamped to 4 .. 7 (8 bands × 7 = 56 ≤ 63 sig bits).
+    * Holding expected bucket occupancy constant keeps expected chance
+    * candidates ~linear in n (measured: growth exponent 1.07 vs 2.07
+    * for fixed-width banding, 17.8× cheaper at 10× — PLANS.md §r13(c));
+    * per-band recall p^bits stays ≈1 for genuine near-dup pairs.
+    * Deterministic in count(*) alone, so the SQL oracle re-derives the
+    * same width and lockstep holds at any corpus size. */
+  val ScaleBucket = 125.0
+  def scaleBits(nVecs: Long): Int =
+    math.round(math.log(nVecs.max(1L) / ScaleBucket) / math.log(2))
+      .toInt.max(4).min(7)
+
   /** Dot product via the native [[graft.expr.VecDot]] expression: a
     * compact generated loop instead of an interpreted HOF fold
     * (~40 µs/row) or a width-dependent unrolled tree. Same
@@ -980,7 +1002,17 @@ object Similarity {
     * board query stays on 8×4 (oracle lockstep); production picks
     * bits from the corpus cardinality. */
   def lshNearDupWith(spark: SparkSession, dir: String,
-                     bands: Int, bits: Int): DataFrame = {
+                     bands: Int, bits: Int): DataFrame =
+    lshNearDupAt(spark, dir, bands, bits, NearDupPpm)
+
+  /** [[lshNearDupProd]]: the production-threshold sibling — identical
+    * candidate generation, cosine verify at [[NearDupProdPpm]]. */
+  def lshNearDupProd(spark: SparkSession, dir: String): DataFrame =
+    lshNearDupAt(spark, dir, BandsCount, BitsPerBand, NearDupProdPpm)
+
+  /** [[lshNearDupWith]] with the VERIFY-THRESHOLD knob exposed too. */
+  def lshNearDupAt(spark: SparkSession, dir: String,
+                   bands: Int, bits: Int, thresholdPpm: Long): DataFrame = {
     // bits ≤ 31 keeps the band mask inside Int; anything wider is
     // pointless anyway (2^31 buckets ≫ any corpus) and `1 << 32`
     // silently wraps mod 32
@@ -1013,18 +1045,27 @@ object Similarity {
       .join(ev.as("y"), col("vec_b") === col("y.vec_id"))
       .select(col("vec_a"), col("vec_b"),
         floor(dot(col("x.nv"), col("y.nv")) * 1e6).cast("long").as("cos_ppm"))
-      .filter(col("cos_ppm") >= NearDupPpm)
+      .filter(col("cos_ppm") >= thresholdPpm)
   }
 
-  val lshNearDupOracle: String = {
-    def planeSql(j: Int): String = {
-      val w = (0 until Dim).map(d => s"${planeWeight(j, d)}::DOUBLE")
-        .mkString("[", ", ", "]")
-      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(v, $w), s -> s[1]*s[2])), (x,y) -> x+y)"
-    }
-    val sig = (0 until Planes).map(j =>
+  /** Signed projection of `v` onto plane j as DuckDB SQL. */
+  private def planeSql(j: Int): String = {
+    val w = (0 until Dim).map(d => s"${planeWeight(j, d)}::DOUBLE")
+      .mkString("[", ", ", "]")
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(v, $w), s -> s[1]*s[2])), (x,y) -> x+y)"
+  }
+
+  /** `planes`-bit sign signature of `v` as DuckDB SQL. */
+  private def sigSql(planes: Int): String =
+    (0 until planes).map(j =>
       s"CASE WHEN ${planeSql(j)} >= 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
+
+  /** [[lshNearDupAt]]'s oracle at the default 8×4 banding with the
+    * verify threshold parameterized (the banding — and therefore the
+    * candidate set — is identical across thresholds). */
+  private def nearDupPairsOracleAt(thresholdPpm: Long): String = {
+    val sig = sigSql(Planes)
     val bandVals = (0 until BandsCount).map(b =>
       s"($b, (sig >> ${BitsPerBand * b}) & ${(1 << BitsPerBand) - 1})").mkString(", ")
     val dotNv = dotSql("na", "nb")
@@ -1033,6 +1074,39 @@ object Similarity {
        |sg AS (SELECT vec_id, nv, CAST($sig AS BIGINT) AS sig FROM nrm),
        |band AS (SELECT vec_id, nv, u.band, u.nib
        |         FROM sg, LATERAL (SELECT * FROM (VALUES $bandVals) t(band, nib)) u),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |                a.nv AS na, b.nv AS nb
+       |         FROM band a JOIN band b
+       |           ON a.band = b.band AND a.nib = b.nib AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, CAST(floor($dotNv * 1e6) AS BIGINT) AS cos_ppm
+       |FROM cand WHERE CAST(floor($dotNv * 1e6) AS BIGINT) >= $thresholdPpm""".stripMargin
+  }
+
+  val lshNearDupOracle: String = nearDupPairsOracleAt(NearDupPpm)
+  lazy val lshNearDupProdOracle: String = nearDupPairsOracleAt(NearDupProdPpm)
+
+  /** Pairs oracle for the SCALE-AWARE banding: the SQL derives the
+    * band width from `count(*)` with the same
+    * round(log2(n / [[ScaleBucket]])) clamp 4..7 as
+    * [[scaleBits]] — bits is a deterministic function of corpus
+    * cardinality, so both engines stay in lockstep at ANY scale. The
+    * signature covers the full 8×7 = 56-plane budget; extraction reads
+    * only the first 8·bits bits, and the plane family is one
+    * deterministic prefix-consistent sequence, so the unused high bits
+    * are harmless. */
+  private lazy val scaledPairsOracle: String = {
+    val sig = sigSql(BandsCount * 7)
+    val bandVals = (0 until BandsCount).map(b => s"($b)").mkString(", ")
+    val dotNv = dotSql("na", "nb")
+    s"""WITH bcfg AS (
+       |  SELECT LEAST(GREATEST(CAST(round(log2(count(*) / $ScaleBucket)) AS INTEGER), 4), 7) AS bits
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nrm AS (SELECT vec_id, v, list_transform(v, x -> x / ${normSql("v")}) AS nv FROM e),
+       |sg AS (SELECT vec_id, nv, CAST($sig AS BIGINT) AS sig FROM nrm),
+       |band AS (SELECT vec_id, nv, bn.band,
+       |                (sig >> (bcfg.bits * bn.band)) & ((CAST(1 AS BIGINT) << bcfg.bits) - 1) AS nib
+       |         FROM sg, bcfg, (VALUES $bandVals) bn(band)),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |                a.nv AS na, b.nv AS nb
        |         FROM band a JOIN band b
@@ -1243,8 +1317,30 @@ object Similarity {
   /** [[embedKeepList]] with the banding knob exposed — the scale path
     * picks bits from corpus cardinality (see [[lshNearDupWith]]). */
   def embedKeepListWith(spark: SparkSession, dir: String,
-                        bands: Int, bits: Int): DataFrame = {
-    val pairs = lshNearDupWith(spark, dir, bands, bits)
+                        bands: Int, bits: Int): DataFrame =
+    embedKeepListAt(spark, dir, bands, bits, NearDupPpm)
+
+  /** [[embedKeepList]] in the PRODUCTION regime: cos ≥ 0.9 verify
+    * ([[NearDupProdPpm]]) — the threshold the noise-floor analysis
+    * prescribes at real corpus sizes. */
+  def embedKeepListProd(spark: SparkSession, dir: String): DataFrame =
+    embedKeepListAt(spark, dir, BandsCount, BitsPerBand, NearDupProdPpm)
+
+  /** [[embedKeepList]] on the SCALE-AWARE banding: band width derived
+    * from the corpus cardinality by [[scaleBits]] — the measured-linear
+    * configuration (growth exponent 1.07 vs 2.07 fixed — PLANS.md
+    * §r13(c)). The count is one sizes-only scalar action; at 100 TB it
+    * comes from table metadata, and the resulting plan is the same
+    * banded pipeline with occupancy-constant buckets. */
+  def embedKeepListScaled(spark: SparkSession, dir: String): DataFrame = {
+    val n = embRows(spark, dir).count()
+    embedKeepListAt(spark, dir, BandsCount, scaleBits(n), NearDupPpm)
+  }
+
+  /** [[embedKeepListWith]] with the verify threshold exposed too. */
+  def embedKeepListAt(spark: SparkSession, dir: String,
+                      bands: Int, bits: Int, thresholdPpm: Long): DataFrame = {
+    val pairs = lshNearDupAt(spark, dir, bands, bits, thresholdPpm)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     embRows(spark, dir).select(col("vec_id"))
       .join(Dedup.closureKeepers(pairs)
@@ -1255,8 +1351,11 @@ object Similarity {
           .otherwise(0).cast("int").as("kept"))
   }
 
-  lazy val embedKeepListOracle: String = {
-    val inner = lshNearDupOracle.replace("\n", "\n  ")
+  /** Connected-components + keeper verdict over any pairs oracle —
+    * shared by the default / production-threshold / scale-aware
+    * keep-list oracles (only the pair generation differs). */
+  private def keepListOracleOver(pairsSql: String): String = {
+    val inner = pairsSql.replace("\n", "\n  ")
     s"""WITH RECURSIVE pairs AS (
        |  SELECT vec_a, vec_b FROM (
        |  $inner
@@ -1274,4 +1373,10 @@ object Similarity {
        |            THEN 1 ELSE 0 END AS INTEGER) AS kept
        |FROM embeddings emb LEFT JOIN label l ON emb.vec_id = l.vec_id""".stripMargin
   }
+
+  lazy val embedKeepListOracle: String = keepListOracleOver(lshNearDupOracle)
+  lazy val embedKeepListProdOracle: String =
+    keepListOracleOver(lshNearDupProdOracle)
+  lazy val embedKeepListScaledOracle: String =
+    keepListOracleOver(scaledPairsOracle)
 }

@@ -224,6 +224,80 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(_ >= Similarity.NearDupPpm))
   }
 
+  /** Scratch corpus with PLANTED cos ≥ 0.9 pairs: the sf vectors have
+    * no production-regime duplicates (max pairwise cos ≈ 0.5), so the
+    * prod-threshold board queries are vacuous there — this corpus
+    * gives the cos ≥ 0.9 verify path real rows to prove itself on.
+    * Twin 10000+i copies vector 10·i exactly (cos = 1); 20000 is a
+    * ×2-scaled copy of vector 0 (same direction, cos = 1) — all
+    * planted pairs share every band signature, so LSH finds them
+    * deterministically, and nothing else clears 0.9. */
+  private lazy val prodDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prod-neardup").toString
+    val base = graft.Tables.embeddings(spark, Sf)
+    val twins = (0 until 5).map { i =>
+      base.filter(col("vec_id") === i * 10L)
+        .withColumn("vec_id", lit(10000L + i))
+    }.reduce(_ unionByName _)
+    val scaled = base.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(20000L))
+      .withColumn("embedding",
+        transform(col("embedding"), x => (x * 2.0f).cast("float")))
+    base.unionByName(twins).unionByName(scaled)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("lshNearDupProd finds exactly the planted cos≥0.9 pairs") {
+    val got = Similarity.lshNearDupProd(spark, prodDir)
+      .select("vec_a", "vec_b", "cos_ppm").as[(Long, Long, Long)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    val expectedKeys = ((0 until 5).map(i => (i * 10L, 10000L + i)) :+
+      ((0L, 20000L)) :+ ((10000L, 20000L))).toSet
+    assert(got.keySet === expectedKeys,
+      s"planted pairs only; got ${got.keySet}")
+    assert(got.values.forall(_ >= Similarity.NearDupProdPpm))
+    // and the same corpus at the 0.35 board threshold is a SUPERSET —
+    // the prod filter is the only difference in the pipeline
+    val loose = Similarity.lshNearDup(spark, prodDir)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(expectedKeys.subsetOf(loose))
+  }
+
+  test("embedKeepListProd collapses the planted twins to min-id keepers") {
+    val out = Similarity.embedKeepListProd(spark, prodDir)
+      .as[(Long, Long, Int)].collect()
+      .map { case (v, k, kept) => v -> ((k, kept)) }.toMap
+    assert(out.size === 506)
+    (0 until 5).foreach { i =>
+      assert(out(10000L + i) === ((i * 10L, 0)), s"twin $i drops")
+      assert(out(i * 10L) === ((i * 10L, 1)), s"original ${i * 10} keeps")
+    }
+    // 0, its twin 10000, and its scaled copy 20000 are ONE component
+    assert(out(20000L) === ((0L, 0)))
+    // everything unplanted keeps itself — no chance pair clears 0.9
+    assert(out.count(_._2._2 == 0) === 6)
+  }
+
+  test("scaleBits: occupancy-targeted width, clamped, board-compatible") {
+    // 500 sf vectors → clamp floor 4: the scaled board query REDUCES
+    // to the oracle-locked default banding at board cardinality
+    assert(Similarity.scaleBits(500L) === 4)
+    assert(Similarity.scaleBits(2000L) === 4)   // log2(16) = 4 exactly
+    assert(Similarity.scaleBits(8000L) === 6)   // log2(64) = 6
+    assert(Similarity.scaleBits(16000L) === 7)  // log2(128) = 7
+    assert(Similarity.scaleBits(1000000L) === 7) // clamp ceiling
+    assert(Similarity.scaleBits(0L) === 4)       // degenerate: clamp floor
+    val n = graft.Tables.embeddings(spark, Sf).count()
+    val scaled = Similarity.embedKeepListScaled(spark, Sf)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    val explicit = Similarity
+      .embedKeepListWith(spark, Sf, 8, Similarity.scaleBits(n))
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(scaled.toSeq === explicit.toSeq)
+  }
+
   test("native VecDot/VecNorm are bit-equal to the unrolled IEEE spec") {
     val e = graft.Tables.embeddings(spark, Sf)
     val pairs = e.as("a").join(e.as("b"),
