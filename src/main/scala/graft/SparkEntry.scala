@@ -104,6 +104,11 @@ object SparkEntry {
     "q_llm_ngram_jaccard"   -> (llm.Dedup.ngramJaccard(_, _)),
     "q_llm_simhash"         -> (llm.Dedup.simhash(_, _)),
     "q_llm_simhash_dups"    -> (llm.Dedup.simhashDuplicates(_, _)),
+    // mass-duplication guards for the other pair-emitting families —
+    // same exact-collapse device as lsh_dups_collapsed (r14)
+    "q_llm_simhash_dups_collapsed" -> (llm.Dedup.simhashDuplicatesCollapsed(_, _)),
+    "q_llm_ngram_jaccard_collapsed" -> (llm.Dedup.ngramJaccardCollapsed(_, _)),
+    "q_llm_containment_collapsed" -> (llm.Dedup.containmentCollapsed(_, _)),
     // exact-substring family: per-doc coverage by cross-doc repeated spans
     "q_llm_span_coverage"   -> (llm.Dedup.spanCoverage(_, _)),
     // steady-state ingest: new batch deduped against the corpus snapshot
@@ -363,6 +368,9 @@ object SparkEntry {
     "q_llm_ngram_jaccard"   -> llm.Dedup.ngramJaccardOracle,
     "q_llm_simhash"         -> llm.Dedup.simhashOracle,
     "q_llm_simhash_dups"    -> llm.Dedup.simhashDupOracle,
+    "q_llm_simhash_dups_collapsed" -> llm.Dedup.simhashDupCollapsedOracle,
+    "q_llm_ngram_jaccard_collapsed" -> llm.Dedup.ngramJaccardCollapsedOracle,
+    "q_llm_containment_collapsed" -> llm.Dedup.containmentCollapsedOracle,
     "q_llm_span_coverage"   -> llm.Dedup.spanCoverageOracle,
     "q_llm_incremental_dedup" -> llm.Dedup.incrementalDedupOracle,
     "q_llm_ann_topk"        -> llm.Similarity.bruteTopKOracle,

@@ -333,13 +333,37 @@ object Dedup {
     * reconstruct the same connected components and the same min-id
     * keepers (asserted in DedupSpec and measured at 20k docs in
     * ScaleRehearsal skewcorpus). Production rule: ALWAYS exact-dedup
-    * before near-dup banding. */
+    * before near-dup banding.
+    *
+    * NULL and empty texts are EXCLUDED from the collapse (and so from
+    * the exact-group edge set): the plain pipeline never pairs them
+    * (no shingles → no signature → no bands), so pooling them into
+    * one exact group would mark every null-text doc a duplicate of
+    * the min-id one — a component that exists nowhere in the plain
+    * pipeline's output. */
   def lshDuplicatesCollapsed(spark: SparkSession, dir: String): DataFrame =
-    lshDuplicatesOf(
-      Tables.documents(spark, dir)
-        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"), col("text")),
-      Bands, R)
+    lshDuplicatesOf(collapsedDocs(Tables.documents(spark, dir)), Bands, R)
+
+  /** The exact-collapse device shared by every `*Collapsed` variant:
+    * one representative (min doc_id) per distinct non-null non-empty
+    * text. Hash-groupBy — embarrassingly parallel, no skew (the
+    * group KEY is the text; a mass-duplicated text is one group whose
+    * partial aggregates combine map-side). */
+  private[llm] def collapsedDocs(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull && col("text") =!= "")
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("text"))
+
+  /** SQL shadow CTE replaying [[collapsedDocs]] — spliced ahead of an
+    * unchanged pipeline oracle so the oracle is literally "exact
+    * dedup, then the same pipeline" (DuckDB scoping: the inner
+    * reference must schema-qualify `main.documents`). */
+  private val collapsedDocsCte: String =
+    """documents AS MATERIALIZED (
+      |  SELECT min(doc_id) AS doc_id, text
+      |  FROM main.documents
+      |  WHERE text IS NOT NULL AND text <> ''
+      |  GROUP BY text)""".stripMargin
 
   val lshOracle: String = {
     val bandExprs = (0 until Bands).map { b =>
@@ -368,10 +392,7 @@ object Dedup {
     * the UNCHANGED [[lshOracle]] chain over it — the operator is
     * literally "exact dedup, then the same near-dup pipeline". */
   lazy val lshCollapsedOracle: String =
-    s"""WITH documents AS MATERIALIZED (
-       |  SELECT min(doc_id) AS doc_id, text
-       |  FROM main.documents GROUP BY text),
-       |${lshOracle.stripPrefix("WITH ")}""".stripMargin
+    s"WITH $collapsedDocsCte,\n${lshOracle.stripPrefix("WITH ")}"
 
   /** End-to-end corpus dedup: every document, flagged kept/dropped by
     * the MinHash-LSH verdicts — greedy keep-smallest-id within each
@@ -427,8 +448,12 @@ object Dedup {
     * joins that carry shingle arrays, and exact verification runs only
     * within candidates (the same contract as [[lshDuplicates]], which
     * it must agree with on any pair both generate). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val (cands, shl) = jaccardCandidates(Tables.documents(spark, dir))
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(Tables.documents(spark, dir))
+
+  /** [[ngramJaccard]] over any (doc_id, text) frame. */
+  def ngramJaccardOf(docs: DataFrame): DataFrame = {
+    val (cands, shl) = jaccardCandidates(docs)
     cands
       .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -570,8 +595,12 @@ object Dedup {
     * Scale shape: identical to [[ngramJaccard]] (same candidate
     * pipeline, same bounded posting joins) — only the final verify
     * arithmetic differs. */
-  def containment(spark: SparkSession, dir: String): DataFrame = {
-    val (cands, shl) = jaccardCandidates(Tables.documents(spark, dir))
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentOf(Tables.documents(spark, dir))
+
+  /** [[containment]] over any (doc_id, text) frame. */
+  def containmentOf(docs: DataFrame): DataFrame = {
+    val (cands, shl) = jaccardCandidates(docs)
     cands
       .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -613,6 +642,32 @@ object Dedup {
        |FROM sc
        |WHERE (1000000 * i_ct) // least(size_a, size_b)
        |      >= $ContainmentPpmThreshold""".stripMargin
+
+  /** [[ngramJaccard]] behind the exact-duplicate pre-collapse — the
+    * same mass-duplication guard as [[lshDuplicatesCollapsed]]: a
+    * boilerplate cluster at fraction f makes every one of its shingles
+    * co-occur in f·n docs, which is C(f·n, 2) id-pairs out of EVERY
+    * posting under [[MaxDf]] — the same quadratic hot bucket, here in
+    * the inverted-index join. Beyond killing the quadratic, collapsing
+    * first also REPAIRS the candidate semantics under mass
+    * duplication: document frequency is counted over distinct texts,
+    * so a genuinely rare shingle that boilerplate copies inflated past
+    * [[MaxDf]] (hiding its true near-dup pair) prunes correctly again
+    * — dedup-then-mine is the production stage order. */
+  def ngramJaccardCollapsed(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(collapsedDocs(Tables.documents(spark, dir)))
+
+  /** [[containment]] behind the exact-duplicate pre-collapse — same
+    * rationale as [[ngramJaccardCollapsed]] (shared candidate
+    * pipeline, shared hot bucket, shared df repair). */
+  def containmentCollapsed(spark: SparkSession, dir: String): DataFrame =
+    containmentOf(collapsedDocs(Tables.documents(spark, dir)))
+
+  lazy val ngramJaccardCollapsedOracle: String =
+    s"WITH $collapsedDocsCte,\n${ngramJaccardOracle.stripPrefix("WITH ")}"
+
+  lazy val containmentCollapsedOracle: String =
+    s"WITH $collapsedDocsCte,\n${containmentOracle.stripPrefix("WITH ")}"
 
   val ngramJaccardOracle: String =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -945,8 +1000,26 @@ object Dedup {
     * Pigeonhole over 4 byte-bands: ≤2 differing bits touch ≤2 bands,
     * so every qualifying pair shares ≥1 intact band — the band
     * equi-join is the candidate filter, never all-pairs. */
-  def simhashDuplicates(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashOf(Tables.documents(spark, dir))
+  def simhashDuplicates(spark: SparkSession, dir: String): DataFrame =
+    simhashDuplicatesOf(Tables.documents(spark, dir))
+
+  /** [[simhashDuplicates]] behind the exact-duplicate pre-collapse —
+    * the same mass-duplication guard as [[lshDuplicatesCollapsed]]
+    * and for the same reason: identical texts have the IDENTICAL
+    * 32-bit simhash, hence identical nibbles in every band, so a
+    * boilerplate cluster is one (band, nib) bucket emitting C(f·n, 2)
+    * candidate pairs that all verify at hamming 0. Component
+    * equivalence is exact, as for MinHash-LSH: an exact-group member
+    * shares its representative's simhash verbatim, so rep-level pairs
+    * + exact groups reconstruct the same components (null/empty texts
+    * excluded — the plain pipeline drops zero-token docs before
+    * hashing). */
+  def simhashDuplicatesCollapsed(spark: SparkSession, dir: String): DataFrame =
+    simhashDuplicatesOf(collapsedDocs(Tables.documents(spark, dir)))
+
+  /** [[simhashDuplicates]] over any (doc_id, text) frame. */
+  def simhashDuplicatesOf(docs: DataFrame): DataFrame = {
+    val sh = simhashOf(docs)
     val bands = sh.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until SimBands).map(b =>
         shiftright(col("simhash"), SimBandBits * b)
@@ -977,6 +1050,9 @@ object Dedup {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2""".stripMargin
   }
+
+  lazy val simhashDupCollapsedOracle: String =
+    s"WITH $collapsedDocsCte,\n${simhashDupOracle.stripPrefix("WITH ")}"
 
   // ---- cross-document repeated spans (exact-substring family) ------
 

@@ -91,6 +91,68 @@ class DedupSpec extends SparkSpec {
       plain(8L) == 3L && !plain.contains(4L))
   }
 
+  test("exact-collapse simhash preserves components; null/empty excluded") {
+    // identical texts have the identical simhash, so within an exact
+    // group every pair verifies at hamming 0 — the collapse device
+    // (rep-level pairs + exact-group edges) must rebuild the plain
+    // pipeline's components exactly
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val d = Seq(
+      (Some(1L), Some(base)), (Some(5L), Some(base)), (Some(9L), Some(base)),
+      (Some(3L), Some(other)), (Some(8L), Some(other)),
+      (Some(4L), Some((200 to 240).map(i => s"q$i").mkString(" "))),
+      (Some(20L), None: Option[String]),   // null text: never pairs
+      (Some(21L), None: Option[String]),
+      (Some(30L), Some("")), (Some(31L), Some(""))  // empty: never pairs
+    ).toDF("doc_id", "text")
+    val plain = Dedup.closureKeepers(
+      Dedup.simhashDuplicatesOf(d).select(col("doc_a"), col("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reps = Dedup.collapsedDocs(d)
+    val repPairs = Dedup.simhashDuplicatesOf(reps)
+      .select(col("doc_a"), col("doc_b"))
+    val exactEdges = d.as("m")
+      .join(reps.select(col("doc_id").as("rep"), col("text")), Seq("text"))
+      .filter(col("m.doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("m.doc_id").as("doc_b"))
+    val collapsed = Dedup.closureKeepers(repPairs.unionByName(exactEdges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == collapsed,
+      s"component labels diverged: plain=$plain collapsed=$collapsed")
+    assert(plain(5L) == 1L && plain(9L) == 1L && plain(8L) == 3L)
+    // the null/empty docs appear in NEITHER pair graph — and the
+    // collapse never pools them into a fake exact group
+    Seq(20L, 21L, 30L, 31L).foreach(id =>
+      assert(!plain.contains(id) && !collapsed.contains(id), s"doc $id"))
+    assert(reps.filter(col("text").isNull || col("text") === "").count() === 0)
+  }
+
+  test("collapsed ngramJaccard/containment: dedup-then-mine repairs df") {
+    // 70 copies of one boilerplate text push every one of its shingles
+    // past MaxDf (64), so the PLAIN inverted-index pipeline prunes
+    // them all and misses the genuine near-dup between the boilerplate
+    // and its edited variant; the collapse restores df = distinct
+    // texts and the pair comes back — while the 70-copy quadratic
+    // bucket never forms
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 37) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val copies = (100L until 170L).map(i => (i, base))
+    val d = docs(copies :+ ((1L, base)) :+ ((2L, near)): _*)
+    val plainPairs = Dedup.ngramJaccardOf(d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!plainPairs.contains((1L, 2L)),
+      "fixture: mass duplication must defeat the plain df pruning")
+    val collapsedPairs = Dedup.ngramJaccardOf(Dedup.collapsedDocs(d))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(collapsedPairs === Set((1L, 2L)),
+      s"collapse must restore the true pair, got $collapsedPairs")
+    val contained = Dedup.containmentOf(Dedup.collapsedDocs(d))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(contained === Set((1L, 2L)))
+  }
+
   test("closure keepers: chains collapse to one component minimum") {
     // a→b, b→c chain plus a disjoint pair: pairwise-greedy would keep
     // 3 (dropping only join partners); the closure keeps min per component
