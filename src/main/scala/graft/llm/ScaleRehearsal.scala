@@ -1491,12 +1491,31 @@ object ScaleRehearsal {
         "keeplist_8x4" -> ((sp: SparkSession, d: String) =>
           Similarity.embedKeepListWith(sp, d, 8, 4)),
         s"keeplist_aware_8x$bits" -> ((sp: SparkSession, d: String) =>
-          Similarity.embedKeepListWith(sp, d, 8, bits)))
+          Similarity.embedKeepListWith(sp, d, 8, bits)),
+        // second CPU tier (r13 verdict task 5): the next-largest board
+        // block (~17 cpu-s at sf0.1), previously measured at one scale
+        // point only
+        "containment" -> (Dedup.containment _),
+        "ngram_jaccard" -> (Dedup.ngramJaccard _),
+        "novelty" -> (Novelty.novelty _),
+        "product_stats_approx" -> ((sp: SparkSession, d: String) =>
+          graft.dws.ProductStats.approx(sp, d)),
+        // dedup_sweep inherits lshNearDup's FIXED 8×4 banding, so its
+        // pair population carries the known-quadratic chance term; the
+        // aware twin sweeps the same thresholds over scale-aware pairs
+        // — the production configuration of the same data card
+        "dedup_sweep" -> (Similarity.dedupSweep _),
+        s"dedup_sweep_aware_8x$bits" -> ((sp: SparkSession, d: String) =>
+          Similarity.dedupSweepFrom(
+            Similarity.lshNearDupAt(sp, d, 8, bits, Similarity.NearDupPpm))))
     }
-    // canonical pipe name across rungs (the aware variant's bits — and
-    // so its display name — change with the rung; the fit needs one key)
+    // canonical pipe name across rungs (the aware variants' bits — and
+    // so their display names — change with the rung; the fit needs one
+    // key per pipeline)
     def key(name: String): String =
-      if (name.startsWith("keeplist_aware")) "keeplist_aware" else name
+      if (name.startsWith("keeplist_aware")) "keeplist_aware"
+      else if (name.startsWith("dedup_sweep_aware")) "dedup_sweep_aware"
+      else name
 
     val listener = new graft.Bench.TaskTimeListener
     ListenerShim.drainListenerBus(spark.sparkContext)
@@ -1564,6 +1583,14 @@ object ScaleRehearsal {
           f"fixed alpha=$aFixed%.2f aware alpha=$aAware%.2f")
       gate(aAware <= 1.5,
         f"scale-aware sign-LSH should grow ~linearly, got $aAware%.2f")
+      // second tier: everything except the deliberately-fixed-banding
+      // dedup_sweep (whose pair population carries the quadratic
+      // chance term by construction — its aware twin is the gate)
+      Seq("containment", "ngram_jaccard", "novelty",
+          "product_stats_approx", "dedup_sweep_aware").foreach { n =>
+        alphas.get(n).foreach(a =>
+          gate(a <= 1.5, f"$n should grow ~linearly, got alpha=$a%.2f"))
+      }
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
