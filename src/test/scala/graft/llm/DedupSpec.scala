@@ -153,6 +153,17 @@ class DedupSpec extends SparkSpec {
     assert(contained === Set((1L, 2L)))
   }
 
+  test("collapsedDocs plan: map-side partial collapse before the exchange") {
+    // the collapse's scale story is that duplicate texts die BEFORE
+    // the shuffle: groupBy(text) must plan as partial_min map-side +
+    // final agg after the exchange, so a 20%-boilerplate corpus ships
+    // ~distinct-texts-per-partition, not the corpus
+    val plan = Dedup.collapsedDocs(graft.Tables.documents(spark, Sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"text collapse must partial-aggregate map-side:\n$plan")
+  }
+
   test("closure keepers: chains collapse to one component minimum") {
     // a→b, b→c chain plus a disjoint pair: pairwise-greedy would keep
     // 3 (dropping only join partners); the closure keeps min per component
