@@ -238,6 +238,95 @@ object StreamJobs {
         col(rts) >= col(lts) - expr(s"INTERVAL $lo") &&
         col(rts) <= col(lts) + expr(s"INTERVAL $hi"))
 
+  /** Buffered state for one [[StreamJobs.asOfLatest]] key: left rows
+    * not yet final (watermark hasn't passed their event time) and the
+    * right rows that can still win a future lookup. */
+  case class AsOfBuf(lefts: Seq[(Long, Long)],
+                     rights: Seq[(Long, Option[Long])])
+
+  /** STREAMING as-of join — the unbounded-lower limit of the J1/J2
+    * interval-join family ([[intervalJoinBounds]]), completing the
+    * as-of operator's third tier beside the batch composition
+    * ([[graft.operators.AsOf.asOf]]) and the custom-plan merge exec
+    * ([[graft.plans.NativeAsOf]]): every left row gains the payload of
+    * the LATEST right row at-or-before its event time within its key
+    * (null when none precedes it).
+    *
+    * Spark has no native stream-stream as-of (the time bound is
+    * one-sided-unbounded, so the interval-join state eviction rule
+    * doesn't apply), hence keyed state: both sides union into one
+    * keyed stream; per key the state buffers (a) left rows until the
+    * watermark passes their event time — only then is the right side
+    * COMPLETE at-or-before that instant and the answer final — and
+    * (b) right rows, pruned to the single latest at-or-before the
+    * watermark plus everything after it (an older right can never win
+    * again: any future left's time is at least the watermark).
+    *
+    * State shape: O(rate × delay) transient rows per side plus ONE
+    * retained right row per key — the point-in-time dimension residue
+    * every as-of lookup must keep (same floor as the reference's
+    * Phoenix dim cache), NOT event-count growth. An event-time timer
+    * on the earliest pending left flushes keys the input goes quiet
+    * on. Emission is watermark-final (append mode, no retractions).
+    *
+    * Contract (streaming twin of the batch contract): non-null LONG
+    * keys and ids, timestamp event times; right unique per (key, ts);
+    * ties (rts == lts) match; each side arrives in its own event-time
+    * order within the watermark delay (the §r13(e) harness rule).
+    * Batch parity is asserted in StreamingSpec against
+    * [[graft.operators.AsOf.asOf]] on the same rows. */
+  def asOfLatest(left: DataFrame, right: DataFrame,
+      lkey: String, rkey: String, lts: String, rts: String,
+      leftId: String, payload: String,
+      delay: String = "1 minute"): DataFrame = {
+    import left.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val l = left.select(col(lkey).as("k"), col(lts).as("ts"),
+      lit(1).as("side"), col(leftId).as("lid"),
+      lit(null).cast("long").as("p"))
+    val r = right.select(col(rkey).as("k"), col(rts).as("ts"),
+      lit(0).as("side"), lit(0L).as("lid"), col(payload).as("p"))
+    l.unionByName(r)
+      .withWatermark("ts", delay)
+      .select(col("k"), col("ts"), unix_millis(col("ts")).as("ms"),
+        col("side"), col("lid"), col("p"))
+      .as[(Long, java.sql.Timestamp, Long, Int, Long, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfBuf, (Long, Long, Long, Option[Long])](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (k, rows, state: GroupState[AsOfBuf]) =>
+          val st = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          var lefts = st.lefts
+          var rights = st.rights
+          rows.foreach { case (_, _, ms, side, lid, p) =>
+            if (side == 1) lefts +:= ((ms, lid)) else rights +:= ((ms, p))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // a left row is FINAL once the watermark passes its event
+          // time: no right row at-or-before it can still arrive
+          val (ripe, pending) = lefts.partition(_._1 <= wm)
+          val rSorted = rights.sortBy(_._1)
+          val out = ripe.sortBy(identity).map { case (ms, lid) =>
+            (k, lid, ms, rSorted.takeWhile(_._1 <= ms).lastOption.flatMap(_._2))
+          }
+          // prune: of the rights at-or-before the watermark only the
+          // LATEST can ever win again (future lefts are >= wm)
+          val (closed, open) = rSorted.partition(_._1 <= wm)
+          val kept = closed.takeRight(1) ++ open
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(pending, kept))
+            // flush quiescent keys when the watermark passes their
+            // earliest pending left (must be > current watermark,
+            // which partition() guarantees)
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_._1).min)
+          }
+          out.iterator
+      }
+      .toDF("k", "left_id", "ts_ms", "payload")
+  }
+
   /** Funnel streaming: the [[graft.ads.EventFlows.funnelOf]] state
     * machine as keyed state — per user, first `view`, first `click`
     * strictly after it, first `purchase` strictly after that. State is

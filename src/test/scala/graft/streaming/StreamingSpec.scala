@@ -11,6 +11,8 @@ case class Ord(order_id: Long, o_ts: Timestamp, total: Long)
 case class Det(d_order_id: Long, d_ts: Timestamp, amount: Long)
 case class Li(ship_ts: Timestamp, sku_id: Long, order_id: Long,
   amount_cents: Long)
+case class AL(lid: Long, lk: Long, lts: Timestamp)
+case class AR(rk: Long, rts: Timestamp, pay: Long)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -137,6 +139,53 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(streamed == Set((10L, 100L), (10L, 150L), (20L, 300L)))
     assert(streamed == batch)
+  }
+
+  test("streaming as-of join matches the batch composition, state-final") {
+    implicit val sc = spark.sqlContext
+    val rights = Seq(
+      AR(1, t("2021-03-21 10:00:00"), 100L),
+      AR(1, t("2021-03-21 10:00:10"), 200L),
+      AR(3, t("2021-03-21 10:00:01"), 900L)) // right-only key: no output
+    val lefts = Seq(
+      AL(1, 1, t("2021-03-21 09:59:59")), // before any right -> null
+      AL(2, 1, t("2021-03-21 10:00:00")), // tie -> 100
+      AL(3, 1, t("2021-03-21 10:00:05")), // -> 100
+      AL(4, 1, t("2021-03-21 10:00:10")), // tie with later right -> 200
+      AL(5, 1, t("2021-03-21 10:00:30")), // -> 200 (latest persists)
+      AL(6, 2, t("2021-03-21 10:00:07"))) // key with no rights -> null
+    val lSrc = MemoryStream[AL]
+    val rSrc = MemoryStream[AR]
+    val q = StreamJobs.asOfLatest(lSrc.toDF(), rSrc.toDF(),
+        "lk", "rk", "lts", "rts", "lid", "pay")
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    // rights land a batch BEFORE the lefts (cross-batch state), then a
+    // far-future sentinel on each side advances the watermark past
+    // every real row so all pending lefts become final
+    rSrc.addData(rights: _*)
+    q.processAllAvailable()
+    lSrc.addData(lefts: _*)
+    q.processAllAvailable()
+    lSrc.addData(AL(99, 999, t("2021-04-01 00:00:00")))
+    rSrc.addData(AR(998, t("2021-04-01 00:00:00"), 0L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_out")
+      .filter(col("left_id") < 99)
+      .select("left_id", "payload").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got === Map(1L -> None, 2L -> Some(100L), 3L -> Some(100L),
+      4L -> Some(200L), 5L -> Some(200L), 6L -> None))
+    // parity with the batch composition on the same rows (ms domain)
+    val batch = graft.operators.AsOf.asOf(
+        lefts.toDF().select(col("lid"), col("lk"),
+          unix_millis(col("lts")).as("lms")),
+        rights.toDF().select(col("rk"),
+          unix_millis(col("rts")).as("rms"), col("pay")),
+        "lk", "rk", "lms", "rms", Seq("pay"))
+      .select("lid", "pay").as[(Long, Option[Long])].collect().toMap
+    assert(got === batch)
   }
 
   test("socket line ingest: live TCP endpoint, parse + corrupt channel") {
