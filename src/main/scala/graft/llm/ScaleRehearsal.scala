@@ -238,7 +238,7 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe",
-      "skew", "stream", "streamjoin", "ladder", "skewcorpus")
+      "skew", "stream", "streamjoin", "streamasof", "ladder", "skewcorpus")
     val sections = if (args.isEmpty) all else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
@@ -279,6 +279,7 @@ object ScaleRehearsal {
     if (sections("skew")) skewSection(spark)
     if (sections("stream")) streamSection(spark)
     if (sections("streamjoin")) streamJoinSection(spark)
+    if (sections("streamasof")) streamAsOfSection(spark)
     if (sections("ladder")) ladderSection(spark, ladderDir)
     if (sections("skewcorpus")) skewCorpusSection(spark, s"$Root/skewcorpus")
 
@@ -1368,6 +1369,93 @@ object ScaleRehearsal {
       run("back30m", l, r, lo = "30 minutes", hi = "0 seconds",
         horizonS = 1810, stepMs = step, expectPlateau = true)
     }
+  }
+
+  /** Streaming as-of join at volume: state must plateau at
+    * O(keys + rate × delay) — the retained-latest-right dimension
+    * residue plus the watermark-transient buffers — NEVER O(events).
+    * Two ingest sizes with FIXED micro-batch size (so the watermark
+    * lag buffers the same transient either way): peak state bytes at
+    * 2× the events must stay ~flat, the post-flush state must equal
+    * one retained right per key, and the streamed output must equal
+    * the batch composition row-for-row (nulls included). */
+  private def streamAsOfSection(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    println("[scale] === streaming as-of rehearsal (MemoryStream) ===")
+    val base = 1616300000000L
+    val keys = 1000L
+    val perBatch = 100000L
+
+    // (peak state bytes, final state rows) for nLefts + nLefts/4 rights
+    def run(nLefts: Long, checkParity: Boolean): (Long, Long) = {
+      val nRights = nLefts / 4
+      val nb = (nLefts / perBatch).toInt
+      val lSrc = MemoryStream[RehL]
+      val rSrc = MemoryStream[RehR]
+      val view = s"scale_asof_$nLefts"
+      val q = graft.streaming.StreamJobs.asOfLatest(
+          lSrc.toDF(), rSrc.toDF(), "lkey", "rkey", "lts", "rts",
+          "l_id", "r_id", delay = "10 seconds")
+        .writeStream.format("memory").queryName(view)
+        .outputMode("append").start()
+      val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val t0 = System.nanoTime()
+      (0 until nb).foreach { b =>
+        val (l0, l1) = (nLefts * b / nb, nLefts * (b + 1) / nb)
+        lSrc.addData((l0 until l1).map(i =>
+          RehL(i, i % keys, new java.sql.Timestamp(base + i), 0.0)))
+        val (r0, r1) = (nRights * b / nb, nRights * (b + 1) / nb)
+        rSrc.addData((r0 until r1).map(j =>
+          RehR(j, j % keys, new java.sql.Timestamp(base + j * 4), 0.0)))
+        q.processAllAvailable()
+        mem += q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // sentinels on both sides push the watermark past every real row
+      val far = new java.sql.Timestamp(base + 4000000000L)
+      lSrc.addData(RehL(-1L, -1L, far, 0.0))
+      rSrc.addData(RehR(-2L, -2L, far, 0.0))
+      q.processAllAvailable()
+      val finalRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      val total = nLefts + nRights
+      println(f"[scale] asOf[$nLefts]: $total events in $secs%.1f s = " +
+        f"${total / secs / 1e6}%.2f M rows/s; peak state " +
+        f"${mem.max / 1024 / 1024}%d MiB; post-flush rows $finalRows " +
+        s"(keys $keys)")
+      // post-flush state = ONE retained right per key + the two
+      // sentinel keys' rows — the dimension residue, not event history
+      require(finalRows >= keys && finalRows <= keys + 10,
+        s"post-flush state $finalRows != dimension residue ~$keys")
+      if (checkParity) {
+        val streamed = spark.table(view).filter(col("left_id") >= 0)
+          .select(col("left_id"), col("payload"))
+        val lDf = spark.range(nLefts).select(col("id").as("l_id"),
+          (col("id") % keys).as("lk"), (lit(base) + col("id")).as("lms"))
+        val rDf = spark.range(nRights).select(col("id").as("r_id"),
+          (col("id") % keys).as("rk"), (lit(base) + col("id") * 4).as("rms"))
+        val batch = graft.operators.AsOf
+          .asOf(lDf, rDf, "lk", "rk", "lms", "rms", Seq("r_id"))
+          .select(col("l_id").as("left_id"), col("r_id").as("payload"))
+        val missing = batch.exceptAll(streamed).count()
+        val extra = streamed.exceptAll(batch).count()
+        require(missing == 0 && extra == 0,
+          s"stream/batch as-of parity broken: $missing missing, $extra extra")
+        println(s"[scale] asOf[$nLefts] parity: $nLefts streamed rows " +
+          "EXACTLY equal the batch composition (nulls included)")
+      }
+      (mem.max, finalRows)
+    }
+
+    val (peak1, _) = run(500000L, checkParity = true)
+    val (peak2, _) = run(1000000L, checkParity = false)
+    println(f"[scale] asOf peak state: ${peak1 / 1024}%d KiB at 0.5M vs " +
+      f"${peak2 / 1024}%d KiB at 1M lefts (ratio ${peak2.toDouble / peak1}%.2f)")
+    require(peak2 <= (peak1 * 3) / 2,
+      s"as-of state grew with TOTAL events ($peak1 -> $peak2 bytes); " +
+        "expected watermark-bounded transient + per-key residue")
   }
 
   // ---- (ladder) growth exponents for the top-CPU pipelines ---------
