@@ -131,7 +131,11 @@ object SparkEntry {
     // semantic dedup: sign-LSH pairs -> connected components -> keepers
     "q_llm_embed_keeplist"  -> (llm.Similarity.embedKeepList(_, _)),
     // production regime (cos >= 0.9, SemDeDup threshold — above the
-    // dim-64 noise floor at any corpus size)
+    // dim-64 noise floor at any corpus size). The sf corpora hold no
+    // cos >= 0.9 pair, so the pair query is hash-green at 0 rows here
+    // (the oracle lock is the banding + threshold arithmetic);
+    // row-level evidence for the 0.9 path is SimilaritySpec's
+    // planted-twin corpus, where it must find exactly the plants
     "q_llm_embed_neardup_prod"  -> (llm.Similarity.lshNearDupProd(_, _)),
     "q_llm_embed_keeplist_prod" -> (llm.Similarity.embedKeepListProd(_, _)),
     // scale-aware banding: band width derived from corpus cardinality

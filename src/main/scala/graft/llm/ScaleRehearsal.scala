@@ -1655,16 +1655,19 @@ object ScaleRehearsal {
       // The knob demonstration: fixed 8×4 banding carries a chance-
       // candidate term ~ bands·n²/2^bits (quadratic at fixed bits);
       // occupancy-targeted bits restore ~linear growth on the SAME
-      // corpus and verify threshold. WARN rather than throw: cpu_s on
-      // a loaded host can flake the thresholds, and aborting here
-      // would discard the whole (expensive) rung run — the exponents
-      // above are the evidence either way. GRAFT_LADDER_STRICT=1
-      // restores the hard gate for dedicated rehearsal runs.
-      val strict = sys.env.get("GRAFT_LADDER_STRICT").contains("1")
-      def gate(ok: Boolean, msg: String): Unit =
-        if (ok) ()
-        else if (strict) sys.error(msg)
-        else println(s"[scale] WARNING (ladder): $msg")
+      // corpus and verify threshold. Gate failures ACCUMULATE and
+      // throw once, after every result has printed — a mid-run abort
+      // would discard the whole (expensive) rung run, but a silent
+      // warn would remove the only automated check on the growth
+      // property (the r13 planeWeight bug is exactly what it exists
+      // to catch). GRAFT_LADDER_LENIENT=1 downgrades to warnings for
+      // runs on known-noisy shared hosts.
+      val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
+      val broken = scala.collection.mutable.ArrayBuffer.empty[String]
+      def gate(ok: Boolean, msg: String): Unit = if (!ok) {
+        println(s"[scale] GATE FAILED (ladder): $msg")
+        broken += msg
+      }
       val (aFixed, aAware) = (alphas("keeplist_8x4"), alphas("keeplist_aware"))
       gate(aFixed - aAware >= 0.25,
         f"scale-aware banding must beat fixed banding's growth: " +
@@ -1679,6 +1682,9 @@ object ScaleRehearsal {
         alphas.get(n).foreach(a =>
           gate(a <= 1.5, f"$n should grow ~linearly, got alpha=$a%.2f"))
       }
+      if (broken.nonEmpty && !lenient)
+        sys.error(s"ladder gates failed (results above are complete): " +
+          broken.mkString("; "))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

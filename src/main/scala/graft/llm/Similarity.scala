@@ -1099,7 +1099,7 @@ object Similarity {
     val bandVals = (0 until BandsCount).map(b => s"($b)").mkString(", ")
     val dotNv = dotSql("na", "nb")
     s"""WITH bcfg AS (
-       |  SELECT LEAST(GREATEST(CAST(round(log2(count(*) / $ScaleBucket)) AS INTEGER), 4), 7) AS bits
+       |  SELECT LEAST(GREATEST(CAST(round(log2(GREATEST(count(*), 1) / $ScaleBucket)) AS INTEGER), 4), 7) AS bits
        |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $Dim),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |nrm AS (SELECT vec_id, v, list_transform(v, x -> x / ${normSql("v")}) AS nv FROM e),

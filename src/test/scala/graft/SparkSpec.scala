@@ -11,6 +11,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Smallest driver-generated scale factor — smoke-scale inputs. */
   val Sf = "/root/testdata/sf0.001"
 
+  /** The 10× dir (the driver's CORRECTNESS scale) — for the few tests
+    * that need multi-partition volume (e.g. native-as-of parity). */
+  val Sf01 = "/root/testdata/sf0.01"
+
   /** Run `body` with size-based auto-broadcast disabled, so an
     * equijoin's keys surface as `hashpartitioning(...)` exchanges in
     * the pre-execution plan even at smoke scale (where AQE would

@@ -109,9 +109,8 @@ class AsOfSpec extends SparkSpec {
   }
 
   test("native asOf equals the composition row-for-row at sf0.01") {
-    val dir = "/root/testdata/sf0.01"
-    val composed = AsOf.latestOrderQuery(spark, dir)
-    val native = graft.plans.NativeAsOf.latestOrderQuery(spark, dir)
+    val composed = AsOf.latestOrderQuery(spark, Sf01)
+    val native = graft.plans.NativeAsOf.latestOrderQuery(spark, Sf01)
     assert(native.schema.map(f => (f.name, f.dataType)) ===
       composed.schema.map(f => (f.name, f.dataType)))
     assert(native.count() === composed.count())
