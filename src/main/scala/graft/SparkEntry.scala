@@ -44,6 +44,8 @@ object SparkEntry {
     // same operator on the custom-plan tier (AsOfJoinPlan/Exec +
     // pushdown/pruning rule) — identical contract, shared oracle
     "q_asof_latest_order_native" -> (plans.NativeAsOf.latestOrderQuery(_, _)),
+    // Keyless value-range join via the bucket device (no BNLJ/cartesian)
+    "q_range_price_band"   -> (operators.RangeJoin.priceBandQuery(_, _)),
     // Skew mitigation: salted fact×dim join, result-invisible salt
     "q_skew_salted_agg"    -> (func.Skew.saltedJoinQuery(_, _)),
     // DWS — windowed stats (§2.6)
@@ -323,6 +325,7 @@ object SparkEntry {
     "q_dwm_payment_wide"   -> dwm.OrderWide.paymentWideOracle,
     "q_asof_latest_order"  -> operators.AsOf.latestOrderOracle,
     "q_asof_latest_order_native" -> operators.AsOf.latestOrderOracle,
+    "q_range_price_band"   -> operators.RangeJoin.priceBandOracle,
     "q_skew_salted_agg"    -> func.Skew.saltedJoinOracle,
     "q_dws_visitor_stats"  -> dws.VisitorStats.oracle,
     "q_dws_visitor_stats_hop" -> dws.VisitorStats.hoppingOracle,

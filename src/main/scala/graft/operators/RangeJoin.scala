@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed point-in-interval range join — the second member (with
+  * [[AsOf]]) of the non-equi-join family Spark's built-in operator set
+  * does not express scalably: `points.join(intervals, p >= lo && p <=
+  * hi)` has no equi-key, so Catalyst plans BroadcastNestedLoopJoin
+  * (fine only while one side broadcasts) or a cartesian product —
+  * quadratic work at 100 TB. Extends the reference's interval-join
+  * family (gmall-time/.../app/dwm2/OrderWideApp2.java:171-185 bounds a
+  * TIME range per key; this is the keyless value-range form).
+  *
+  * Device (escalation tier (a) — composition): fixed-width integer
+  * buckets. Each interval explodes to the buckets it overlaps
+  * (`sequence(lo DIV w, hi DIV w)`), each point maps to exactly ONE
+  * bucket (`p DIV w`), and the join becomes an EQUI-join on the bucket
+  * id with an exact bounds filter behind it. A point meets every
+  * interval overlapping its bucket and no other — candidates are
+  * bucket-local, never all-pairs — and because a point lives in one
+  * bucket, no dedup pass is needed (each true pair is produced once).
+  *
+  * Scale shape: work = |points| + Σ(interval span / w) exploded rows +
+  * one hash shuffle each side on the bucket id; output = true matches.
+  * Pick `w` ≈ the typical interval width: spans then explode to 1–2
+  * buckets, and bucket occupancy — not corpus size — bounds the
+  * per-bucket candidate fan-out. Skewed value distributions ride AQE's
+  * skew split (the bucket id is an ordinary shuffle key).
+  *
+  * Contract: non-negative LONG point/bound columns (pre-scale money to
+  * integer cents — same convention as the as-of join's epoch-ms);
+  * bounds are INCLUSIVE on both sides; null points/bounds and
+  * inverted intervals (lo > hi) never match.
+  */
+object RangeJoin {
+  /** Default bucket width (integer units, e.g. cents). */
+  val BucketWidth = 1024L
+
+  /** Generic point-in-interval join: every (point row × interval row)
+    * pair with `lo <= point <= hi`, produced exactly once. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long = BucketWidth): DataFrame = {
+    require(bucketWidth >= 1, s"bucket width $bucketWidth must be >= 1")
+    val clash = (points.columns ++ intervals.columns).filter(_ == "__b")
+    require(clash.isEmpty,
+      "input column __b collides with the bucket-internal name")
+    val iv = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
+      .withColumn("__b", explode(sequence(
+        expr(s"$loCol DIV $bucketWidth"), expr(s"$hiCol DIV $bucketWidth"))))
+    val pt = points
+      .filter(col(pointCol).isNotNull)
+      .withColumn("__b", expr(s"$pointCol DIV $bucketWidth"))
+    pt.join(iv, Seq("__b"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__b")
+  }
+
+  /** Concrete query: lineitem prices matched into every part's ±0.1%
+    * retail-price band (integer-cent arithmetic end to end), counted
+    * per part — "which catalog prices do observed line prices cluster
+    * on". 2k intervals × 60k points at sf0.01 with 1,712 true pairs —
+    * the nested-loop form touches 120M pairs for the same answer. */
+  def priceBandQuery(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100).cast("long").as("rp"))
+      .select(col("p_partkey"),
+        (col("rp") - expr("rp DIV 1000")).as("lo"),
+        (col("rp") + expr("rp DIV 1000")).as("hi"))
+    val pts = Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("pc"))
+    pointInInterval(pts, iv, "pc", "lo", "hi")
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("match_ct"))
+  }
+
+  /** DuckDB states the operator natively (its IEJoin plans BETWEEN
+    * range predicates); identical integer-cent arithmetic. */
+  val priceBandOracle: String =
+    """WITH iv AS (SELECT p_partkey, rp - rp // 1000 AS lo, rp + rp // 1000 AS hi
+      |            FROM (SELECT p_partkey,
+      |                         CAST(floor(p_retailprice * 100) AS BIGINT) AS rp
+      |                  FROM part)),
+      |pts AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc
+      |        FROM lineitem)
+      |SELECT p_partkey, CAST(count(*) AS BIGINT) AS match_ct
+      |FROM iv JOIN pts ON pc BETWEEN lo AND hi
+      |GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pointInInterval equals the naive theta join, once per pair") {
+    val points = Seq(0L, 5L, 1024L, 1500L, 4096L, 9999L).toDF("p")
+    val intervals = Seq(
+      (1L, 0L, 10L),       // within one bucket
+      (2L, 1000L, 2000L),  // spans a bucket boundary
+      (3L, 0L, 9000L),     // spans many buckets: dups would show here
+      (4L, 7L, 3L),        // inverted: never matches
+      (5L, 9999L, 9999L)   // single-point interval, inclusive bounds
+    ).toDF("id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi")
+      .select("id", "p").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val naive = points.join(intervals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("id", "p").as[(Long, Long)].collect().toSet
+    assert(got.values.forall(_ == 1), s"pair produced more than once: $got")
+    assert(got.keySet === naive)
+    assert(got.keySet.contains((5L, 9999L)), "inclusive single-point bound")
+    assert(!got.keySet.exists(_._1 == 4L), "inverted interval never matches")
+  }
+
+  test("pointInInterval: null points and null bounds never match") {
+    val points = Seq(Some(5L), None).toDF("p")
+    val intervals = Seq(
+      (1L, Some(0L), Some(10L)),
+      (2L, None: Option[Long], Some(10L)),
+      (3L, Some(0L), None: Option[Long])
+    ).toDF("id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi")
+      .select("id", "p").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 5L)))
+  }
+
+  test("price-band query plans an EQUI join — no nested loop, no cartesian") {
+    val q = RangeJoin.priceBandQuery(spark, Sf)
+    q.queryExecution.toRdd.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must ride the bucket equi-join:\n$plan")
+    // the per-part counts equal the naive theta-join recompute
+    val got = q.as[(Long, Long)].collect().toMap
+    val iv = graft.Tables.part(spark, Sf)
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100).cast("long").as("rp"))
+      .select(col("p_partkey"),
+        (col("rp") - expr("rp DIV 1000")).as("lo"),
+        (col("rp") + expr("rp DIV 1000")).as("hi"))
+    val pts = graft.Tables.lineitem(spark, Sf)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("pc"))
+    val naive = pts.join(iv, col("pc") >= col("lo") && col("pc") <= col("hi"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("ct"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === naive)
+    assert(got.nonEmpty, "vacuous fixture — no price lands in any band")
+  }
+}
