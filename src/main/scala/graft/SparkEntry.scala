@@ -256,6 +256,11 @@ object SparkEntry {
     "q_llm_hll_estimate"    -> (llm.Sketches.hllEstimate(_, _)),
     "q_llm_cms_sketch"      -> (llm.Sketches.cmsSketch(_, _)),
     "q_llm_cms_topk"        -> (llm.Sketches.cmsTopK(_, _)),
+    // KMV: the mergeable distinct sketch with SET OPERATIONS — union
+    // and intersection estimates from the k-min lists alone (r14)
+    "q_llm_kmv_sketch"      -> (llm.Sketches.kmvSketch(_, _)),
+    "q_llm_kmv_estimate"    -> (llm.Sketches.kmvEstimate(_, _)),
+    "q_llm_kmv_overlap"     -> (llm.Sketches.kmvOverlap(_, _)),
     // DSIR importance scores over hashed unigram features (r9)
     "q_llm_dsir_score"      -> (llm.Dsir.dsirScore(_, _)),
     // positional phrase search via the anchor device (r9)
@@ -461,6 +466,9 @@ object SparkEntry {
     "q_llm_hll_estimate"    -> llm.Sketches.hllEstimateOracle,
     "q_llm_cms_sketch"      -> llm.Sketches.cmsSketchOracle,
     "q_llm_cms_topk"        -> llm.Sketches.cmsTopKOracle,
+    "q_llm_kmv_sketch"      -> llm.Sketches.kmvSketchOracle,
+    "q_llm_kmv_estimate"    -> llm.Sketches.kmvEstimateOracle,
+    "q_llm_kmv_overlap"     -> llm.Sketches.kmvOverlapOracle,
     "q_llm_dsir_score"      -> llm.Dsir.dsirScoreOracle,
     "q_llm_phrase_search"   -> llm.Index.phraseSearchOracle,
     "q_llm_weighted_sample" -> llm.Sampling.weightedSampleOracle,

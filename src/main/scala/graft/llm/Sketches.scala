@@ -364,4 +364,206 @@ object Sketches {
        |       CAST(c_est - c AS BIGINT) AS overcount
        |FROM est""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // KMV (k minimum values) — distinct counts WITH set operations
+  // ---------------------------------------------------------------
+
+  /** Sketch size. The third sketch beside HLL and CMS: KMV (Beyer et
+    * al. 2007, "On synopses for distinct value estimation") keeps the
+    * k smallest hash values of a set. What HLL cannot do and KMV can:
+    * the union of two sketches is a sketch (k smallest of the merged
+    * values), and the INTERSECTION cardinality falls out of the same
+    * structure (the fraction of the union sketch present in both
+    * sides) — the per-source-pair distinct-token overlap card that
+    * would otherwise cost a vocabulary×vocabulary join.
+    *
+    * k = 16 sits BELOW the ~31-distinct-token per-source vocabulary of
+    * the sf corpora, so the estimator branch (not the exact-set
+    * fallback) is what the board locks; production uses k in the
+    * hundreds–thousands (stderr ≈ 1/√(k−2)) — the plan shape is
+    * k-independent. */
+  val KmvK = 16L
+
+  /** Hash domain: 12 md5 nibbles → [0, 2^48). */
+  val KmvM: Long = 1L << 48
+
+  /** Distinct (source, token-hash) universe — the item set each
+    * per-source sketch summarizes. */
+  private def kmvHashes(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(Tokenizer.tokens(col("text"))).as("w"))
+      .select(col("source"),
+        conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long").as("hv"))
+      .distinct()
+
+  private def kmvHashesSql: String =
+    s"""tok AS (SELECT source, unnest(${OracleSql.toks}) AS w FROM documents),
+       |hv AS (SELECT DISTINCT source,
+       |              ${OracleSql.hexNibbles("md5(w)", 12)} AS hv FROM tok)"""
+      .stripMargin
+
+  /** Per-source KMV sketch: the [[KmvK]] smallest distinct token
+    * hashes, ranked ascending. Scale shape: one map-side-combinable
+    * distinct on (source, hash) — bounded by the vocabulary, the same
+    * frame the CMS rides — then a per-source top-k (WindowGroupLimit
+    * pushes the k cut below the sort at scale); the sketch table is
+    * sources × k rows, broadcastable by construction. */
+  def kmvSketch(spark: SparkSession, dir: String): DataFrame =
+    kmvSketchOf(Tables.documents(spark, dir))
+
+  /** [[kmvSketch]] over any (source, text) frame. */
+  def kmvSketchOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("hv")
+    kmvHashes(docs)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KmvK)
+      .select("source", "rank", "hv")
+  }
+
+  lazy val kmvSketchOracle: String =
+    s"""WITH $kmvHashesSql,
+       |rk AS (SELECT source, hv,
+       |              CAST(row_number() OVER (PARTITION BY source ORDER BY hv)
+       |                   AS BIGINT) AS rank
+       |       FROM hv)
+       |SELECT source, rank, hv FROM rk WHERE rank <= $KmvK""".stripMargin
+
+  /** Per-source distinct-token estimate from the sketch: with h_k =
+    * the k-th smallest hash over a domain of [[KmvM]], est =
+    * (k−1)·M DIV h_k (the unbiased KMV estimator); a source with
+    * fewer than k distinct hashes IS its own exact answer. Exact
+    * distinct count + ppm error ride along as test adjudicators
+    * (the [[hllEstimateOf]] convention). All BIGINT: (k−1)·M =
+    * 63·2^48 < 2^54. */
+  def kmvEstimate(spark: SparkSession, dir: String): DataFrame =
+    kmvEstimateOf(Tables.documents(spark, dir))
+
+  /** [[kmvEstimate]] over any (source, text) frame. */
+  def kmvEstimateOf(docs: DataFrame): DataFrame = {
+    val hv = kmvHashes(docs).localCheckpoint(false)
+    val sk = kmvSketchOf(docs)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sk"), max("hv").as("h_k"))
+    val exact = hv.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    sk.join(exact, Seq("source"))
+      .select(col("source"),
+        when(col("n_sk") < KmvK, col("n_sk"))
+          .otherwise(expr(s"(${KmvK - 1} * ${KmvM}L) DIV h_k")).as("est"),
+        col("n_exact"))
+      .withColumn("err_ppm",
+        expr("abs(est - n_exact) * 1000000 DIV n_exact"))
+  }
+
+  lazy val kmvEstimateOracle: String =
+    s"""WITH $kmvHashesSql,
+       |rk AS (SELECT source, hv,
+       |              row_number() OVER (PARTITION BY source ORDER BY hv) AS rank
+       |       FROM hv),
+       |sk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sk,
+       |              max(hv) AS h_k
+       |       FROM rk WHERE rank <= $KmvK GROUP BY 1),
+       |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+       |       FROM hv GROUP BY 1)
+       |SELECT sk.source,
+       |       CAST(CASE WHEN n_sk < $KmvK THEN n_sk
+       |                 ELSE (${KmvK - 1} * ${KmvM}) // h_k END AS BIGINT)
+       |         AS est,
+       |       n_exact,
+       |       CAST(abs(CASE WHEN n_sk < $KmvK THEN n_sk
+       |                     ELSE (${KmvK - 1} * ${KmvM}) // h_k END
+       |                - n_exact) * 1000000 // n_exact AS BIGINT) AS err_ppm
+       |FROM sk JOIN ex ON sk.source = ex.source""".stripMargin
+
+  /** Pairwise source overlap from the sketches ALONE — no vocabulary
+    * join: for each source pair, merge the two k-min lists, keep the
+    * k smallest distinct values (that IS the union's KMV sketch, so
+    * union_est follows from the same estimator), and count how many
+    * of those appear in BOTH input sketches: inter_est = that
+    * fraction × union_est (the standard KMV Jaccard device). Output
+    * is sources²/2 rows of pure BIGINT — every value replayed exactly
+    * by the oracle, estimator quality adjudicated in SketchesSpec
+    * against the exact per-pair intersections. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapOf(Tables.documents(spark, dir))
+
+  /** [[kmvOverlap]] over any (source, text) frame. */
+  def kmvOverlapOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = kmvSketchOf(docs).select(col("source"), col("hv"))
+      .localCheckpoint(false)
+    val srcs = sk.select("source").distinct()
+    val prs = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")),
+        col("src_a") < col("src_b"))
+    // union-of-sketches rows per pair, deduped on the hash value —
+    // two equi-joins (an OR condition would plan a nested loop; fine
+    // for a bounded sketch, but the equi form costs nothing)
+    val uni = prs
+      .join(sk.select(col("source").as("src_a"), col("hv")), Seq("src_a"))
+      .unionByName(prs
+        .join(sk.select(col("source").as("src_b"), col("hv")), Seq("src_b")))
+      .select(col("src_a"), col("src_b"), col("hv")).distinct()
+    val w = Window.partitionBy("src_a", "src_b").orderBy("hv")
+    val uk = uni.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KmvK)
+    // membership of each union-sketch value in BOTH input sketches
+    val marked = uk
+      .join(sk.select(col("source").as("src_a"), col("hv"),
+        lit(1).as("in_a")), Seq("src_a", "hv"), "left")
+      .join(sk.select(col("source").as("src_b"), col("hv"),
+        lit(1).as("in_b")), Seq("src_b", "hv"), "left")
+    marked.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("k_u"), max("hv").as("h_k"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("x_ct"))
+      .select(col("src_a"), col("src_b"), col("x_ct"), col("k_u"),
+        when(col("k_u") < KmvK, col("k_u"))
+          .otherwise(expr(s"(${KmvK - 1} * ${KmvM}L) DIV h_k"))
+          .as("union_est"))
+      // the Jaccard fraction divides by the ACTUAL union-sketch size:
+      // when the union has fewer than k distinct values the sketch is
+      // the exact union and x/k_u is the exact containment fraction —
+      // dividing by k there would silently understate the overlap
+      .withColumn("inter_est", expr("x_ct * union_est DIV k_u"))
+      .drop("k_u")
+  }
+
+  lazy val kmvOverlapOracle: String =
+    s"""WITH $kmvHashesSql,
+       |rk AS (SELECT source, hv,
+       |              row_number() OVER (PARTITION BY source ORDER BY hv) AS rank
+       |       FROM hv),
+       |sk AS MATERIALIZED (SELECT source, hv FROM rk WHERE rank <= $KmvK),
+       |prs AS (SELECT a.source AS src_a, b.source AS src_b
+       |        FROM (SELECT DISTINCT source FROM sk) a
+       |        JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+       |uni AS (SELECT DISTINCT p.src_a, p.src_b, s.hv
+       |        FROM prs p JOIN sk s
+       |          ON s.source = p.src_a OR s.source = p.src_b),
+       |uk AS (SELECT src_a, src_b, hv,
+       |              row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv)
+       |                AS rank
+       |       FROM uni),
+       |mk AS (SELECT u.src_a, u.src_b, u.hv,
+       |              CASE WHEN sa.hv IS NULL THEN 0 ELSE 1 END AS in_a,
+       |              CASE WHEN sb.hv IS NULL THEN 0 ELSE 1 END AS in_b
+       |       FROM uk u
+       |       LEFT JOIN sk sa ON sa.source = u.src_a AND sa.hv = u.hv
+       |       LEFT JOIN sk sb ON sb.source = u.src_b AND sb.hv = u.hv
+       |       WHERE u.rank <= $KmvK),
+       |agg AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_u,
+       |               max(hv) AS h_k,
+       |               CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1
+       |                             ELSE 0 END) AS BIGINT) AS x_ct
+       |        FROM mk GROUP BY 1, 2)
+       |SELECT src_a, src_b, x_ct,
+       |       CAST(CASE WHEN k_u < $KmvK THEN k_u
+       |                 ELSE (${KmvK - 1} * ${KmvM}) // h_k END AS BIGINT)
+       |         AS union_est,
+       |       CAST(x_ct * (CASE WHEN k_u < $KmvK THEN k_u
+       |                         ELSE (${KmvK - 1} * ${KmvM}) // h_k END)
+       |            // k_u AS BIGINT) AS inter_est
+       |FROM agg""".stripMargin
 }

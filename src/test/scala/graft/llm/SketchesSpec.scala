@@ -118,6 +118,67 @@ class SketchesSpec extends SparkSpec {
 
   // ---- DSIR ---------------------------------------------------------
 
+  // ---- KMV ----------------------------------------------------------
+
+  test("kmvSketch: k smallest distinct hashes, merge law holds") {
+    val sk = Sketches.kmvSketch(spark, Sf)
+      .as[(String, Long, Long)].collect()
+    val bySrc = sk.groupBy(_._1)
+    bySrc.foreach { case (s, rows) =>
+      assert(rows.length <= Sketches.KmvK, s"source $s over k")
+      val hvs = rows.sortBy(_._2).map(_._3)
+      assert(hvs.toSeq == hvs.sorted.toSeq && hvs.distinct.length == hvs.length,
+        s"source $s ranks must walk ascending distinct hashes")
+    }
+    // MERGE LAW: the k smallest of (sketch(A) ∪ sketch(B)) equal the
+    // k smallest of hashes(A ∪ B) — sketches compose without revisiting
+    // the corpus (the property HLL has for max and KMV has for min)
+    val docs = Tables.documents(spark, Sf)
+    val ab = docs.filter(col("source").isin("src0", "src1"))
+    val direct = Sketches.kmvSketchOf(
+        ab.withColumn("source", lit("both")))
+      .as[(String, Long, Long)].collect().sortBy(_._2).map(_._3).toSeq
+    val merged = (bySrc("src0").map(_._3) ++ bySrc("src1").map(_._3))
+      .distinct.sorted.take(Sketches.KmvK.toInt).toSeq
+    assert(direct == merged, "sketch-of-union != union-of-sketches")
+  }
+
+  test("kmvEstimate: estimator branch live, within the k=16 envelope") {
+    val rows = Sketches.kmvEstimate(spark, Sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, est, exact, errPpm) =>
+      // every sf source has more distinct tokens than k, so the
+      // (k-1)·M/h_k branch — not the exact-set fallback — produced est
+      assert(exact > Sketches.KmvK, s"fixture: $s must exceed k")
+      assert(est >= exact / 2 && est <= exact * 2,
+        s"$s est $est vs exact $exact outside the 1/sqrt(k-2) regime")
+      assert(errPpm == math.abs(est - exact) * 1000000L / exact)
+    }
+  }
+
+  test("kmvOverlap: intersection estimate tracks the exact overlap") {
+    val got = Sketches.kmvOverlap(spark, Sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.length >= 3)
+    // exact per-pair distinct-token intersections (small at Sf)
+    val toks = Tables.documents(spark, Sf)
+      .select(col("source"), explode(
+        graft.func.Tokenizer.tokens(col("text"))).as("w"))
+      .distinct().as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (a, b, xCt, unionEst, interEst) =>
+      val (sa, sb) = (toks(a), toks(b))
+      val exactU = (sa ++ sb).size
+      val exactI = (sa intersect sb).size
+      assert(xCt <= Sketches.KmvK)
+      assert(unionEst >= exactU / 2 && unionEst <= exactU * 2,
+        s"($a,$b) union $unionEst vs exact $exactU")
+      assert(interEst >= exactI / 2 && interEst <= exactI * 2,
+        s"($a,$b) intersection $interEst vs exact $exactI")
+    }
+  }
+
   test("dsirScore: target-slice tokens score higher than source-only") {
     // 'tgtword' appears only in the en slice, 'srcword' only outside it
     val docs = Seq(
