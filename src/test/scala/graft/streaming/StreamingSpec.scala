@@ -188,6 +188,33 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("stream-static range join: same operator body, batch parity") {
+    // the bucket device is side-agnostic: a streaming point source
+    // against a static interval table is a plain stream-static
+    // equi-join on the bucket id — no watermark, no state store
+    implicit val sc = spark.sqlContext
+    val intervals = Seq((1L, 0L, 10L), (2L, 1000L, 2000L), (3L, 5L, 5L))
+      .toDF("id", "lo", "hi")
+    val pts = Seq(0L, 5L, 1024L, 2000L, 9999L)
+    val src = MemoryStream[Long]
+    val q = graft.operators.RangeJoin.pointInInterval(
+        src.toDF().withColumnRenamed("value", "p"), intervals,
+        "p", "lo", "hi")
+      .select("id", "p")
+      .writeStream.format("memory").queryName("rj_out")
+      .outputMode("append").start()
+    src.addData(pts: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rj_out").as[(Long, Long)].collect().toSet
+    val batch = graft.operators.RangeJoin.pointInInterval(
+        pts.toDF("p"), intervals, "p", "lo", "hi")
+      .select("id", "p").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed === Set((1L, 0L), (1L, 5L), (3L, 5L),
+      (2L, 1024L), (2L, 2000L)))
+  }
+
   test("socket line ingest: live TCP endpoint, parse + corrupt channel") {
     // S1 end-to-end IN-SANDBOX: a real TCP server feeds JSON lines
     // (one good, one truncated, one good) through real micro-batches
