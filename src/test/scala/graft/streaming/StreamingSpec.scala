@@ -188,6 +188,82 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming as-of join tolerates in-delay disorder across batches") {
+    // the contract bounds out-of-orderness by the watermark delay, not
+    // by batch boundaries: a later micro-batch may carry EARLIER event
+    // times as long as they are not late — the buffers are unordered
+    // by construction, so arrival order must not change one answer
+    implicit val sc = spark.sqlContext
+    val lSrc = MemoryStream[AL]
+    val rSrc = MemoryStream[AR]
+    val q = StreamJobs.asOfLatest(lSrc.toDF(), rSrc.toDF(),
+        "lk", "rk", "lts", "rts", "lid", "pay")
+      .writeStream.format("memory").queryName("asof_dis")
+      .outputMode("append").start()
+    // batch 1 carries the NEWER rows, batch 2 back-fills older ones
+    // (all within the 1-minute default delay of the max seen)
+    lSrc.addData(AL(1, 1, t("2021-03-21 10:00:30")))
+    rSrc.addData(AR(1, t("2021-03-21 10:00:25"), 250L))
+    q.processAllAvailable()
+    lSrc.addData(AL(2, 1, t("2021-03-21 10:00:05")))   // older left
+    rSrc.addData(AR(1, t("2021-03-21 10:00:02"), 20L)) // older right
+    q.processAllAvailable()
+    lSrc.addData(AL(99, 999, t("2021-04-01 00:00:00")))
+    rSrc.addData(AR(998, t("2021-04-01 00:00:00"), 0L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_dis").filter(col("left_id") < 99)
+      .select("left_id", "payload").as[(Long, Option[Long])]
+      .collect().toMap
+    // left 1 (t=30) sees the t=25 right; left 2 (t=05) must see the
+    // BACK-FILLED t=02 right even though it arrived a batch later
+    assert(got === Map(1L -> Some(250L), 2L -> Some(20L)))
+  }
+
+  test("streaming as-of join: restart from checkpoint keeps state and " +
+      "emits each answer exactly once") {
+    implicit val sc = spark.sqlContext
+    val lSrc = MemoryStream[AL]
+    val rSrc = MemoryStream[AR]
+    val outDir = graft.func.TempDirs.scoped("asof-rst-out")
+    val ckDir = graft.func.TempDirs.scoped("asof-rst-ck")
+    def start() = StreamJobs.asOfLatest(lSrc.toDF(), rSrc.toDF(),
+        "lk", "rk", "lts", "rts", "lid", "pay")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+
+    // incarnation 1: rights + some lefts, all still PENDING in state
+    // (watermark hasn't passed them) when the query stops
+    val q1 = start()
+    rSrc.addData(AR(1, t("2021-03-21 10:00:00"), 100L),
+      AR(1, t("2021-03-21 10:00:10"), 200L))
+    lSrc.addData(AL(1, 1, t("2021-03-21 10:00:05")),
+      AL(2, 1, t("2021-03-21 10:00:20")))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // arrives while the query is down
+    lSrc.addData(AL(3, 1, t("2021-03-21 10:00:40")))
+
+    // incarnation 2: same checkpoint — buffered lefts/rights must be
+    // RESTORED from the state store, then the sentinel finalizes all
+    val q2 = start()
+    lSrc.addData(AL(99, 999, t("2021-04-01 00:00:00")))
+    rSrc.addData(AR(998, t("2021-04-01 00:00:00"), 0L))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(outDir).filter(col("left_id") < 99)
+      .select("left_id", "payload").as[(Long, Option[Long])]
+      .collect()
+    assert(got.length === got.map(_._1).distinct.length,
+      s"restart re-emitted an answer: ${got.toSeq}")
+    assert(got.toMap === Map(1L -> Some(100L), 2L -> Some(200L),
+      3L -> Some(200L)),
+      "state (incl. the pre-restart rights) must survive the restart")
+  }
+
   test("stream-static range join: same operator body, batch parity") {
     // the bucket device is side-agnostic: a streaming point source
     // against a static interval table is a plain stream-static
