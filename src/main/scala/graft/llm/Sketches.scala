@@ -435,8 +435,9 @@ object Sketches {
     * (k−1)·M DIV h_k (the unbiased KMV estimator); a source with
     * fewer than k distinct hashes IS its own exact answer. Exact
     * distinct count + ppm error ride along as test adjudicators
-    * (the [[hllEstimateOf]] convention). All BIGINT: (k−1)·M =
-    * 63·2^48 < 2^54. */
+    * (the [[hllEstimateOf]] convention). All BIGINT: with k = 16,
+    * (k−1)·M = 15·2^48 < 2^52; in general (k−1)·2^48 stays below
+    * the 2^63 BIGINT ceiling for any k up to ~32768. */
   def kmvEstimate(spark: SparkSession, dir: String): DataFrame =
     kmvEstimateOf(Tables.documents(spark, dir))
 

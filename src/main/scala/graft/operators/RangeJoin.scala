@@ -39,6 +39,14 @@ object RangeJoin {
   /** Default bucket width (integer units, e.g. cents). */
   val BucketWidth = 1024L
 
+  /** Hard cap on the buckets ONE interval may explode to (2^20). An
+    * interval spanning more buckets than this means `bucketWidth` is
+    * mis-picked for the data (the device's cost IS span/width); it
+    * would also run into Spark's own `sequence()` element ceiling
+    * with an opaque error far from this call site — fail loudly here
+    * instead, naming the row and the knob. */
+  val MaxSpanBuckets = 1L << 20
+
   /** Generic point-in-interval join: every (point row × interval row)
     * pair with `lo <= point <= hi`, produced exactly once. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
@@ -48,11 +56,18 @@ object RangeJoin {
     val clash = (points.columns ++ intervals.columns).filter(_ == "__b")
     require(clash.isEmpty,
       "input column __b collides with the bucket-internal name")
+    val span = expr(s"($hiCol DIV $bucketWidth) - ($loCol DIV $bucketWidth) + 1")
     val iv = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) <= col(hiCol))
       .withColumn("__b", explode(sequence(
-        expr(s"$loCol DIV $bucketWidth"), expr(s"$hiCol DIV $bucketWidth"))))
+        when(span > lit(MaxSpanBuckets), expr(
+          s"raise_error(concat('range-join interval [', cast($loCol as string)" +
+          s", ', ', cast($hiCol as string), '] spans more than " +
+          s"$MaxSpanBuckets buckets at width $bucketWidth -- raise " +
+          "bucketWidth toward span/1000'))").cast("long"))
+          .otherwise(expr(s"$loCol DIV $bucketWidth")),
+        expr(s"$hiCol DIV $bucketWidth"))))
     val pt = points
       .filter(col(pointCol).isNotNull)
       .withColumn("__b", expr(s"$pointCol DIV $bucketWidth"))

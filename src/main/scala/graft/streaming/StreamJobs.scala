@@ -274,11 +274,22 @@ object StreamJobs {
     * ties (rts == lts) match; each side arrives in its own event-time
     * order within the watermark delay (the §r13(e) harness rule).
     * Batch parity is asserted in StreamingSpec against
-    * [[graft.operators.AsOf.asOf]] on the same rows. */
+    * [[graft.operators.AsOf.asOf]] on the same rows.
+    *
+    * `idleTtlMs` (0 = off, the default): the one-right-per-key
+    * dimension residue is correct to keep FOREVER for dimension-like
+    * key spaces, but under a churning/rotating key domain (e.g.
+    * session ids) it is unbounded growth for keys that will never be
+    * looked up again. With a positive TTL, a key whose state is down
+    * to the residue alone (no pending lefts, no in-flight rights) is
+    * evicted once the watermark advances `idleTtlMs` past its last
+    * activity. Semantics trade-off, by design: a left arriving for an
+    * evicted key matches NULL instead of the forgotten payload — pick
+    * a TTL ≫ the watermark delay so only genuinely dead keys pay it. */
   def asOfLatest(left: DataFrame, right: DataFrame,
       lkey: String, rkey: String, lts: String, rts: String,
       leftId: String, payload: String,
-      delay: String = "1 minute"): DataFrame = {
+      delay: String = "1 minute", idleTtlMs: Long = 0L): DataFrame = {
     import left.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val l = left.select(col(lkey).as("k"), col(lts).as("ts"),
@@ -314,13 +325,22 @@ object StreamJobs {
           val (closed, open) = rSorted.partition(_._1 <= wm)
           val kept = closed.takeRight(1) ++ open
           if (pending.isEmpty && kept.isEmpty) state.remove()
-          else {
+          else if (idleTtlMs > 0 && state.hasTimedOut &&
+              pending.isEmpty && open.isEmpty) {
+            // idle-key eviction: the TTL timer fired (so no activity
+            // for idleTtlMs of watermark time) and only the dimension
+            // residue remains — forget it
+            state.remove()
+          } else {
             state.update(AsOfBuf(pending, kept))
             // flush quiescent keys when the watermark passes their
             // earliest pending left (must be > current watermark,
             // which partition() guarantees)
             if (pending.nonEmpty)
               state.setTimeoutTimestamp(pending.map(_._1).min)
+            else if (idleTtlMs > 0)
+              // arm the idle clock: any new data invocation re-arms it
+              state.setTimeoutTimestamp(wm + idleTtlMs)
           }
           out.iterator
       }

@@ -40,6 +40,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set((1L, 5L)))
   }
 
+  test("pathological interval span fails loudly, naming the knob") {
+    val points = Seq(5L).toDF("p")
+    val intervals = Seq((1L, 0L, Long.MaxValue - 2)).toDF("id", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi").collect()
+    }
+    // the guard's message, not sequence()'s opaque length error
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("raise bucketWidth")),
+      s"expected the span-guard error, got: ${messages(e)}")
+    // sane spans (incl. exactly the cap) still work
+    val wide = Seq((1L, 0L, RangeJoin.MaxSpanBuckets * RangeJoin.BucketWidth - 1))
+      .toDF("id", "lo", "hi")
+    assert(RangeJoin.pointInInterval(points, wide, "p", "lo", "hi")
+      .count() === 1L)
+  }
+
   test("price-band query plans an EQUI join — no nested loop, no cartesian") {
     val q = RangeJoin.priceBandQuery(spark, Sf)
     q.queryExecution.toRdd.count()

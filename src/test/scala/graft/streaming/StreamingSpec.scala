@@ -220,6 +220,51 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map(1L -> Some(250L), 2L -> Some(20L)))
   }
 
+  test("streaming as-of join: idle-key TTL evicts the dimension residue; " +
+      "default keeps it forever") {
+    implicit val sc = spark.sqlContext
+    // same event script under both knobs; only the TTL differs
+    def run(name: String, ttlMs: Long): Map[Long, Option[Long]] = {
+      val lSrc = MemoryStream[AL]
+      val rSrc = MemoryStream[AR]
+      val q = StreamJobs.asOfLatest(lSrc.toDF(), rSrc.toDF(),
+          "lk", "rk", "lts", "rts", "lid", "pay", idleTtlMs = ttlMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      rSrc.addData(AR(1, t("2021-03-21 10:00:00"), 100L))
+      lSrc.addData(AL(1, 1, t("2021-03-21 10:00:05")))
+      q.processAllAvailable()
+      // watermark to 10:01:00: left 1 finalizes (-> 100), key 1 drops
+      // to the residue right; with TTL=60s the idle timer arms at 10:02
+      lSrc.addData(AL(97, 999, t("2021-03-21 10:02:00")))
+      rSrc.addData(AR(997, t("2021-03-21 10:02:00"), 0L))
+      q.processAllAvailable()
+      // watermark to 10:19:00, far past the idle deadline: the TTL
+      // branch (and only it) forgets key 1's residue
+      lSrc.addData(AL(98, 999, t("2021-03-21 10:20:00")))
+      rSrc.addData(AR(998, t("2021-03-21 10:20:00"), 0L))
+      q.processAllAvailable()
+      // a fresh (not-late) left on key 1 after the quiet stretch
+      lSrc.addData(AL(2, 1, t("2021-03-21 10:19:30")))
+      q.processAllAvailable()
+      lSrc.addData(AL(99, 999, t("2021-04-01 00:00:00")))
+      rSrc.addData(AR(996, t("2021-04-01 00:00:00"), 0L))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).filter(col("left_id") < 97)
+        .select("left_id", "payload").as[(Long, Option[Long])]
+        .collect().toMap
+    }
+    // default: the residue is kept forever — the late-returning key
+    // still sees its dimension payload
+    assert(run("asof_nottl", 0L) ===
+      Map(1L -> Some(100L), 2L -> Some(100L)))
+    // TTL on: the idle key was evicted; the returning left matches
+    // NULL — the documented trade-off for rotating key domains
+    assert(run("asof_ttl", 60000L) ===
+      Map(1L -> Some(100L), 2L -> None))
+  }
+
   test("streaming as-of join: restart from checkpoint keeps state and " +
       "emits each answer exactly once") {
     implicit val sc = spark.sqlContext
