@@ -110,6 +110,8 @@ object SparkEntry {
     // same exact-collapse device as lsh_dups_collapsed (r14)
     "q_llm_simhash_dups_collapsed" -> (llm.Dedup.simhashDuplicatesCollapsed(_, _)),
     "q_llm_ngram_jaccard_collapsed" -> (llm.Dedup.ngramJaccardCollapsed(_, _)),
+    "q_llm_ngram_jaccard_prefix" -> (llm.Dedup.ngramJaccardPrefix(_, _)),
+    "q_llm_ngram_jaccard_prefix_collapsed" -> (llm.Dedup.ngramJaccardPrefixCollapsed(_, _)),
     "q_llm_containment_collapsed" -> (llm.Dedup.containmentCollapsed(_, _)),
     // exact-substring family: per-doc coverage by cross-doc repeated spans
     "q_llm_span_coverage"   -> (llm.Dedup.spanCoverage(_, _)),
@@ -382,6 +384,8 @@ object SparkEntry {
     "q_llm_simhash_dups"    -> llm.Dedup.simhashDupOracle,
     "q_llm_simhash_dups_collapsed" -> llm.Dedup.simhashDupCollapsedOracle,
     "q_llm_ngram_jaccard_collapsed" -> llm.Dedup.ngramJaccardCollapsedOracle,
+    "q_llm_ngram_jaccard_prefix" -> llm.Dedup.ngramJaccardPrefixOracle,
+    "q_llm_ngram_jaccard_prefix_collapsed" -> llm.Dedup.ngramJaccardPrefixCollapsedOracle,
     "q_llm_containment_collapsed" -> llm.Dedup.containmentCollapsedOracle,
     "q_llm_span_coverage"   -> llm.Dedup.spanCoverageOracle,
     "q_llm_incremental_dedup" -> llm.Dedup.incrementalDedupOracle,

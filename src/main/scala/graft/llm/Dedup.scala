@@ -663,6 +663,102 @@ object Dedup {
   def containmentCollapsed(spark: SparkSession, dir: String): DataFrame =
     containmentOf(collapsedDocs(Tables.documents(spark, dir)))
 
+  /** Exact n-gram Jaccard via PREFIX FILTERING (the SSJoin/PPJoin
+    * device — Chaudhuri et al., ICDE'06; Xiao et al., WWW'08) — the
+    * LOSSLESS alternative to [[ngramJaccard]]'s df-cap/MinShared
+    * candidate pruning: under a single global token ordering (here
+    * rarest-first by document frequency, ties by the shingle itself),
+    * any pair with J ≥ t must share a token within each side's first
+    * `|x| − ⌈t·|x|⌉ + 1` ordered shingles, so joining only those
+    * PREFIX postings generates a candidate superset of every true
+    * pair — no recall loss to tune around, unlike [[MaxDf]] (drops
+    * pairs whose shared shingles are all common) and [[MinShared]]
+    * (drops small docs). A length filter (`min·10^6 ≥ t·max`, implied
+    * by J ≥ t) prunes candidates before the array-carrying verify.
+    *
+    * Scale shape: the df aggregate and the doc-local rank window are
+    * two extra shuffles over the postings, and in exchange the
+    * self-join input shrinks to ~(1−t) of the postings — at t = 0.8,
+    * 5× fewer rows and ~25× fewer same-shingle pairs, with the
+    * surviving prefixes biased toward RARE tokens (low df² fan-out)
+    * by construction. Candidates, not postings, dominate at 100 TB,
+    * so the trade wins there; [[PLANS.md]] §r15 records the measured
+    * A/B. Mass duplication still defeats any prefix scheme (identical
+    * texts share identical prefixes) — the [[collapsedDocs]] guard
+    * composes in front, boarded as [[ngramJaccardPrefixCollapsed]].
+    *
+    * Output contract: EVERY pair with exact Jaccard ≥
+    * [[JaccardPpmThreshold]] (docs with < 3 tokens have no shingles
+    * and never pair). The oracle is device-independent — all
+    * shared-shingle pairs, exactly verified — so a prefix bug that
+    * drops one true pair hash-fails. */
+  def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPrefixOf(Tables.documents(spark, dir))
+
+  /** [[ngramJaccardPrefix]] over any (doc_id, text) frame. */
+  def ngramJaccardPrefixOf(docs: DataFrame): DataFrame = {
+    val t = JaccardPpmThreshold
+    val shl = shingleSetsShared(docs)
+    val post = shl.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("sz"),
+      explode(col("shingles")).as("sh"))
+    val dfs = post.groupBy("sh").agg(count(lit(1)).as("df"))
+    // per-doc rank under the GLOBAL (df, sh) order; integer-pure
+    // ceil: ⌈t·sz⌉ = (t·sz + 10^6 − 1) DIV 10^6
+    val prefix = post.join(dfs, Seq("sh"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <=
+        col("sz") - expr(s"($t * sz + 999999) DIV 1000000") + 1)
+      .select("doc_id", "sz", "sh")
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") * lit(1000000L) >= col("b.sz") * lit(t) &&
+        col("b.sz") * lit(1000000L) >= col("a.sz") * lit(t))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("i_ct"),
+        size(array_union(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("u_ct"))
+      .withColumn("jac_ppm", expr("(1000000 * i_ct) DIV u_ct"))
+      .filter(col("jac_ppm") >= t)
+      .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+  }
+
+  /** [[ngramJaccardPrefix]] behind the exact-duplicate pre-collapse —
+    * the production stage order for this family (the
+    * [[ngramJaccardCollapsed]] rationale; identical texts share
+    * identical prefixes, so collapse is what bounds the hot bucket). */
+  def ngramJaccardPrefixCollapsed(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPrefixOf(collapsedDocs(Tables.documents(spark, dir)))
+
+  /** Device-independent exact contract: every ≥-one-shared-shingle
+    * pair (a superset of every J ≥ t pair, since t > 0), exactly
+    * verified. DuckDB plans the distinct-pair join natively; no
+    * prefix arithmetic appears on the oracle side on purpose. */
+  val ngramJaccardPrefixOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |shl AS MATERIALIZED (SELECT doc_id, ${shinglesSql("toks")} AS shingles FROM toks),
+       |post AS (SELECT doc_id, unnest(shingles) AS sh FROM shl),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |          CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS i_ct,
+       |          CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS BIGINT) AS u_ct
+       |        FROM cand c
+       |        JOIN shl sa ON c.doc_a = sa.doc_id
+       |        JOIN shl sb ON c.doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, (1000000 * i_ct) // u_ct AS jac_ppm
+       |FROM jac WHERE (1000000 * i_ct) // u_ct >= $JaccardPpmThreshold""".stripMargin
+
+  lazy val ngramJaccardPrefixCollapsedOracle: String =
+    s"WITH $collapsedDocsCte,\n${ngramJaccardPrefixOracle.stripPrefix("WITH ")}"
+
   lazy val ngramJaccardCollapsedOracle: String =
     s"WITH $collapsedDocsCte,\n${ngramJaccardOracle.stripPrefix("WITH ")}"
 

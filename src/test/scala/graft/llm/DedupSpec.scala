@@ -221,6 +221,57 @@ class DedupSpec extends SparkSpec {
     assert(out.head._3 >= Dedup.JaccardPpmThreshold)
   }
 
+  test("prefix-filter jaccard is lossless: catches the small-doc pair " +
+      "MinShared drops and equals the brute-force answer") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 37) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    // 4 tokens -> 2 shingles: J = 1.0 but shared_ct = 2 < MinShared,
+    // so the pruned inverted-index path misses it by contract
+    val tinyA = "w x y z"
+    val tinyB = "w x y z"
+    val dir = java.nio.file.Files.createTempDirectory("graft_pfx").toString
+    val d = docs((1L, base), (2L, nearDup), (3L, other),
+      (4L, tinyA), (5L, tinyB))
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.ngramJaccardPrefix(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: all pairs over exact shingle sets
+    val sets = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      u = sets(a) union sets(b) if u.nonEmpty
+      ppm = 1000000L * (sets(a) intersect sets(b)).size / u.size
+      if ppm >= Dedup.JaccardPpmThreshold
+    } yield (a, b) -> ppm).toMap
+    assert(got === brute, s"prefix path must be exact; got $got vs $brute")
+    assert(got.contains((4L, 5L)), "the tiny pair is the lossless evidence")
+    val pruned = Dedup.ngramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pruned.contains((4L, 5L)),
+      "fixture no longer demonstrates the MinShared miss")
+  }
+
+  test("prefix-filter jaccard at Sf: superset of the pruned path, " +
+      "identical ppm on shared pairs, collapsed composes") {
+    val pfx = Dedup.ngramJaccardPrefix(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pruned = Dedup.ngramJaccard(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pruned.keySet.subsetOf(pfx.keySet),
+      s"pruned found pairs prefix missed: ${pruned.keySet -- pfx.keySet}")
+    pruned.keys.foreach(k => assert(pruned(k) == pfx(k), s"pair $k ppm"))
+    assert(pfx.nonEmpty, "vacuous fixture")
+    // collapsed variant: every rep pair appears in the plain output
+    // with the identical score (reps carry their group's text)
+    val coll = Dedup.ngramJaccardPrefixCollapsed(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    coll.foreach { case (k, v) =>
+      assert(pfx.get(k).contains(v), s"collapsed pair $k not in plain") }
+  }
+
   test("ngram jaccard and minhash-LSH agree on shared pairs") {
     // both verify with exact shingle Jaccard, so any pair emitted by
     // both candidate generators must carry the IDENTICAL ppm value
