@@ -41,6 +41,8 @@ object SparkEntry {
     "q_dwm_payment_wide"   -> (dwm.OrderWide.paymentWide(_, _)),
     // As-of join (point-in-time lookup; J1/J2's unbounded-lower limit)
     "q_asof_latest_order"  -> (operators.AsOf.latestOrderQuery(_, _)),
+    "q_asof_next_order"    -> (operators.AsOf.nextOrderQuery(_, _)),
+    "q_asof_nearest_order" -> (operators.AsOf.nearestOrderQuery(_, _)),
     // same operator on the custom-plan tier (AsOfJoinPlan/Exec +
     // pushdown/pruning rule) — identical contract, shared oracle
     "q_asof_latest_order_native" -> (plans.NativeAsOf.latestOrderQuery(_, _)),
@@ -331,6 +333,8 @@ object SparkEntry {
     "q_dwm_order_wide_dims" -> dwm.OrderWide.withDimsOracle,
     "q_dwm_payment_wide"   -> dwm.OrderWide.paymentWideOracle,
     "q_asof_latest_order"  -> operators.AsOf.latestOrderOracle,
+    "q_asof_next_order"    -> operators.AsOf.nextOrderOracle,
+    "q_asof_nearest_order" -> operators.AsOf.nearestOrderOracle,
     "q_asof_latest_order_native" -> operators.AsOf.latestOrderOracle,
     "q_range_price_band"   -> operators.RangeJoin.priceBandOracle,
     "q_skew_salted_agg"    -> func.Skew.saltedJoinOracle,

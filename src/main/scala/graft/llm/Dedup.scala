@@ -695,22 +695,30 @@ object Dedup {
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPrefixOf(Tables.documents(spark, dir))
 
-  /** [[ngramJaccardPrefix]] over any (doc_id, text) frame. */
-  def ngramJaccardPrefixOf(docs: DataFrame): DataFrame = {
+  /** The prefix-posting frame (doc_id, sz, sh) behind
+    * [[ngramJaccardPrefixOf]], shared with the rehearsal's
+    * candidate-economy measurement. */
+  private[llm] def prefixPostings(shl: DataFrame): DataFrame = {
     val t = JaccardPpmThreshold
-    val shl = shingleSetsShared(docs)
     val post = shl.select(col("doc_id"),
       size(col("shingles")).cast("long").as("sz"),
       explode(col("shingles")).as("sh"))
     val dfs = post.groupBy("sh").agg(count(lit(1)).as("df"))
     // per-doc rank under the GLOBAL (df, sh) order; integer-pure
     // ceil: ⌈t·sz⌉ = (t·sz + 10^6 − 1) DIV 10^6
-    val prefix = post.join(dfs, Seq("sh"))
+    post.join(dfs, Seq("sh"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
       .filter(col("rk") <=
         col("sz") - expr(s"($t * sz + 999999) DIV 1000000") + 1)
       .select("doc_id", "sz", "sh")
+  }
+
+  /** [[ngramJaccardPrefix]] over any (doc_id, text) frame. */
+  def ngramJaccardPrefixOf(docs: DataFrame): DataFrame = {
+    val t = JaccardPpmThreshold
+    val shl = shingleSetsShared(docs)
+    val prefix = prefixPostings(shl)
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
         col("a.sz") * lit(1000000L) >= col("b.sz") * lit(t) &&

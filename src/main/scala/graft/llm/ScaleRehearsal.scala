@@ -1585,6 +1585,9 @@ object ScaleRehearsal {
         // point only
         "containment" -> (Dedup.containment _),
         "ngram_jaccard" -> (Dedup.ngramJaccard _),
+        // the lossless candidate generator (r15): same verify, exact
+        // contract — its growth must stay comparable to the pruned path
+        "ngram_jaccard_prefix" -> (Dedup.ngramJaccardPrefix _),
         "novelty" -> (Novelty.novelty _),
         "product_stats_approx" -> ((sp: SparkSession, d: String) =>
           graft.dws.ProductStats.approx(sp, d)),
@@ -1677,10 +1680,32 @@ object ScaleRehearsal {
       // second tier: everything except the deliberately-fixed-banding
       // dedup_sweep (whose pair population carries the quadratic
       // chance term by construction — its aware twin is the gate)
-      Seq("containment", "ngram_jaccard", "novelty",
-          "product_stats_approx", "dedup_sweep_aware").foreach { n =>
+      Seq("containment", "ngram_jaccard", "ngram_jaccard_prefix",
+          "novelty", "product_stats_approx", "dedup_sweep_aware").foreach { n =>
         alphas.get(n).foreach(a =>
           gate(a <= 1.5, f"$n should grow ~linearly, got alpha=$a%.2f"))
+      }
+      // prefix-filter candidate economy (r15): same-shingle id-pair
+      // populations Σ C(df,2) over the full postings, the MaxDf-pruned
+      // postings, and the prefix postings — the number that dominates
+      // at 100 TB. Measured at the top rung.
+      locally {
+        val topDir = s"$ladderDir/x${LadderScales.last}"
+        val shl = Dedup.shingleSetsShared(
+          graft.Tables.documents(spark, topDir))
+        val post = shl.select(col("doc_id"), explode(col("shingles")).as("sh"))
+        def pairs(p: DataFrame): Long =
+          p.groupBy("sh").agg(count(lit(1)).as("df"))
+            .agg(coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)))
+            .head.getLong(0)
+        val full = pairs(post)
+        val pruned = pairs(post.join(
+          post.groupBy("sh").agg(count(lit(1)).as("d2"))
+            .filter(col("d2") <= Dedup.MaxDf).select("sh"), Seq("sh")))
+        val prefix = pairs(Dedup.prefixPostings(shl).select("doc_id", "sh"))
+        println(f"[scale] ladder prefix economy (x${LadderScales.last}): " +
+          f"full=$full%d pruned(df<=${Dedup.MaxDf})=$pruned%d " +
+          f"prefix=$prefix%d (lossless)")
       }
       if (broken.nonEmpty && !lenient)
         sys.error(s"ladder gates failed (results above are complete): " +

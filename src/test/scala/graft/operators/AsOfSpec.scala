@@ -63,6 +63,81 @@ class AsOfSpec extends SparkSpec {
 
   // ---- native custom-plan tier (graft.plans.NativeAsOf) ----
 
+  test("asOfDirection: forward picks the earliest at-or-after; ties match") {
+    val left = Seq(
+      (1L, 5L, "e1"),   // before both rights -> t=10
+      (1L, 10L, "e2"),  // ties right t=10 -> matches it (>=)
+      (1L, 15L, "e3"),  // between -> t=20
+      (1L, 25L, "e4"),  // after both -> null
+      (2L, 5L, "e5")    // key with no right rows -> null
+    ).toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("rk", "rt", "p")
+    val out = AsOf.asOfDirection(left, right, "k", "rk", "t", "rt",
+        Seq("p"), "forward")
+      .select("ev", "p").as[(String, Option[Long])].collect().toMap
+    assert(out === Map("e1" -> Some(100L), "e2" -> Some(100L),
+      "e3" -> Some(200L), "e4" -> None, "e5" -> None))
+  }
+
+  test("asOfDirection: nearest picks the closer side, backward on ties") {
+    val left = Seq(
+      (1L, 12L, "e1"),  // dist 2 back (10), 8 fwd (20) -> back 100
+      (1L, 17L, "e2"),  // dist 7 back, 3 fwd -> fwd 200
+      (1L, 15L, "e3"),  // equidistant (5/5) -> BACKWARD wins -> 100
+      (1L, 3L, "e4"),   // only forward exists -> 100
+      (1L, 30L, "e5")   // only backward within reach -> 200
+    ).toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("rk", "rt", "p")
+    val out = AsOf.asOfDirection(left, right, "k", "rk", "t", "rt",
+        Seq("p"), "nearest")
+      .select("ev", "p").as[(String, Option[Long])].collect().toMap
+    assert(out === Map("e1" -> Some(100L), "e2" -> Some(200L),
+      "e3" -> Some(100L), "e4" -> Some(100L), "e5" -> Some(200L)))
+  }
+
+  test("asOfDirection: tolerance nulls the picked ROW atomically, " +
+      "per side, before nearest chooses") {
+    val left = Seq(
+      (1L, 100L, "e1"), // back dist 90 > tol; fwd dist 10 <= tol -> fwd
+      (1L, 25L, "e2"),  // back dist 15 <= 20; fwd dist 85 > 20 -> back
+      (1L, 60L, "e3")   // both out of tolerance -> null
+    ).toDF("k", "t", "ev")
+    val right = Seq((1L, 10L, 100L), (1L, 110L, 200L)).toDF("rk", "rt", "p")
+    def run(dir: String) =
+      AsOf.asOfDirection(left, right, "k", "rk", "t", "rt",
+          Seq("p"), dir, toleranceMs = 20L)
+        .select("ev", "p").as[(String, Option[Long])].collect().toMap
+    assert(run("nearest") === Map("e1" -> Some(200L), "e2" -> Some(100L),
+      "e3" -> None))
+    assert(run("backward") === Map("e1" -> None, "e2" -> Some(100L),
+      "e3" -> None))
+    assert(run("forward") === Map("e1" -> Some(200L), "e2" -> None,
+      "e3" -> None))
+  }
+
+  test("asOfDirection backward with infinite tolerance equals asOf " +
+      "on the real tables") {
+    val ev = graft.Tables.events(spark, Sf).select(
+      col("event_id"), col("user_id"),
+      graft.func.Exprs.epochMs(col("ts")).as("ts_ms"))
+    val ord = graft.Tables.orders(spark, Sf)
+      .select(col("o_custkey"),
+        graft.func.Exprs.epochMs(col("o_orderdate")).as("o_date_ms"),
+        col("o_orderkey"))
+      .groupBy("o_custkey", "o_date_ms")
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val a = AsOf.asOf(ev, ord, "user_id", "o_custkey", "ts_ms",
+        "o_date_ms", Seq("o_orderkey"))
+      .select("event_id", "o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    val b = AsOf.asOfDirection(ev, ord, "user_id", "o_custkey", "ts_ms",
+        "o_date_ms", Seq("o_orderkey"), "backward")
+      .select("event_id", "o_orderkey")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(a === b)
+    assert(a.nonEmpty, "vacuous fixture")
+  }
+
   test("native asOf matches the composition on null keys/times and ties") {
     val left = Seq(
       (Some(1L), Some(5L), "e1"),   // before any right row -> null
