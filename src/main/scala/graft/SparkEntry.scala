@@ -263,6 +263,8 @@ object SparkEntry {
     // KMV: the mergeable distinct sketch with SET OPERATIONS — union
     // and intersection estimates from the k-min lists alone (r14)
     "q_llm_kmv_sketch"      -> (llm.Sketches.kmvSketch(_, _)),
+    "q_llm_hq_sketch"       -> (llm.Sketches.hqSketch(_, _)),
+    "q_llm_hq_estimate"     -> (llm.Sketches.hqEstimate(_, _)),
     "q_llm_kmv_estimate"    -> (llm.Sketches.kmvEstimate(_, _)),
     "q_llm_kmv_overlap"     -> (llm.Sketches.kmvOverlap(_, _)),
     // DSIR importance scores over hashed unigram features (r9)
@@ -475,6 +477,8 @@ object SparkEntry {
     "q_llm_cms_sketch"      -> llm.Sketches.cmsSketchOracle,
     "q_llm_cms_topk"        -> llm.Sketches.cmsTopKOracle,
     "q_llm_kmv_sketch"      -> llm.Sketches.kmvSketchOracle,
+    "q_llm_hq_sketch"       -> llm.Sketches.hqSketchOracle,
+    "q_llm_hq_estimate"     -> llm.Sketches.hqEstimateOracle,
     "q_llm_kmv_estimate"    -> llm.Sketches.kmvEstimateOracle,
     "q_llm_kmv_overlap"     -> llm.Sketches.kmvOverlapOracle,
     "q_llm_dsir_score"      -> llm.Dsir.dsirScoreOracle,

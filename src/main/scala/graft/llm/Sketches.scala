@@ -567,4 +567,87 @@ object Sketches {
        |                         ELSE (${KmvK - 1} * ${KmvM}) // h_k END)
        |            // k_u AS BIGINT) AS inter_est
        |FROM agg""".stripMargin
+
+  // ---- histogram-quantile sketch -----------------------------------
+
+  /** Bin width (ppm of quality score): 10⁴ ppm = 1 % of the score
+    * domain, so the sketch is ≤ ~101 (lang, bin) rows per language
+    * and every estimate lands within one bin width of the exact
+    * quantile. */
+  val HqBinW = 10000L
+
+  /** Histogram-quantile sketch — the fourth mergeable sketch beside
+    * HLL/CMS/KMV, and the DETERMINISTIC alternative to Spark's
+    * `percentile_approx` ([[CorpusOps.qualityQuantilesApprox]]) for
+    * distributed quantiles: fixed-width value bins, counts per
+    * (lang, bin). Unlike percentile_approx's randomized-compaction
+    * KLL state, the histogram is a pure GROUP BY — integer binning,
+    * no sketch internals — so the DuckDB oracle replays it exactly
+    * and the estimates are HASH-LOCKED, while staying mergeable
+    * (union two corpora's sketches by ADDING counts per (lang, bin);
+    * merge law spec-asserted) and map-side combinable.
+    *
+    * Scale shape (100 TB): the corpus never sorts. Each doc projects
+    * to one bin inside the scan stage; the only exchange carries the
+    * ≤ 101-rows-per-lang-per-map-task partial counts. The exact form
+    * ([[CorpusOps.qualityQuantiles]]) serializes each language
+    * through one reducer's sort — the calibration path, not the
+    * production path. Trade-off: the estimate is the quantile's bin
+    * LOWER BOUND, within [[HqBinW]] − 1 ppm of the exact value
+    * (spec-bounded against the exact form); rank targeting uses the
+    * exact form's ceil convention `(n·p + 99) DIV 100`. */
+  def hqSketch(spark: SparkSession, dir: String): DataFrame =
+    hqSketchOf(Tables.documents(spark, dir))
+
+  /** [[hqSketch]] over any (doc_id, text, lang) frame — the scoreable
+    * corpus contract is [[CorpusOps.scoredByLang]]'s. */
+  def hqSketchOf(docs: DataFrame): DataFrame =
+    CorpusOps.scoredByLang(docs)
+      .select(col("lang"), expr(s"quality_ppm DIV $HqBinW").as("bin"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("ct"))
+
+  def hqEstimate(spark: SparkSession, dir: String): DataFrame =
+    hqEstimateFrom(hqSketch(spark, dir))
+
+  /** Quantile estimates from a SKETCH frame (lang, bin, ct) — taking
+    * the sketch (not the corpus) is what the merge-law spec exercises:
+    * estimates from a merged sketch must equal estimates from the
+    * whole corpus's sketch. */
+  def hqEstimateFrom(sketch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = sketch
+      .withColumn("cum",
+        sum("ct").over(Window.partitionBy("lang").orderBy("bin")))
+      .withColumn("n", sum("ct").over(Window.partitionBy("lang")))
+    val qs = CorpusOps.QuantilePoints.map(p =>
+      (min(when(col("cum") >= expr(s"(n * $p + 99) DIV 100"), col("bin")))
+        * lit(HqBinW)).cast("long").as(s"q${p}_lo"))
+    cum.groupBy("lang")
+      .agg(max("n").cast("long").as("n_docs"), qs: _*)
+  }
+
+  /** Oracle replays the binning itself (same quality CTEs as the
+    * exact quantile oracle). */
+  lazy val hqSketchOracle: String =
+    s"""WITH ${TextAnalysis.qualityCtesSql(withLang = true, nonEmptyOnly = true)}
+       |SELECT lang, quality_ppm // $HqBinW AS bin,
+       |       CAST(count(*) AS BIGINT) AS ct
+       |FROM q GROUP BY 1, 2""".stripMargin
+
+  lazy val hqEstimateOracle: String = {
+    val qs = CorpusOps.QuantilePoints.map(p =>
+      s"CAST(min(CASE WHEN cum >= (n * $p + 99) // 100 THEN bin END) " +
+        s"* $HqBinW AS BIGINT) AS q${p}_lo").mkString(",\n       |       ")
+    s"""WITH ${TextAnalysis.qualityCtesSql(withLang = true, nonEmptyOnly = true)},
+       |hqh AS (SELECT lang, quality_ppm // $HqBinW AS bin, count(*) AS ct
+       |        FROM q GROUP BY 1, 2),
+       |hqc AS (SELECT lang, bin, ct,
+       |          sum(ct) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+       |          sum(ct) OVER (PARTITION BY lang) AS n
+       |        FROM hqh)
+       |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       |       $qs
+       |FROM hqc GROUP BY lang""".stripMargin
+  }
 }

@@ -205,4 +205,43 @@ class SketchesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"scoring must not shuffle corpus tokens into a join:\n$plan")
   }
+
+  test("hq sketch: add-merge of two halves equals the whole; merged " +
+      "estimates equal whole estimates") {
+    val docs = Tables.documents(spark, Sf)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.getString(0)), r.getAs[Long]("bin"))
+        -> r.getAs[Long]("ct")).toMap
+    val whole = Sketches.hqSketchOf(docs)
+    val a = Sketches.hqSketchOf(docs.filter(col("doc_id") % 2 === 0))
+    val b = Sketches.hqSketchOf(docs.filter(col("doc_id") % 2 === 1))
+    val merged = a.unionByName(b)
+      .groupBy("lang", "bin").agg(sum("ct").as("ct"))
+    assert(toMap(merged) === toMap(whole), "counts must ADD per (lang, bin)")
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => Option(r.getString(0)) -> r.toSeq.drop(1)).toMap
+    assert(est(Sketches.hqEstimateFrom(merged)) ===
+      est(Sketches.hqEstimateFrom(whole)))
+    assert(toMap(whole).nonEmpty, "vacuous fixture")
+  }
+
+  test("hq estimate: every quantile lands in its bin — within " +
+      "HqBinW - 1 of the exact value") {
+    def num(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[Number](c).longValue()
+    val exact = CorpusOps.qualityQuantiles(spark, Sf).collect()
+      .map(r => Option(r.getString(0)) ->
+        CorpusOps.QuantilePoints.map(p => num(r, s"q$p"))).toMap
+    val sk = Sketches.hqEstimate(spark, Sf).collect()
+      .map(r => Option(r.getString(0)) ->
+        CorpusOps.QuantilePoints.map(p => num(r, s"q${p}_lo"))).toMap
+    assert(exact.keySet === sk.keySet)
+    exact.foreach { case (lang, eqs) =>
+      eqs.zip(sk(lang)).zip(CorpusOps.QuantilePoints).foreach {
+        case ((e, lo), p) =>
+          assert(lo <= e && e < lo + Sketches.HqBinW,
+            s"lang=$lang p=$p exact=$e est_lo=$lo")
+      }
+    }
+  }
 }
