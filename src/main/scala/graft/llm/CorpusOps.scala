@@ -1393,8 +1393,11 @@ object CorpusOps {
   private[llm] def scoredByLang(docs: DataFrame): DataFrame = {
     val scoreable =
       docs.filter(size(graft.func.Tokenizer.tokens(col("text"))) > 0)
-    TextAnalysis.qualityOf(scoreable)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // lang rides THROUGH the score projection (qualityOf keep) — no
+    // doc_id self-join to re-attach it, so the scored frame is a pure
+    // projection: one less shuffle for every quantile consumer, and
+    // it runs unchanged on a streaming documents frame
+    TextAnalysis.qualityOf(scoreable, Seq("lang"))
       .select(col("lang"), col("doc_id"), col("quality_ppm"))
   }
 

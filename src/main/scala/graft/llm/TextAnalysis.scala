@@ -130,13 +130,20 @@ object TextAnalysis {
     * oracle's `x // 0 = NULL`: the divisions are CASE-guarded because
     * Spark 4's default ANSI mode otherwise THROWS on the first such
     * row and kills the whole job (spec-locked on a zero-token doc). */
-  def qualityOf(docs: DataFrame): DataFrame = {
+  def qualityOf(docs: DataFrame): DataFrame = qualityOf(docs, Nil)
+
+  /** [[qualityOf]] with passthrough columns carried beside the score —
+    * lets grouped consumers ([[CorpusOps.scoredByLang]]) keep their
+    * group key through the pure projection instead of re-attaching it
+    * with a doc_id self-join (one less shuffle, and the projection
+    * stays streamable). `keep = Nil` is schema-identical to before. */
+  def qualityOf(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val toks = Tokenizer.tokens(col("text"))
     docs
-      .select(col("doc_id"),
+      .select((col("doc_id") +: keep.map(col)) ++ Seq(
         size(toks).cast("long").as("n_tokens"),
         hits(toks, Stopwords).as("n_stop"),
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("len_sum"))
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("len_sum")): _*)
       .withColumn("stop_ppm",
         expr("CASE WHEN n_tokens > 0 THEN (1000000 * n_stop) DIV n_tokens END"))
       .withColumn("mean_len_ppm",
@@ -145,8 +152,8 @@ object TextAnalysis {
         when(col("n_tokens").between(20, 80), 1000000L).otherwise(300000L))
       .withColumn("quality_ppm",
         expr("(stop_ppm + mean_len_ppm DIV 10 + len_ok) DIV 3"))
-      .select("doc_id", "n_tokens", "n_stop", "stop_ppm", "mean_len_ppm",
-        "quality_ppm")
+      .select(("doc_id" +: keep) ++ Seq("n_tokens", "n_stop", "stop_ppm",
+        "mean_len_ppm", "quality_ppm") map col: _*)
   }
 
   /** The quality-score pipeline as shared DuckDB CTE text ending in a

@@ -662,6 +662,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("streaming hq sketch converges to the batch histogram") {
+    // the add-mergeable histogram is a grouped count over a PURE
+    // projection (scoredByLang carries lang through qualityOf — no
+    // self-join), so the batch body runs unchanged as a streaming
+    // complete-mode aggregate; the bin counts are the bounded state
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (Option(r.getString(0)), r.getAs[Long]("bin"))
+        -> r.getAs[Long]("ct")).toMap
+    val q = graft.llm.Sketches
+      .hqSketchOf(StreamJobs.documentsStream(spark, Sf))
+      .writeStream.format("memory").queryName("hq_stream_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = toMap(spark.table("hq_stream_out").collect())
+    val batch = toMap(graft.llm.Sketches
+      .hqSketchOf(graft.Tables.documents(spark, Sf)).collect())
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
   test("session_window sessions agree with the batch lag-based sessionize") {
     // the same 30-minute gap notion, two formulations: streaming
     // session_window vs batch lag → flag → running sum. Per-session
