@@ -347,6 +347,91 @@ object StreamJobs {
       .toDF("k", "left_id", "ts_ms", "payload")
   }
 
+  /** STREAMING forward as-of with tolerance — the streaming twin of
+    * [[graft.operators.AsOf.asOfDirection]]("forward", tol): every
+    * left row gains the payload of the EARLIEST right row in
+    * [lt, lt + tol] within its key (null when none arrives by the
+    * deadline) — "did this session convert within the attribution
+    * window", live.
+    *
+    * Finality (watermark-final, append, no retractions): a buffered
+    * candidate at time rt is the answer once wm ≥ rt — any unseen
+    * right with an earlier time would be late by definition; with no
+    * candidate the answer is final null once wm ≥ lt + tol. So each
+    * pending left's deadline is min(candidate rt, lt + tol) and the
+    * event-time timer arms on the key's earliest deadline (every
+    * deadline is > wm while the left is pending, satisfying the
+    * timer contract).
+    *
+    * State: unlike the backward join's one-right-per-key dimension
+    * residue ([[asOfLatest]]), the forward direction keeps NO residue
+    * — a right at-or-before the watermark can never match a future
+    * left (lt ≥ wm ⇒ rt ≥ lt ≥ wm), so rights prune to rt ≥ wm and
+    * the whole state is O(rate × (tol + delay)) transient rows,
+    * vanishing entirely on quiet keys. Contract otherwise as
+    * [[asOfLatest]] (LONG keys/ids, right unique per (key, ts), ties
+    * rt == lt match, per-side event-time order within the delay). */
+  def asOfNext(left: DataFrame, right: DataFrame,
+      lkey: String, rkey: String, lts: String, rts: String,
+      leftId: String, payload: String, tolMs: Long,
+      delay: String = "1 minute"): DataFrame = {
+    require(tolMs >= 0, s"negative tolerance $tolMs")
+    import left.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val l = left.select(col(lkey).as("k"), col(lts).as("ts"),
+      lit(1).as("side"), col(leftId).as("lid"),
+      lit(null).cast("long").as("p"))
+    val r = right.select(col(rkey).as("k"), col(rts).as("ts"),
+      lit(0).as("side"), lit(0L).as("lid"), col(payload).as("p"))
+    l.unionByName(r)
+      .withWatermark("ts", delay)
+      .select(col("k"), col("ts"), unix_millis(col("ts")).as("ms"),
+        col("side"), col("lid"), col("p"))
+      .as[(Long, java.sql.Timestamp, Long, Int, Long, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfBuf, (Long, Long, Long, Option[Long])](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (k, rows, state: GroupState[AsOfBuf]) =>
+          val st = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          var lefts = st.lefts
+          var rights = st.rights
+          rows.foreach { case (_, _, ms, side, lid, p) =>
+            if (side == 1) lefts +:= ((ms, lid)) else rights +:= ((ms, p))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val rSorted = rights.sortBy(_._1)
+          // earliest buffered right in the left's window, if any
+          def candOf(lt: Long): Option[(Long, Option[Long])] =
+            rSorted.find(r => r._1 >= lt && r._1 <= lt + tolMs)
+          val (ripe, pending) = lefts.partition { case (lt, _) =>
+            candOf(lt).exists(_._1 <= wm) || (candOf(lt).isEmpty && wm >= lt + tolMs)
+          }
+          val out = ripe.sortBy(identity).map { case (lt, lid) =>
+            (k, lid, lt, candOf(lt).flatMap(_._2))
+          }
+          // no residue: rights at-or-before the watermark are dead for
+          // every possible future left
+          val kept = rSorted.filter(_._1 >= wm)
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(pending, kept))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map { case (lt, _) =>
+                candOf(lt).map(_._1).getOrElse(Long.MaxValue).min(lt + tolMs)
+              }.min)
+            else
+              // rights-only key: without a timer it would never be
+              // re-invoked and the buffered rights would leak (the
+              // asOfLatest idle-residue hazard, here fully solvable) —
+              // fire just past the last kept right, when the prune
+              // empties the state
+              state.setTimeoutTimestamp(kept.map(_._1).max + 1)
+          }
+          out.iterator
+      }
+      .toDF("k", "left_id", "ts_ms", "payload")
+  }
+
   /** Funnel streaming: the [[graft.ads.EventFlows.funnelOf]] state
     * machine as keyed state — per user, first `view`, first `click`
     * strictly after it, first `purchase` strictly after that. State is

@@ -220,6 +220,58 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map(1L -> Some(250L), 2L -> Some(20L)))
   }
 
+  test("streaming forward as-of: earliest right within tolerance, " +
+      "batch parity, cross-batch disorder") {
+    implicit val sc = spark.sqlContext
+    val tol = 30000L
+    val rights = Seq(
+      AR(1, t("2021-03-21 10:00:10"), 100L),
+      AR(1, t("2021-03-21 10:00:20"), 200L),
+      AR(3, t("2021-03-21 10:00:01"), 900L)) // right-only key: no output
+    val lefts = Seq(
+      AL(1, 1, t("2021-03-21 10:00:05")), // earliest at-or-after -> 100
+      AL(2, 1, t("2021-03-21 10:00:10")), // tie -> 100
+      AL(3, 1, t("2021-03-21 10:00:15")), // -> 200
+      AL(4, 1, t("2021-03-21 10:00:21")), // nothing within 30 s -> null
+      AL(5, 2, t("2021-03-21 10:00:07"))) // key with no rights -> null
+    val lSrc = MemoryStream[AL]
+    val rSrc = MemoryStream[AR]
+    val q = StreamJobs.asOfNext(lSrc.toDF(), rSrc.toDF(),
+        "lk", "rk", "lts", "rts", "lid", "pay", tol)
+      .writeStream.format("memory").queryName("asof_fwd")
+      .outputMode("append").start()
+    // lefts land a batch BEFORE the rights they await (cross-batch
+    // state), then sentinels finalize everything
+    lSrc.addData(lefts: _*)
+    q.processAllAvailable()
+    rSrc.addData(rights: _*)
+    q.processAllAvailable()
+    lSrc.addData(AL(99, 999, t("2021-04-01 00:00:00")))
+    rSrc.addData(AR(998, t("2021-04-01 00:00:00"), 0L))
+    q.processAllAvailable()
+    // the no-residue claim: every real key (1, 2, 3) is fully evicted
+    // once flushed — only the two sentinel keys (pending left 999,
+    // ahead-of-watermark right 998) may remain in the state store
+    assert(q.lastProgress.stateOperators.head.numRowsTotal === 2L,
+      s"forward as-of must keep no dimension residue: ${q.lastProgress}")
+    q.stop()
+    val got = spark.table("asof_fwd")
+      .filter(col("left_id") < 99)
+      .select("left_id", "payload").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got === Map(1L -> Some(100L), 2L -> Some(100L),
+      3L -> Some(200L), 4L -> None, 5L -> None))
+    // parity with the batch directional operator on the same rows
+    val batch = graft.operators.AsOf.asOfDirection(
+        lefts.toDF().select(col("lid"), col("lk"),
+          unix_millis(col("lts")).as("lms")),
+        rights.toDF().select(col("rk"),
+          unix_millis(col("rts")).as("rms"), col("pay")),
+        "lk", "rk", "lms", "rms", Seq("pay"), "forward", tol)
+      .select("lid", "pay").as[(Long, Option[Long])].collect().toMap
+    assert(got === batch)
+  }
+
   test("streaming as-of join: idle-key TTL evicts the dimension residue; " +
       "default keeps it forever") {
     implicit val sc = spark.sqlContext
