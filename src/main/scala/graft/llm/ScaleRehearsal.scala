@@ -1456,6 +1456,75 @@ object ScaleRehearsal {
     require(peak2 <= (peak1 * 3) / 2,
       s"as-of state grew with TOTAL events ($peak1 -> $peak2 bytes); " +
         "expected watermark-bounded transient + per-key residue")
+
+    // forward leg (r15): same corpus through StreamJobs.asOfNext — the
+    // claims under measurement are (a) NO residue: post-flush state is
+    // the sentinel keys alone, not ~keys rows, and (b) peak state is
+    // watermark/tolerance-bounded, flat across 2× events
+    val fwdTol = 40000L
+    def runFwd(nLefts: Long, checkParity: Boolean): (Long, Long) = {
+      val nRights = nLefts / 4
+      val nb = (nLefts / perBatch).toInt
+      val lSrc = MemoryStream[RehL]
+      val rSrc = MemoryStream[RehR]
+      val view = s"scale_asof_fwd_$nLefts"
+      val q = graft.streaming.StreamJobs.asOfNext(
+          lSrc.toDF(), rSrc.toDF(), "lkey", "rkey", "lts", "rts",
+          "l_id", "r_id", tolMs = fwdTol, delay = "10 seconds")
+        .writeStream.format("memory").queryName(view)
+        .outputMode("append").start()
+      val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val t0 = System.nanoTime()
+      (0 until nb).foreach { b =>
+        val (l0, l1) = (nLefts * b / nb, nLefts * (b + 1) / nb)
+        lSrc.addData((l0 until l1).map(i =>
+          RehL(i, i % keys, new java.sql.Timestamp(base + i), 0.0)))
+        val (r0, r1) = (nRights * b / nb, nRights * (b + 1) / nb)
+        rSrc.addData((r0 until r1).map(j =>
+          RehR(j, j % keys, new java.sql.Timestamp(base + j * 4), 0.0)))
+        q.processAllAvailable()
+        mem += q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val far = new java.sql.Timestamp(base + 4000000000L)
+      lSrc.addData(RehL(-1L, -1L, far, 0.0))
+      rSrc.addData(RehR(-2L, -2L, far, 0.0))
+      q.processAllAvailable()
+      val finalRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      val total = nLefts + nRights
+      println(f"[scale] asOfNext[$nLefts]: $total events in $secs%.1f s = " +
+        f"${total / secs / 1e6}%.2f M rows/s; peak state " +
+        f"${mem.max / 1024 / 1024}%d MiB; post-flush rows $finalRows")
+      require(finalRows <= 4,
+        s"forward as-of must keep NO residue, got $finalRows state rows")
+      if (checkParity) {
+        val streamed = spark.table(view).filter(col("left_id") >= 0)
+          .select(col("left_id"), col("payload"))
+        val lDf = spark.range(nLefts).select(col("id").as("l_id"),
+          (col("id") % keys).as("lk"), (lit(base) + col("id")).as("lms"))
+        val rDf = spark.range(nRights).select(col("id").as("r_id"),
+          (col("id") % keys).as("rk"), (lit(base) + col("id") * 4).as("rms"))
+        val batch = graft.operators.AsOf
+          .asOfDirection(lDf, rDf, "lk", "rk", "lms", "rms",
+            Seq("r_id"), "forward", fwdTol)
+          .select(col("l_id").as("left_id"), col("r_id").as("payload"))
+        val missing = batch.exceptAll(streamed).count()
+        val extra = streamed.exceptAll(batch).count()
+        require(missing == 0 && extra == 0,
+          s"stream/batch forward-as-of parity broken: $missing missing, " +
+            s"$extra extra")
+        println(s"[scale] asOfNext[$nLefts] parity: $nLefts streamed rows " +
+          "EXACTLY equal asOfDirection(forward, tol)")
+      }
+      (mem.max, finalRows)
+    }
+    val (fp1, _) = runFwd(500000L, checkParity = true)
+    val (fp2, _) = runFwd(1000000L, checkParity = false)
+    println(f"[scale] asOfNext peak state: ${fp1 / 1024}%d KiB at 0.5M vs " +
+      f"${fp2 / 1024}%d KiB at 1M lefts (ratio ${fp2.toDouble / fp1}%.2f)")
+    require(fp2 <= (fp1 * 3) / 2,
+      s"forward as-of state grew with TOTAL events ($fp1 -> $fp2 bytes)")
   }
 
   // ---- (ladder) growth exponents for the top-CPU pipelines ---------
