@@ -48,6 +48,7 @@ object SparkEntry {
     "q_asof_latest_order_native" -> (plans.NativeAsOf.latestOrderQuery(_, _)),
     // Keyless value-range join via the bucket device (no BNLJ/cartesian)
     "q_range_price_band"   -> (operators.RangeJoin.priceBandQuery(_, _)),
+    "q_range_band_overlap" -> (operators.RangeJoin.bandOverlapQuery(_, _)),
     // Skew mitigation: salted fact×dim join, result-invisible salt
     "q_skew_salted_agg"    -> (func.Skew.saltedJoinQuery(_, _)),
     // DWS — windowed stats (§2.6)
@@ -339,6 +340,7 @@ object SparkEntry {
     "q_asof_nearest_order" -> operators.AsOf.nearestOrderOracle,
     "q_asof_latest_order_native" -> operators.AsOf.latestOrderOracle,
     "q_range_price_band"   -> operators.RangeJoin.priceBandOracle,
+    "q_range_band_overlap" -> operators.RangeJoin.bandOverlapOracle,
     "q_skew_salted_agg"    -> func.Skew.saltedJoinOracle,
     "q_dws_visitor_stats"  -> dws.VisitorStats.oracle,
     "q_dws_visitor_stats_hop" -> dws.VisitorStats.hoppingOracle,

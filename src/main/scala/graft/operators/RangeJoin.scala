@@ -47,17 +47,14 @@ object RangeJoin {
     * instead, naming the row and the knob. */
   val MaxSpanBuckets = 1L << 20
 
-  /** Generic point-in-interval join: every (point row × interval row)
-    * pair with `lo <= point <= hi`, produced exactly once. */
-  def pointInInterval(points: DataFrame, intervals: DataFrame,
-      pointCol: String, loCol: String, hiCol: String,
-      bucketWidth: Long = BucketWidth): DataFrame = {
-    require(bucketWidth >= 1, s"bucket width $bucketWidth must be >= 1")
-    val clash = (points.columns ++ intervals.columns).filter(_ == "__b")
-    require(clash.isEmpty,
-      "input column __b collides with the bucket-internal name")
+  /** Valid intervals exploded to their overlapped buckets as `__b`,
+    * behind the span guard: null bounds and inverted intervals drop,
+    * an interval spanning more than [[MaxSpanBuckets]] buckets raises
+    * a named error pointing at the `bucketWidth` knob. */
+  private def bucketExplode(intervals: DataFrame, loCol: String,
+      hiCol: String, bucketWidth: Long): DataFrame = {
     val span = expr(s"($hiCol DIV $bucketWidth) - ($loCol DIV $bucketWidth) + 1")
-    val iv = intervals
+    intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) <= col(hiCol))
       .withColumn("__b", explode(sequence(
@@ -68,11 +65,56 @@ object RangeJoin {
           "bucketWidth toward span/1000'))").cast("long"))
           .otherwise(expr(s"$loCol DIV $bucketWidth")),
         expr(s"$hiCol DIV $bucketWidth"))))
+  }
+
+  /** Generic point-in-interval join: every (point row × interval row)
+    * pair with `lo <= point <= hi`, produced exactly once. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long = BucketWidth): DataFrame = {
+    require(bucketWidth >= 1, s"bucket width $bucketWidth must be >= 1")
+    val clash = (points.columns ++ intervals.columns).filter(_ == "__b")
+    require(clash.isEmpty,
+      "input column __b collides with the bucket-internal name")
+    val iv = bucketExplode(intervals, loCol, hiCol, bucketWidth)
     val pt = points
       .filter(col(pointCol).isNotNull)
       .withColumn("__b", expr(s"$pointCol DIV $bucketWidth"))
     pt.join(iv, Seq("__b"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__b")
+  }
+
+  /** Interval × interval OVERLAP join — the third member of the
+    * range-join family (point-in-interval, as-of, overlap): every
+    * (left row × right row) pair whose inclusive intervals intersect
+    * (`lLo <= rHi AND rLo <= lHi`), produced exactly once. Same
+    * bucket device as [[pointInInterval]], but since BOTH sides
+    * explode, a true pair meets in every bucket their intersection
+    * overlaps — the dedup is the RESPONSIBILITY rule: the pair is
+    * emitted only from the first bucket of the intersection,
+    * `greatest(lLo, rLo) DIV bucketWidth`, which both sides are
+    * guaranteed to populate. No distinct pass, no BNLJ/cartesian.
+    *
+    * Contract as [[pointInInterval]] (non-negative LONG bounds,
+    * inclusive, nulls/inverted never match); the two inputs must not
+    * share column names. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bucketWidth: Long = BucketWidth): DataFrame = {
+    require(bucketWidth >= 1, s"bucket width $bucketWidth must be >= 1")
+    val shared = left.columns.toSet intersect right.columns.toSet
+    require(shared.isEmpty,
+      s"inputs share columns ${shared.mkString(",")} — rename before joining")
+    val clash = (left.columns ++ right.columns).filter(_ == "__b")
+    require(clash.isEmpty,
+      "input column __b collides with the bucket-internal name")
+    val l = bucketExplode(left, lLo, lHi, bucketWidth)
+    val r = bucketExplode(right, rLo, rHi, bucketWidth)
+    l.join(r, Seq("__b"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__b") ===
+        expr(s"greatest($lLo, $rLo) DIV $bucketWidth"))
       .drop("__b")
   }
 
@@ -94,6 +136,38 @@ object RangeJoin {
       .groupBy("p_partkey")
       .agg(count(lit(1)).as("match_ct"))
   }
+
+  /** Concrete overlap query: pairs of parts whose ±0.1% retail-price
+    * bands INTERSECT (price-collision audit), counted per lower
+    * part key — the self-overlap form every SCD2/validity-interval
+    * audit reduces to. Bands are ~±150 cents wide at these prices, so
+    * each spans 1–2 of the 1024-cent buckets and bucket occupancy —
+    * not the 2M-pair cross product — bounds the candidate work. */
+  def bandOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+    def bands(keyAs: String, loAs: String, hiAs: String) =
+      Tables.part(spark, dir)
+        .select(col("p_partkey"),
+          floor(col("p_retailprice") * 100).cast("long").as("rp"))
+        .select(col("p_partkey").as(keyAs),
+          (col("rp") - expr("rp DIV 1000")).as(loAs),
+          (col("rp") + expr("rp DIV 1000")).as(hiAs))
+    intervalOverlap(bands("pk_a", "lo_a", "hi_a"),
+        bands("pk_b", "lo_b", "hi_b"), "lo_a", "hi_a", "lo_b", "hi_b")
+      .filter(col("pk_a") < col("pk_b"))
+      .groupBy(col("pk_a").as("p_partkey"))
+      .agg(count(lit(1)).as("overlap_ct"))
+  }
+
+  /** DuckDB plans the overlap predicate natively (IEJoin). */
+  val bandOverlapOracle: String =
+    """WITH iv AS (SELECT p_partkey, rp - rp // 1000 AS lo, rp + rp // 1000 AS hi
+      |            FROM (SELECT p_partkey,
+      |                         CAST(floor(p_retailprice * 100) AS BIGINT) AS rp
+      |                  FROM part))
+      |SELECT a.p_partkey, CAST(count(*) AS BIGINT) AS overlap_ct
+      |FROM iv a JOIN iv b
+      |  ON a.p_partkey < b.p_partkey AND a.lo <= b.hi AND b.lo <= a.hi
+      |GROUP BY 1""".stripMargin
 
   /** DuckDB states the operator natively (its IEJoin plans BETWEEN
     * range predicates); identical integer-cent arithmetic. */

@@ -58,6 +58,58 @@ class RangeJoinSpec extends SparkSpec {
       .count() === 1L)
   }
 
+  test("intervalOverlap equals the naive theta join, once per pair") {
+    val a = Seq(
+      (1L, 0L, 10L),        // within one bucket
+      (2L, 1000L, 3000L),   // spans buckets: responsibility dedup here
+      (3L, 5000L, 5000L),   // degenerate point interval
+      (4L, 9L, 3L)          // inverted: never matches
+    ).toDF("a_id", "lo_a", "hi_a")
+    val b = Seq(
+      (10L, 10L, 1200L),    // touches 1 at the endpoint (inclusive), 2 mid
+      (11L, 2000L, 6000L),  // overlaps 2 across buckets and 3 exactly
+      (12L, 20L, 30L),      // disjoint from everything but b-side only
+      (13L, 0L, 9000L)      // covers all
+    ).toDF("b_id", "lo_b", "hi_b")
+    val got = RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b")
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // the raw theta predicate alone would MATCH inverted intervals
+    // (9 <= 9000 && 0 <= 3); the contract excludes them up front
+    val naive = a.filter(col("lo_a") <= col("hi_a"))
+      .join(b.filter(col("lo_b") <= col("hi_b")),
+        col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.values.forall(_ == 1), s"pair produced more than once: $got")
+    assert(got.keySet === naive)
+    assert(got.keySet.contains((1L, 10L)), "inclusive endpoint touch")
+    assert(got.keySet.contains((2L, 11L)), "cross-bucket overlap")
+    assert(!got.keySet.exists(_._1 == 4L), "inverted interval never matches")
+  }
+
+  test("band-overlap query plans an EQUI join and matches the theta form") {
+    val q = RangeJoin.bandOverlapQuery(spark, Sf)
+    q.queryExecution.toRdd.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap join must ride the bucket equi-join:\n$plan")
+    val got = q.as[(Long, Long)].collect().toMap
+    val iv = graft.Tables.part(spark, Sf)
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100).cast("long").as("rp"))
+      .select(col("p_partkey"),
+        (col("rp") - expr("rp DIV 1000")).as("lo"),
+        (col("rp") + expr("rp DIV 1000")).as("hi"))
+    val naive = iv.as("a").join(iv.as("b"),
+        col("a.p_partkey") < col("b.p_partkey") &&
+        col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+      .groupBy(col("a.p_partkey")).agg(count(lit(1)).as("ct"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === naive)
+    assert(got.nonEmpty, "vacuous fixture — no band overlaps any other")
+  }
+
   test("price-band query plans an EQUI join — no nested loop, no cartesian") {
     val q = RangeJoin.priceBandQuery(spark, Sf)
     q.queryExecution.toRdd.count()
