@@ -49,6 +49,27 @@ object Dedup {
   def hashA(i: Int): Long = 2L * ((i * 2654435761L) % 2047L) + 3L
   def hashB(i: Int): Long = ((i + 17) * 1099511628211L) % P
 
+  /** The ONE exact-Jaccard verification every candidate family ends
+    * in (LSH bands, inverted index, prefix filter, sorted
+    * neighborhood) — the hash-locked arithmetic the oracles replay,
+    * factored so a change cannot silently desync one copy. `u_ct > 0`
+    * guards candidate generators that can pair zero-shingle docs
+    * (sorted neighborhood); for shared-shingle candidates it is a
+    * no-op. */
+  private def jaccardVerify(cands: DataFrame, shl: DataFrame): DataFrame =
+    cands
+      .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("i_ct"),
+        size(array_union(col("sa.shingles"), col("sb.shingles")))
+          .cast("long").as("u_ct"))
+      .filter(col("u_ct") > 0)
+      .withColumn("jac_ppm", expr("(1000000 * i_ct) DIV u_ct"))
+      .filter(col("jac_ppm") >= JaccardPpmThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+
   /** Minimum Jaccard (in ppm) for a candidate pair to count as a dup. */
   val JaccardPpmThreshold = 800000L
 
@@ -305,17 +326,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands
-      .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa.shingles"), col("sb.shingles")))
-          .cast("long").as("i_ct"),
-        size(array_union(col("sa.shingles"), col("sb.shingles")))
-          .cast("long").as("u_ct"))
-      .withColumn("jac_ppm", expr("(1000000 * i_ct) DIV u_ct"))
-      .filter(col("jac_ppm") >= JaccardPpmThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+    jaccardVerify(cands, shl)
   }
 
   /** [[lshDuplicates]] behind an EXACT-duplicate pre-collapse — the
@@ -454,17 +465,7 @@ object Dedup {
   /** [[ngramJaccard]] over any (doc_id, text) frame. */
   def ngramJaccardOf(docs: DataFrame): DataFrame = {
     val (cands, shl) = jaccardCandidates(docs)
-    cands
-      .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa.shingles"), col("sb.shingles")))
-          .cast("long").as("i_ct"),
-        size(array_union(col("sa.shingles"), col("sb.shingles")))
-          .cast("long").as("u_ct"))
-      .withColumn("jac_ppm", expr("(1000000 * i_ct) DIV u_ct"))
-      .filter(col("jac_ppm") >= JaccardPpmThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+    jaccardVerify(cands, shl)
   }
 
   /** Shared inverted-index candidate generation for the exact-shingle
@@ -537,18 +538,7 @@ object Dedup {
         col("y.rank") <= col("x.rank") + SnWindow)
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-    cands
-      .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa.shingles"), col("sb.shingles")))
-          .cast("long").as("i_ct"),
-        size(array_union(col("sa.shingles"), col("sb.shingles")))
-          .cast("long").as("u_ct"))
-      .filter(col("u_ct") > 0)
-      .withColumn("jac_ppm", expr("(1000000 * i_ct) DIV u_ct"))
-      .filter(col("jac_ppm") >= JaccardPpmThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+    jaccardVerify(cands, shl)
   }
 
   lazy val sortedNeighborDupsOracle: String =
@@ -725,17 +715,7 @@ object Dedup {
         col("b.sz") * lit(1000000L) >= col("a.sz") * lit(t))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands
-      .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa.shingles"), col("sb.shingles")))
-          .cast("long").as("i_ct"),
-        size(array_union(col("sa.shingles"), col("sb.shingles")))
-          .cast("long").as("u_ct"))
-      .withColumn("jac_ppm", expr("(1000000 * i_ct) DIV u_ct"))
-      .filter(col("jac_ppm") >= t)
-      .select(col("doc_a"), col("doc_b"), col("jac_ppm"))
+    jaccardVerify(cands, shl)
   }
 
   /** [[ngramJaccardPrefix]] behind the exact-duplicate pre-collapse —

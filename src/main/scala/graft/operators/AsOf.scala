@@ -120,7 +120,10 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(payload.forall(c => !leftCols.contains(c)),
       s"payload ${payload.mkString(",")} collides with left columns")
-    val reserved = Seq("__k", "__t", "__side", "__p", "__pb", "__pf")
+    // __rt is a STRUCT FIELD here (the picked row's own time), so a
+    // payload or input column of that name would make the struct
+    // ambiguous — reserve it with the rest
+    val reserved = Seq("__k", "__t", "__side", "__p", "__pb", "__pf", "__rt")
     val clash = (left.columns ++ right.columns).filter(reserved.contains)
     require(clash.isEmpty,
       s"input columns ${clash.mkString(",")} collide with asOf-internal " +
@@ -195,15 +198,7 @@ object AsOf {
     * orders deduped to one per (custkey, date) by max orderkey so the
     * tie winner is engine-independent). */
   def latestOrderQuery(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(
-      col("event_id"), col("user_id"),
-      Exprs.epochMs(col("ts")).as("ts_ms"))
-    val ord = Tables.orders(spark, dir)
-      .select(col("o_custkey"),
-        Exprs.epochMs(col("o_orderdate")).as("o_date_ms"),
-        col("o_orderkey"))
-      .groupBy("o_custkey", "o_date_ms")
-      .agg(max("o_orderkey").as("o_orderkey"))
+    val (ev, ord) = eventOrderSides(spark, dir)
     asOf(ev, ord, "user_id", "o_custkey", "ts_ms", "o_date_ms",
       Seq("o_orderkey", "o_date_ms"))
       .withColumn("days_since",

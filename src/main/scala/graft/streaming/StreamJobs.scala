@@ -326,10 +326,13 @@ object StreamJobs {
           val kept = closed.takeRight(1) ++ open
           if (pending.isEmpty && kept.isEmpty) state.remove()
           else if (idleTtlMs > 0 && state.hasTimedOut &&
-              pending.isEmpty && open.isEmpty) {
-            // idle-key eviction: the TTL timer fired (so no activity
-            // for idleTtlMs of watermark time) and only the dimension
-            // residue remains — forget it
+              st.lefts.isEmpty && pending.isEmpty && open.isEmpty) {
+            // idle-key eviction. hasTimedOut alone is NOT enough: the
+            // FLUSH timer (armed on the earliest pending left) also
+            // sets it, and evicting on that firing would forget the
+            // residue the instant the last left drains — st.lefts
+            // (the LOADED state) empty is what proves the timer that
+            // fired was the idle one, armed a full idleTtlMs ago
             state.remove()
           } else {
             state.update(AsOfBuf(pending, kept))
@@ -400,11 +403,17 @@ object StreamJobs {
           }
           val wm = state.getCurrentWatermarkMs()
           val rSorted = rights.sortBy(_._1)
+          // saturating lt + tol: the batch twin's "no bound" default
+          // is toleranceMs = Long.MaxValue, and a wrapped-negative
+          // deadline would flush every left as an instant null
+          def deadline(lt: Long): Long =
+            if (lt > Long.MaxValue - tolMs) Long.MaxValue else lt + tolMs
           // earliest buffered right in the left's window, if any
           def candOf(lt: Long): Option[(Long, Option[Long])] =
-            rSorted.find(r => r._1 >= lt && r._1 <= lt + tolMs)
+            rSorted.find(r => r._1 >= lt && r._1 <= deadline(lt))
           val (ripe, pending) = lefts.partition { case (lt, _) =>
-            candOf(lt).exists(_._1 <= wm) || (candOf(lt).isEmpty && wm >= lt + tolMs)
+            candOf(lt).exists(_._1 <= wm) ||
+              (candOf(lt).isEmpty && wm >= deadline(lt))
           }
           val out = ripe.sortBy(identity).map { case (lt, lid) =>
             (k, lid, lt, candOf(lt).flatMap(_._2))
@@ -417,7 +426,7 @@ object StreamJobs {
             state.update(AsOfBuf(pending, kept))
             if (pending.nonEmpty)
               state.setTimeoutTimestamp(pending.map { case (lt, _) =>
-                candOf(lt).map(_._1).getOrElse(Long.MaxValue).min(lt + tolMs)
+                candOf(lt).map(_._1).getOrElse(Long.MaxValue).min(deadline(lt))
               }.min)
             else
               // rights-only key: without a timer it would never be

@@ -286,18 +286,29 @@ class StreamingSpec extends SparkSpec {
       rSrc.addData(AR(1, t("2021-03-21 10:00:00"), 100L))
       lSrc.addData(AL(1, 1, t("2021-03-21 10:00:05")))
       q.processAllAvailable()
-      // watermark to 10:01:00: left 1 finalizes (-> 100), key 1 drops
-      // to the residue right; with TTL=60s the idle timer arms at 10:02
+      // watermark to 10:01:00: the FLUSH timer fires, left 1
+      // finalizes (-> 100), key 1 drops to the residue right; with
+      // TTL=60s the idle clock arms at 10:02
       lSrc.addData(AL(97, 999, t("2021-03-21 10:02:00")))
       rSrc.addData(AR(997, t("2021-03-21 10:02:00"), 0L))
       q.processAllAvailable()
-      // watermark to 10:19:00, far past the idle deadline: the TTL
-      // branch (and only it) forgets key 1's residue
+      // a left RETURNING WITHIN the TTL (10:01:30 < 10:01 + 60s) must
+      // still see the residue — this is exactly the row that catches
+      // an eviction keyed off the flush timer instead of the idle one
+      lSrc.addData(AL(2, 1, t("2021-03-21 10:01:30")))
+      q.processAllAvailable()
+      // watermark to 10:19:00: left 2 flushes (-> 100) and the idle
+      // clock re-arms at 10:20
       lSrc.addData(AL(98, 999, t("2021-03-21 10:20:00")))
       rSrc.addData(AR(998, t("2021-03-21 10:20:00"), 0L))
       q.processAllAvailable()
+      // watermark to 10:25:00, past the re-armed idle deadline: the
+      // TTL branch (and only it) forgets key 1's residue
+      lSrc.addData(AL(100, 999, t("2021-03-21 10:26:00")))
+      rSrc.addData(AR(995, t("2021-03-21 10:26:00"), 0L))
+      q.processAllAvailable()
       // a fresh (not-late) left on key 1 after the quiet stretch
-      lSrc.addData(AL(2, 1, t("2021-03-21 10:19:30")))
+      lSrc.addData(AL(3, 1, t("2021-03-21 10:25:30")))
       q.processAllAvailable()
       lSrc.addData(AL(99, 999, t("2021-04-01 00:00:00")))
       rSrc.addData(AR(996, t("2021-04-01 00:00:00"), 0L))
@@ -310,11 +321,12 @@ class StreamingSpec extends SparkSpec {
     // default: the residue is kept forever — the late-returning key
     // still sees its dimension payload
     assert(run("asof_nottl", 0L) ===
-      Map(1L -> Some(100L), 2L -> Some(100L)))
-    // TTL on: the idle key was evicted; the returning left matches
-    // NULL — the documented trade-off for rotating key domains
+      Map(1L -> Some(100L), 2L -> Some(100L), 3L -> Some(100L)))
+    // TTL on: the within-TTL return still matches; only the key idle
+    // past the TTL loses its residue — the documented trade-off for
+    // rotating key domains
     assert(run("asof_ttl", 60000L) ===
-      Map(1L -> Some(100L), 2L -> None))
+      Map(1L -> Some(100L), 2L -> Some(100L), 3L -> None))
   }
 
   test("streaming as-of join: restart from checkpoint keeps state and " +
