@@ -286,6 +286,7 @@ object SparkEntry {
     "q_llm_mmr_select"      -> (llm.Similarity.mmrSelect(_, _)),
     // CSV file source: same corrupt-column contract via Univocity (r9)
     "q_src_csv_roundtrip"   -> (sources.CsvLines.csvRoundtrip(_, _)),
+    "q_src_orc_roundtrip"   -> (sources.OrcEvents.orcRoundtrip(_, _)),
     // Heaps-law vocabulary growth curve (r9)
     "q_llm_vocab_growth"    -> (llm.VocabCoverage.vocabGrowth(_, _)),
     // word-break DP (typed partition loop; HOF form is interpreted) (r9)
@@ -492,6 +493,7 @@ object SparkEntry {
     "q_llm_dedup_sweep"     -> llm.Similarity.dedupSweepOracle,
     "q_llm_mmr_select"      -> llm.Similarity.mmrSelectOracle,
     "q_src_csv_roundtrip"   -> sources.CsvLines.csvRoundtripOracle,
+    "q_src_orc_roundtrip"   -> sources.OrcEvents.orcRoundtripOracle,
     "q_llm_vocab_growth"    -> llm.VocabCoverage.vocabGrowthOracle,
     "q_llm_word_break"      -> llm.Segmentation.wordBreakOracle,
     "q_llm_containment"     -> llm.Dedup.containmentOracle,
