@@ -115,6 +115,25 @@ class AsOfSpec extends SparkSpec {
       "e3" -> None))
   }
 
+  test("asOfDirection nearest plans ONE key exchange — two stacked " +
+      "windows, no join") {
+    val q = AsOf.nearestOrderQuery(spark, Sf)
+    q.queryExecution.toRdd.count()
+    // AQE's toString echoes the initial plan below the final one —
+    // assert on the FINAL section only
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning\\(__k".r.findAllIn(plan).length === 1,
+      s"both direction windows must share one key exchange:\n$plan")
+    assert("Window \\[last".r.findAllIn(plan).length === 2,
+      s"expected the backward and forward running-last windows:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the union device must not plan a join:\n$plan")
+    assert(!plan.contains("unboundedfollowing"),
+      s"forward must ride the DESC running frame, not an O(n^2) " +
+        s"unbounded-following frame:\n$plan")
+  }
+
   test("asOfDirection backward with infinite tolerance equals asOf " +
       "on the real tables") {
     val ev = graft.Tables.events(spark, Sf).select(
