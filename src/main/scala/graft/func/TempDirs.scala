@@ -12,6 +12,15 @@ object TempDirs {
     * it and forgets the cleanup. */
   private val cachedDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** [[cached]] keyed by an input-directory string: the shardExport
+    * keying (wide-charset sanitize + hashCode to stay
+    * lowercase-collision-proof), hoisted so the five fixture sinks
+    * share ONE copy of the key derivation. */
+  def cachedFor(prefix: String, dir: String): String =
+    cached(s"$prefix-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+      s"-${Integer.toHexString(dir.hashCode)}")
+
   def cached(tag: String): String =
     cachedDirs.get(tag) match {
       case Some(p) => p

@@ -1321,9 +1321,7 @@ object CorpusOps {
     // a run for another scale factor overwrite the directory under a
     // deferred consumer — and a 32-bit hashCode key would reintroduce
     // exactly that bug for colliding dir strings
-    val path = graft.func.TempDirs.cached(
-      s"graft_llm_shard_export_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
-        s"_${Integer.toHexString(dir.hashCode)}")
+    val path = graft.func.TempDirs.cachedFor("graft_llm_shard_export", dir)
     val packed = packPayload(spark, dir)
     packed.write.mode("overwrite")
       .partitionBy("lang", "shard").parquet(path)

@@ -32,10 +32,7 @@ object CsvLines {
   /** The materialized CSV directory for `dir`'s events table —
     * cached per (JVM, dir) like the other fixture sinks. */
   def csvDir(spark: SparkSession, dir: String): String = {
-    val out = TempDirs.cached(
-      // shardExport keying: wide charset + lowercase-collision-proof
-      s"csvlines-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
-        s"-${Integer.toHexString(dir.hashCode)}")
+    val out = TempDirs.cachedFor("csvlines", dir)
     Tables.events(spark, dir)
       .select(col("event_id"),
         concat_ws(",", col("event_id"), col("user_id"), col("event_type"))

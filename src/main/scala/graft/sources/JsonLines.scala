@@ -37,10 +37,7 @@ object JsonLines {
   /** The materialized JSON-lines directory for `dir`'s events table —
     * cached per (JVM, dir) like the other fixture sinks. */
   def jsonDir(spark: SparkSession, dir: String): String = {
-    val out = TempDirs.cached(
-      // shardExport keying: wide charset + lowercase-collision-proof
-      s"jsonlines-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
-        s"-${Integer.toHexString(dir.hashCode)}")
+    val out = TempDirs.cachedFor("jsonlines", dir)
     val line = to_json(struct(col("event_id"), col("user_id"),
       col("event_type"), col("value")))
     Tables.events(spark, dir)

@@ -16,8 +16,10 @@ import graft.func.TempDirs
   * 100 TB lake between the two columnar formats does not change the
   * query shapes, only the file codec.
   *
-  * Fixture discipline as [[CsvLines]]: the events table renders once
-  * per (JVM, dir) into a cached ORC directory; the read-back query
+  * Fixture discipline as [[CsvLines]]: the events table renders into
+  * a per-(JVM, dir) cached PATH — overwrite-mode, so bench reps
+  * re-write the same directory (timing includes the write, exactly
+  * like the CSV/JSON legs) without accumulating files; the read-back query
   * filters and aggregates, and the oracle replays the same arithmetic
   * from the parquet table — hash-exact without DuckDB reading ORC. */
 object OrcEvents {
@@ -27,9 +29,7 @@ object OrcEvents {
 
   /** The materialized ORC directory for `dir`'s events table. */
   def orcDir(spark: SparkSession, dir: String): String = {
-    val out = TempDirs.cached(
-      s"orcevents-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
-        s"-${Integer.toHexString(dir.hashCode)}")
+    val out = TempDirs.cachedFor("orcevents", dir)
     Tables.events(spark, dir)
       .write.mode("overwrite").orc(out)
     out

@@ -28,10 +28,7 @@ object SchemaEvolution {
   /** The two-generation parquet layout for `dir`'s events table —
     * cached per (JVM, dir) like the other fixture sinks. */
   def evoDir(spark: SparkSession, dir: String): String = {
-    val out = TempDirs.cached(
-      // shardExport keying: wide charset + lowercase-collision-proof
-      s"schemaevo-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}" +
-        s"-${Integer.toHexString(dir.hashCode)}")
+    val out = TempDirs.cachedFor("schemaevo", dir)
     val ev = Tables.events(spark, dir)
     ev.filter(col("event_id") % 2 === 0)
       .select(col("event_id"), col("user_id"))

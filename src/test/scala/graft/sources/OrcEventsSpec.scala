@@ -27,7 +27,9 @@ class OrcEventsSpec extends SparkSpec {
     val q = OrcEvents.orcRoundtrip(spark, Sf)
     q.queryExecution.toRdd.count()
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("Format: ORC") || plan.contains("orc"),
+    // no path-substring fallback: the fixture dir name contains "orc",
+    // which would make a weaker assert vacuously true
+    assert(plan.contains("Format: ORC"),
       s"expected an ORC scan:\n$plan")
     // the range predicate must reach the file scan, not evaluate
     // post-scan only
