@@ -383,9 +383,10 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("shardExport layout prunes partitions on a (lang, shard) read") {
     CorpusOps.shardExport(spark, Sf).collect() // ensure exported
-    val path = graft.func.TempDirs.cached(
-      s"graft_llm_shard_export_${Sf.replaceAll("[^A-Za-z0-9._-]", "_")}" +
-        s"_${Integer.toHexString(Sf.hashCode)}")
+    // the SAME key derivation as the operator (the sixth hand copy of
+    // it is what the r15 hoist removed — and what broke this test
+    // when the shared copy changed separators)
+    val path = graft.func.TempDirs.cachedFor("graft_llm_shard_export", Sf)
     val q = spark.read.parquet(path)
       .filter(col("lang") === "en" && col("shard") === 3L)
     // the WHOLE POINT of the partitionBy layout: a dimension-filtered
