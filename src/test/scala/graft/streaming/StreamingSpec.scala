@@ -400,6 +400,37 @@ class StreamingSpec extends SparkSpec {
       (2L, 1024L), (2L, 2000L)))
   }
 
+  test("stream-static interval overlap: same operator body, batch parity") {
+    // both sides explode, but only the STREAM side's explode is
+    // unbounded — against a static interval table the responsibility
+    // dedup still needs no state store, it is a per-row predicate on
+    // the equi-joined bucket
+    implicit val sc = spark.sqlContext
+    val statics = Seq((1L, 0L, 10L), (2L, 1000L, 3000L), (3L, 5000L, 5000L))
+      .toDF("s_id", "lo_s", "hi_s")
+    val live = Seq((10L, 5L, 1200L), (11L, 2500L, 6000L), (12L, 20L, 30L))
+    val src = MemoryStream[(Long, Long, Long)]
+    val q = graft.operators.RangeJoin.intervalOverlap(
+        src.toDF().toDF("l_id", "lo_l", "hi_l"), statics,
+        "lo_l", "hi_l", "lo_s", "hi_s")
+      .select("l_id", "s_id")
+      .writeStream.format("memory").queryName("ovl_out")
+      .outputMode("append").start()
+    src.addData(live: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ovl_out").as[(Long, Long)].collect()
+    assert(streamed.length === streamed.distinct.length,
+      "responsibility dedup must hold stream-static")
+    val batch = graft.operators.RangeJoin.intervalOverlap(
+        live.toDF("l_id", "lo_l", "hi_l"), statics,
+        "lo_l", "hi_l", "lo_s", "hi_s")
+      .select("l_id", "s_id").as[(Long, Long)].collect().toSet
+    assert(streamed.toSet === batch)
+    assert(streamed.toSet === Set((10L, 1L), (10L, 2L), (11L, 2L),
+      (11L, 3L)))
+  }
+
   test("socket line ingest: live TCP endpoint, parse + corrupt channel") {
     // S1 end-to-end IN-SANDBOX: a real TCP server feeds JSON lines
     // (one good, one truncated, one good) through real micro-batches
