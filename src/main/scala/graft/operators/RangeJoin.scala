@@ -30,10 +30,11 @@ import graft.Tables
   * per-bucket candidate fan-out. Skewed value distributions ride AQE's
   * skew split (the bucket id is an ordinary shuffle key).
   *
-  * Contract: non-negative LONG point/bound columns (pre-scale money to
-  * integer cents — same convention as the as-of join's epoch-ms);
-  * bounds are INCLUSIVE on both sides; null points/bounds and
-  * inverted intervals (lo > hi) never match.
+  * Contract: LONG point/bound columns, signed OK (pre-scale money to
+  * integer cents — same convention as the as-of join's epoch-ms;
+  * pre-epoch timestamps and signed deltas bucket correctly via exact
+  * floor division); bounds are INCLUSIVE on both sides; null
+  * points/bounds and inverted intervals (lo > hi) never match.
   */
 object RangeJoin {
   /** Default bucket width (integer units, e.g. cents). */
@@ -47,13 +48,25 @@ object RangeJoin {
     * instead, naming the row and the knob. */
   val MaxSpanBuckets = 1L << 20
 
+  /** Exact FLOOR division of a LONG sql expression by the (positive)
+    * bucket width. `DIV` truncates toward zero, which would silently
+    * mis-bucket negative values (-1 DIV 1024 = 0 = the bucket of +1,
+    * dropping true pairs that straddle zero); the CASE repairs the
+    * truncation. Integer arithmetic end to end — `floor(x / w)` via
+    * doubles loses exactness past 2^53. (Cannot underflow: the -1
+    * branch needs x % w < 0, impossible at w = 1, and |x DIV w| <
+    * Long.MaxValue/1 for w >= 2.) */
+  private def fdiv(x: String, w: Long): String =
+    s"(CASE WHEN ($x) % $w < 0 THEN ($x) DIV $w - 1 ELSE ($x) DIV $w END)"
+
   /** Valid intervals exploded to their overlapped buckets as `__b`,
     * behind the span guard: null bounds and inverted intervals drop,
     * an interval spanning more than [[MaxSpanBuckets]] buckets raises
     * a named error pointing at the `bucketWidth` knob. */
   private def bucketExplode(intervals: DataFrame, loCol: String,
       hiCol: String, bucketWidth: Long): DataFrame = {
-    val span = expr(s"($hiCol DIV $bucketWidth) - ($loCol DIV $bucketWidth) + 1")
+    val span = expr(s"${fdiv(hiCol, bucketWidth)} - " +
+      s"${fdiv(loCol, bucketWidth)} + 1")
     intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) <= col(hiCol))
@@ -63,8 +76,8 @@ object RangeJoin {
           s", ', ', cast($hiCol as string), '] spans more than " +
           s"$MaxSpanBuckets buckets at width $bucketWidth -- raise " +
           "bucketWidth toward span/1000'))").cast("long"))
-          .otherwise(expr(s"$loCol DIV $bucketWidth")),
-        expr(s"$hiCol DIV $bucketWidth"))))
+          .otherwise(expr(fdiv(loCol, bucketWidth))),
+        expr(fdiv(hiCol, bucketWidth)))))
   }
 
   /** Generic point-in-interval join: every (point row × interval row)
@@ -79,7 +92,7 @@ object RangeJoin {
     val iv = bucketExplode(intervals, loCol, hiCol, bucketWidth)
     val pt = points
       .filter(col(pointCol).isNotNull)
-      .withColumn("__b", expr(s"$pointCol DIV $bucketWidth"))
+      .withColumn("__b", expr(fdiv(pointCol, bucketWidth)))
     pt.join(iv, Seq("__b"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__b")
@@ -96,7 +109,7 @@ object RangeJoin {
     * `greatest(lLo, rLo) DIV bucketWidth`, which both sides are
     * guaranteed to populate. No distinct pass, no BNLJ/cartesian.
     *
-    * Contract as [[pointInInterval]] (non-negative LONG bounds,
+    * Contract as [[pointInInterval]] (LONG bounds, signed OK,
     * inclusive, nulls/inverted never match); the two inputs must not
     * share column names. */
   def intervalOverlap(left: DataFrame, right: DataFrame,
@@ -114,7 +127,7 @@ object RangeJoin {
     l.join(r, Seq("__b"))
       .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
       .filter(col("__b") ===
-        expr(s"greatest($lLo, $rLo) DIV $bucketWidth"))
+        expr(fdiv(s"greatest($lLo, $rLo)", bucketWidth)))
       .drop("__b")
   }
 

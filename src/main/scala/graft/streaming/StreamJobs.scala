@@ -342,8 +342,13 @@ object StreamJobs {
             if (pending.nonEmpty)
               state.setTimeoutTimestamp(pending.map(_._1).min)
             else if (idleTtlMs > 0)
-              // arm the idle clock: any new data invocation re-arms it
-              state.setTimeoutTimestamp(wm + idleTtlMs)
+              // arm the idle clock (saturating, like asOfNext's
+              // deadline: a near-MaxValue "never evict" TTL must not
+              // wrap negative and evict instantly); any new data
+              // invocation re-arms it
+              state.setTimeoutTimestamp(
+                if (wm > Long.MaxValue - idleTtlMs) Long.MaxValue
+                else wm + idleTtlMs)
           }
           out.iterator
       }

@@ -28,6 +28,40 @@ class RangeJoinSpec extends SparkSpec {
     assert(!got.keySet.exists(_._1 == 4L), "inverted interval never matches")
   }
 
+  test("negative bounds bucket correctly — floor, not truncate-toward-zero") {
+    // -1 DIV 1024 truncates to 0 (the bucket of +1); a truncating
+    // bucketizer drops every pair that straddles zero. Points and
+    // intervals on both sides of zero, plus straddlers.
+    val points = Seq(-5000L, -1024L, -1L, 0L, 1L, 5000L).toDF("p")
+    val intervals = Seq(
+      (1L, -10L, 10L),        // straddles zero inside bucket +-0
+      (2L, -3000L, -1000L),   // fully negative, spans buckets
+      (3L, -6000L, 6000L),    // wide straddler: dedup check under sign
+      (4L, -1024L, -1024L)    // single-point negative, bucket boundary
+    ).toDF("id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi")
+      .select("id", "p").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val naive = points.join(intervals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("id", "p").as[(Long, Long)].collect().toSet
+    assert(got.values.forall(_ == 1), s"pair produced more than once: $got")
+    assert(got.keySet === naive)
+    assert(got.keySet.contains((1L, -1L)), "zero-straddling interval catches -1")
+    assert(got.keySet.contains((4L, -1024L)), "negative bucket boundary")
+
+    val a = Seq((1L, -100L, -1L), (2L, -2000L, 50L)).toDF("a_id", "lo_a", "hi_a")
+    val b = Seq((10L, -50L, 20L), (11L, -5000L, -1500L)).toDF("b_id", "lo_b", "hi_b")
+    val gotO = RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b")
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val naiveO = a.join(b, col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(gotO.values.forall(_ == 1), s"pair produced more than once: $gotO")
+    assert(gotO.keySet === naiveO)
+    assert(gotO.keySet === Set((1L, 10L), (2L, 10L), (2L, 11L)))
+  }
+
   test("pointInInterval: null points and null bounds never match") {
     val points = Seq(Some(5L), None).toDF("p")
     val intervals = Seq(
