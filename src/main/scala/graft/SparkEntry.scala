@@ -176,9 +176,10 @@ object SparkEntry {
     "q_llm_repetition"      -> (llm.CorpusOps.repetition(_, _)),
     "q_llm_hash_split"      -> (llm.CorpusOps.hashSplit(_, _)),
     "q_llm_quality_quantiles" -> (llm.CorpusOps.qualityQuantiles(_, _)),
-    // approximate-percentile scale variant (rows-only check; sketch
-    // estimates are not oracle-comparable — ProductStats.approx precedent)
-    "q_llm_quality_quantiles_approx" -> (llm.CorpusOps.qualityQuantilesApprox(_, _)),
+    // (the percentile_approx scale variant qualityQuantilesApprox
+    // stays a spec-bounded library surface; its BOARD slot is the
+    // hash-locked hq sketch pair below — same capability, full
+    // oracle check instead of rows-only)
     "q_llm_packing"         -> (llm.CorpusOps.packing(_, _)),
     "q_llm_packing_sharded" -> (llm.CorpusOps.packingSharded(_, _)),
     // corpus layout: deterministic training shuffle, length data card,
@@ -287,6 +288,9 @@ object SparkEntry {
     // CSV file source: same corrupt-column contract via Univocity (r9)
     "q_src_csv_roundtrip"   -> (sources.CsvLines.csvRoundtrip(_, _)),
     "q_src_orc_roundtrip"   -> (sources.OrcEvents.orcRoundtrip(_, _)),
+    // date-partitioned lake: directory-level partition pruning (r16)
+    "q_src_lake_prune"      -> (sources.PartitionedLake.pruneParquet(_, _)),
+    "q_src_lake_prune_orc"  -> (sources.PartitionedLake.pruneOrc(_, _)),
     // Heaps-law vocabulary growth curve (r9)
     "q_llm_vocab_growth"    -> (llm.VocabCoverage.vocabGrowth(_, _)),
     // word-break DP (typed partition loop; HOF form is interpreted) (r9)
@@ -426,7 +430,6 @@ object SparkEntry {
     "q_llm_repetition"      -> llm.CorpusOps.repetitionOracle,
     "q_llm_hash_split"      -> llm.CorpusOps.hashSplitOracle,
     "q_llm_quality_quantiles" -> llm.CorpusOps.qualityQuantilesOracle,
-    // q_llm_quality_quantiles_approx intentionally absent (estimates)
     "q_llm_packing"         -> llm.CorpusOps.packingOracle,
     "q_llm_packing_sharded" -> llm.CorpusOps.packingShardedOracle,
     "q_llm_corpus_shuffle"  -> llm.CorpusLayout.corpusShuffleOracle,
@@ -494,6 +497,8 @@ object SparkEntry {
     "q_llm_mmr_select"      -> llm.Similarity.mmrSelectOracle,
     "q_src_csv_roundtrip"   -> sources.CsvLines.csvRoundtripOracle,
     "q_src_orc_roundtrip"   -> sources.OrcEvents.orcRoundtripOracle,
+    "q_src_lake_prune"      -> sources.PartitionedLake.pruneOracle,
+    "q_src_lake_prune_orc"  -> sources.PartitionedLake.pruneOracle,
     "q_llm_vocab_growth"    -> llm.VocabCoverage.vocabGrowthOracle,
     "q_llm_word_break"      -> llm.Segmentation.wordBreakOracle,
     "q_llm_containment"     -> llm.Dedup.containmentOracle,

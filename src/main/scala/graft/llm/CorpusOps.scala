@@ -1423,11 +1423,13 @@ object CorpusOps {
     * `percentile_approx` (a mergeable rank sketch) behind the SAME
     * output shape — one map-side-combinable aggregate, no per-language
     * window, no partition-local sort, so a language's volume never
-    * serializes through one reducer. Estimates are not
-    * oracle-comparable (rows-only driver check, the
-    * [[graft.dws.ProductStats.approx]] precedent); the exact form
-    * stays the hash-checked calibration path, and the spec bounds the
-    * approx values' rank error against it. */
+    * serializes through one reducer. percentile_approx's randomized
+    * estimates are not oracle-comparable, so the BOARD slot for
+    * distributed quantiles is the deterministic, hash-locked
+    * histogram sketch ([[graft.llm.Sketches.hqSketch]] pair); this
+    * form remains the library surface for callers who want Spark's
+    * built-in KLL path, spec-bounded (rank error vs the exact form)
+    * rather than board-checked. */
   def qualityQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
     qualityQuantilesApproxOf(Tables.documents(spark, dir))
 

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.func.TempDirs
+
+/** Date-partitioned lake layout — the PARTITION-pruning leg of the
+  * ingest-format family. The roundtrip legs ([[CsvLines]],
+  * [[JsonLines]], [[OrcEvents]]) prove predicate pushdown and column
+  * pruning reach the file scan; this leg proves the third scan
+  * optimization a 100 TB lake lives on: directory-level partition
+  * elimination. The reference's db sink routes each table to its own
+  * path partition (gmall-realtime/.../app/dwd2/BaseDBApp2.java:74-87
+  * keys the sink by table name); a date-partitioned fact lake is the
+  * same layout discipline applied to time, and "read one day" must
+  * open one directory, not scan-and-discard 30.
+  *
+  * Layout: `dt=yyyy-MM-dd/` Hive-style directories via
+  * `partitionBy("dt")`, the layout every table format (Hive, Iceberg,
+  * Delta) degrades to on a plain filesystem. The dt column is DATE
+  * (derived `to_date(ts)` under the session's UTC contract —
+  * [[graft.Tables.events]] enforces it), so the partition values
+  * round-trip typed and the pruning filter is a typed equality, not a
+  * string compare.
+  *
+  * Scale shape: the one-day query's scan lists and reads ONLY the
+  * matching `dt=` directory — `PartitionFilters` in the plan, file
+  * count spec-asserted from the scan's own numFiles metric against
+  * the filesystem. Work is O(day), not O(lake); the remaining data
+  * predicate (user cap) still pushes into the day's row groups, and
+  * unreferenced columns still prune — all three scan optimizations
+  * compose on one scan, for BOTH columnar formats.
+  *
+  * Fixture discipline as [[OrcEvents]]: per-(JVM, dir, format) cached
+  * path, overwrite-mode so bench reps re-render in place. Read-back
+  * passes the writer frame's explicit schema: a degenerate empty
+  * input leaves a footerless directory that schema inference cannot
+  * read, and the explicit schema also pins the partition column's
+  * DATE type independent of inference. */
+object PartitionedLake {
+  /** The day the pruning query reads (mid-range of the generator's
+    * 30-day event window at every sf). */
+  val PruneDay = "2024-01-15"
+
+  /** Pushdown-able data predicate kept alongside the partition
+    * filter, same bound as [[OrcEvents.UserCap]]. */
+  val UserCap = 500L
+
+  private def eventsWithDt(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("dt", to_date(col("ts")))
+
+  /** Render `dir`'s events into a dt-partitioned lake in `format`
+    * ("parquet" | "orc"); returns the lake root. */
+  def lakeDir(spark: SparkSession, dir: String, format: String): String = {
+    val out = TempDirs.cachedFor(s"lake$format", dir)
+    eventsWithDt(spark, dir)
+      .write.mode("overwrite").format(format).partitionBy("dt").save(out)
+    out
+  }
+
+  /** One day of the lake, accounted per event type — must open only
+    * the `dt=[[PruneDay]]` directory. Output contract as
+    * [[OrcEvents.orcRoundtrip]]: (event_type, n_rows, user_sum,
+    * max_event). */
+  def pruneQuery(spark: SparkSession, dir: String,
+      format: String): DataFrame = {
+    val schema = eventsWithDt(spark, dir).schema
+    spark.read.format(format).schema(schema)
+      .load(lakeDir(spark, dir, format))
+      .filter(col("dt") === to_date(lit(PruneDay)) &&
+        col("user_id").isNotNull && col("user_id") <= UserCap)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("user_id")).as("user_sum"),
+        max(col("event_id")).as("max_event"))
+  }
+
+  def pruneParquet(spark: SparkSession, dir: String): DataFrame =
+    pruneQuery(spark, dir, "parquet")
+
+  def pruneOrc(spark: SparkSession, dir: String): DataFrame =
+    pruneQuery(spark, dir, "orc")
+
+  /** The oracle replays the day slice from the parquet events table
+    * (UTC calendar date both engines) — the partitioned roundtrip
+    * must be value-exact. */
+  lazy val pruneOracle: String =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(user_id) AS BIGINT) AS user_sum,
+       |       max(event_id) AS max_event
+       |FROM events
+       |WHERE CAST(ts AS DATE) = DATE '$PruneDay'
+       |  AND user_id IS NOT NULL AND user_id <= $UserCap
+       |GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PartitionedLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def viaParquetTable = graft.Tables.events(spark, Sf)
+    .filter(to_date(col("ts")) === to_date(lit(PartitionedLake.PruneDay)) &&
+      col("user_id").isNotNull && col("user_id") <= PartitionedLake.UserCap)
+    .groupBy("event_type")
+    .agg(count(lit(1)).as("n"), sum("user_id").as("s"),
+      max("event_id").as("m"))
+    .collect()
+    .map(r => Option(r.getString(0)) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+  for (format <- Seq("parquet", "orc")) {
+    test(s"$format lake: one-day query equals the parquet-table slice") {
+      val got = PartitionedLake.pruneQuery(spark, Sf, format).collect()
+        .map(r => Option(r.getString(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got === viaParquetTable)
+      assert(got.nonEmpty, "vacuous fixture — no events on the prune day")
+    }
+
+    test(s"$format lake: scan opens ONLY the pruned day's directory") {
+      val q = PartitionedLake.pruneQuery(spark, Sf, format)
+      q.queryExecution.toRdd.count()
+      val plan = q.queryExecution.executedPlan
+      val planStr = plan.toString
+      // the dt equality must be a PARTITION filter (directory-level
+      // elimination), not a data filter evaluated per row
+      val pf = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(planStr).getOrElse("")
+      assert(pf.contains("dt"), s"dt must be a partition filter:\n$planStr")
+      // the data predicate still pushes into the surviving files
+      assert(planStr.contains("PushedFilters: [") &&
+        planStr.contains("LessThanOrEqual(user_id,"),
+        s"user_id cap must push into the $format scan:\n$planStr")
+      // unreferenced columns still prune ([<,]ts: at any position)
+      val readSchema = "ReadSchema: \\S+".r.findFirstIn(planStr).getOrElse("")
+      assert(readSchema.nonEmpty && !"[<,]props:".r.unanchored.matches(readSchema),
+        s"unreferenced columns must prune from ReadSchema: $readSchema")
+      // ground truth from the scan's OWN metric: files read == files
+      // on disk under dt=PruneDay, strictly fewer than the lake total.
+      // collect() does not descend into AQE's materialized query
+      // stages (QueryStageExec has no children) — recurse explicitly
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val scans = allScans(plan)
+      assert(scans.size === 1, s"expected one file scan:\n$planStr")
+      val filesRead = scans.head.metrics("numFiles").value
+      val root = new java.io.File(
+        PartitionedLake.lakeDir(spark, Sf, format))
+      def dataFiles(d: java.io.File): Long =
+        Option(d.listFiles).toSeq.flatten.map {
+          case f if f.isDirectory => dataFiles(f)
+          case f if !f.getName.startsWith("_") && !f.getName.startsWith(".") => 1L
+          case _ => 0L
+        }.sum
+      val dayFiles =
+        dataFiles(new java.io.File(root, s"dt=${PartitionedLake.PruneDay}"))
+      val lakeFiles = dataFiles(root)
+      assert(filesRead === dayFiles,
+        s"scan read $filesRead files, the day's directory holds $dayFiles")
+      assert(dayFiles < lakeFiles,
+        s"fixture degenerate: the whole lake is one day ($lakeFiles files)")
+    }
+  }
+}
