@@ -56,7 +56,7 @@ object Dedup {
     * guards candidate generators that can pair zero-shingle docs
     * (sorted neighborhood); for shared-shingle candidates it is a
     * no-op. */
-  private def jaccardVerify(cands: DataFrame, shl: DataFrame): DataFrame =
+  private[llm] def jaccardVerify(cands: DataFrame, shl: DataFrame): DataFrame =
     cands
       .join(shl.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shl.as("sb"), col("doc_b") === col("sb.doc_id"))

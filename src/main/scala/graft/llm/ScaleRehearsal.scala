@@ -210,10 +210,55 @@ object ScaleRehearsal {
   val LadderVecClusterSize = 4
   val LadderVecClusterFrac = 0.10
 
+  // prefix-crossover corpora (r16, VERDICT r15 task 1): the
+  // df-skewed / boilerplate-heavy regime the MaxDf cap exists for.
+  // Regime B (cpu A/B): every doc = PxPositions boilerplate fragments
+  // drawn from per-position pools sized to hold fragment df ≈
+  // PxDfTarget — just UNDER MaxDf = 64, so the pruned path KEEPS the
+  // common shingles and pays their C(df,2) candidate bill — plus a
+  // rare per-doc tail (exactly what the prefix filter's rarest-first
+  // order selects). Pools scale WITH the rung so df, and with it the
+  // per-shingle bill, is scale-invariant: the corpus grows, the
+  // regime does not. Regime A (recall trap): fixed-size, NO rare
+  // tail, pools small enough that EVERY shingle — including the
+  // fragment-boundary ones — has df > MaxDf, so the pruned path's
+  // candidate generation keeps nothing at all.
+  val PxScales: Seq[Int] = Seq(1, 3, 10)
+  val PxDocs = 2500L       // rung x1 (x10 = 25k docs)
+  val PxPositions = 10     // boilerplate fragments per doc
+  val PxFragTokens = 8     // tokens per fragment
+  val PxDfTarget = 48L     // fragment df, just under Dedup.MaxDf
+  val PxTailTokens = 20    // rare per-doc tail tokens
+  val PxTwinPairEvery = 40L // docs per planted twin pair
+  val TrapDocs = 5000L
+  val TrapPositions = 16   // 16 fragments ⇒ differ-one-fragment J ≈ 0.85
+  val TrapPool = 7         // boundary-combo df = 5000/49 ≈ 102 > MaxDf
+  val TrapTwinPairs = 200
+
+  // interval-overlap ladder (r16, VERDICT r15 task 2): intervals per
+  // side at x1, and the occupancy target that fixes the value domain
+  // (domain = n·w/occ — the domain grows WITH the corpus at constant
+  // per-bucket occupancy, which is the operator's intended tuning and
+  // how a 100 TB time/value axis actually arrives).
+  val RangeScales: Seq[Int] = Seq(1, 3, 10)
+  val RangeBase = 500000L  // x1 big enough that fixed shuffle/codegen
+                           // overhead doesn't swamp the exponent
+  val RangeOcc = 16L
+
   /** Scale-aware sign-LSH band width — delegates to the operator-owned
     * [[Similarity.scaleBits]] (same formula the board query and its
     * SQL oracle replay). */
   def ladderBits(nVecs: Long): Int = Similarity.scaleBits(nVecs)
+
+  /** Least-squares slope of ln(y) vs ln(scale) — the measured growth
+    * exponent shared by the ladder-style sections. */
+  private def fitAlpha(pts: Seq[(Int, Double)]): Double = {
+    val xs = pts.map(p => math.log(p._1.toDouble))
+    val ys = pts.map(p => math.log(p._2.max(1e-3)))
+    val (xm, ym) = (xs.sum / xs.size, ys.sum / ys.size)
+    xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+      xs.map(x => (x - xm) * (x - xm)).sum
+  }
 
   private def time[A](tag: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
@@ -238,7 +283,8 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe",
-      "skew", "stream", "streamjoin", "streamasof", "ladder", "skewcorpus")
+      "skew", "stream", "streamjoin", "streamasof", "ladder", "skewcorpus",
+      "prefixcross", "rangeladder")
     val sections = if (args.isEmpty) all else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
@@ -282,6 +328,8 @@ object ScaleRehearsal {
     if (sections("streamasof")) streamAsOfSection(spark)
     if (sections("ladder")) ladderSection(spark, ladderDir)
     if (sections("skewcorpus")) skewCorpusSection(spark, s"$Root/skewcorpus")
+    if (sections("prefixcross")) prefixCrossSection(spark, s"$Root/prefix")
+    if (sections("rangeladder")) rangeLadderSection(spark)
 
     spark.stop()
     println("[scale] DONE")
@@ -1708,17 +1756,9 @@ object ScaleRehearsal {
             s -> (cpu, wall, rows)
         }
       }
-      // least-squares slope of ln(cpu) vs ln(scale)
-      def alphaOf(pts: Seq[(Int, Double)]): Double = {
-        val xs = pts.map(p => math.log(p._1.toDouble))
-        val ys = pts.map(p => math.log(p._2.max(1e-3)))
-        val (xm, ym) = (xs.sum / xs.size, ys.sum / ys.size)
-        xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
-          xs.map(x => (x - xm) * (x - xm)).sum
-      }
       println("[scale] ladder growth exponents (cpu_s ~ scale^alpha):")
       val alphas = res.map { case (name, byScale) =>
-        val a = alphaOf(byScale.toSeq.map { case (s, v) => (s, v._1) })
+        val a = fitAlpha(byScale.toSeq.map { case (s, v) => (s, v._1) })
         val pts = byScale.map { case (s, (c, _, r)) =>
           f"x$s $c%.2f cpu_s/$r rows" }.mkString("  ")
         println(f"[scale]   $name%-16s alpha=$a%.2f   $pts")
@@ -1780,5 +1820,363 @@ object ScaleRehearsal {
         sys.error(s"ladder gates failed (results above are complete): " +
           broken.mkString("; "))
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  // ---- (prefixcross) prefix-filter Jaccard in its target regime ----
+
+  /** Regime-B corpus: boilerplate at df just under MaxDf plus a rare
+    * per-doc tail. Twin pairs (the first 2·m docs) share fragments
+    * and all but the last tail token — J ≈ 0.94, found by BOTH paths
+    * (the shared tail shingles are rare), so the rungs compare cpu on
+    * equal recall. */
+  private def genPrefixCorpus(spark: SparkSession, dir: String,
+      s: Int): Unit = {
+    import spark.implicits._
+    if (complete(dir)) return
+    time(s"generate prefix-crossover corpus x$s") {
+      val n = PxDocs * s
+      val pool = math.max(2L, n / PxDfTarget)
+      val m = n / PxTwinPairEvery
+      val (pos, ft, tail) = (PxPositions, PxFragTokens, PxTailTokens)
+      spark.range(n).map { i =>
+        val paired = i < 2 * m
+        val seed: Long = if (paired) i / 2 else i
+        val rnd = new java.util.Random(seed * 6364136223846793005L + 101L)
+        val frags = (0 until pos).map { q =>
+          val c = math.floorMod(rnd.nextLong(), pool)
+          (0 until ft).map(t => s"p${q}f${c}w$t").mkString(" ")
+        }
+        val tailToks = (0 until tail).map(j => s"u${seed}t$j")
+        val toks = frags ++ (if (paired && i % 2 == 1)
+          tailToks.init :+ s"u${seed}alt" else tailToks)
+        (i, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("px"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+  }
+
+  /** Regime-A corpus: pure fragment combinatorics, no rare tokens
+    * anywhere. Twin pairs differ in exactly one of [[TrapPositions]]
+    * fragments (J ≈ 0.85 ≥ 0.8); every shingle — fragment-internal
+    * (df ≈ n/pool ≈ 714) and boundary-spanning (df ≈ n/pool² ≈ 102) —
+    * sits above MaxDf = 64, so the df-capped inverted index generates
+    * NO candidates and misses every planted pair. */
+  private def genTrapCorpus(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    if (complete(dir)) return
+    time("generate trap corpus (every shingle df > MaxDf)") {
+      val (n, pos, pool, m) =
+        (TrapDocs, TrapPositions, TrapPool, TrapTwinPairs)
+      spark.range(n).map { i =>
+        val paired = i < 2L * m
+        val seed: Long = if (paired) i / 2 else i
+        val rnd = new java.util.Random(seed * 2862933555777941757L + 211L)
+        val choices =
+          Array.fill(pos)(math.floorMod(rnd.nextLong(), pool).toInt)
+        if (paired && i % 2 == 1) {
+          val q = (seed % pos).toInt
+          choices(q) = (choices(q) + 1) % pool
+        }
+        val toks = (0 until pos).flatMap(q =>
+          (0 until PxFragTokens).map(t => s"p${q}f${choices(q)}w$t"))
+        (i, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+        .withColumn("lang", lit("en"))
+        .withColumn("source", lit("trap"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
+  }
+
+  /** VERDICT r15 task 1: the lossless prefix filter's 100 TB claim,
+    * measured in its TARGET regime rather than inferred from candidate
+    * counts. Regime A pins the recall hole the MaxDf cap opens (the
+    * pruned path, held to the device-independent exact contract the
+    * prefix oracle states, would hash-fail). Regime B A/Bs cpu_s at
+    * x1/x3/x10 on a boilerplate corpus whose common shingles sit just
+    * UNDER the cap — the df² bill the cap cannot dodge — and records
+    * the per-rung ratio and both growth exponents. */
+  private def prefixCrossSection(spark: SparkSession, dir: String): Unit = {
+    println("[scale] === prefix-filter Jaccard crossover " +
+      "(df-skewed boilerplate regime) ===")
+
+    // ---- regime A: the MaxDf recall hole, demonstrated -------------
+    val trapDir = s"$dir/trap"
+    genTrapCorpus(spark, trapDir)
+    val trapDocs = graft.Tables.documents(spark, trapDir)
+    val planted = spark.range(TrapTwinPairs)
+      .select((col("id") * 2).as("doc_a"), (col("id") * 2 + 1).as("doc_b"))
+    // arm check: the planted twins really clear the exact threshold
+    val armed = Dedup.jaccardVerify(planted,
+      Dedup.shingleSetsShared(trapDocs)).count()
+    require(armed == TrapTwinPairs, s"trap mis-tuned: only $armed of " +
+      s"$TrapTwinPairs planted twins clear the exact J >= 0.8")
+    val prunedTrap = Dedup.ngramJaccardOf(trapDocs)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val prefixTrap = Dedup.ngramJaccardPrefixOf(trapDocs)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val prunedHit = prunedTrap.join(planted, Seq("doc_a", "doc_b")).count()
+    val prefixHit = prefixTrap.join(planted, Seq("doc_a", "doc_b")).count()
+    println(s"[scale] trap (every shingle df > MaxDf): planted = " +
+      s"$TrapTwinPairs, exact-verified $armed | MaxDf path found " +
+      s"$prunedHit (total output ${prunedTrap.count()}) | prefix path " +
+      s"found $prefixHit (total ${prefixTrap.count()})")
+    println("[scale] trap: held to the device-independent exact contract " +
+      "(the prefix oracle's), the MaxDf path would hash-fail here — " +
+      s"${TrapTwinPairs - prunedHit} true pairs missing")
+    require(prefixHit == TrapTwinPairs,
+      "prefix filter dropped a true pair — lossless property broken")
+    require(prunedHit == 0, "trap corpus no longer demonstrates the " +
+      "MaxDf recall hole (retune TrapPool/TrapDocs)")
+
+    // ---- regime B: cpu A/B at x1/x3/x10 -----------------------------
+    PxScales.foreach(s => genPrefixCorpus(spark, s"$dir/x$s", s))
+    val listener = new graft.Bench.TaskTimeListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val paths: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "maxdf_pruned" -> (Dedup.ngramJaccardOf(_)),
+        "prefix_filter" -> (Dedup.ngramJaccardPrefixOf(_)))
+      // one untimed x1 pass pays JVM/codegen warmup
+      paths.foreach { case (_, fn) =>
+        fn(graft.Tables.documents(spark, s"$dir/x1"))
+          .queryExecution.toRdd.count(): Unit
+      }
+      val res = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.LinkedHashMap[
+          Int, (Double, Long)]]
+      PxScales.foreach { s =>
+        val docs = graft.Tables.documents(spark, s"$dir/x$s")
+        // candidate economy (exact aggregates): the same-shingle
+        // id-pair population each generator feeds downstream
+        val shl = Dedup.shingleSetsShared(docs)
+        val post = shl.select(col("doc_id"),
+          explode(col("shingles")).as("sh"))
+        def sumPairs(p: DataFrame): Long =
+          p.groupBy("sh").agg(count(lit(1)).as("df"))
+            .agg(coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L)))
+            .head.getLong(0)
+        val prunedPairs = sumPairs(post.join(
+          post.groupBy("sh").agg(count(lit(1)).as("d2"))
+            .filter(col("d2") <= Dedup.MaxDf).select("sh"), Seq("sh")))
+        val prefixPairs =
+          sumPairs(Dedup.prefixPostings(shl).select("doc_id", "sh"))
+        println(f"[scale] prefixcross x$s candidate id-pairs: " +
+          f"maxdf=$prunedPairs%d prefix=$prefixPairs%d " +
+          f"(${prunedPairs.toDouble / prefixPairs.max(1)}%.1f× fewer)")
+        paths.foreach { case (name, fn) =>
+          System.gc()
+          ListenerShim.drainListenerBus(spark.sparkContext)
+          val (_, c0) = listener.snapshot
+          val w0 = System.nanoTime()
+          val rows = fn(docs).queryExecution.toRdd.count()
+          val wall = (System.nanoTime() - w0) / 1e9
+          ListenerShim.drainListenerBus(spark.sparkContext)
+          val (_, c1) = listener.snapshot
+          println(f"[scale] prefixcross x$s $name%-14s: ${c1 - c0}%.2f " +
+            f"cpu_s / $wall%.2f wall_s, $rows pairs")
+          res.getOrElseUpdate(name,
+            scala.collection.mutable.LinkedHashMap.empty) +=
+            s -> (c1 - c0, rows)
+        }
+        // equal recall on this corpus (shared tails are rare): the cpu
+        // A/B must compare equal outputs or the ratio means nothing
+        val Seq(a, b) = paths.map { case (n2, _) => res(n2)(s)._2 }
+        require(a == b, s"x$s outputs diverge: maxdf=$a prefix=$b " +
+          "— regime B is supposed to hold recall equal")
+      }
+      val alphas = res.map { case (name, byScale) =>
+        name -> fitAlpha(byScale.toSeq.map { case (sc, v) => (sc, v._1) })
+      }
+      alphas.foreach { case (name, a) =>
+        println(f"[scale] prefixcross $name%-14s alpha=$a%.2f") }
+      val ratios = PxScales.map(s =>
+        s -> res("maxdf_pruned")(s)._1 /
+          res("prefix_filter")(s)._1.max(0.001))
+      ratios.foreach { case (s, r) =>
+        println(f"[scale] prefixcross x$s maxdf/prefix cpu ratio = $r%.2f×") }
+      val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
+      if (ratios.last._2 < 1.15 && !lenient)
+        sys.error(f"prefix filter failed to win its own regime at the " +
+          f"top rung (ratio ${ratios.last._2}%.2f < 1.15) — the 100 TB " +
+          "claim needs re-examination (results above are complete)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  // ---- (rangeladder) interval-overlap growth + hot bucket ----------
+
+  /** VERDICT r15 task 2: the interval-overlap range join through the
+    * x1/x3/x10 ladder (growth exponent at constant bucket occupancy)
+    * plus the two skew shapes the bucket device meets at scale: ONE
+    * wide interval fanning out across thousands of buckets (the
+    * explode side), and thousands of intervals crowding ONE bucket
+    * (the `__b` hot key). The hot-bucket case is EXPANSION skew —
+    * tiny shuffle input, quadratic join output — which AQE's
+    * size-based skew split cannot see (probed and printed, not
+    * assumed); the mitigation that works is the operator's own width
+    * knob: a finer bucketWidth re-keys the hot value range across
+    * many `__b` values, result-identical by contract. */
+  private def rangeLadderSection(spark: SparkSession): Unit = {
+    import graft.operators.RangeJoin
+    println("[scale] === interval-overlap ladder + hot bucket ===")
+    val w = RangeJoin.BucketWidth
+
+    /** n intervals, hash-uniform lo over [0, domain), span uniform
+      * [0, w) — mean occupancy per bucket = n·w/domain = RangeOcc. */
+    def side(n: Long, salt: Long, id: String, lo: String,
+        hi: String): DataFrame = {
+      val domain = n * w / RangeOcc
+      spark.range(n).select(
+        col("id").as(id),
+        pmod(xxhash64(col("id"), lit(salt)), lit(domain)).as(lo))
+        .withColumn(hi,
+          col(lo) + pmod(xxhash64(col(id), lit(salt + 1)), lit(w)))
+    }
+
+    // ---- correctness cross-check vs the naive theta join (subset:
+    // the BNLJ side is quadratic, which is the point) ---------------
+    val l1 = side(RangeBase, 7L, "l_id", "l_lo", "l_hi")
+    val r1 = side(RangeBase, 77L, "r_id", "r_lo", "r_hi")
+    val lSub = l1.filter(col("l_id") < 500)
+    val naive = time(s"naive theta join (500 × $RangeBase BNLJ)") {
+      lSub.join(r1,
+        col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi")).count()
+    }
+    val bucketed = time("intervalOverlap (same subset)") {
+      RangeJoin.intervalOverlap(lSub, r1,
+        "l_lo", "l_hi", "r_lo", "r_hi").count()
+    }
+    require(naive == bucketed,
+      s"bucket device diverged from the theta join: $naive vs $bucketed")
+
+    // ---- ladder ----------------------------------------------------
+    // every rung takes the SHUFFLE join path (at 100 TB neither side
+    // broadcasts; without this the x1 rung rides a BroadcastHashJoin
+    // the larger rungs can't, and the fitted exponent measures the
+    // strategy flip, not the operator — observed alpha 1.76 vs the
+    // true shuffle-path 1.0)
+    def withConfs[A](kvs: (String, String)*)(body: => A): A = {
+      val prior = kvs.map { case (k, _) => k -> spark.conf.get(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+    val noBc = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    val listener = new graft.Bench.TaskTimeListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try withConfs(noBc) {
+      def rung(s: Int): DataFrame = RangeJoin.intervalOverlap(
+        side(RangeBase * s, 7L, "l_id", "l_lo", "l_hi"),
+        side(RangeBase * s, 77L, "r_id", "r_lo", "r_hi"),
+        "l_lo", "l_hi", "r_lo", "r_hi")
+      rung(1).queryExecution.toRdd.count(): Unit // codegen warmup
+      val pts = RangeScales.map { s =>
+        System.gc()
+        ListenerShim.drainListenerBus(spark.sparkContext)
+        val (_, c0) = listener.snapshot
+        val w0 = System.nanoTime()
+        val rows = rung(s).queryExecution.toRdd.count()
+        val wall = (System.nanoTime() - w0) / 1e9
+        ListenerShim.drainListenerBus(spark.sparkContext)
+        val (_, c1) = listener.snapshot
+        println(f"[scale] rangeladder x$s: ${c1 - c0}%.2f cpu_s / " +
+          f"$wall%.2f wall_s, $rows pairs")
+        (s, c1 - c0)
+      }
+      val alpha = fitAlpha(pts)
+      println(f"[scale] rangeladder alpha=$alpha%.2f " +
+        "(occupancy-constant: ~linear expected)")
+      val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
+      if (alpha > 1.4 && !lenient)
+        sys.error(f"interval-overlap growth is super-linear at constant " +
+          f"occupancy: alpha=$alpha%.2f (results above are complete)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // ---- wide-interval rung (explode fan-out) ----------------------
+    val bal = new StageBalanceListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(bal)
+    def measured[A](tag: String)(f: => A): (A, Double) = {
+      bal.clear()
+      ListenerShim.drainListenerBus(spark.sparkContext)
+      val t0 = System.nanoTime()
+      val r = f
+      ListenerShim.drainListenerBus(spark.sparkContext)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (mx, mean, n) = bal.worstDurSkew(2000L)
+      val ratio = mx / mean.max(1.0)
+      println(f"[scale] $tag: $secs%.1f s; worst stage task-duration " +
+        f"max/mean = $ratio%.1f× ($n tasks, max ${mx / 1e3}%.1f s)")
+      (r, ratio)
+    }
+    try {
+      val wideHi = w * 3000 - 1
+      val wide = spark.range(1).select(col("id").as("l_id"),
+        lit(0L).as("l_lo"), lit(wideHi).as("l_hi"))
+      val expected = r1.filter(col("r_lo") <= wideHi).count()
+      val (got, wWide) = withConfs(noBc) {
+        measured("wide interval (1 × 3000 buckets) over 100k rights") {
+          RangeJoin.intervalOverlap(wide, r1,
+            "l_lo", "l_hi", "r_lo", "r_hi").count()
+        }
+      }
+      require(got == expected,
+        s"wide-interval count wrong: $got vs $expected")
+      println(f"[scale] wide interval: fan-out spread the single row's " +
+        f"candidates across buckets (max/mean $wWide%.1f×)")
+
+      // ---- hot bucket (expansion skew) ------------------------------
+      // HotN tiny intervals per side inside bucket 0, on top of the
+      // uniform background: that bucket's SMJ task expands HotN² =
+      // 144M candidate pairs while its siblings handle ~256 each
+      val HotN = 12000L
+      def hot(salt: Long, id: String, lo: String, hi: String) =
+        spark.range(HotN).select((col("id") + 10000000L).as(id),
+          pmod(xxhash64(col("id"), lit(salt)), lit(w - 8)).as(lo))
+          .withColumn(hi, col(lo) + pmod(xxhash64(col(id), lit(salt + 1)),
+            lit(8L)))
+      val lh = l1.unionByName(hot(3L, "l_id", "l_lo", "l_hi"))
+      val rh = r1.unionByName(hot(33L, "r_id", "r_lo", "r_hi"))
+      def hotJoin(width: Long) = RangeJoin.intervalOverlap(
+        lh, rh, "l_lo", "l_hi", "r_lo", "r_hi", width)
+      val ((nHot, aqeSplit), wHot) = withConfs(noBc,
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
+        measured(s"hot bucket ($HotN × $HotN in one __b) at width $w") {
+          val ds = hotJoin(w)
+          val n = ds.count()
+          // probe: does AQE's size-based split see EXPANSION skew?
+          // the hot partition's shuffle INPUT is ~8k rows (~200 KB),
+          // so no size threshold can trigger — recorded as a finding
+          val split = ds.queryExecution.executedPlan.toString
+            .toLowerCase.contains("skew=true")
+          (n, split)
+        }
+      }
+      println(s"[scale] hot bucket: AQE skew split engaged = $aqeSplit " +
+        "(expansion skew is invisible to size-based detection: the hot " +
+        "partition's INPUT is ~200 KB; the OUTPUT is the problem)")
+      val (nFine, wFine) = withConfs(noBc) {
+        measured(s"hot bucket re-keyed at width ${w / 64} (the knob)") {
+          hotJoin(w / 64).count()
+        }
+      }
+      require(nHot == nFine,
+        s"width knob changed the result: $nHot vs $nFine")
+      println(f"[scale] hot-bucket balance: width-$w max/mean $wHot%.1f× " +
+        f"→ width-${w / 64} $wFine%.1f× (results identical)")
+      val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
+      if (wHot / wFine < 2.0 && !lenient)
+        sys.error(f"the width knob did not materially rebalance the hot " +
+          f"bucket: $wHot%.1f× → $wFine%.1f×")
+    } finally spark.sparkContext.removeSparkListener(bal)
   }
 }
