@@ -1505,20 +1505,22 @@ object ScaleRehearsal {
       s"as-of state grew with TOTAL events ($peak1 -> $peak2 bytes); " +
         "expected watermark-bounded transient + per-key residue")
 
-    // forward leg (r15): same corpus through StreamJobs.asOfNext — the
-    // claims under measurement are (a) NO residue: post-flush state is
-    // the sentinel keys alone, not ~keys rows, and (b) peak state is
-    // watermark/tolerance-bounded, flat across 2× events
-    val fwdTol = 40000L
-    def runFwd(nLefts: Long, checkParity: Boolean): (Long, Long) = {
+    // directional legs (r15 forward, r16 nearest): same corpus through
+    // StreamJobs.asOfNext / asOfNearest — the claims under measurement
+    // are (a) NO residue: post-flush state is the sentinel keys alone,
+    // not ~keys rows, and (b) peak state is watermark/tolerance-
+    // bounded, flat across 2× events. One parameterized runner: the
+    // legs differ only in operator, batch-oracle direction, and tag.
+    val dirTol = 40000L
+    def runDir(tag: String, direction: String,
+        stream: (DataFrame, DataFrame) => DataFrame)(
+        nLefts: Long, checkParity: Boolean): (Long, Long) = {
       val nRights = nLefts / 4
       val nb = (nLefts / perBatch).toInt
       val lSrc = MemoryStream[RehL]
       val rSrc = MemoryStream[RehR]
-      val view = s"scale_asof_fwd_$nLefts"
-      val q = graft.streaming.StreamJobs.asOfNext(
-          lSrc.toDF(), rSrc.toDF(), "lkey", "rkey", "lts", "rts",
-          "l_id", "r_id", tolMs = fwdTol, delay = "10 seconds")
+      val view = s"scale_asof_${tag}_$nLefts"
+      val q = stream(lSrc.toDF(), rSrc.toDF())
         .writeStream.format("memory").queryName(view)
         .outputMode("append").start()
       val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -1541,11 +1543,11 @@ object ScaleRehearsal {
       val finalRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       q.stop()
       val total = nLefts + nRights
-      println(f"[scale] asOfNext[$nLefts]: $total events in $secs%.1f s = " +
+      println(f"[scale] $tag[$nLefts]: $total events in $secs%.1f s = " +
         f"${total / secs / 1e6}%.2f M rows/s; peak state " +
         f"${mem.max / 1024 / 1024}%d MiB; post-flush rows $finalRows")
       require(finalRows <= 4,
-        s"forward as-of must keep NO residue, got $finalRows state rows")
+        s"$tag as-of must keep NO residue, got $finalRows state rows")
       if (checkParity) {
         val streamed = spark.table(view).filter(col("left_id") >= 0)
           .select(col("left_id"), col("payload"))
@@ -1555,24 +1557,35 @@ object ScaleRehearsal {
           (col("id") % keys).as("rk"), (lit(base) + col("id") * 4).as("rms"))
         val batch = graft.operators.AsOf
           .asOfDirection(lDf, rDf, "lk", "rk", "lms", "rms",
-            Seq("r_id"), "forward", fwdTol)
+            Seq("r_id"), direction, dirTol)
           .select(col("l_id").as("left_id"), col("r_id").as("payload"))
         val missing = batch.exceptAll(streamed).count()
         val extra = streamed.exceptAll(batch).count()
         require(missing == 0 && extra == 0,
-          s"stream/batch forward-as-of parity broken: $missing missing, " +
+          s"stream/batch $tag-as-of parity broken: $missing missing, " +
             s"$extra extra")
-        println(s"[scale] asOfNext[$nLefts] parity: $nLefts streamed rows " +
-          "EXACTLY equal asOfDirection(forward, tol)")
+        println(s"[scale] $tag[$nLefts] parity: $nLefts streamed rows " +
+          s"EXACTLY equal asOfDirection($direction, tol)")
       }
       (mem.max, finalRows)
     }
-    val (fp1, _) = runFwd(500000L, checkParity = true)
-    val (fp2, _) = runFwd(1000000L, checkParity = false)
-    println(f"[scale] asOfNext peak state: ${fp1 / 1024}%d KiB at 0.5M vs " +
-      f"${fp2 / 1024}%d KiB at 1M lefts (ratio ${fp2.toDouble / fp1}%.2f)")
-    require(fp2 <= (fp1 * 3) / 2,
-      s"forward as-of state grew with TOTAL events ($fp1 -> $fp2 bytes)")
+    Seq(
+      ("asOfNext", "forward",
+        (l: DataFrame, r: DataFrame) => graft.streaming.StreamJobs.asOfNext(
+          l, r, "lkey", "rkey", "lts", "rts", "l_id", "r_id",
+          tolMs = dirTol, delay = "10 seconds")),
+      ("asOfNearest", "nearest",
+        (l: DataFrame, r: DataFrame) => graft.streaming.StreamJobs.asOfNearest(
+          l, r, "lkey", "rkey", "lts", "rts", "l_id", "r_id",
+          tolMs = dirTol, delay = "10 seconds"))
+    ).foreach { case (tag, direction, stream) =>
+      val (fp1, _) = runDir(tag, direction, stream)(500000L, checkParity = true)
+      val (fp2, _) = runDir(tag, direction, stream)(1000000L, checkParity = false)
+      println(f"[scale] $tag peak state: ${fp1 / 1024}%d KiB at 0.5M vs " +
+        f"${fp2 / 1024}%d KiB at 1M lefts (ratio ${fp2.toDouble / fp1}%.2f)")
+      require(fp2 <= (fp1 * 3) / 2,
+        s"$tag as-of state grew with TOTAL events ($fp1 -> $fp2 bytes)")
+    }
   }
 
   // ---- (ladder) growth exponents for the top-CPU pipelines ---------

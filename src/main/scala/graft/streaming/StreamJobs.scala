@@ -446,6 +446,107 @@ object StreamJobs {
       .toDF("k", "left_id", "ts_ms", "payload")
   }
 
+  /** STREAMING nearest as-of with tolerance — the streaming twin of
+    * [[graft.operators.AsOf.asOfDirection]]("nearest", tol),
+    * completing the direction surface (backward = [[asOfLatest]],
+    * forward = [[asOfNext]]): every left row gains the payload of the
+    * right row minimizing |rt − lt| within [lt − tol, lt + tol] on
+    * its key, BACKWARD winning distance ties (the batch contract;
+    * null when no right lands in the window).
+    *
+    * Finality (watermark-final, append, no retractions): any future
+    * right arrives with rt > wm, so its distance to a pending left
+    * exceeds wm − lt going forward and the current best (distance
+    * d) can only be beaten by some rt in (lt − d, lt + d) — which is
+    * entirely at-or-below lt + d. Once wm ≥ lt + d no such right can
+    * still arrive (a forward tie at exactly lt + d would lose to the
+    * backward pick anyway, and rt > wm ≥ lt + d is strictly worse),
+    * so each pending left's deadline is lt + min(d_best, tol) and
+    * the event-time timer arms on the key's earliest deadline
+    * (deadline > wm while pending, satisfying the timer contract).
+    *
+    * State: a pending left has lt > wm − tol (it finalizes at
+    * deadline ≤ lt + tol), so its window reaches no further back
+    * than wm − 2·tol — rights prune to rt > wm − 2·tol and the whole
+    * state is O(rate × (2·tol + delay)) transient rows with NO
+    * residue, vanishing on quiet keys like [[asOfNext]] (and unlike
+    * the backward join's per-key dimension row). The batch twin's
+    * Long.MaxValue "no bound" tolerance is accepted but saturates
+    * every deadline to never — state then grows with right-less
+    * lefts and unpruned rights; production nearest wants a finite
+    * window. Contract otherwise as [[asOfLatest]] (LONG keys/ids,
+    * right unique per (key, ts), per-side event-time order within
+    * the delay). */
+  def asOfNearest(left: DataFrame, right: DataFrame,
+      lkey: String, rkey: String, lts: String, rts: String,
+      leftId: String, payload: String, tolMs: Long,
+      delay: String = "1 minute"): DataFrame = {
+    require(tolMs >= 0, s"negative tolerance $tolMs")
+    import left.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val l = left.select(col(lkey).as("k"), col(lts).as("ts"),
+      lit(1).as("side"), col(leftId).as("lid"),
+      lit(null).cast("long").as("p"))
+    val r = right.select(col(rkey).as("k"), col(rts).as("ts"),
+      lit(0).as("side"), lit(0L).as("lid"), col(payload).as("p"))
+    l.unionByName(r)
+      .withWatermark("ts", delay)
+      .select(col("k"), col("ts"), unix_millis(col("ts")).as("ms"),
+        col("side"), col("lid"), col("p"))
+      .as[(Long, java.sql.Timestamp, Long, Int, Long, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfBuf, (Long, Long, Long, Option[Long])](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (k, rows, state: GroupState[AsOfBuf]) =>
+          val st = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          var lefts = st.lefts
+          var rights = st.rights
+          rows.foreach { case (_, _, ms, side, lid, p) =>
+            if (side == 1) lefts +:= ((ms, lid)) else rights +:= ((ms, p))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val rSorted = rights.sortBy(_._1)
+          def satAdd(a: Long, b: Long): Long =
+            if (a > Long.MaxValue - b) Long.MaxValue else a + b
+          def satSub(a: Long, b: Long): Long =
+            if (a < Long.MinValue + b) Long.MinValue else a - b
+          // the best in-window right: min distance, backward (rt <=
+          // lt) winning ties — stated as min over (distance, rt > lt)
+          def bestOf(lt: Long): Option[(Long, Option[Long])] =
+            rSorted
+              .filter(r => r._1 >= satSub(lt, tolMs) &&
+                r._1 <= satAdd(lt, tolMs))
+              .minByOption(r => (math.abs(r._1 - lt), r._1 > lt))
+          def deadline(lt: Long): Long =
+            satAdd(lt, bestOf(lt).map(r => math.abs(r._1 - lt))
+              .getOrElse(tolMs))
+          val (ripe, pending) = lefts.partition { case (lt, _) =>
+            wm >= deadline(lt)
+          }
+          val out = ripe.sortBy(identity).map { case (lt, lid) =>
+            (k, lid, lt, bestOf(lt).flatMap(_._2))
+          }
+          // no residue: a pending or future left's window reaches no
+          // further back than wm − 2·tol
+          val kept = rSorted.filter(_._1 > satSub(wm, satAdd(tolMs, tolMs)))
+          if (pending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(pending, kept))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(
+                pending.map { case (lt, _) => deadline(lt) }.min)
+            else
+              // rights-only key: arm the prune horizon of the last
+              // kept right, when the filter above empties the state
+              // (the asOfNext leak fix, shifted by the 2·tol window)
+              state.setTimeoutTimestamp(
+                satAdd(kept.map(_._1).max, satAdd(tolMs, tolMs)))
+          }
+          out.iterator
+      }
+      .toDF("k", "left_id", "ts_ms", "payload")
+  }
+
   /** Funnel streaming: the [[graft.ads.EventFlows.funnelOf]] state
     * machine as keyed state — per user, first `view`, first `click`
     * strictly after it, first `purchase` strictly after that. State is

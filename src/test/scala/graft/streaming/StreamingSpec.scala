@@ -272,6 +272,59 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming nearest as-of: min distance within tolerance, backward " +
+      "ties, batch parity, no residue") {
+    implicit val sc = spark.sqlContext
+    val tol = 10000L
+    val rights = Seq(
+      AR(1, t("2021-03-21 10:00:10"), 100L),
+      AR(1, t("2021-03-21 10:00:30"), 300L),
+      AR(3, t("2021-03-21 10:00:01"), 900L)) // right-only key: no output
+    val lefts = Seq(
+      AL(1, 1, t("2021-03-21 10:00:05")), // only forward in window -> 100
+      AL(2, 1, t("2021-03-21 10:00:12")), // back d=2 beats fwd d=18>tol -> 100
+      AL(3, 1, t("2021-03-21 10:00:20")), // EXACT distance tie 10/10 -> backward 100
+      AL(4, 1, t("2021-03-21 10:00:21")), // fwd d=9 beats back d=11>tol -> 300
+      AL(5, 1, t("2021-03-21 10:00:45")), // nothing within 10 s -> null
+      AL(6, 2, t("2021-03-21 10:00:07"))) // key with no rights -> null
+    val lSrc = MemoryStream[AL]
+    val rSrc = MemoryStream[AR]
+    val q = StreamJobs.asOfNearest(lSrc.toDF(), rSrc.toDF(),
+        "lk", "rk", "lts", "rts", "lid", "pay", tol)
+      .writeStream.format("memory").queryName("asof_near")
+      .outputMode("append").start()
+    // lefts land a batch BEFORE the rights (cross-batch state: the
+    // backward candidates of several lefts arrive later, in event-time
+    // order within the delay), then sentinels finalize everything
+    lSrc.addData(lefts: _*)
+    q.processAllAvailable()
+    rSrc.addData(rights: _*)
+    q.processAllAvailable()
+    lSrc.addData(AL(99, 999, t("2021-04-01 00:00:00")))
+    rSrc.addData(AR(998, t("2021-04-01 00:00:00"), 0L))
+    q.processAllAvailable()
+    // no residue: every real key (1, 2, 3) fully evicts once the
+    // watermark passes its 2·tol horizon — only the sentinel keys stay
+    assert(q.lastProgress.stateOperators.head.numRowsTotal === 2L,
+      s"nearest as-of must keep no residue: ${q.lastProgress}")
+    q.stop()
+    val got = spark.table("asof_near")
+      .filter(col("left_id") < 99)
+      .select("left_id", "payload").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got === Map(1L -> Some(100L), 2L -> Some(100L),
+      3L -> Some(100L), 4L -> Some(300L), 5L -> None, 6L -> None))
+    // parity with the batch directional operator on the same rows
+    val batch = graft.operators.AsOf.asOfDirection(
+        lefts.toDF().select(col("lid"), col("lk"),
+          unix_millis(col("lts")).as("lms")),
+        rights.toDF().select(col("rk"),
+          unix_millis(col("rts")).as("rms"), col("pay")),
+        "lk", "rk", "lms", "rms", Seq("pay"), "nearest", tol)
+      .select("lid", "pay").as[(Long, Option[Long])].collect().toMap
+    assert(got === batch)
+  }
+
   test("streaming as-of join: idle-key TTL evicts the dimension residue; " +
       "default keeps it forever") {
     implicit val sc = spark.sqlContext
