@@ -1915,6 +1915,7 @@ object ScaleRehearsal {
     * UNDER the cap — the df² bill the cap cannot dodge — and records
     * the per-rung ratio and both growth exponents. */
   private def prefixCrossSection(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
     println("[scale] === prefix-filter Jaccard crossover " +
       "(df-skewed boilerplate regime) ===")
 
@@ -1963,7 +1964,7 @@ object ScaleRehearsal {
       }
       val res = scala.collection.mutable.LinkedHashMap
         .empty[String, scala.collection.mutable.LinkedHashMap[
-          Int, (Double, Long)]]
+          Int, (Double, Set[(Long, Long)])]]
       PxScales.foreach { s =>
         val docs = graft.Tables.documents(spark, s"$dir/x$s")
         // candidate economy (exact aggregates): the same-shingle
@@ -1988,20 +1989,26 @@ object ScaleRehearsal {
           ListenerShim.drainListenerBus(spark.sparkContext)
           val (_, c0) = listener.snapshot
           val w0 = System.nanoTime()
-          val rows = fn(docs).queryExecution.toRdd.count()
+          // collect the (small: ≤ planted-pair count) output inside
+          // the timed run — the SET feeds the equal-recall gate below
+          val pairs = fn(docs).select(col("doc_a"), col("doc_b"))
+            .as[(Long, Long)].collect().toSet
           val wall = (System.nanoTime() - w0) / 1e9
           ListenerShim.drainListenerBus(spark.sparkContext)
           val (_, c1) = listener.snapshot
           println(f"[scale] prefixcross x$s $name%-14s: ${c1 - c0}%.2f " +
-            f"cpu_s / $wall%.2f wall_s, $rows pairs")
+            f"cpu_s / $wall%.2f wall_s, ${pairs.size} pairs")
           res.getOrElseUpdate(name,
             scala.collection.mutable.LinkedHashMap.empty) +=
-            s -> (c1 - c0, rows)
+            s -> (c1 - c0, pairs)
         }
         // equal recall on this corpus (shared tails are rare): the cpu
-        // A/B must compare equal outputs or the ratio means nothing
+        // A/B must compare equal OUTPUTS or the ratio means nothing —
+        // equal counts could hide one path missing pair X and the
+        // other missing pair Y
         val Seq(a, b) = paths.map { case (n2, _) => res(n2)(s)._2 }
-        require(a == b, s"x$s outputs diverge: maxdf=$a prefix=$b " +
+        require(a == b, s"x$s outputs diverge: maxdf-only " +
+          s"${(a -- b).take(3)}… prefix-only ${(b -- a).take(3)}… " +
           "— regime B is supposed to hold recall equal")
       }
       val alphas = res.map { case (name, byScale) =>
@@ -2039,6 +2046,14 @@ object ScaleRehearsal {
     import graft.operators.RangeJoin
     println("[scale] === interval-overlap ladder + hot bucket ===")
     val w = RangeJoin.BucketWidth
+    // gates ACCUMULATE and throw at section end (the ladderSection
+    // convention): a noisy-host alpha must not abort the skew rungs
+    val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
+    val broken = scala.collection.mutable.ArrayBuffer.empty[String]
+    def gate(ok: Boolean, msg: String): Unit = if (!ok) {
+      println(s"[scale] GATE FAILED (rangeladder): $msg")
+      broken += msg
+    }
 
     /** n intervals, hash-uniform lo over [0, domain), span uniform
       * [0, w) — mean occupancy per bucket = n·w/domain = RangeOcc. */
@@ -2105,10 +2120,8 @@ object ScaleRehearsal {
       val alpha = fitAlpha(pts)
       println(f"[scale] rangeladder alpha=$alpha%.2f " +
         "(occupancy-constant: ~linear expected)")
-      val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
-      if (alpha > 1.4 && !lenient)
-        sys.error(f"interval-overlap growth is super-linear at constant " +
-          f"occupancy: alpha=$alpha%.2f (results above are complete)")
+      gate(alpha <= 1.4, f"interval-overlap growth is super-linear at " +
+        f"constant occupancy: alpha=$alpha%.2f")
     } finally spark.sparkContext.removeSparkListener(listener)
 
     // ---- wide-interval rung (explode fan-out) ----------------------
@@ -2134,7 +2147,7 @@ object ScaleRehearsal {
         lit(0L).as("l_lo"), lit(wideHi).as("l_hi"))
       val expected = r1.filter(col("r_lo") <= wideHi).count()
       val (got, wWide) = withConfs(noBc) {
-        measured("wide interval (1 × 3000 buckets) over 100k rights") {
+        measured(s"wide interval (1 × 3000 buckets) over $RangeBase rights") {
           RangeJoin.intervalOverlap(wide, r1,
             "l_lo", "l_hi", "r_lo", "r_hi").count()
         }
@@ -2164,11 +2177,14 @@ object ScaleRehearsal {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB",
         "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
         measured(s"hot bucket ($HotN × $HotN in one __b) at width $w") {
-          val ds = hotJoin(w)
-          val n = ds.count()
           // probe: does AQE's size-based split see EXPANSION skew?
           // the hot partition's shuffle INPUT is ~8k rows (~200 KB),
-          // so no size threshold can trigger — recorded as a finding
+          // so no size threshold can trigger — recorded as a finding.
+          // Execute and read THE SAME QueryExecution (`ds.count()`
+          // derives a fresh one whose plan never adaptively runs —
+          // the skewSection trap, r11)
+          val ds = hotJoin(w)
+          val n = ds.queryExecution.toRdd.count()
           val split = ds.queryExecution.executedPlan.toString
             .toLowerCase.contains("skew=true")
           (n, split)
@@ -2186,10 +2202,11 @@ object ScaleRehearsal {
         s"width knob changed the result: $nHot vs $nFine")
       println(f"[scale] hot-bucket balance: width-$w max/mean $wHot%.1f× " +
         f"→ width-${w / 64} $wFine%.1f× (results identical)")
-      val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
-      if (wHot / wFine < 2.0 && !lenient)
-        sys.error(f"the width knob did not materially rebalance the hot " +
-          f"bucket: $wHot%.1f× → $wFine%.1f×")
+      gate(wHot / wFine >= 2.0, f"the width knob did not materially " +
+        f"rebalance the hot bucket: $wHot%.1f× → $wFine%.1f×")
     } finally spark.sparkContext.removeSparkListener(bal)
+    if (broken.nonEmpty && !lenient)
+      sys.error("rangeladder gates failed (results above are complete): " +
+        broken.mkString("; "))
   }
 }

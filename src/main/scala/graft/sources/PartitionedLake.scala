@@ -52,10 +52,42 @@ object PartitionedLake {
     Tables.events(spark, dir).withColumn("dt", to_date(col("ts")))
 
   /** Render `dir`'s events into a dt-partitioned lake in `format`
-    * ("parquet" | "orc"); returns the lake root. */
+    * ("parquet" | "orc"); returns the lake root.
+    *
+    * Write shape: every writer task holding rows for a dt value opens
+    * its own file in that directory, so an unmanaged `partitionBy`
+    * write sprays up to tasks × days files — the SMALL-FILES problem
+    * that dominates listing and scan-planning cost on a 100 TB lake.
+    * [[compactedLakeDir]] is the managed shape. */
   def lakeDir(spark: SparkSession, dir: String, format: String): String = {
-    val out = TempDirs.cachedFor(s"lake$format", dir)
+    val out = lakeRoot(dir, format)
     eventsWithDt(spark, dir)
+      .write.mode("overwrite").format(format).partitionBy("dt").save(out)
+    out
+  }
+
+  /** The lake's root path WITHOUT (re-)rendering it — for layout
+    * inspection of an already-written lake (re-calling [[lakeDir]]
+    * overwrites, which would decouple an executed scan's metrics from
+    * the files on disk). */
+  def lakeRoot(dir: String, format: String): String =
+    TempDirs.cachedFor(s"lake$format", dir)
+
+  /** The compacted lake: `repartition(dt)` routes each day's rows to
+    * ONE writer task before `partitionBy(dt)`, so each day directory
+    * holds exactly one file (spec-asserted) — the standard
+    * small-files compaction device. The added shuffle is the price;
+    * at 100 TB a day is usually larger than one task, and the same
+    * device generalizes to `repartition(N, dt, salt)` for N
+    * similar-sized files per day (bound N by day volume /
+    * maxRecordsPerFile). Query results are write-shape-independent —
+    * [[pruneQuery]] over this root returns exactly the
+    * [[lakeDir]] answers. */
+  def compactedLakeDir(spark: SparkSession, dir: String,
+      format: String): String = {
+    val out = TempDirs.cachedFor(s"lakec$format", dir)
+    eventsWithDt(spark, dir)
+      .repartition(col("dt"))
       .write.mode("overwrite").format(format).partitionBy("dt").save(out)
     out
   }

@@ -244,6 +244,16 @@ object StreamJobs {
   case class AsOfBuf(lefts: Seq[(Long, Long)],
                      rights: Seq[(Long, Option[Long])])
 
+  /** Saturating epoch-ms add/sub shared by the as-of family's
+    * deadline / TTL / prune-horizon arithmetic (b >= 0 in all
+    * callers). One definition on purpose: r15 shipped a wrap-negative
+    * bug in exactly this idiom, and three hand copies would have to
+    * stay in lockstep. */
+  private def satAddMs(a: Long, b: Long): Long =
+    if (a > Long.MaxValue - b) Long.MaxValue else a + b
+  private def satSubMs(a: Long, b: Long): Long =
+    if (a < Long.MinValue + b) Long.MinValue else a - b
+
   /** STREAMING as-of join — the unbounded-lower limit of the J1/J2
     * interval-join family ([[intervalJoinBounds]]), completing the
     * as-of operator's third tier beside the batch composition
@@ -342,13 +352,10 @@ object StreamJobs {
             if (pending.nonEmpty)
               state.setTimeoutTimestamp(pending.map(_._1).min)
             else if (idleTtlMs > 0)
-              // arm the idle clock (saturating, like asOfNext's
-              // deadline: a near-MaxValue "never evict" TTL must not
-              // wrap negative and evict instantly); any new data
-              // invocation re-arms it
-              state.setTimeoutTimestamp(
-                if (wm > Long.MaxValue - idleTtlMs) Long.MaxValue
-                else wm + idleTtlMs)
+              // arm the idle clock (saturating: a near-MaxValue
+              // "never evict" TTL must not wrap negative and evict
+              // instantly); any new data invocation re-arms it
+              state.setTimeoutTimestamp(satAddMs(wm, idleTtlMs))
           }
           out.iterator
       }
@@ -411,8 +418,7 @@ object StreamJobs {
           // saturating lt + tol: the batch twin's "no bound" default
           // is toleranceMs = Long.MaxValue, and a wrapped-negative
           // deadline would flush every left as an instant null
-          def deadline(lt: Long): Long =
-            if (lt > Long.MaxValue - tolMs) Long.MaxValue else lt + tolMs
+          def deadline(lt: Long): Long = satAddMs(lt, tolMs)
           // earliest buffered right in the left's window, if any
           def candOf(lt: Long): Option[(Long, Option[Long])] =
             rSorted.find(r => r._1 >= lt && r._1 <= deadline(lt))
@@ -506,19 +512,15 @@ object StreamJobs {
           }
           val wm = state.getCurrentWatermarkMs()
           val rSorted = rights.sortBy(_._1)
-          def satAdd(a: Long, b: Long): Long =
-            if (a > Long.MaxValue - b) Long.MaxValue else a + b
-          def satSub(a: Long, b: Long): Long =
-            if (a < Long.MinValue + b) Long.MinValue else a - b
           // the best in-window right: min distance, backward (rt <=
           // lt) winning ties — stated as min over (distance, rt > lt)
           def bestOf(lt: Long): Option[(Long, Option[Long])] =
             rSorted
-              .filter(r => r._1 >= satSub(lt, tolMs) &&
-                r._1 <= satAdd(lt, tolMs))
+              .filter(r => r._1 >= satSubMs(lt, tolMs) &&
+                r._1 <= satAddMs(lt, tolMs))
               .minByOption(r => (math.abs(r._1 - lt), r._1 > lt))
           def deadline(lt: Long): Long =
-            satAdd(lt, bestOf(lt).map(r => math.abs(r._1 - lt))
+            satAddMs(lt, bestOf(lt).map(r => math.abs(r._1 - lt))
               .getOrElse(tolMs))
           val (ripe, pending) = lefts.partition { case (lt, _) =>
             wm >= deadline(lt)
@@ -528,7 +530,8 @@ object StreamJobs {
           }
           // no residue: a pending or future left's window reaches no
           // further back than wm − 2·tol
-          val kept = rSorted.filter(_._1 > satSub(wm, satAdd(tolMs, tolMs)))
+          val kept =
+            rSorted.filter(_._1 > satSubMs(wm, satAddMs(tolMs, tolMs)))
           if (pending.isEmpty && kept.isEmpty) state.remove()
           else {
             state.update(AsOfBuf(pending, kept))
@@ -540,7 +543,7 @@ object StreamJobs {
               // kept right, when the filter above empties the state
               // (the asOfNext leak fix, shifted by the 2·tol window)
               state.setTimeoutTimestamp(
-                satAdd(kept.map(_._1).max, satAdd(tolMs, tolMs)))
+                satAddMs(kept.map(_._1).max, satAddMs(tolMs, tolMs)))
           }
           out.iterator
       }

@@ -8,6 +8,16 @@ import graft.SparkSpec
 class PartitionedLakeSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Data files under a directory tree (one walker for every layout
+    * assertion in this suite — skip rules must not diverge). */
+  private def dataFiles(d: java.io.File): Seq[java.io.File] =
+    Option(d.listFiles).toSeq.flatten.flatMap {
+      case f if f.isDirectory => dataFiles(f)
+      case f if !f.getName.startsWith("_") && !f.getName.startsWith(".") =>
+        Seq(f)
+      case _ => Nil
+    }
+
   private def viaParquetTable = graft.Tables.events(spark, Sf)
     .filter(to_date(col("ts")) === to_date(lit(PartitionedLake.PruneDay)) &&
       col("user_id").isNotNull && col("user_id") <= PartitionedLake.UserCap)
@@ -17,6 +27,45 @@ class PartitionedLakeSpec extends SparkSpec {
     .collect()
     .map(r => Option(r.getString(0)) ->
       (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+  test("compacted lake: one file per day directory, identical answers") {
+    val root = new java.io.File(
+      PartitionedLake.compactedLakeDir(spark, Sf, "parquet"))
+    val dayDirs = Option(root.listFiles).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("dt="))
+    assert(dayDirs.nonEmpty, "compacted lake wrote no day directories")
+    val spray = dayDirs.map(d => d.getName -> dataFiles(d).size)
+      .filter(_._2 != 1)
+    assert(spray.isEmpty,
+      s"compaction must leave exactly one file per day: $spray")
+    // and an unmanaged multi-task write really does spray — the sf
+    // fixture reads as ONE input partition (its unmanaged lake is
+    // accidentally compact), so demonstrate with an 8-task writer
+    val sprayRoot = graft.func.TempDirs.scoped("lake-spray")
+    graft.Tables.events(spark, Sf)
+      .withColumn("dt", to_date(col("ts")))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("dt").parquet(sprayRoot)
+    val sprayTotal = dataFiles(new java.io.File(sprayRoot)).size
+    assert(sprayTotal > dayDirs.size,
+      s"expected the 8-task unmanaged write to spray >${dayDirs.size} " +
+        s"files, got $sprayTotal — the small-files problem should exist")
+    // write shape never changes answers
+    val viaCompact = spark.read
+      .schema(graft.Tables.events(spark, Sf)
+        .withColumn("dt", to_date(col("ts"))).schema)
+      .parquet(root.toString)
+      .filter(col("dt") === to_date(lit(PartitionedLake.PruneDay)) &&
+        col("user_id").isNotNull &&
+        col("user_id") <= PartitionedLake.UserCap)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("s"),
+        max("event_id").as("m"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(viaCompact === viaParquetTable)
+  }
 
   for (format <- Seq("parquet", "orc")) {
     test(s"$format lake: one-day query equals the parquet-table slice") {
@@ -60,17 +109,13 @@ class PartitionedLakeSpec extends SparkSpec {
       val scans = allScans(plan)
       assert(scans.size === 1, s"expected one file scan:\n$planStr")
       val filesRead = scans.head.metrics("numFiles").value
-      val root = new java.io.File(
-        PartitionedLake.lakeDir(spark, Sf, format))
-      def dataFiles(d: java.io.File): Long =
-        Option(d.listFiles).toSeq.flatten.map {
-          case f if f.isDirectory => dataFiles(f)
-          case f if !f.getName.startsWith("_") && !f.getName.startsWith(".") => 1L
-          case _ => 0L
-        }.sum
-      val dayFiles =
-        dataFiles(new java.io.File(root, s"dt=${PartitionedLake.PruneDay}"))
-      val lakeFiles = dataFiles(root)
+      // lakeRoot, not lakeDir: the executed scan's metric must be
+      // compared against the layout it READ — re-rendering the lake
+      // here would compare against a second, independent write
+      val root = new java.io.File(PartitionedLake.lakeRoot(Sf, format))
+      val dayFiles = dataFiles(
+        new java.io.File(root, s"dt=${PartitionedLake.PruneDay}")).size
+      val lakeFiles = dataFiles(root).size
       assert(filesRead === dayFiles,
         s"scan read $filesRead files, the day's directory holds $dayFiles")
       assert(dayFiles < lakeFiles,
