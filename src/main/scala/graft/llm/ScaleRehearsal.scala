@@ -106,6 +106,22 @@ import org.apache.spark.sql.functions._
   *   candidates ~ bands·n²/2^bits) and the knob that removes it
   *   ([[Similarity.lshNearDupWith]], bits ≈ log2(n/targetBucket))
   *   must be demonstrated, not asserted.
+  *
+  * - `prefixcross` (r16, VERDICT r15 task 1): the lossless
+  *   prefix-filter Jaccard A/B'd against the MaxDf-pruned path in
+  *   the df-skewed / boilerplate regime the cap exists for (fragment
+  *   df just UNDER the cap + rare tails), x1/x3/x10 cpu + candidate
+  *   economy + equal-recall set check; plus a trap corpus where
+  *   EVERY shared shingle exceeds MaxDf, pinning the recall hole
+  *   (pruned finds 0 of 200 planted true pairs, prefix 200).
+  *
+  * - `rangeladder` (r16, VERDICT r15 task 2): the interval-overlap
+  *   range join's growth at constant bucket occupancy (shuffle path
+  *   pinned), the naive-theta cross-check, the wide-interval
+  *   fan-out rung, and the hot-`__b`-bucket EXPANSION-skew rung —
+  *   where AQE's size-based skew split is probed (and measured
+  *   blind) and the operator's own bucketWidth knob is the
+  *   mitigation that works.
   */
 object ScaleRehearsal {
   val Root = "/tmp/graft-scale"
