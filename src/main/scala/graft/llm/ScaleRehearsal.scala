@@ -1981,6 +1981,10 @@ object ScaleRehearsal {
       val res = scala.collection.mutable.LinkedHashMap
         .empty[String, scala.collection.mutable.LinkedHashMap[
           Int, (Double, Set[(Long, Long)])]]
+      // gates accumulate and throw at section END (the ladderSection
+      // convention): an x1 recall divergence must not discard the
+      // expensive x10 measurements
+      val broken = scala.collection.mutable.ArrayBuffer.empty[String]
       PxScales.foreach { s =>
         val docs = graft.Tables.documents(spark, s"$dir/x$s")
         // candidate economy (exact aggregates): the same-shingle
@@ -2023,9 +2027,13 @@ object ScaleRehearsal {
         // equal counts could hide one path missing pair X and the
         // other missing pair Y
         val Seq(a, b) = paths.map { case (n2, _) => res(n2)(s)._2 }
-        require(a == b, s"x$s outputs diverge: maxdf-only " +
-          s"${(a -- b).take(3)}… prefix-only ${(b -- a).take(3)}… " +
-          "— regime B is supposed to hold recall equal")
+        if (a != b) {
+          val msg = s"x$s outputs diverge: maxdf-only " +
+            s"${(a -- b).take(3)}… prefix-only ${(b -- a).take(3)}… " +
+            "— regime B is supposed to hold recall equal"
+          println(s"[scale] GATE FAILED (prefixcross): $msg")
+          broken += msg
+        }
       }
       val alphas = res.map { case (name, byScale) =>
         name -> fitAlpha(byScale.toSeq.map { case (sc, v) => (sc, v._1) })
@@ -2037,11 +2045,14 @@ object ScaleRehearsal {
           res("prefix_filter")(s)._1.max(0.001))
       ratios.foreach { case (s, r) =>
         println(f"[scale] prefixcross x$s maxdf/prefix cpu ratio = $r%.2f×") }
-      val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
-      if (ratios.last._2 < 1.15 && !lenient)
-        sys.error(f"prefix filter failed to win its own regime at the " +
+      if (ratios.last._2 < 1.15)
+        broken += f"prefix filter failed to win its own regime at the " +
           f"top rung (ratio ${ratios.last._2}%.2f < 1.15) — the 100 TB " +
-          "claim needs re-examination (results above are complete)")
+          "claim needs re-examination"
+      val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
+      if (broken.nonEmpty && !lenient)
+        sys.error("prefixcross gates failed (results above are " +
+          s"complete): ${broken.mkString("; ")}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

@@ -45,8 +45,10 @@ object PartitionedLake {
   val PruneDay = "2024-01-15"
 
   /** Pushdown-able data predicate kept alongside the partition
-    * filter, same bound as [[OrcEvents.UserCap]]. */
-  val UserCap = 500L
+    * filter — ALIASES [[OrcEvents.UserCap]] so the roundtrip
+    * families cannot silently diverge from the shared bound the
+    * docs state. */
+  val UserCap: Long = OrcEvents.UserCap
 
   private def eventsWithDt(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).withColumn("dt", to_date(col("ts")))

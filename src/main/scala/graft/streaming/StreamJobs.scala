@@ -419,9 +419,16 @@ object StreamJobs {
           // is toleranceMs = Long.MaxValue, and a wrapped-negative
           // deadline would flush every left as an instant null
           def deadline(lt: Long): Long = satAddMs(lt, tolMs)
-          // earliest buffered right in the left's window, if any
+          // earliest buffered right in the left's window, if any —
+          // memoized: rights are fixed for the rest of this
+          // invocation and the partition / emit / timer-arm passes
+          // each consult the same lefts (O(lefts × rights) once, not
+          // three times, per trigger)
+          val candMemo = scala.collection.mutable.HashMap
+            .empty[Long, Option[(Long, Option[Long])]]
           def candOf(lt: Long): Option[(Long, Option[Long])] =
-            rSorted.find(r => r._1 >= lt && r._1 <= deadline(lt))
+            candMemo.getOrElseUpdate(lt,
+              rSorted.find(r => r._1 >= lt && r._1 <= deadline(lt)))
           val (ripe, pending) = lefts.partition { case (lt, _) =>
             candOf(lt).exists(_._1 <= wm) ||
               (candOf(lt).isEmpty && wm >= deadline(lt))
@@ -513,12 +520,17 @@ object StreamJobs {
           val wm = state.getCurrentWatermarkMs()
           val rSorted = rights.sortBy(_._1)
           // the best in-window right: min distance, backward (rt <=
-          // lt) winning ties — stated as min over (distance, rt > lt)
+          // lt) winning ties — stated as min over (distance, rt > lt).
+          // Memoized like asOfNext's candOf: rights are fixed for the
+          // rest of this invocation and partition / emit / timer-arm
+          // each consult the same lefts
+          val bestMemo = scala.collection.mutable.HashMap
+            .empty[Long, Option[(Long, Option[Long])]]
           def bestOf(lt: Long): Option[(Long, Option[Long])] =
-            rSorted
+            bestMemo.getOrElseUpdate(lt, rSorted
               .filter(r => r._1 >= satSubMs(lt, tolMs) &&
                 r._1 <= satAddMs(lt, tolMs))
-              .minByOption(r => (math.abs(r._1 - lt), r._1 > lt))
+              .minByOption(r => (math.abs(r._1 - lt), r._1 > lt)))
           def deadline(lt: Long): Long =
             satAddMs(lt, bestOf(lt).map(r => math.abs(r._1 - lt))
               .getOrElse(tolMs))

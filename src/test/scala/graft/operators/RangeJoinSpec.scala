@@ -90,6 +90,18 @@ class RangeJoinSpec extends SparkSpec {
       .toDF("id", "lo", "hi")
     assert(RangeJoin.pointInInterval(points, wide, "p", "lo", "hi")
       .count() === 1L)
+    // signed-contract overflow: at width 1, MinValue/2..MaxValue/2
+    // makes the bucket-index DIFFERENCE overflow a Long — the guard
+    // (double arithmetic) must still raise ITS error, not fall
+    // through to sequence()'s or ANSI's opaque one
+    val signedWide = Seq((1L, Long.MinValue / 2, Long.MaxValue / 2))
+      .toDF("id", "lo", "hi")
+    val e2 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, signedWide, "p", "lo", "hi",
+        bucketWidth = 1L).collect()
+    }
+    assert(messages(e2).exists(_.contains("raise bucketWidth")),
+      s"expected the span-guard error on the overflow span: ${messages(e2)}")
   }
 
   test("intervalOverlap equals the naive theta join, once per pair") {
