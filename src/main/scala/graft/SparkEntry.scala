@@ -253,6 +253,8 @@ object SparkEntry {
     // BI shapes over the marts: pivot / rollup / RANGE frame / exact
     // distributed median (r9)
     "q_ads_pivot_segment"   -> (ads.Rollups.pivotSegment(_, _)),
+    // pivot's inverse: melt daily metrics to long form (r16)
+    "q_ads_metrics_melt"    -> (ads.Rollups.metricsMelt(_, _)),
     "q_ads_gmv_rollup"      -> (ads.Rollups.gmvRollup(_, _)),
     "q_ads_gmv_ma7"         -> (ads.Rollups.gmvMa7(_, _)),
     "q_ads_price_median"    -> (ads.Rollups.priceMedian(_, _)),
@@ -315,7 +317,9 @@ object SparkEntry {
     // model-vs-heuristic quality agreement (filter-swap diagnostic) (r9)
     "q_llm_quality_agreement" -> (llm.QualityModel.qualityAgreement(_, _)),
     // CUBE grouping sets: the column-marginal rollup cannot express (r9)
-    "q_ads_gmv_cube"        -> (ads.Rollups.gmvCube(_, _))
+    "q_ads_gmv_cube"        -> (ads.Rollups.gmvCube(_, _)),
+    // arbitrary grouping sets: just the two marginals (r16)
+    "q_ads_gmv_gsets"       -> (ads.Rollups.gmvGroupingSets(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -475,6 +479,7 @@ object SparkEntry {
     "q_llm_budget_select"   -> llm.CorpusLayout.budgetSelectOracle,
     "q_llm_leakage_split"   -> llm.CorpusOps.leakageSplitOracle,
     "q_ads_pivot_segment"   -> ads.Rollups.pivotSegmentOracle,
+    "q_ads_metrics_melt"    -> ads.Rollups.metricsMeltOracle,
     "q_ads_gmv_rollup"      -> ads.Rollups.gmvRollupOracle,
     "q_ads_gmv_ma7"         -> ads.Rollups.gmvMa7Oracle,
     "q_ads_price_median"    -> ads.Rollups.priceMedianOracle,
@@ -511,6 +516,7 @@ object SparkEntry {
     "q_llm_media_phash"     -> llm.Multimodal.phashDupsOracle,
     "q_llm_langid_eval"     -> llm.TextAnalysis.langIdEvalOracle,
     "q_llm_quality_agreement" -> llm.QualityModel.qualityAgreementOracle,
-    "q_ads_gmv_cube"        -> ads.Rollups.gmvCubeOracle
+    "q_ads_gmv_cube"        -> ads.Rollups.gmvCubeOracle,
+    "q_ads_gmv_gsets"       -> ads.Rollups.gmvGroupingSetsOracle
   )
 }

@@ -40,6 +40,35 @@ object Rollups {
   val Segments: Seq[String] =
     Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 
+  /** Pivot's inverse — UNPIVOT/melt: the per-day metric columns
+    * (pv, uv, distinct event types) turned into (day, metric, value)
+    * long form, the shape every metrics store / dashboard ingestion
+    * consumes. `Dataset.unpivot` plans a local Expand (×metrics rows,
+    * NO shuffle, no driver involvement), so the melt is free to
+    * compose after any aggregate at 100 TB; only the upstream daily
+    * aggregate exchanges. */
+  def metricsMelt(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("unix_millis(ts) DIV 86400000").as("day"),
+        col("user_id"), col("event_type"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("pv"),
+        count_distinct(col("user_id")).as("uv"),
+        count_distinct(col("event_type")).as("types"))
+      .unpivot(Array(col("day")),
+        Array(col("pv"), col("uv"), col("types")), "metric", "value")
+
+  /** DuckDB states the operator natively (UNPIVOT ... INTO NAME/VALUE);
+    * identical daily aggregate upstream. */
+  lazy val metricsMeltOracle: String =
+    """WITH wide AS (SELECT epoch_ms(ts) // 86400000 AS day,
+      |                     CAST(count(*) AS BIGINT) AS pv,
+      |                     CAST(count(DISTINCT user_id) AS BIGINT) AS uv,
+      |                     CAST(count(DISTINCT event_type) AS BIGINT) AS types
+      |              FROM events GROUP BY 1)
+      |SELECT day, metric, value
+      |FROM (UNPIVOT wide ON pv, uv, types INTO NAME metric VALUE value)""".stripMargin
+
   /** Customers per nation crosstabbed by market segment. */
   def pivotSegment(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
@@ -111,6 +140,33 @@ object Rollups {
       |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS gmv_cents,
       |       CAST(count(*) AS BIGINT) AS n_orders
       |FROM orders GROUP BY CUBE(yr, prio)""".stripMargin
+
+  /** Arbitrary GROUPING SETS — the two MARGINALS alone (year totals,
+    * priority totals), the minimal statement neither rollup (forces
+    * the hierarchy) nor cube (forces the cross + grand total on top)
+    * can make. Scale shape: Expand fans out × the DECLARED set count
+    * (2 here), not 2^dims — at 100 TB the ability to state exactly
+    * the marginals a dashboard needs is what keeps the pre-combine
+    * row multiplication at its floor. */
+  def gmvGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority").as("prio"),
+        cents(col("o_totalprice")).as("c"))
+      .groupingSets(Seq(Seq(col("yr")), Seq(col("prio"))),
+        col("yr"), col("prio"))
+      .agg(sum("c").as("gmv_cents"), count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+      .select("yr", "prio", "gid", "gmv_cents", "n_orders")
+
+  lazy val gmvGroupingSetsOracle: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |       o_orderpriority AS prio,
+      |       CAST(GROUPING_ID(CAST(year(o_orderdate) AS BIGINT),
+      |                        o_orderpriority) AS BIGINT) AS gid,
+      |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS gmv_cents,
+      |       CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders GROUP BY GROUPING SETS ((yr), (prio))""".stripMargin
 
   /** Calendar-aware trailing-7-day GMV average (integer cents): the
     * RANGE frame is over epoch-day numbers, so a 3-day gap leaves a

@@ -81,4 +81,49 @@ class RollupsSpec extends SparkSpec {
     val prioMarg = out.filter(r => r.getLong(2) == 2L).map(_.getLong(3)).sum
     assert(prioMarg === detailGmv, "column marginal covers all mass")
   }
+
+  test("gmvGroupingSets: ONLY the two declared marginals, both total") {
+    val out = Rollups.gmvGroupingSets(spark, Sf).collect()
+    // gid 1 = (yr) set (prio grouped away), gid 2 = (prio) set — no
+    // detail (0), no grand total (3): the minimal-statement property
+    assert(out.map(_.getLong(2)).toSet === Set(1L, 2L),
+      "grouping sets must emit exactly the declared marginals")
+    val yrGmv = out.filter(_.getLong(2) == 1L).map(_.getLong(3)).sum
+    val prioGmv = out.filter(_.getLong(2) == 2L).map(_.getLong(3)).sum
+    assert(yrGmv === prioGmv, "both marginals cover the same mass")
+    // Expand fans out × the DECLARED set count, not 2^dims
+    val plan = Rollups.gmvGroupingSets(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"grouping sets compile to Expand:\n$plan")
+  }
+
+  test("metricsMelt: 3 long rows per day, values equal the wide aggregate") {
+    val out = Rollups.metricsMelt(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val wide = graft.Tables.events(spark, Sf)
+      .select(expr("unix_millis(ts) DIV 86400000").as("day"),
+        col("user_id"), col("event_type"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("pv"),
+        count_distinct(col("user_id")).as("uv"),
+        count_distinct(col("event_type")).as("types"))
+      .collect()
+    assert(wide.nonEmpty && out.size === wide.length * 3,
+      "melt emits one row per (day, metric)")
+    wide.foreach { r =>
+      val d = r.getLong(0)
+      assert(out((d, "pv")) === r.getLong(1))
+      assert(out((d, "uv")) === r.getLong(2))
+      assert(out((d, "types")) === r.getLong(3))
+    }
+    // the melt itself is a LOCAL Expand: exactly the aggregate's one
+    // exchange in the plan, nothing added by unpivot
+    val plan = Rollups.metricsMelt(spark, Sf).queryExecution.executedPlan
+    val exchanges = plan.toString.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(plan.toString.contains("Expand"),
+      s"unpivot must compile to Expand:\n$plan")
+    assert(exchanges <= 2,
+      s"unpivot must not add an exchange beyond the aggregate's:\n$plan")
+  }
 }
