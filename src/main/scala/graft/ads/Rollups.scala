@@ -46,17 +46,31 @@ object Rollups {
     * consumes. `Dataset.unpivot` plans a local Expand (×metrics rows,
     * NO shuffle, no driver involvement), so the melt is free to
     * compose after any aggregate at 100 TB; only the upstream daily
-    * aggregate exchanges. */
-  def metricsMelt(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    * aggregates exchange.
+    *
+    * The wide frame deliberately avoids TWO count_distincts in one
+    * aggregate — that would ride Catalyst's multi-distinct Expand (3×
+    * the shuffle rows of the RAW scan, the documented
+    * [[graft.dws.ProductStats]] hazard). Instead each distinct runs
+    * the two-level device over its own key and the tiny per-day
+    * frames join back null-safely (a null event time groups as a
+    * null day on both sides). */
+  def metricsMelt(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
       .select(expr("unix_millis(ts) DIV 86400000").as("day"),
         col("user_id"), col("event_type"))
+    val base = ev.groupBy("day", "user_id")
+      .agg(count(lit(1)).as("c"))
       .groupBy("day")
-      .agg(count(lit(1)).as("pv"),
-        count_distinct(col("user_id")).as("uv"),
-        count_distinct(col("event_type")).as("types"))
+      .agg(sum("c").as("pv"), count(lit(1)).as("uv"))
+    val types = ev.groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy(col("day").as("tday"))
+      .agg(count(lit(1)).as("types"))
+    base.join(types, base("day") <=> col("tday"))
+      .select(col("day"), col("pv"), col("uv"), col("types"))
       .unpivot(Array(col("day")),
         Array(col("pv"), col("uv"), col("types")), "metric", "value")
+  }
 
   /** DuckDB states the operator natively (UNPIVOT ... INTO NAME/VALUE);
     * identical daily aggregate upstream. */

@@ -116,14 +116,16 @@ class RollupsSpec extends SparkSpec {
       assert(out((d, "uv")) === r.getLong(2))
       assert(out((d, "types")) === r.getLong(3))
     }
-    // the melt itself is a LOCAL Expand: exactly the aggregate's one
-    // exchange in the plan, nothing added by unpivot
-    val plan = Rollups.metricsMelt(spark, Sf).queryExecution.executedPlan
-    val exchanges = plan.toString.linesIterator
-      .count(_.contains("Exchange hashpartitioning"))
-    assert(plan.toString.contains("Expand"),
-      s"unpivot must compile to Expand:\n$plan")
-    assert(exchanges <= 2,
-      s"unpivot must not add an exchange beyond the aggregate's:\n$plan")
+    // the melt itself is a LOCAL Expand sitting ABOVE every exchange
+    // (pre-order plan print: the unpivot Expand must appear before any
+    // Exchange line — a multi-distinct aggregate's Expand would print
+    // BELOW its exchange, which is exactly the hazard this query's
+    // two-level shape avoids)
+    val planStr = Rollups.metricsMelt(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val (ex, exch) = (planStr.indexOf("Expand"), planStr.indexOf("Exchange"))
+    assert(ex >= 0, s"unpivot must compile to Expand:\n$planStr")
+    assert(exch < 0 || ex < exch,
+      s"the melt's Expand must be LOCAL (above every exchange):\n$planStr")
   }
 }
