@@ -59,13 +59,18 @@ object Rollups {
     val ev = Tables.events(spark, dir)
       .select(expr("unix_millis(ts) DIV 86400000").as("day"),
         col("user_id"), col("event_type"))
+    // outer level counts the KEY COLUMN, not rows: a null user_id /
+    // event_type forms its own group at the inner level, and counting
+    // lit(1) would tally it as one distinct value where SQL's
+    // count(DISTINCT x) excludes NULLs — count(x) makes the null-key
+    // group contribute 0, matching the oracle on nullable input
     val base = ev.groupBy("day", "user_id")
       .agg(count(lit(1)).as("c"))
       .groupBy("day")
-      .agg(sum("c").as("pv"), count(lit(1)).as("uv"))
+      .agg(sum("c").as("pv"), count(col("user_id")).as("uv"))
     val types = ev.groupBy("day", "event_type").agg(count(lit(1)).as("c"))
       .groupBy(col("day").as("tday"))
-      .agg(count(lit(1)).as("types"))
+      .agg(count(col("event_type")).as("types"))
     base.join(types, base("day") <=> col("tday"))
       .select(col("day"), col("pv"), col("uv"), col("types"))
       .unpivot(Array(col("day")),

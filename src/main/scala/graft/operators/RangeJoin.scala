@@ -65,22 +65,21 @@ object RangeJoin {
     * a named error pointing at the `bucketWidth` knob. */
   private def bucketExplode(intervals: DataFrame, loCol: String,
       hiCol: String, bucketWidth: Long): DataFrame = {
-    // the guard's span is computed in DOUBLES on purpose: under the
+    // the guard's span is EXACT saturating long arithmetic: under the
     // signed contract a pathological interval (lo near MinValue, hi
-    // near MaxValue, small width) makes the Long difference overflow —
-    // past the guard silently (or as an opaque ANSI ARITHMETIC_
-    // OVERFLOW), exactly the far-from-the-knob failure this guard
-    // exists to prevent. Doubles cannot overflow; their worst-case
-    // rounding (~2^10 at 2^62-scale bucket ids) only fuzzes the
-    // comparison within 0.1% of the 2^20 cap — the guard is an
-    // order-of-magnitude tripwire, not an exact count.
-    val span = expr(s"cast(${fdiv(hiCol, bucketWidth)} as double) - " +
-      s"cast(${fdiv(loCol, bucketWidth)} as double) + 1.0d")
+    // near MaxValue, small width) makes the raw Long difference
+    // overflow, so `try_subtract` yields NULL there and the coalesce
+    // saturates it to Long.MaxValue — which trips the cap, exactly the
+    // right answer for a span that wide. spanM1 = hi_b - lo_b, so the
+    // `span > MaxSpanBuckets` tripwire is `spanM1 >= MaxSpanBuckets`
+    // (never computing the +1 that could itself overflow).
+    val spanM1 = expr(s"coalesce(try_subtract(${fdiv(hiCol, bucketWidth)}," +
+      s" ${fdiv(loCol, bucketWidth)}), ${Long.MaxValue}L)")
     intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) <= col(hiCol))
       .withColumn("__b", explode(sequence(
-        when(span > lit(MaxSpanBuckets.toDouble), expr(
+        when(spanM1 >= lit(MaxSpanBuckets), expr(
           s"raise_error(concat('range-join interval [', cast($loCol as string)" +
           s", ', ', cast($hiCol as string), '] spans more than " +
           s"$MaxSpanBuckets buckets at width $bucketWidth -- raise " +

@@ -128,4 +128,27 @@ class RollupsSpec extends SparkSpec {
     assert(exch < 0 || ex < exch,
       s"the melt's Expand must be LOCAL (above every exchange):\n$planStr")
   }
+
+  test("metricsMelt: null user_id / event_type excluded from the distincts") {
+    // the sf corpora carry no nulls in these columns, so the board
+    // oracle can't see the divergence this guards: the two-level
+    // device's OUTER count must count the KEY (null group → 0), not
+    // rows, to match count(DISTINCT x)'s null exclusion
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_melt_nulls").toString
+    val t = Timestamp.valueOf("2024-01-02 03:00:00")
+    Seq(
+      (1L, t, Some(7L), Some("view"), 0.0, "{}"),
+      (2L, t, Some(7L), Some("cart"), 0.0, "{}"),
+      (3L, t, None: Option[Long], None: Option[String], 0.0, "{}"),
+      (4L, t, Some(8L), Some("view"), 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Rollups.metricsMelt(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("pv") === 4L, "pv counts ALL rows, nulls included")
+    assert(out("uv") === 2L, "uv excludes the null user_id group")
+    assert(out("types") === 2L, "types excludes the null event_type group")
+  }
 }

@@ -90,10 +90,21 @@ class RangeJoinSpec extends SparkSpec {
       .toDF("id", "lo", "hi")
     assert(RangeJoin.pointInInterval(points, wide, "p", "lo", "hi")
       .count() === 1L)
+    // the guard is EXACT (saturating longs, not doubles): one bucket
+    // past the cap trips, where double rounding could have let a
+    // marginal interval slip
+    val justOver = Seq((1L, 0L, RangeJoin.MaxSpanBuckets * RangeJoin.BucketWidth))
+      .toDF("id", "lo", "hi")
+    val e1b = intercept[Exception] {
+      RangeJoin.pointInInterval(points, justOver, "p", "lo", "hi").collect()
+    }
+    assert(messages(e1b).exists(_.contains("raise bucketWidth")),
+      s"expected the span-guard error one past the cap: ${messages(e1b)}")
     // signed-contract overflow: at width 1, MinValue/2..MaxValue/2
-    // makes the bucket-index DIFFERENCE overflow a Long — the guard
-    // (double arithmetic) must still raise ITS error, not fall
-    // through to sequence()'s or ANSI's opaque one
+    // makes the bucket-index DIFFERENCE overflow a Long — try_subtract
+    // yields NULL there and the coalesce saturates to Long.MaxValue, so
+    // the guard must still raise ITS error, not fall through to
+    // sequence()'s or ANSI's opaque one
     val signedWide = Seq((1L, Long.MinValue / 2, Long.MaxValue / 2))
       .toDF("id", "lo", "hi")
     val e2 = intercept[Exception] {
