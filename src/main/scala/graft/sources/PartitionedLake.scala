@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -116,6 +117,90 @@ object PartitionedLake {
 
   def pruneOrc(spark: SparkSession, dir: String): DataFrame =
     pruneQuery(spark, dir, "orc")
+
+  /** DYNAMIC partition pruning — the join-derived twin of
+    * [[pruneQuery]]'s static elimination, and the access pattern the
+    * reference's star schema actually runs at 100 TB: a fact scan
+    * filtered through a DIM predicate (the six dim joins of
+    * gmall-time/.../app/dwm2/OrderWideApp2.java:190-322 — none of
+    * their filters name the fact's partition column directly). Here
+    * the fact is the dt-partitioned lake and the dim is a calendar
+    * frame of BUSY days (days whose event count exceeds the per-day
+    * mean — an aggregate attribute, deliberately NOT a function of
+    * the join key, so no static constraint propagation can reach the
+    * fact side and the only partition filter is the one Catalyst
+    * derives AT RUNTIME from the dim's rows: the
+    * `dynamicpruningexpression(dt IN subquery)` the spec asserts).
+    *
+    * Scale shape: the dim is bounded by the CALENDAR (one row per
+    * day), so the broadcast hint is bounded-by-construction and DPP
+    * rides the reused broadcast for free — the fact scan lists and
+    * reads only the busy days' directories (numFiles metric
+    * spec-asserted < lake total), exactly how "last month's busy
+    * days" must touch a 100 TB lake. The mean threshold is exact
+    * integer cross-multiplication (d_n · t_days > t_n) — no decimal
+    * average to drift cross-engine. */
+  def dppQuery(spark: SparkSession, dir: String,
+      format: String): DataFrame = {
+    val schema = eventsWithDt(spark, dir).schema
+    val fact = spark.read.format(format).schema(schema)
+      .load(lakeDir(spark, dir, format))
+    val dim = busyDays(spark, dir)
+    fact.join(broadcast(dim), fact("dt") === dim("d_dt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("user_id")).as("user_sum"),
+        max(col("event_id")).as("max_event"))
+  }
+
+  /** The busier-than-average calendar dim: one row per day whose
+    * event count strictly exceeds the all-days mean. Bounded by the
+    * calendar window regardless of corpus size.
+    *
+    * The threshold rides a GLOBAL window over the per-day frame (a
+    * bounded collapse — one row per calendar day) rather than a
+    * cross join against a one-row aggregate: a filter above a cross
+    * join gets absorbed into the nested-loop JOIN CONDITION by
+    * `PushDownPredicates`, leaving no `Filter` node in the dim
+    * subtree — and Catalyst's `PartitionPruning` only treats a join
+    * side as prune-worthy if it can SEE a selective `Filter` there
+    * (`hasPartitionPruningFilter`). The window form keeps the
+    * comparison an explicit post-window `Filter`, which is exactly
+    * what flips DPP on. */
+  def busyDays(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d_dt"))
+      .agg(count(lit(1)).as("d_n"))
+      .withColumn("t_n", sum(col("d_n")).over(all))
+      .withColumn("t_days", count(lit(1)).over(all))
+      .filter(col("d_n") * col("t_days") > col("t_n"))
+      .select("d_dt")
+  }
+
+  def dppParquet(spark: SparkSession, dir: String): DataFrame =
+    dppQuery(spark, dir, "parquet")
+
+  def dppOrc(spark: SparkSession, dir: String): DataFrame =
+    dppQuery(spark, dir, "orc")
+
+  /** The oracle replays fact-through-dim over the parquet events
+    * table; the busy-day dim is the same exact integer arithmetic. */
+  lazy val dppOracle: String =
+    """WITH day_n AS MATERIALIZED (
+      |  SELECT CAST(ts AS DATE) AS d_dt, CAST(count(*) AS BIGINT) AS d_n
+      |  FROM events GROUP BY 1),
+      |tot AS MATERIALIZED (
+      |  SELECT CAST(sum(d_n) AS BIGINT) AS t_n,
+      |         CAST(count(*) AS BIGINT) AS t_days FROM day_n),
+      |busy AS MATERIALIZED (
+      |  SELECT d_dt FROM day_n, tot WHERE d_n * t_days > t_n)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(user_id) AS BIGINT) AS user_sum,
+      |       max(event_id) AS max_event
+      |FROM events JOIN busy ON CAST(ts AS DATE) = busy.d_dt
+      |GROUP BY 1""".stripMargin
 
   /** The oracle replays the day slice from the parquet events table
     * (UTC calendar date both engines) — the partitioned roundtrip

@@ -67,6 +67,68 @@ class PartitionedLakeSpec extends SparkSpec {
     assert(viaCompact === viaParquetTable)
   }
 
+  test("DPP: the busy-day join derives the partition filter at runtime") {
+    // expected busy days computed independently (exact integer
+    // cross-multiplication, same contract as the dim)
+    val dayCounts = graft.Tables.events(spark, Sf)
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0) -> r.getLong(1))
+    val (tot, k) = (dayCounts.map(_._2).sum, dayCounts.length.toLong)
+    val busy = dayCounts.filter { case (_, n) => n * k > tot }.map(_._1)
+    assert(busy.nonEmpty && busy.length < dayCounts.length,
+      s"fixture degenerate: ${busy.length} of ${dayCounts.length} days busy")
+    for (format <- Seq("parquet", "orc")) {
+      // metric-bearing instance: executed EXACTLY once (a second run
+      // on the same QueryExecution would double the numFiles
+      // accumulator); the value check below uses its own instance
+      val q = PartitionedLake.dppQuery(spark, Sf, format)
+      q.queryExecution.toRdd.count()
+      val plan = q.queryExecution.executedPlan
+      val planStr = plan.toString
+      // the partition filter must be the RUNTIME one — a dynamic
+      // pruning expression on dt, not a static literal list
+      val pf = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(planStr).getOrElse("")
+      assert(pf.contains("dynamicpruning"),
+        s"$format fact scan must carry a dynamicpruning partition filter:\n$planStr")
+      // results equal the dim-replayed slice from the plain table
+      val got = PartitionedLake.dppQuery(spark, Sf, format).collect()
+        .map(r => Option(r.getString(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val want = graft.Tables.events(spark, Sf)
+        .filter(to_date(col("ts")).isin(busy: _*))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("user_id").as("s"),
+          max("event_id").as("m"))
+        .collect()
+        .map(r => Option(r.getString(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got === want)
+      // ground truth from the executed scan's own metric: the fact
+      // read exactly the busy days' files, strictly fewer than the lake
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val factScans = allScans(plan).filter(_.toString.contains("dynamicpruning"))
+      assert(factScans.size === 1,
+        s"expected exactly one dynamically-pruned scan:\n$planStr")
+      val filesRead = factScans.head.metrics("numFiles").value
+      val root = new java.io.File(PartitionedLake.lakeRoot(Sf, format))
+      val busyFiles = busy.map(d =>
+        dataFiles(new java.io.File(root, s"dt=$d")).size).sum
+      val lakeFiles = dataFiles(root).size
+      assert(filesRead === busyFiles.toLong,
+        s"$format scan read $filesRead files; busy days hold $busyFiles")
+      assert(busyFiles < lakeFiles,
+        s"fixture degenerate: every lake file is on a busy day")
+    }
+  }
+
   for (format <- Seq("parquet", "orc")) {
     test(s"$format lake: one-day query equals the parquet-table slice") {
       val got = PartitionedLake.pruneQuery(spark, Sf, format).collect()
