@@ -74,10 +74,26 @@ class SinksSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
         col("o_orderkey") === col("l_orderkey"))
-      joined.count()
+      joined.queryExecution.toRdd.count()
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join should not shuffle:\n$plan")
+      // the scans themselves report the bucketed read (not merely a
+      // small-plan accident): both sides selected all 8 buckets
+      assert(plan.contains("Bucketed: true"),
+        s"scans must read bucketed:\n$plan")
+      // CONTRAST: the identical join over the raw (unbucketed) parquet
+      // frames pays an Exchange on EACH side — the write-time shuffle
+      // is what the bucketed layout amortizes away
+      val flat = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      flat.queryExecution.toRdd.count()
+      val flatPlan = flat.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning\\((?:o_orderkey|l_orderkey)"
+        .r.findAllIn(flatPlan).size
+      assert(exchanges === 2,
+        s"unbucketed twin must shuffle both sides on the join key:\n$flatPlan")
+      // and both forms agree
+      assert(joined.count() === flat.count())
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.sql("DROP TABLE IF EXISTS b_orders")
