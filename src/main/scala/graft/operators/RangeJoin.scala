@@ -88,6 +88,88 @@ object RangeJoin {
         expr(fdiv(hiCol, bucketWidth)))))
   }
 
+  /** Census max/mean occupancy ratio above which [[autoWidth]] calls
+    * the probe width skewed and re-keys. Below it the probe width
+    * stands — paying explode fan-out for a balanced corpus is pure
+    * loss. */
+  val AutoSkewFactor = 8.0
+
+  /** Derive `bucketWidth` from the data — the sampled answer to the
+    * r16 finding that EXPANSION skew (one crowded value range →
+    * quadratic join output in one task) is invisible to AQE's
+    * size-based skew split, leaving width the only mitigation, and
+    * until now a hand-tuned one.
+    *
+    * Device: one census pass at `probeWidth` — both sides' valid
+    * intervals explode to their buckets (same contract/guard as the
+    * join itself) and ONE aggregation computes per-bucket occupancy,
+    * its max/mean, and the MEDIAN SPAN inside the hottest bucket;
+    * a second 1-row aggregate over the un-exploded intervals takes
+    * the corpus span SUM and max. If max/mean ≤ [[AutoSkewFactor]],
+    * the probe width stands.
+    *
+    * Otherwise the width balances the device's two costs. Within a
+    * crowded range of n intervals of typical span s, total candidate
+    * work across that range's buckets at width v is ∝ n²·(s+v)²/v
+    * (occupancy n(s+v)/range per bucket, range/v buckets) — wanting
+    * v SMALL, but with nothing left to gain below v ≈ s. Meanwhile
+    * the whole corpus pays explode fan-out Σspans/v — wanting v
+    * LARGE. Marginal balance (d/dv of maxN²/probe · v = d/dv of
+    * S/v, with range ≈ probe since the crowd sat inside one probe
+    * bucket) lands at v* = sqrt(S·probe)/maxN. That v* is clamped
+    * to [max(crowd median span, guard floor, 1), probeWidth]: below
+    * the crowd's own span rebalancing stops while explode cost keeps
+    * rising (measured r17: the crowd-span width looked perfect for
+    * the hot bucket and moved the bottleneck to a 128× background
+    * explode), and the guard floor ceil(maxSpan/(MaxSpanBuckets−1))
+    * guarantees the widest interval explodes to at most
+    * [[MaxSpanBuckets]] buckets (the −1 absorbs bucket mis-alignment,
+    * which can add one bucket over span/width) — an auto-derived
+    * width can never trip the span guard the caller didn't choose.
+    *
+    * Cost: one shuffle over explode(span/probeWidth) rows + two
+    * 1-row collects — O(corpus), far below the join it tunes. The
+    * returned width feeds the existing knob unchanged; results are
+    * width-independent by the operator's contract (spec-asserted). */
+  def autoWidth(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      probeWidth: Long = BucketWidth): Long = {
+    require(probeWidth >= 1, s"probe width $probeWidth must be >= 1")
+    def norm(df: DataFrame, lo: String, hi: String) = df.select(
+      col(lo).cast("long").as("__lo"), col(hi).cast("long").as("__hi"))
+    val iv = norm(left, lLo, lHi).unionByName(norm(right, rLo, rHi))
+      // saturating span (signed contract — same device as the guard);
+      // the valid-interval filter mirrors bucketExplode's
+      .filter(col("__lo").isNotNull && col("__hi").isNotNull &&
+        col("__lo") <= col("__hi"))
+      .withColumn("__span", expr("coalesce(try_add(try_subtract(__hi," +
+        s" __lo), 1L), ${Long.MaxValue}L)"))
+    // bounded collects: ONE row of corpus statistics each
+    val spanStats = iv.agg(
+      sum(col("__span").cast("double")).as("spanSum"), // double: immune
+      max(col("__span")).as("maxSpan"))                // to saturated sums
+      .collect()(0)
+    if (spanStats.isNullAt(0)) return probeWidth // empty/all-invalid
+    val (spanSum, maxSpan) = (spanStats.getDouble(0), spanStats.getLong(1))
+    val census = bucketExplode(iv, "__lo", "__hi", probeWidth)
+      .groupBy("__b")
+      .agg(count(lit(1)).as("__n"),
+        expr("percentile_approx(__span, 0.5)").as("__med"))
+    val stats = census.agg(
+      max(col("__n")).as("maxN"), avg(col("__n")).as("avgN"),
+      expr("max_by(__med, __n)").as("hotMed")).collect()(0)
+    val (maxN, avgN, hotMed) =
+      (stats.getLong(0), stats.getDouble(1), stats.getLong(2))
+    if (maxN <= AutoSkewFactor * avgN) probeWidth
+    else {
+      val d = MaxSpanBuckets - 1
+      val guardFloor = maxSpan / d + (if (maxSpan % d == 0) 0 else 1)
+      val vStar = math.sqrt(spanSum * probeWidth.toDouble) / maxN
+      val floor = math.max(math.max(hotMed, guardFloor), 1L)
+      math.min(probeWidth, math.max(vStar.toLong, floor))
+    }
+  }
+
   /** Generic point-in-interval join: every (point row × interval row)
     * pair with `lo <= point <= hi`, produced exactly once. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,

@@ -190,4 +190,82 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === naive)
     assert(got.nonEmpty, "vacuous fixture — no price lands in any band")
   }
+
+  test("autoWidth: balanced corpus keeps the probe width") {
+    // spans ~ probe width, lo hash-uniform over many buckets — no
+    // bucket materially out-censuses the mean
+    def uni(n: Int, salt: Long, id: String, lo: String, hi: String) =
+      spark.range(n).select(col("id").as(id),
+        pmod(xxhash64(col("id"), lit(salt)), lit(65536L)).as(lo))
+        .withColumn(hi,
+          col(lo) + pmod(xxhash64(col(id), lit(salt + 1)), lit(1024L)))
+    val w = RangeJoin.autoWidth(
+      uni(4000, 7L, "a_id", "lo_a", "hi_a"),
+      uni(4000, 77L, "b_id", "lo_b", "hi_b"),
+      "lo_a", "hi_a", "lo_b", "hi_b")
+    assert(w === RangeJoin.BucketWidth,
+      s"balanced corpus must keep the probe width, got $w")
+  }
+
+  test("autoWidth: crowded bucket re-keys to the crowd's span scale") {
+    // 4000 tiny intervals (span <= 7) crammed into [0, 1000) — ONE
+    // probe-width bucket — over a thin uniform background
+    def crowd(salt: Long, id: String, lo: String, hi: String) =
+      spark.range(4000).select(col("id").as(id),
+        pmod(xxhash64(col("id"), lit(salt)), lit(993L)).as(lo))
+        .withColumn(hi,
+          col(lo) + pmod(xxhash64(col(id), lit(salt + 1)), lit(7L)))
+    def bg(salt: Long, id: String, lo: String, hi: String) =
+      spark.range(64).select((col("id") + 100000L).as(id),
+        (pmod(xxhash64(col("id"), lit(salt)), lit(64L)) * 1024L + 2048L).as(lo))
+        .withColumn(hi, col(lo) + lit(512L))
+    val a = crowd(3L, "a_id", "lo_a", "hi_a")
+      .unionByName(bg(5L, "a_id", "lo_a", "hi_a"))
+    val b = crowd(33L, "b_id", "lo_b", "hi_b")
+      .unionByName(bg(55L, "b_id", "lo_b", "hi_b"))
+    val w = RangeJoin.autoWidth(a, b, "lo_a", "hi_a", "lo_b", "hi_b")
+    assert(w < RangeJoin.BucketWidth, s"crowding must re-key, got $w")
+    assert(w >= 1L && w <= 16L,
+      s"width should land at the crowd's median-span scale (~3), got $w")
+    // the knob never changes answers: auto width == probe width results
+    def pairs(width: Long) =
+      RangeJoin.intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b", width)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs(w) === pairs(RangeJoin.BucketWidth))
+  }
+
+  test("autoWidth: the MaxSpanBuckets floor keeps the guard un-trippable") {
+    // the crowd says "width 1"; the one huge background interval
+    // (span 2^23) at width 1 would explode past the 2^20 cap — the
+    // auto floor ceil(maxSpan / (MaxSpanBuckets - 1)) must win
+    def crowd(salt: Long, id: String, lo: String, hi: String) =
+      spark.range(4000).select(col("id").as(id),
+        pmod(xxhash64(col("id"), lit(salt)), lit(1000L)).as(lo))
+        .withColumn(hi, col(lo))
+    val wide = Seq((999999L, 5L, 5L + (1L << 23))).toDF("a_id", "lo_a", "hi_a")
+    val a = crowd(3L, "a_id", "lo_a", "hi_a").unionByName(wide)
+    val b = crowd(33L, "b_id", "lo_b", "hi_b")
+    val w = RangeJoin.autoWidth(a, b, "lo_a", "hi_a", "lo_b", "hi_b")
+    assert(w < RangeJoin.BucketWidth, s"crowding must re-key, got $w")
+    val span = (1L << 23) + 1L
+    val floor = span / (RangeJoin.MaxSpanBuckets - 1) +
+      (if (span % (RangeJoin.MaxSpanBuckets - 1) == 0) 0L else 1L)
+    assert(w >= floor, s"width $w under the guard floor $floor")
+    // and the join at the auto width must run, not raise the span error
+    val n = RangeJoin.intervalOverlap(a, b,
+      "lo_a", "hi_a", "lo_b", "hi_b", w).count()
+    assert(n > 0L)
+  }
+
+  test("autoWidth: degenerate inputs fall back to the probe width") {
+    val empty = Seq.empty[(Long, Long, Long)].toDF("a_id", "lo_a", "hi_a")
+    val emptyB = Seq.empty[(Long, Long, Long)].toDF("b_id", "lo_b", "hi_b")
+    assert(RangeJoin.autoWidth(empty, emptyB,
+      "lo_a", "hi_a", "lo_b", "hi_b") === RangeJoin.BucketWidth)
+    val inv = Seq((1L, 10L, 3L)).toDF("a_id", "lo_a", "hi_a") // inverted
+    val nul = Seq((2L, None: Option[Long], Some(5L)))
+      .toDF("b_id", "lo_b", "hi_b")
+    assert(RangeJoin.autoWidth(inv, nul,
+      "lo_a", "hi_a", "lo_b", "hi_b") === RangeJoin.BucketWidth)
+  }
 }
