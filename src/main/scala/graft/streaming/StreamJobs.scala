@@ -675,6 +675,52 @@ object StreamJobs {
       writer.option("checkpointLocation", d)).start()
   }
 
+  /** Streaming → lake sink: the stream tier writing the
+    * dt-partitioned layout ([[graft.sources.PartitionedLake]]) with
+    * exactly-once effect. The reference's sinks land each stream in a
+    * durable store keyed for the readers downstream
+    * (gmall-time/.../app/dwd2/BaseDBApp2.java:74-87 routes by table;
+    * ClickHouse/Phoenix sinks rely on engine-side idempotency) — on a
+    * plain filesystem lake the equivalent is `foreachBatch` with an
+    * IDEMPOTENT per-batch write, because foreachBatch is at-least-once
+    * (a batch can replay after a crash-restart from the checkpoint).
+    *
+    * Idempotency device: every batch writes under its own
+    * `__batch=<id>` sub-partition with DYNAMIC partition overwrite —
+    * a replay of batch N rewrites exactly the `(dt, __batch=N)`
+    * directories it touched and nothing else, so replayed work
+    * converges instead of appending duplicates. `dt` stays the
+    * OUTER partition, so one-day readers prune at the top level and
+    * never see the batch dimension (it projects away).
+    *
+    * Small-files shape: `repartition(dt)` routes each day of the
+    * micro-batch to ONE writer task — one file per (day, batch), the
+    * per-batch [[graft.sources.PartitionedLake.compactedLakeDir]]
+    * discipline. Files then grow per day at one per batch, not tasks ×
+    * days per batch; the day-level compaction pass stays the offline
+    * half at 100 TB (streaming writers cannot compact history). */
+  def lakeSink(events: DataFrame, root: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.withColumn("dt", to_date(col("ts")))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        lakeBatchWrite(batch, root, id)
+      }
+      .start()
+
+  /** The idempotent per-batch write half of [[lakeSink]], callable
+    * directly so the replay contract is testable without forcing a
+    * mid-commit crash: writing the same (batch, id) twice must leave
+    * the lake byte-identical. */
+  def lakeBatchWrite(batch: DataFrame, root: String, id: Long): Unit =
+    batch.withColumn("__batch", lit(id))
+      .repartition(col("dt"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt", "__batch")
+      .parquet(root)
+
   /** T3 streaming: bounce = session with exactly one event. The same
     * expression runs in batch, where it must agree with the lag/lead
     * JumpDetect formulation (asserted in tests). */

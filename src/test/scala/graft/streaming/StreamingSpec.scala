@@ -734,6 +734,88 @@ class StreamingSpec extends SparkSpec {
       "an idle restart must not replay any committed batch")
   }
 
+  test("streaming lake sink: stop/restart exactly-once, replay idempotent, " +
+      "one-day prune parity, one file per (day, batch)") {
+    import org.apache.spark.sql.types._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val root = graft.func.TempDirs.scoped("lake-sink")
+    val ck = graft.func.TempDirs.scoped("lake-sink-ck")
+    val src = mem.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // ---- incarnation 1: two committed batches, then stop (the kill)
+    val q1 = StreamJobs.lakeSink(src, root, ck)
+    mem.addData((1L, t("2024-01-01 10:00:00"), 7L, "view"),
+      (2L, t("2024-01-02 11:00:00"), 8L, "cart"))
+    q1.processAllAvailable()
+    mem.addData((3L, t("2024-01-01 12:00:00"), 9L, "view"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // data arrives WHILE THE QUERY IS DOWN
+    mem.addData((4L, t("2024-01-03 09:00:00"), 7L, "buy"))
+
+    // ---- incarnation 2: same checkpoint drains it, replays nothing
+    val q2 = StreamJobs.lakeSink(src, root, ck)
+    q2.processAllAvailable()
+    q2.stop()
+
+    // explicit read schema: pins the partition columns' types (DATE,
+    // LONG) independent of inference
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("dt", DateType), StructField("__batch", LongType)))
+    def lake() = spark.read.schema(schema).parquet(root)
+    val fed = Seq((1L, 7L, "view"), (2L, 8L, "cart"),
+      (3L, 9L, "view"), (4L, 7L, "buy"))
+    def rows() = lake().select("event_id", "user_id", "event_type")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows() === fed,
+      "every fed row exactly once across the stop/restart")
+
+    // ---- replay idempotency: foreachBatch is at-least-once, so the
+    // per-batch write must converge when the SAME batch id re-runs —
+    // write the post-restart batch twice more by hand
+    val bid = lake().filter(col("event_id") === 4L)
+      .select("__batch").as[Long].head()
+    val replay = Seq((4L, t("2024-01-03 09:00:00"), 7L, "buy"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("dt", to_date(col("ts")))
+    StreamJobs.lakeBatchWrite(replay, root, bid)
+    StreamJobs.lakeBatchWrite(replay, root, bid)
+    assert(rows() === fed, "a replayed batch id must not duplicate rows")
+
+    // ---- one-day prune: results match, and dt is a PARTITION filter
+    val day = lake().filter(col("dt") === to_date(lit("2024-01-01")))
+    day.queryExecution.toRdd.count()
+    val planStr = day.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(planStr).getOrElse("")
+    assert(pf.contains("dt"),
+      s"the day slice must prune at the directory level:\n$planStr")
+    assert(day.select("event_id").as[Long].collect().sorted ===
+      Array(1L, 3L))
+
+    // ---- small-files shape: ONE file per (dt, __batch) directory
+    def dataFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles).toSeq.flatten.flatMap {
+        case f if f.isDirectory => dataFiles(f)
+        case f if !f.getName.startsWith("_") && !f.getName.startsWith(".") =>
+          Seq(f)
+        case _ => Nil
+      }
+    val batchDirs = Option(new java.io.File(root).listFiles).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("dt="))
+      .flatMap(d => Option(d.listFiles).toSeq.flatten)
+      .filter(d => d.isDirectory && d.getName.startsWith("__batch="))
+    assert(batchDirs.nonEmpty, "no (dt, batch) directories written")
+    val spray = batchDirs.map(d => d.getPath -> dataFiles(d).size)
+      .filter(_._2 != 1)
+    assert(spray.isEmpty,
+      s"repartition(dt) must leave one file per (day, batch): $spray")
+  }
+
   test("streaming HLL registers converge to the batch sketch") {
     // the register table is a streaming-natural aggregate (groupBy
     // bucket, max) — complete mode over the documents file stream must
