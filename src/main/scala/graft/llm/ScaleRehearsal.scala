@@ -300,7 +300,7 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe",
       "skew", "stream", "streamjoin", "streamasof", "ladder", "skewcorpus",
-      "prefixcross", "rangeladder")
+      "prefixcross", "rangeladder", "cbo")
     val sections = if (args.isEmpty) all else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
@@ -346,6 +346,7 @@ object ScaleRehearsal {
     if (sections("skewcorpus")) skewCorpusSection(spark, s"$Root/skewcorpus")
     if (sections("prefixcross")) prefixCrossSection(spark, s"$Root/prefix")
     if (sections("rangeladder")) rangeLadderSection(spark)
+    if (sections("cbo")) cboSection(spark)
 
     spark.stop()
     println("[scale] DONE")
@@ -2268,5 +2269,134 @@ object ScaleRehearsal {
     if (broken.nonEmpty && !lenient)
       sys.error("rangeladder gates failed (results above are complete): " +
         broken.mkString("; "))
+  }
+
+  // ---- (cbo) catalog-stats stance for the multi-join plans ---------
+
+  /** VERDICT r16 task 6: should the board's multi-dim joins use CBO
+    * (`ANALYZE TABLE ... COMPUTE STATISTICS` + `spark.sql.cbo.*`) or
+    * keep riding AQE + bounded broadcast hints? CBO statistics attach
+    * to CATALOG tables only — the board reads parquet PATHS, where
+    * ANALYZE has no surface at all — so the experiment copies the
+    * join-heavy sf0.1 tables into the session catalog, analyzes them
+    * with column stats, and A/Bs the three join-heaviest board shapes
+    * (dim-chain rollup with a selective region filter stated in the
+    * WORST syntactic order; the 6-way order-wide star; the
+    * aggregate-then-join product-stats shape) under cbo+joinReorder
+    * on/off. Printed per mode: leaf order of the optimized plan, the
+    * physical join strategies, and 2-rep cpu. Results gate equal
+    * between modes; the stance verdict goes to PLANS §r17. */
+  private def cboSection(spark: SparkSession): Unit = {
+    import graft.Tables
+    println("[scale] === CBO/ANALYZE stance (multi-join plans) ===")
+    val dir = "/root/testdata/sf0.1"
+    val srcs = Seq(
+      "cbo_orders" -> Tables.orders(spark, dir),
+      "cbo_customer" -> Tables.customer(spark, dir),
+      "cbo_nation" -> Tables.nation(spark, dir),
+      "cbo_region" -> Tables.region(spark, dir),
+      "cbo_lineitem" -> Tables.lineitem(spark, dir),
+      "cbo_part" -> Tables.part(spark, dir),
+      "cbo_supplier" -> Tables.supplier(spark, dir))
+    srcs.foreach { case (t, df) =>
+      graft.sinks.Sinks.resetManagedTable(spark, t)
+      df.write.format("parquet").saveAsTable(t)
+    }
+    val tA = System.nanoTime()
+    srcs.foreach { case (t, _) =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val analyzeSecs = (System.nanoTime() - tA) / 1e9
+    println(f"[scale] ANALYZE 7 tables FOR ALL COLUMNS: $analyzeSecs%.1f s")
+
+    val queries = Seq(
+      // (sums are per-row integer CENTS — double sums vary in the
+      // last ulps with aggregation order, which a join reorder
+      // changes, and the parity gate must compare exact values)
+      // join-reorder bait: the selective region filter is stated LAST
+      "dim-chain (region-filtered, worst syntactic order)" ->
+        """SELECT n_name, count(*) AS n,
+          |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS amt
+          |FROM cbo_orders
+          |JOIN cbo_customer ON o_custkey = c_custkey
+          |JOIN cbo_nation ON c_nationkey = n_nationkey
+          |JOIN cbo_region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY n_name""".stripMargin,
+      "order-wide star (6-way)" ->
+        """SELECT count(*) AS n,
+          |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS amt
+          |FROM cbo_lineitem
+          |JOIN cbo_orders ON l_orderkey = o_orderkey
+          |JOIN cbo_part ON l_partkey = p_partkey
+          |JOIN cbo_supplier ON l_suppkey = s_suppkey
+          |JOIN cbo_customer ON o_custkey = c_custkey
+          |JOIN cbo_nation ON c_nationkey = n_nationkey""".stripMargin,
+      "aggregate-then-join (product-stats shape)" ->
+        """SELECT p_brand, count(*) AS parts, sum(rev) AS rev
+          |FROM (SELECT l_partkey,
+          |        sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+          |          AS BIGINT)) AS rev
+          |      FROM cbo_lineitem GROUP BY l_partkey) agg
+          |JOIN cbo_part ON l_partkey = p_partkey
+          |GROUP BY p_brand""".stripMargin)
+
+    def withConfs[A](kvs: (String, String)*)(body: => A): A = {
+      val prior = kvs.map { case (k, _) => k -> spark.conf.get(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+    def joinOrder(plan: org.apache.spark.sql.execution.QueryExecution) =
+      "cbo_[a-z]+".r.findAllIn(plan.optimizedPlan.toString).toSeq.distinct
+    def strategies(s: String) = {
+      // count in the FINAL plan section only (the Initial Plan section
+      // repeats every node)
+      val cut = s.indexOf("== Initial Plan ==") match {
+        case -1 => s.length; case i => i
+      }
+      Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin")
+        .map(k => k -> k.r.findAllIn(s.take(cut)).size).filter(_._2 > 0)
+    }
+    val listener = new graft.Bench.TaskTimeListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for ((tag, sql) <- queries) {
+        val results = for (cbo <- Seq(false, true)) yield withConfs(
+          "spark.sql.cbo.enabled" -> cbo.toString,
+          "spark.sql.cbo.joinReorder.enabled" -> cbo.toString) {
+          val reps = for (rep <- 1 to 2) yield {
+            ListenerShim.drainListenerBus(spark.sparkContext)
+            val (_, c0) = listener.snapshot
+            val df = spark.sql(sql)
+            val w0 = System.nanoTime()
+            df.queryExecution.toRdd.count()
+            val wall = (System.nanoTime() - w0) / 1e9
+            ListenerShim.drainListenerBus(spark.sparkContext)
+            val (_, c1) = listener.snapshot
+            (df, wall, c1 - c0)
+          }
+          val (df, wall, cpu) = reps.last
+          println(f"[scale] cbo=$cbo $tag: cpu $cpu%.2f s (warm rep), " +
+            f"wall $wall%.2f s")
+          println(s"[scale]   leaf order: ${joinOrder(df.queryExecution)
+            .mkString(" -> ")}")
+          println(s"[scale]   strategies: ${strategies(
+            df.queryExecution.executedPlan.toString).mkString(", ")}")
+          (df.collect().map(_.toString).sorted.toSeq, cpu)
+        }
+        require(results(0)._1 == results(1)._1,
+          s"CBO mode changed the ANSWER for $tag")
+        println(f"[scale] $tag: cpu off=${results(0)._2}%.2f " +
+          f"on=${results(1)._2}%.2f (answers identical)")
+      }
+      println(f"[scale] (ANALYZE itself cost $analyzeSecs%.1f s over 7 " +
+        "sf0.1 tables — a per-load cost any CBO adoption must amortize)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      srcs.foreach { case (t, _) =>
+        spark.sql(s"DROP TABLE IF EXISTS $t") }
+    }
   }
 }
