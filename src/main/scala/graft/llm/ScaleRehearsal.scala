@@ -282,6 +282,17 @@ object ScaleRehearsal {
     r
   }
 
+  /** Run `body` with SQL confs set, restoring priors — ONE copy of
+    * the save/set/try/restore idiom (it had grown three hand copies
+    * across sections; r17 review). Sections keep a local
+    * `withConfs` delegating here. */
+  private def withSqlConfs[A](spark: SparkSession)(
+      kvs: (String, String)*)(body: => A): A = {
+    val prior = kvs.map { case (k, _) => k -> spark.conf.get(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   /** Per-stage shuffle-read records per task — the balance evidence
     * for the wedge join: a skewed join puts one task orders of
     * magnitude above the stage mean. */
@@ -309,6 +320,9 @@ object ScaleRehearsal {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scale-rehearsal")
+      // keep saveAsTable fixtures (cbo section) under Root too, not
+      // the launch CWD — everything this harness writes lives in /tmp
+      .config("spark.sql.warehouse.dir", s"$Root/warehouse")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -630,11 +644,8 @@ object ScaleRehearsal {
       (r, worst)
     }
 
-    def withConfs[A](kvs: (String, String)*)(body: => A): A = {
-      val prior = kvs.map { case (k, _) => k -> spark.conf.get(k) }
-      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-      try body finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
-    }
+    def withConfs[A](kvs: (String, String)*)(body: => A): A =
+      withSqlConfs(spark)(kvs: _*)(body)
 
     // dim (~30 MB estimated) must take the shuffle path for reducer
     // skew to exist at all — disable size-based broadcast for the
@@ -2117,11 +2128,8 @@ object ScaleRehearsal {
     // the larger rungs can't, and the fitted exponent measures the
     // strategy flip, not the operator — observed alpha 1.76 vs the
     // true shuffle-path 1.0)
-    def withConfs[A](kvs: (String, String)*)(body: => A): A = {
-      val prior = kvs.map { case (k, _) => k -> spark.conf.get(k) }
-      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-      try body finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
-    }
+    def withConfs[A](kvs: (String, String)*)(body: => A): A =
+      withSqlConfs(spark)(kvs: _*)(body)
     val noBc = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
     val listener = new graft.Bench.TaskTimeListener
     ListenerShim.drainListenerBus(spark.sparkContext)
@@ -2341,11 +2349,8 @@ object ScaleRehearsal {
           |JOIN cbo_part ON l_partkey = p_partkey
           |GROUP BY p_brand""".stripMargin)
 
-    def withConfs[A](kvs: (String, String)*)(body: => A): A = {
-      val prior = kvs.map { case (k, _) => k -> spark.conf.get(k) }
-      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-      try body finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
-    }
+    def withConfs[A](kvs: (String, String)*)(body: => A): A =
+      withSqlConfs(spark)(kvs: _*)(body)
     def joinOrder(plan: org.apache.spark.sql.execution.QueryExecution) =
       "cbo_[a-z]+".r.findAllIn(plan.optimizedPlan.toString).toSeq.distinct
     def strategies(s: String) = {
@@ -2366,25 +2371,28 @@ object ScaleRehearsal {
         val results = for (cbo <- Seq(false, true)) yield withConfs(
           "spark.sql.cbo.enabled" -> cbo.toString,
           "spark.sql.cbo.joinReorder.enabled" -> cbo.toString) {
+          // rep 1 warms; rep 2 is the measured run AND feeds the
+          // parity gate (collect — a third execution would pad the
+          // rehearsal for nothing, r17 review)
           val reps = for (rep <- 1 to 2) yield {
             ListenerShim.drainListenerBus(spark.sparkContext)
             val (_, c0) = listener.snapshot
             val df = spark.sql(sql)
             val w0 = System.nanoTime()
-            df.queryExecution.toRdd.count()
+            val rows = df.collect()
             val wall = (System.nanoTime() - w0) / 1e9
             ListenerShim.drainListenerBus(spark.sparkContext)
             val (_, c1) = listener.snapshot
-            (df, wall, c1 - c0)
+            (df, rows, wall, c1 - c0)
           }
-          val (df, wall, cpu) = reps.last
+          val (df, rows, wall, cpu) = reps.last
           println(f"[scale] cbo=$cbo $tag: cpu $cpu%.2f s (warm rep), " +
             f"wall $wall%.2f s")
           println(s"[scale]   leaf order: ${joinOrder(df.queryExecution)
             .mkString(" -> ")}")
           println(s"[scale]   strategies: ${strategies(
             df.queryExecution.executedPlan.toString).mkString(", ")}")
-          (df.collect().map(_.toString).sorted.toSeq, cpu)
+          (rows.map(_.toString).sorted.toSeq, cpu)
         }
         require(results(0)._1 == results(1)._1,
           s"CBO mode changed the ANSWER for $tag")

@@ -94,19 +94,33 @@ object RangeJoin {
     * loss. */
   val AutoSkewFactor = 8.0
 
+  /** Absolute occupancy above which [[autoWidth]] re-keys REGARDLESS
+    * of the max/mean ratio. The ratio test is mathematically blind
+    * when the corpus occupies at most [[AutoSkewFactor]] buckets
+    * (maxN ≤ total and avgN = total/buckets force max/mean ≤
+    * buckets) — a narrow domain crowding ONE bucket reads as
+    * perfectly balanced. A bucket's candidate work is its occupancy
+    * product, so the cap is a work budget: 4096² ≈ 17M candidate
+    * pairs is the most one task should absorb before re-keying. */
+  val AutoOccupancyCap = 4096L
+
   /** Derive `bucketWidth` from the data — the sampled answer to the
     * r16 finding that EXPANSION skew (one crowded value range →
     * quadratic join output in one task) is invisible to AQE's
     * size-based skew split, leaving width the only mitigation, and
     * until now a hand-tuned one.
     *
-    * Device: one census pass at `probeWidth` — both sides' valid
+    * Device: ONE census pass at `probeWidth` — both sides' valid
     * intervals explode to their buckets (same contract/guard as the
-    * join itself) and ONE aggregation computes per-bucket occupancy,
-    * its max/mean, and the MEDIAN SPAN inside the hottest bucket;
-    * a second 1-row aggregate over the un-exploded intervals takes
-    * the corpus span SUM and max. If max/mean ≤ [[AutoSkewFactor]],
-    * the probe width stands.
+    * join itself) and one aggregation computes per-bucket occupancy,
+    * its max/mean, the MEDIAN SPAN inside the hottest bucket, and the
+    * corpus span SUM and max (counted once per interval via its first
+    * bucket). The probe width stands only when max/mean ≤
+    * [[AutoSkewFactor]] AND the worst bucket is under
+    * [[AutoOccupancyCap]] — the ratio alone is blind on a narrow
+    * domain (≤ factor occupied buckets force max/mean ≤ buckets), so
+    * the absolute work budget is what catches a corpus crowding ONE
+    * bucket uniformly.
     *
     * Otherwise the width balances the device's two costs. Within a
     * crowded range of n intervals of typical span s, total candidate
@@ -127,8 +141,8 @@ object RangeJoin {
     * which can add one bucket over span/width) — an auto-derived
     * width can never trip the span guard the caller didn't choose.
     *
-    * Cost: one shuffle over explode(span/probeWidth) rows + two
-    * 1-row collects — O(corpus), far below the join it tunes. The
+    * Cost: one shuffle over explode(span/probeWidth) rows + one
+    * 1-row collect — O(corpus), far below the join it tunes. The
     * returned width feeds the existing knob unchanged; results are
     * width-independent by the operator's contract (spec-asserted). */
   def autoWidth(left: DataFrame, right: DataFrame,
@@ -139,28 +153,33 @@ object RangeJoin {
       col(lo).cast("long").as("__lo"), col(hi).cast("long").as("__hi"))
     val iv = norm(left, lLo, lHi).unionByName(norm(right, rLo, rHi))
       // saturating span (signed contract — same device as the guard);
-      // the valid-interval filter mirrors bucketExplode's
-      .filter(col("__lo").isNotNull && col("__hi").isNotNull &&
-        col("__lo") <= col("__hi"))
+      // bucketExplode re-applies the valid-interval filter
       .withColumn("__span", expr("coalesce(try_add(try_subtract(__hi," +
         s" __lo), 1L), ${Long.MaxValue}L)"))
-    // bounded collects: ONE row of corpus statistics each
-    val spanStats = iv.agg(
-      sum(col("__span").cast("double")).as("spanSum"), // double: immune
-      max(col("__span")).as("maxSpan"))                // to saturated sums
-      .collect()(0)
-    if (spanStats.isNullAt(0)) return probeWidth // empty/all-invalid
-    val (spanSum, maxSpan) = (spanStats.getDouble(0), spanStats.getLong(1))
+    // ONE pass: per-bucket occupancy + median span from the exploded
+    // frame; the corpus-wide span sum/max ride the same frame counted
+    // once per interval via its FIRST bucket (__b == fdiv(lo) exactly
+    // once per exploded interval)
+    val firstB = expr(fdiv("__lo", probeWidth))
     val census = bucketExplode(iv, "__lo", "__hi", probeWidth)
       .groupBy("__b")
       .agg(count(lit(1)).as("__n"),
-        expr("percentile_approx(__span, 0.5)").as("__med"))
+        expr("percentile_approx(__span, 0.5)").as("__med"),
+        sum(when(col("__b") === firstB, col("__span").cast("double")))
+          .as("__s1"),
+        max(when(col("__b") === firstB, col("__span"))).as("__mx1"))
+    // bounded collect: ONE row of corpus statistics
     val stats = census.agg(
       max(col("__n")).as("maxN"), avg(col("__n")).as("avgN"),
-      expr("max_by(__med, __n)").as("hotMed")).collect()(0)
+      expr("max_by(__med, __n)").as("hotMed"),
+      sum(col("__s1")).as("spanSum"), max(col("__mx1")).as("maxSpan"))
+      .collect()(0)
+    if (stats.isNullAt(0)) return probeWidth // empty/all-invalid input
     val (maxN, avgN, hotMed) =
       (stats.getLong(0), stats.getDouble(1), stats.getLong(2))
-    if (maxN <= AutoSkewFactor * avgN) probeWidth
+    val (spanSum, maxSpan) = (stats.getDouble(3), stats.getLong(4))
+    if (maxN <= AutoSkewFactor * avgN && maxN <= AutoOccupancyCap)
+      probeWidth
     else {
       val d = MaxSpanBuckets - 1
       val guardFloor = maxSpan / d + (if (maxSpan % d == 0) 0 else 1)

@@ -234,6 +234,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(pairs(w) === pairs(RangeJoin.BucketWidth))
   }
 
+  test("autoWidth: a narrow domain crowding ONE bucket re-keys on the " +
+      "absolute occupancy cap (the ratio test is blind there)") {
+    // every interval in probe-bucket 0, NO background: the census has
+    // a single row, so max/mean == 1 and the ratio can never trip —
+    // only the AutoOccupancyCap work budget catches this corpus
+    def crowd(salt: Long, id: String, lo: String, hi: String) =
+      spark.range(4000).select(col("id").as(id),
+        pmod(xxhash64(col("id"), lit(salt)), lit(993L)).as(lo))
+        .withColumn(hi,
+          col(lo) + pmod(xxhash64(col(id), lit(salt + 1)), lit(7L)))
+    val a = crowd(3L, "a_id", "lo_a", "hi_a")
+    val b = crowd(33L, "b_id", "lo_b", "hi_b")
+    val w = RangeJoin.autoWidth(a, b, "lo_a", "hi_a", "lo_b", "hi_b")
+    assert(w < RangeJoin.BucketWidth,
+      s"single-bucket crowding must re-key, got $w")
+    assert(w >= 1L && w <= 16L,
+      s"width should land at the crowd's median-span scale (~3), got $w")
+  }
+
   test("autoWidth: the MaxSpanBuckets floor keeps the guard un-trippable") {
     // the crowd says "width 1"; the one huge background interval
     // (span 2^23) at width 1 would explode past the 2^20 cap — the

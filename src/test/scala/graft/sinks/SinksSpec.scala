@@ -67,6 +67,11 @@ class SinksSpec extends SparkSpec {
       .select("o_orderkey", "o_totalprice")
     val l = graft.Tables.lineitem(spark, Sf)
       .select("l_orderkey", "l_extendedprice")
+    // a hard kill between write and the finally's DROP leaves a
+    // non-empty warehouse dir the next JVM's empty catalog refuses
+    // to write over — reset BOTH halves first (r17 review)
+    Sinks.resetManagedTable(spark, "b_orders")
+    Sinks.resetManagedTable(spark, "b_lineitem")
     Sinks.writeBucketed(o, Seq("o_orderkey"), 8, "b_orders")
     Sinks.writeBucketed(l, Seq("l_orderkey"), 8, "b_lineitem")
     try {

@@ -1,6 +1,5 @@
 package graft.sources
 
-import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -8,15 +7,9 @@ import graft.SparkSpec
 class PartitionedLakeSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Data files under a directory tree (one walker for every layout
-    * assertion in this suite — skip rules must not diverge). */
-  private def dataFiles(d: java.io.File): Seq[java.io.File] =
-    Option(d.listFiles).toSeq.flatten.flatMap {
-      case f if f.isDirectory => dataFiles(f)
-      case f if !f.getName.startsWith("_") && !f.getName.startsWith(".") =>
-        Seq(f)
-      case _ => Nil
-    }
+  // one walker for every layout assertion across ALL suites — skip
+  // rules must not diverge (hoisted r17)
+  private def dataFiles(d: java.io.File) = graft.PlanWalk.dataFiles(d)
 
   private def viaParquetTable = graft.Tables.events(spark, Sf)
     .filter(to_date(col("ts")) === to_date(lit(PartitionedLake.PruneDay)) &&
@@ -78,9 +71,15 @@ class PartitionedLakeSpec extends SparkSpec {
     assert(busy.nonEmpty && busy.length < dayCounts.length,
       s"fixture degenerate: ${busy.length} of ${dayCounts.length} days busy")
     for (format <- Seq("parquet", "orc")) {
-      // metric-bearing instance: executed EXACTLY once (a second run
-      // on the same QueryExecution would double the numFiles
-      // accumulator); the value check below uses its own instance
+      // value check FIRST — dppQuery re-renders the lake on every
+      // call (lakeDir overwrites), so the metric-bearing instance
+      // must be the LAST render before the on-disk comparison (the
+      // r16 re-render-decoupling lesson), and executed EXACTLY once
+      // (a second run on the same QueryExecution would double the
+      // numFiles accumulator)
+      val got = PartitionedLake.dppQuery(spark, Sf, format).collect()
+        .map(r => Option(r.getString(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       val q = PartitionedLake.dppQuery(spark, Sf, format)
       q.queryExecution.toRdd.count()
       val plan = q.queryExecution.executedPlan
@@ -90,10 +89,6 @@ class PartitionedLakeSpec extends SparkSpec {
       val pf = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(planStr).getOrElse("")
       assert(pf.contains("dynamicpruning"),
         s"$format fact scan must carry a dynamicpruning partition filter:\n$planStr")
-      // results equal the dim-replayed slice from the plain table
-      val got = PartitionedLake.dppQuery(spark, Sf, format).collect()
-        .map(r => Option(r.getString(0)) ->
-          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       val want = graft.Tables.events(spark, Sf)
         .filter(to_date(col("ts")).isin(busy: _*))
         .groupBy("event_type")
@@ -105,16 +100,8 @@ class PartitionedLakeSpec extends SparkSpec {
       assert(got === want)
       // ground truth from the executed scan's own metric: the fact
       // read exactly the busy days' files, strictly fewer than the lake
-      def allScans(p: org.apache.spark.sql.execution.SparkPlan):
-          Seq[FileSourceScanExec] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          allScans(a.executedPlan)
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          allScans(s.plan)
-        case f: FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(allScans)
-      }
-      val factScans = allScans(plan).filter(_.toString.contains("dynamicpruning"))
+      val factScans = graft.PlanWalk.allScans(plan)
+        .filter(_.toString.contains("dynamicpruning"))
       assert(factScans.size === 1,
         s"expected exactly one dynamically-pruned scan:\n$planStr")
       val filesRead = factScans.head.metrics("numFiles").value
@@ -156,19 +143,8 @@ class PartitionedLakeSpec extends SparkSpec {
       assert(readSchema.nonEmpty && !"[<,]props:".r.unanchored.matches(readSchema),
         s"unreferenced columns must prune from ReadSchema: $readSchema")
       // ground truth from the scan's OWN metric: files read == files
-      // on disk under dt=PruneDay, strictly fewer than the lake total.
-      // collect() does not descend into AQE's materialized query
-      // stages (QueryStageExec has no children) — recurse explicitly
-      def allScans(p: org.apache.spark.sql.execution.SparkPlan):
-          Seq[FileSourceScanExec] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          allScans(a.executedPlan)
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          allScans(s.plan)
-        case f: FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(allScans)
-      }
-      val scans = allScans(plan)
+      // on disk under dt=PruneDay, strictly fewer than the lake total
+      val scans = graft.PlanWalk.allScans(plan)
       assert(scans.size === 1, s"expected one file scan:\n$planStr")
       val filesRead = scans.head.metrics("numFiles").value
       // lakeRoot, not lakeDir: the executed scan's metric must be

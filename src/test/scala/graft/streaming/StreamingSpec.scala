@@ -798,19 +798,13 @@ class StreamingSpec extends SparkSpec {
       Array(1L, 3L))
 
     // ---- small-files shape: ONE file per (dt, __batch) directory
-    def dataFiles(d: java.io.File): Seq[java.io.File] =
-      Option(d.listFiles).toSeq.flatten.flatMap {
-        case f if f.isDirectory => dataFiles(f)
-        case f if !f.getName.startsWith("_") && !f.getName.startsWith(".") =>
-          Seq(f)
-        case _ => Nil
-      }
     val batchDirs = Option(new java.io.File(root).listFiles).toSeq.flatten
       .filter(d => d.isDirectory && d.getName.startsWith("dt="))
       .flatMap(d => Option(d.listFiles).toSeq.flatten)
       .filter(d => d.isDirectory && d.getName.startsWith("__batch="))
     assert(batchDirs.nonEmpty, "no (dt, batch) directories written")
-    val spray = batchDirs.map(d => d.getPath -> dataFiles(d).size)
+    val spray = batchDirs
+      .map(d => d.getPath -> graft.PlanWalk.dataFiles(d).size)
       .filter(_._2 != 1)
     assert(spray.isEmpty,
       s"repartition(dt) must leave one file per (day, batch): $spray")
