@@ -49,6 +49,7 @@ object SparkEntry {
     // Keyless value-range join via the bucket device (no BNLJ/cartesian)
     "q_range_price_band"   -> (operators.RangeJoin.priceBandQuery(_, _)),
     "q_range_band_overlap" -> (operators.RangeJoin.bandOverlapQuery(_, _)),
+    "q_range_band_overlap_auto" -> (operators.RangeJoin.bandOverlapAutoQuery(_, _)),
     // Skew mitigation: salted fact×dim join, result-invisible salt
     "q_skew_salted_agg"    -> (func.Skew.saltedJoinQuery(_, _)),
     // DWS — windowed stats (§2.6)
@@ -353,6 +354,7 @@ object SparkEntry {
     "q_asof_latest_order_native" -> operators.AsOf.latestOrderOracle,
     "q_range_price_band"   -> operators.RangeJoin.priceBandOracle,
     "q_range_band_overlap" -> operators.RangeJoin.bandOverlapOracle,
+    "q_range_band_overlap_auto" -> operators.RangeJoin.bandOverlapOracle,
     "q_skew_salted_agg"    -> func.Skew.saltedJoinOracle,
     "q_dws_visitor_stats"  -> dws.VisitorStats.oracle,
     "q_dws_visitor_stats_hop" -> dws.VisitorStats.hoppingOracle,

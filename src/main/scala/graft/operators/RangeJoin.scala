@@ -280,6 +280,33 @@ object RangeJoin {
       .agg(count(lit(1)).as("overlap_ct"))
   }
 
+  /** The overlap audit at the CENSUS-DERIVED width — [[autoWidth]]
+    * run end to end on real data, then the same join at the width it
+    * picks. Same oracle as [[bandOverlapQuery]]: the operator's
+    * contract is width-independence, so the driver's hash compare IS
+    * the proof that the auto-derived width changes nothing but the
+    * plan's balance. (At the sf corpora the price bands are benign —
+    * near-uniform occupancy — so auto keeps the probe width; the
+    * skewed-regime behavior is rehearsed on the hot-bucket corpus in
+    * ScaleRehearsal's rangeladder section, where auto BEAT the
+    * hand-tuned width 3.4 s vs 7.4 s wall.) */
+  def bandOverlapAutoQuery(spark: SparkSession, dir: String): DataFrame = {
+    def bands(keyAs: String, loAs: String, hiAs: String) =
+      Tables.part(spark, dir)
+        .select(col("p_partkey"),
+          floor(col("p_retailprice") * 100).cast("long").as("rp"))
+        .select(col("p_partkey").as(keyAs),
+          (col("rp") - expr("rp DIV 1000")).as(loAs),
+          (col("rp") + expr("rp DIV 1000")).as(hiAs))
+    val (a, b) = (bands("pk_a", "lo_a", "hi_a"),
+      bands("pk_b", "lo_b", "hi_b"))
+    val w = autoWidth(a, b, "lo_a", "hi_a", "lo_b", "hi_b")
+    intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b", w)
+      .filter(col("pk_a") < col("pk_b"))
+      .groupBy(col("pk_a").as("p_partkey"))
+      .agg(count(lit(1)).as("overlap_ct"))
+  }
+
   /** DuckDB plans the overlap predicate natively (IEJoin). */
   val bandOverlapOracle: String =
     """WITH iv AS (SELECT p_partkey, rp - rp // 1000 AS lo, rp + rp // 1000 AS hi

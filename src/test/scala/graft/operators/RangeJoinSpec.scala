@@ -144,6 +144,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(!got.keySet.exists(_._1 == 4L), "inverted interval never matches")
   }
 
+  test("band-overlap AUTO query matches the fixed-width board query") {
+    // width-independence end to end on real data: whatever width the
+    // census picks, the answer is the fixed-width query's answer
+    val auto = RangeJoin.bandOverlapAutoQuery(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    val fixed = RangeJoin.bandOverlapQuery(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(auto === fixed)
+    assert(auto.nonEmpty, "vacuous fixture — no overlapping bands")
+  }
+
   test("band-overlap query plans an EQUI join and matches the theta form") {
     val q = RangeJoin.bandOverlapQuery(spark, Sf)
     q.queryExecution.toRdd.count()
