@@ -87,6 +87,34 @@ class SinksSpec extends SparkSpec {
       // small-plan accident): both sides selected all 8 buckets
       assert(plan.contains("Bucketed: true"),
         s"scans must read bucketed:\n$plan")
+      // the layout half of the sorted-bucket story: exactly one data
+      // file per bucket per table (8 each), not writer-tasks ×
+      // buckets — the repartition-before-write discipline
+      for (t <- Seq("b_orders", "b_lineitem")) {
+        val loc = new java.io.File(new java.net.URI(
+          spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+            .find(_.getString(0) == "Location").get.getString(1)))
+        val files = graft.PlanWalk.dataFiles(loc)
+        assert(files.size === 8,
+          s"$t should hold one file per bucket: ${files.map(_.getName)}")
+      }
+      // the SORT is amortizable too: with one file per bucket the
+      // sortBy ordering is real, and under the (off-by-default,
+      // SPARK-28632) sorted-bucket-scan flag the merge join drops its
+      // Sort nodes as well — neither shuffle nor sort at read time.
+      // ("Sort [" is the SortExec node header; SortMergeJoin prints
+      // no such substring)
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val sortedJoin = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      sortedJoin.queryExecution.toRdd.count()
+      val sortedPlan = sortedJoin.queryExecution.executedPlan.toString
+      assert(!sortedPlan.contains("Exchange hashpartitioning") &&
+        !sortedPlan.contains("Sort ["),
+        s"sorted-bucket scan must drop BOTH Exchange and Sort:\n$sortedPlan")
+      assert(sortedJoin.count() === joined.count())
       // CONTRAST: the identical join over the raw (unbucketed) parquet
       // frames pays an Exchange on EACH side — the write-time shuffle
       // is what the bucketed layout amortizes away
@@ -98,10 +126,15 @@ class SinksSpec extends SparkSpec {
       assert(flatPlan.contains("Exchange hashpartitioning(o_orderkey") &&
         flatPlan.contains("Exchange hashpartitioning(l_orderkey"),
         s"unbucketed twin must shuffle both sides on the join key:\n$flatPlan")
+      // ...and re-sorts both sides (the Sort the sorted layout dropped)
+      assert(flatPlan.contains("Sort ["),
+        s"unbucketed twin should carry explicit Sort nodes:\n$flatPlan")
       // and both forms agree
       assert(joined.count() === flat.count())
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
