@@ -288,9 +288,15 @@ object ScaleRehearsal {
     * `withConfs` delegating here. */
   private def withSqlConfs[A](spark: SparkSession)(
       kvs: (String, String)*)(body: => A): A = {
-    val prior = kvs.map { case (k, _) => k -> spark.conf.get(k) }
+    // getOption, not get: an optional conf with no default (e.g.
+    // spark.sql.adaptive.autoBroadcastJoinThreshold) reads as None
+    // and must be UNSET on restore, not set(null)
+    val prior = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prior.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   /** Per-stage shuffle-read records per task — the balance evidence
@@ -311,7 +317,7 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe",
       "skew", "stream", "streamjoin", "streamasof", "ladder", "skewcorpus",
-      "prefixcross", "rangeladder", "cbo")
+      "prefixcross", "rangeladder", "cbo", "bloom")
     val sections = if (args.isEmpty) all else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
@@ -361,6 +367,7 @@ object ScaleRehearsal {
     if (sections("prefixcross")) prefixCrossSection(spark, s"$Root/prefix")
     if (sections("rangeladder")) rangeLadderSection(spark)
     if (sections("cbo")) cboSection(spark)
+    if (sections("bloom")) bloomSection(spark)
 
     spark.stop()
     println("[scale] DONE")
@@ -2406,5 +2413,104 @@ object ScaleRehearsal {
       srcs.foreach { case (t, _) =>
         spark.sql(s"DROP TABLE IF EXISTS $t") }
     }
+  }
+
+  // ---- (bloom) runtime bloom-filter join pruning --------------------
+
+  /** The ROW-level companion to the lake's dynamic partition pruning:
+    * Spark's `InjectRuntimeFilter` builds a bloom filter from a
+    * selectively-filtered join side and semi-filters the big side
+    * BEFORE its shuffle — at 100 TB the difference between shuffling
+    * the whole fact and shuffling the ~1/25 that can possibly match.
+    * DPP covers the partition key; this covers every other join key.
+    *
+    * A/B on the brand-filtered part ⋈ lineitem shape with broadcast
+    * disabled (a broadcast join already probes row-by-row during the
+    * scan; the bloom pays on SHUFFLE joins), answers gated identical,
+    * the injection gated visible in the executed plan
+    * (`might_contain`), and the economy read from the tasks' own
+    * shuffle record counters. The on-mode confs it takes at sf0.1 are
+    * themselves the finding: `applicationSideScanSizeThreshold`
+    * defaults to 10 GB — below that Spark judges the whole-fact
+    * shuffle cheaper than a maybe-useless bloom build — so at bench
+    * scale the feature is silent BY DESIGN and only the 100 TB shape
+    * crosses the line organically. Verdict → PLANS §r17. */
+  private def bloomSection(spark: SparkSession): Unit = {
+    import graft.Tables
+    println("[scale] === runtime bloom-filter join pruning (off/on) ===")
+    val dir = "/root/testdata/sf0.1"
+    val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
+    val broken = scala.collection.mutable.ArrayBuffer.empty[String]
+    def gate(ok: Boolean, msg: String): Unit = if (!ok) {
+      println(s"[scale] GATE FAILED: $msg"); broken += msg
+    }
+    // per-run shuffle volume: records entering exchanges is exactly
+    // what the bloom semi-filter is supposed to shrink
+    val shuf = new SparkListener {
+      val w = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val tm = e.taskMetrics
+        if (tm != null) w.addAndGet(tm.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    def shape() = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"))
+      .join(Tables.part(spark, dir)
+          .filter(col("p_brand") === "Brand#23")
+          .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+    val noBc = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val cpuL = new graft.Bench.TaskTimeListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(shuf)
+    spark.sparkContext.addSparkListener(cpuL)
+    try {
+      val results = for (on <- Seq(false, true)) yield withSqlConfs(spark)(
+        noBc ++ Seq(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> on.toString,
+          // the 10 GB default keeps the feature silent at sf0.1 — the
+          // fact scan must out-size this for injection to be worth it
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+            (if (on) "0" else "10GB"),
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+            "100MB"): _*) {
+        val reps = for (_ <- 1 to 2) yield {
+          ListenerShim.drainListenerBus(spark.sparkContext)
+          val (w0, c0) = (shuf.w.get, cpuL.snapshot._2)
+          val df = shape()
+          val t0 = System.nanoTime()
+          val rows = df.collect()
+          val wall = (System.nanoTime() - t0) / 1e9
+          ListenerShim.drainListenerBus(spark.sparkContext)
+          (df, rows, wall, shuf.w.get - w0, cpuL.snapshot._2 - c0)
+        }
+        val (df, rows, wall, shufRecs, cpu) = reps.last
+        val plan = df.queryExecution.executedPlan.toString
+        val injected = plan.contains("might_contain")
+        println(f"[scale] bloom=$on: cpu $cpu%.2f s, wall $wall%.2f s, " +
+          f"shuffle-write records $shufRecs%,d, injected=$injected")
+        (rows.map(_.toString).toSeq.sorted, shufRecs, injected)
+      }
+      val Seq((offRows, offRecs, offInj), (onRows, onRecs, onInj)) = results
+      gate(offRows == onRows, "bloom mode changed the ANSWER")
+      gate(!offInj, "bloom filter injected in the OFF mode")
+      gate(onInj, "bloom filter did not inject in the ON mode " +
+        "(plan lacks might_contain)")
+      gate(onRecs * 5 <= offRecs, f"bloom did not materially shrink the " +
+        f"shuffle: $offRecs%,d -> $onRecs%,d records")
+      println(f"[scale] bloom economy: shuffle records " +
+        f"$offRecs%,d -> $onRecs%,d (${offRecs.toDouble / onRecs.max(1)}%.1fx)")
+    } finally {
+      spark.sparkContext.removeSparkListener(shuf)
+      spark.sparkContext.removeSparkListener(cpuL)
+    }
+    if (broken.nonEmpty && !lenient)
+      sys.error("bloom gates failed (results above are complete): " +
+        broken.mkString("; "))
   }
 }
