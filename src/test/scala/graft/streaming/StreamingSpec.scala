@@ -787,6 +787,12 @@ class StreamingSpec extends SparkSpec {
     StreamJobs.lakeBatchWrite(replay, root, bid)
     assert(rows() === fed, "a replayed batch id must not duplicate rows")
 
+    // ---- empty micro-batch (streams fire them to advance watermarks):
+    // dynamic overwrite with NO partitions in the data must be a no-op
+    // on the lake, not a truncation
+    StreamJobs.lakeBatchWrite(replay.filter(lit(false)), root, bid + 1)
+    assert(rows() === fed, "an empty batch must leave the lake intact")
+
     // ---- one-day prune: results match, and dt is a PARTITION filter
     val day = lake().filter(col("dt") === to_date(lit("2024-01-01")))
     day.queryExecution.toRdd.count()
