@@ -37,4 +37,49 @@ class ZOrderSpec extends SparkSpec {
     assert(stats.map(_.getLong(1)).sum ===
       graft.Tables.lineitem(spark, Sf).count())
   }
+
+  test("min/max row-group skipping: the range-sorted layout reads only " +
+      "the matching range's rows (executed-scan numOutputRows)") {
+    // the file-INTERNAL level of the layout story — partition pruning
+    // skips directories, bucketing skips shuffles, and parquet footer
+    // min/max stats skip ROW GROUPS. Range-partitioning the write
+    // gives every file a disjoint key range, so an equality filter's
+    // pushed predicate rules out all but one file's row groups at the
+    // footer; the same rows spread hash-uniformly leave every row
+    // group's [min,max] straddling the key and NOTHING skips. The
+    // scan's own numOutputRows metric (rows the reader materialized,
+    // BEFORE the residual FilterExec) is the ground truth.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rowgroup_skip").toString
+    val ev = graft.Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"))
+    val n = ev.count()
+    ev.repartitionByRange(8, col("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/ranged")
+    ev.repartition(8, col("event_id")) // user_id spread across all files
+      .write.mode("overwrite").parquet(s"$dir/scattered")
+    val probe = ev.head().getLong(1) // an existing user key
+    def scanOut(path: String): (Long, Set[Long]) = {
+      val q = spark.read.parquet(path).filter(col("user_id") === probe)
+      q.queryExecution.toRdd.count()
+      val scans = graft.PlanWalk.allScans(q.queryExecution.executedPlan)
+      assert(scans.size === 1)
+      // the predicate must be PUSHED for footer stats to apply at all
+      assert(scans.head.toString.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id"),
+        s"filter must push to the scan:\n${scans.head}")
+      (scans.head.metrics("numOutputRows").value,
+        q.select("event_id").as[Long].collect().toSet)
+    }
+    val (rangedRows, rangedIds) = scanOut(s"$dir/ranged")
+    val (scatteredRows, scatteredIds) = scanOut(s"$dir/scattered")
+    assert(rangedIds === scatteredIds, "layout must never change answers")
+    // scattered: every row group straddles the probe key -> no skip,
+    // the scan materializes the whole table
+    assert(scatteredRows === n,
+      s"scattered layout should read everything: $scatteredRows vs $n")
+    // ranged: only the one file whose range holds the probe key
+    // survives the footer check (~n/8 of the rows)
+    assert(rangedRows <= n / 4,
+      s"ranged layout should skip most row groups: $rangedRows of $n")
+  }
 }
