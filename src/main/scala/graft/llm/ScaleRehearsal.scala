@@ -2139,21 +2139,29 @@ object ScaleRehearsal {
       withSqlConfs(spark)(kvs: _*)(body)
     val noBc = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
     // Operator-independent saturation probe for the section tail: a
-    // pure hash+agg burst is provably LINEAR per row, so if its
-    // per-row cpu at a long 32-thread burst exceeds its per-row cpu
-    // at a short one, the BOX is superlinear in burst length (r17
-    // finding: this host punished sustained saturation — x10 rung
-    // 196/309/500/667 cpu_s across four identical-corpus runs while
-    // short rungs stayed flat, memory 120 GB free, steal ~3% — so an
-    // operator-shaped recheck cannot arbitrate; only a known-linear
-    // probe can).
+    // SHUFFLE-bearing hash burst is provably LINEAR per row, so if its
+    // per-row cpu at a long 32-thread burst exceeds its per-row cpu at
+    // a short one, the BOX is superlinear in burst length. The shuffle
+    // leg is load-bearing (r17 finding on a degraded host): the x10
+    // rung cost 154–667 cpu_s across seven identical-corpus runs —
+    // 4–17× the r16 quiet-box 37.5, non-monotonic, both guard variants
+    // — while pure compute (hash+agg, no shuffle) stayed FLAT per row
+    // (26 ns short vs 5 ns long), memory 120 GB free, steal ~3%. Only
+    // shuffle-heavy saturated stages degrade, so the probe must
+    // shuffle to arbitrate; an operator-shaped recheck cannot (its own
+    // variance is the thing under test).
     def probePerRowCpu(n: Long): Double = {
       val lst = new graft.Bench.TaskTimeListener
       ListenerShim.drainListenerBus(spark.sparkContext)
       spark.sparkContext.addSparkListener(lst)
       try {
-        spark.range(n).select(xxhash64(col("id")).as("h"))
-          .agg(max("h")).queryExecution.toRdd.count()
+        // key cardinality ∝ n (~2 rows/key): partial agg cannot
+        // collapse, so SHUFFLED rows ∝ n and the probe stays linear
+        // in total work per row at every n
+        spark.range(n)
+          .groupBy(pmod(xxhash64(col("id")), lit(n / 2)).as("k"))
+          .agg(count(lit(1)).as("c"))
+          .agg(max("c")).queryExecution.toRdd.count()
         ListenerShim.drainListenerBus(spark.sparkContext)
         lst.snapshot._2 / n
       } finally spark.sparkContext.removeSparkListener(lst)
@@ -2234,12 +2242,22 @@ object ScaleRehearsal {
       val rh = r1.unionByName(hot(33L, "r_id", "r_lo", "r_hi"))
       def hotJoin(width: Long) = RangeJoin.intervalOverlap(
         lh, rh, "l_lo", "l_hi", "r_lo", "r_hi", width)
+      // warm-rep plateau (the PLANS adjudication rule, now applied to
+      // the gate inputs themselves): a single rep's max-task carries
+      // GC attribution — r17 measured the SAME unmitigated hot run at
+      // 0.4–4.8 s across a night of reps — so every gate-feeding hot
+      // run takes min over 2 reps
+      def plateau[A](tag: String)(f: => A): (A, Double, Double) = {
+        val (_, rt1, mx1) = measured(tag)(f)
+        val (r2, rt2, mx2) = measured(s"$tag (rep 2)")(f)
+        (r2, math.min(rt1, rt2), math.min(mx1, mx2))
+      }
       val ((nHot, aqeSplit), wHot, mxHot) = withConfs(noBc,
         "spark.sql.adaptive.skewJoin.enabled" -> "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB",
         "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
-        measured(s"hot bucket ($HotN × $HotN in one __b) at width $w") {
+        plateau(s"hot bucket ($HotN × $HotN in one __b) at width $w") {
           // probe: does AQE's size-based split see EXPANSION skew?
           // the hot partition's shuffle INPUT is ~8k rows (~200 KB),
           // so no size threshold can trigger — recorded as a finding.
@@ -2257,7 +2275,7 @@ object ScaleRehearsal {
         "(expansion skew is invisible to size-based detection: the hot " +
         "partition's INPUT is ~200 KB; the OUTPUT is the problem)")
       val (nFine, wFine, mxFine) = withConfs(noBc) {
-        measured(s"hot bucket re-keyed at width ${w / 64} (the knob)") {
+        plateau(s"hot bucket re-keyed at width ${w / 64} (the knob)") {
           hotJoin(w / 64).count()
         }
       }
@@ -2287,7 +2305,7 @@ object ScaleRehearsal {
       gate(wAutoPick >= 1 && wAutoPick <= 32,
         s"autoWidth missed the crowd's span scale: $wAutoPick")
       val (nAuto, wAuto, mxAuto) = withConfs(noBc) {
-        measured(s"hot bucket at AUTO width $wAutoPick") {
+        plateau(s"hot bucket at AUTO width $wAutoPick") {
           hotJoin(wAutoPick).count()
         }
       }
@@ -2308,7 +2326,7 @@ object ScaleRehearsal {
       // probePerRowCpu's r17 numbers) fails the alpha/skew gates for
       // environmental reasons no operator change can fix.
       val (shortRow, longRow) =
-        (probePerRowCpu(200_000_000L), probePerRowCpu(2_000_000_000L))
+        (probePerRowCpu(40_000_000L), probePerRowCpu(400_000_000L))
       println(f"[scale] saturation probe: per-row cpu short " +
         f"${shortRow * 1e9}%.3f ns vs 10x-burst ${longRow * 1e9}%.3f ns")
       if (longRow > 1.5 * shortRow)
