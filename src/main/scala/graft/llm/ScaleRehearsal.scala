@@ -299,6 +299,58 @@ object ScaleRehearsal {
     }
   }
 
+  /** Operator-independent saturation probe, shared by every
+    * gate-bearing section's failure path: a SHUFFLE-bearing hash
+    * burst is provably LINEAR per row, so if its per-row cpu at a
+    * long 32-thread burst exceeds its per-row cpu at a short one,
+    * the BOX is superlinear in burst length. The shuffle leg is
+    * load-bearing (r17 finding on a degraded host): the rangeladder
+    * x10 rung cost 40–667 cpu_s across nine identical-corpus runs —
+    * up to 17× the r16 quiet-box 37.5, non-monotonic, both guard
+    * variants in an A/B — while pure compute (hash+agg, no shuffle)
+    * stayed FLAT per row (26 ns short vs 5 ns long), memory 120 GB
+    * free, steal ~3%. Only shuffle-heavy saturated stages degrade,
+    * so the probe must shuffle to arbitrate; an operator-shaped
+    * recheck cannot (its own variance is the thing under test). Key
+    * cardinality ∝ n (~2 rows/key) keeps partial aggregation from
+    * collapsing the shuffle, so shuffled rows scale with n. */
+  private def probePerRowCpu(spark: SparkSession, n: Long): Double = {
+    val lst = new graft.Bench.TaskTimeListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(lst)
+    try {
+      spark.range(n)
+        .groupBy(pmod(xxhash64(col("id")), lit(n / 2)).as("k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(max("c")).queryExecution.toRdd.count()
+      ListenerShim.drainListenerBus(spark.sparkContext)
+      lst.snapshot._2 / n
+    } finally spark.sparkContext.removeSparkListener(lst)
+  }
+
+  /** Shared gate verdict for every measurement section: on failure,
+    * [[probePerRowCpu]] arbitrates between a real regression (flat
+    * probe → sys.error, exactly as before) and a host whose shuffle
+    * path degrades under sustained saturation (superlinear probe →
+    * gates downgrade to an ADVISORY and the run exits 0 — results
+    * printed above are complete either way). */
+  private def gateVerdict(spark: SparkSession, section: String,
+      broken: Seq[String], lenient: Boolean): Unit = {
+    if (broken.isEmpty || lenient) return
+    val (shortRow, longRow) = (probePerRowCpu(spark, 40_000_000L),
+      probePerRowCpu(spark, 400_000_000L))
+    println(f"[scale] saturation probe: per-row cpu short " +
+      f"${shortRow * 1e9}%.3f ns vs 10x-burst ${longRow * 1e9}%.3f ns")
+    if (longRow > 1.5 * shortRow)
+      println(s"[scale] $section gates failed under DETECTED box " +
+        "degradation (the known-linear probe is superlinear in burst " +
+        "length) — gates are ADVISORY for this run; re-run on a quiet " +
+        "box before adjudicating: " + broken.mkString("; "))
+    else
+      sys.error(s"$section gates failed (results above are complete): " +
+        broken.mkString("; "))
+  }
+
   /** Per-stage shuffle-read records per task — the balance evidence
     * for the wedge join: a skewed join puts one task orders of
     * magnitude above the stage mean. */
@@ -1864,9 +1916,7 @@ object ScaleRehearsal {
           f"full=$full%d pruned(df<=${Dedup.MaxDf})=$pruned%d " +
           f"prefix=$prefix%d (lossless)")
       }
-      if (broken.nonEmpty && !lenient)
-        sys.error(s"ladder gates failed (results above are complete): " +
-          broken.mkString("; "))
+      gateVerdict(spark, "ladder", broken.toSeq, lenient)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -2069,9 +2119,7 @@ object ScaleRehearsal {
           f"top rung (ratio ${ratios.last._2}%.2f < 1.15) — the 100 TB " +
           "claim needs re-examination"
       val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
-      if (broken.nonEmpty && !lenient)
-        sys.error("prefixcross gates failed (results above are " +
-          s"complete): ${broken.mkString("; ")}")
+      gateVerdict(spark, "prefixcross", broken.toSeq, lenient)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -2138,34 +2186,6 @@ object ScaleRehearsal {
     def withConfs[A](kvs: (String, String)*)(body: => A): A =
       withSqlConfs(spark)(kvs: _*)(body)
     val noBc = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
-    // Operator-independent saturation probe for the section tail: a
-    // SHUFFLE-bearing hash burst is provably LINEAR per row, so if its
-    // per-row cpu at a long 32-thread burst exceeds its per-row cpu at
-    // a short one, the BOX is superlinear in burst length. The shuffle
-    // leg is load-bearing (r17 finding on a degraded host): the x10
-    // rung cost 154–667 cpu_s across seven identical-corpus runs —
-    // 4–17× the r16 quiet-box 37.5, non-monotonic, both guard variants
-    // — while pure compute (hash+agg, no shuffle) stayed FLAT per row
-    // (26 ns short vs 5 ns long), memory 120 GB free, steal ~3%. Only
-    // shuffle-heavy saturated stages degrade, so the probe must
-    // shuffle to arbitrate; an operator-shaped recheck cannot (its own
-    // variance is the thing under test).
-    def probePerRowCpu(n: Long): Double = {
-      val lst = new graft.Bench.TaskTimeListener
-      ListenerShim.drainListenerBus(spark.sparkContext)
-      spark.sparkContext.addSparkListener(lst)
-      try {
-        // key cardinality ∝ n (~2 rows/key): partial agg cannot
-        // collapse, so SHUFFLED rows ∝ n and the probe stays linear
-        // in total work per row at every n
-        spark.range(n)
-          .groupBy(pmod(xxhash64(col("id")), lit(n / 2)).as("k"))
-          .agg(count(lit(1)).as("c"))
-          .agg(max("c")).queryExecution.toRdd.count()
-        ListenerShim.drainListenerBus(spark.sparkContext)
-        lst.snapshot._2 / n
-      } finally spark.sparkContext.removeSparkListener(lst)
-    }
     val listener = new graft.Bench.TaskTimeListener
     ListenerShim.drainListenerBus(spark.sparkContext)
     spark.sparkContext.addSparkListener(listener)
@@ -2319,25 +2339,7 @@ object ScaleRehearsal {
       gate(mxAuto <= mxFine * 1.75 + 0.2, f"auto width's hot task " +
         f"($mxAuto%.1f s) is not in the hand-tuned class ($mxFine%.1f s)")
     } finally spark.sparkContext.removeSparkListener(bal)
-    if (broken.nonEmpty && !lenient) {
-      // Before believing the gates, run the known-linear saturation
-      // probe at a short and a 10× burst: the section is single-rep,
-      // and a host that degrades under SUSTAINED saturation (see
-      // probePerRowCpu's r17 numbers) fails the alpha/skew gates for
-      // environmental reasons no operator change can fix.
-      val (shortRow, longRow) =
-        (probePerRowCpu(40_000_000L), probePerRowCpu(400_000_000L))
-      println(f"[scale] saturation probe: per-row cpu short " +
-        f"${shortRow * 1e9}%.3f ns vs 10x-burst ${longRow * 1e9}%.3f ns")
-      if (longRow > 1.5 * shortRow)
-        println("[scale] rangeladder gates failed under DETECTED box " +
-          "degradation (the known-linear probe is superlinear in burst " +
-          "length) — gates are ADVISORY for this run; re-run on a " +
-          "quiet box before adjudicating: " + broken.mkString("; "))
-      else
-        sys.error("rangeladder gates failed (results above are " +
-          "complete): " + broken.mkString("; "))
-    }
+    gateVerdict(spark, "rangeladder", broken.toSeq, lenient)
   }
 
   // ---- (cbo) catalog-stats stance for the multi-join plans ---------
@@ -2563,8 +2565,6 @@ object ScaleRehearsal {
       spark.sparkContext.removeSparkListener(shuf)
       spark.sparkContext.removeSparkListener(cpuL)
     }
-    if (broken.nonEmpty && !lenient)
-      sys.error("bloom gates failed (results above are complete): " +
-        broken.mkString("; "))
+    gateVerdict(spark, "bloom", broken.toSeq, lenient)
   }
 }
