@@ -58,7 +58,12 @@ class ZOrderSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/ranged")
     ev.repartition(8, col("event_id")) // user_id spread across all files
       .write.mode("overwrite").parquet(s"$dir/scattered")
-    val probe = ev.head().getLong(1) // an existing user key
+    // probe = the MEDIAN user key: an extreme key (global min/max)
+    // would legitimately be outside some scattered files' [min,max]
+    // and get skipped there too, breaking the no-skip contrast
+    val users = ev.select("user_id").distinct()
+      .sort("user_id").collect().map(_.getLong(0))
+    val probe = users(users.length / 2)
     def scanOut(path: String): (Long, Set[Long]) = {
       val q = spark.read.parquet(path).filter(col("user_id") === probe)
       q.queryExecution.toRdd.count()
