@@ -50,6 +50,7 @@ object SparkEntry {
     "q_range_price_band"   -> (operators.RangeJoin.priceBandQuery(_, _)),
     "q_range_band_overlap" -> (operators.RangeJoin.bandOverlapQuery(_, _)),
     "q_range_band_overlap_auto" -> (operators.RangeJoin.bandOverlapAutoQuery(_, _)),
+    "q_range_price_band_auto" -> (operators.RangeJoin.priceBandAutoQuery(_, _)),
     // Skew mitigation: salted fact×dim join, result-invisible salt
     "q_skew_salted_agg"    -> (func.Skew.saltedJoinQuery(_, _)),
     // DWS — windowed stats (§2.6)
@@ -355,6 +356,7 @@ object SparkEntry {
     "q_range_price_band"   -> operators.RangeJoin.priceBandOracle,
     "q_range_band_overlap" -> operators.RangeJoin.bandOverlapOracle,
     "q_range_band_overlap_auto" -> operators.RangeJoin.bandOverlapOracle,
+    "q_range_price_band_auto" -> operators.RangeJoin.priceBandOracle,
     "q_skew_salted_agg"    -> func.Skew.saltedJoinOracle,
     "q_dws_visitor_stats"  -> dws.VisitorStats.oracle,
     "q_dws_visitor_stats_hop" -> dws.VisitorStats.hoppingOracle,

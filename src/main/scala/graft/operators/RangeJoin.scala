@@ -189,6 +189,18 @@ object RangeJoin {
     }
   }
 
+  /** [[autoWidth]] for the point-in-interval form: points enter the
+    * census as degenerate (p, p) intervals, so their occupancy crowds
+    * buckets exactly as [[pointInInterval]]'s probe side will, while
+    * the interval side contributes its spans to the explode term —
+    * the same two costs the width balances in the overlap form. */
+  def autoWidthPoints(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      probeWidth: Long = BucketWidth): Long =
+    autoWidth(
+      points.select(col(pointCol).as("__plo"), col(pointCol).as("__phi")),
+      intervals, "__plo", "__phi", loCol, hiCol, probeWidth)
+
   /** Generic point-in-interval join: every (point row × interval row)
     * pair with `lo <= point <= hi`, produced exactly once. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
@@ -278,6 +290,24 @@ object RangeJoin {
       .filter(col("pk_a") < col("pk_b"))
       .groupBy(col("pk_a").as("p_partkey"))
       .agg(count(lit(1)).as("overlap_ct"))
+  }
+
+  /** [[priceBandQuery]] at the width [[autoWidthPoints]] derives —
+    * same oracle as the fixed-width query (width-independence), same
+    * device as [[bandOverlapAutoQuery]] but for the point form. */
+  def priceBandAutoQuery(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100).cast("long").as("rp"))
+      .select(col("p_partkey"),
+        (col("rp") - expr("rp DIV 1000")).as("lo"),
+        (col("rp") + expr("rp DIV 1000")).as("hi"))
+    val pts = Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("pc"))
+    val w = autoWidthPoints(pts, "pc", iv, "lo", "hi")
+    pointInInterval(pts, iv, "pc", "lo", "hi", w)
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("match_ct"))
   }
 
   /** The overlap audit at the CENSUS-DERIVED width — [[autoWidth]]

@@ -144,6 +144,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(!got.keySet.exists(_._1 == 4L), "inverted interval never matches")
   }
 
+  test("price-band AUTO query matches the fixed-width board query") {
+    val auto = RangeJoin.priceBandAutoQuery(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    val fixed = RangeJoin.priceBandQuery(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(auto === fixed)
+    assert(auto.nonEmpty, "vacuous fixture — no price lands in any band")
+  }
+
+  test("autoWidthPoints: crowded points re-key like crowded intervals") {
+    // 4000 points crammed into ONE probe bucket over a thin interval
+    // background — the degenerate-interval census must flag them
+    def pts(salt: Long) = spark.range(4000).select(
+      pmod(xxhash64(col("id"), lit(salt)), lit(993L)).as("p"))
+    def iv(salt: Long) = spark.range(64).select(col("id").as("i_id"),
+      (pmod(xxhash64(col("id"), lit(salt)), lit(64L)) * 1024L).as("lo"))
+      .withColumn("hi", col("lo") + lit(512L))
+    val w = RangeJoin.autoWidthPoints(pts(3L), "p", iv(5L), "lo", "hi")
+    assert(w < RangeJoin.BucketWidth,
+      s"single-bucket point crowding must re-key, got $w")
+    // and the join at the derived width matches the probe width
+    def got(width: Long) = RangeJoin.pointInInterval(
+      pts(3L), iv(5L), "p", "lo", "hi", width)
+      .select("p", "i_id").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got(w) === got(RangeJoin.BucketWidth))
+  }
+
   test("band-overlap AUTO query matches the fixed-width board query") {
     // width-independence end to end on real data: whatever width the
     // census picks, the answer is the fixed-width query's answer
