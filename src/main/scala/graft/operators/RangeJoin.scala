@@ -56,7 +56,7 @@ object RangeJoin {
     * doubles loses exactness past 2^53. (Cannot underflow: the -1
     * branch needs x % w < 0, impossible at w = 1, and |x DIV w| <
     * Long.MaxValue/1 for w >= 2.) */
-  private def fdiv(x: String, w: Long): String =
+  private[graft] def fdiv(x: String, w: Long): String =
     s"(CASE WHEN ($x) % $w < 0 THEN ($x) DIV $w - 1 ELSE ($x) DIV $w END)"
 
   /** Valid intervals exploded to their overlapped buckets as `__b`,
@@ -252,24 +252,36 @@ object RangeJoin {
       .drop("__b")
   }
 
+  /** part's ±0.1% retail-price band in integer cents — the ONE
+    * builder behind both the fixed-width and auto-width query pairs,
+    * so a drift in the band construction can never silently decouple
+    * the auto legs from the fixed-width oracles they share
+    * (r17-ADVICE: the construction had grown four verbatim copies). */
+  private def priceBands(spark: SparkSession, dir: String,
+      keyAs: String, loAs: String, hiAs: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100).cast("long").as("rp"))
+      .select(col("p_partkey").as(keyAs),
+        (col("rp") - expr("rp DIV 1000")).as(loAs),
+        (col("rp") + expr("rp DIV 1000")).as(hiAs))
+
+  /** lineitem extended prices in integer cents — shared point side of
+    * the price-band query pair. */
+  private def pricePoints(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("pc"))
+
   /** Concrete query: lineitem prices matched into every part's ±0.1%
     * retail-price band (integer-cent arithmetic end to end), counted
     * per part — "which catalog prices do observed line prices cluster
     * on". 2k intervals × 60k points at sf0.01 with 1,712 true pairs —
     * the nested-loop form touches 120M pairs for the same answer. */
-  def priceBandQuery(spark: SparkSession, dir: String): DataFrame = {
-    val iv = Tables.part(spark, dir)
-      .select(col("p_partkey"),
-        floor(col("p_retailprice") * 100).cast("long").as("rp"))
-      .select(col("p_partkey"),
-        (col("rp") - expr("rp DIV 1000")).as("lo"),
-        (col("rp") + expr("rp DIV 1000")).as("hi"))
-    val pts = Tables.lineitem(spark, dir)
-      .select(floor(col("l_extendedprice") * 100).cast("long").as("pc"))
-    pointInInterval(pts, iv, "pc", "lo", "hi")
+  def priceBandQuery(spark: SparkSession, dir: String): DataFrame =
+    pointInInterval(pricePoints(spark, dir),
+        priceBands(spark, dir, "p_partkey", "lo", "hi"), "pc", "lo", "hi")
       .groupBy("p_partkey")
       .agg(count(lit(1)).as("match_ct"))
-  }
 
   /** Concrete overlap query: pairs of parts whose ±0.1% retail-price
     * bands INTERSECT (price-collision audit), counted per lower
@@ -277,33 +289,20 @@ object RangeJoin {
     * audit reduces to. Bands are ~±150 cents wide at these prices, so
     * each spans 1–2 of the 1024-cent buckets and bucket occupancy —
     * not the 2M-pair cross product — bounds the candidate work. */
-  def bandOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
-    def bands(keyAs: String, loAs: String, hiAs: String) =
-      Tables.part(spark, dir)
-        .select(col("p_partkey"),
-          floor(col("p_retailprice") * 100).cast("long").as("rp"))
-        .select(col("p_partkey").as(keyAs),
-          (col("rp") - expr("rp DIV 1000")).as(loAs),
-          (col("rp") + expr("rp DIV 1000")).as(hiAs))
-    intervalOverlap(bands("pk_a", "lo_a", "hi_a"),
-        bands("pk_b", "lo_b", "hi_b"), "lo_a", "hi_a", "lo_b", "hi_b")
+  def bandOverlapQuery(spark: SparkSession, dir: String): DataFrame =
+    intervalOverlap(priceBands(spark, dir, "pk_a", "lo_a", "hi_a"),
+        priceBands(spark, dir, "pk_b", "lo_b", "hi_b"),
+        "lo_a", "hi_a", "lo_b", "hi_b")
       .filter(col("pk_a") < col("pk_b"))
       .groupBy(col("pk_a").as("p_partkey"))
       .agg(count(lit(1)).as("overlap_ct"))
-  }
 
   /** [[priceBandQuery]] at the width [[autoWidthPoints]] derives —
     * same oracle as the fixed-width query (width-independence), same
     * device as [[bandOverlapAutoQuery]] but for the point form. */
   def priceBandAutoQuery(spark: SparkSession, dir: String): DataFrame = {
-    val iv = Tables.part(spark, dir)
-      .select(col("p_partkey"),
-        floor(col("p_retailprice") * 100).cast("long").as("rp"))
-      .select(col("p_partkey"),
-        (col("rp") - expr("rp DIV 1000")).as("lo"),
-        (col("rp") + expr("rp DIV 1000")).as("hi"))
-    val pts = Tables.lineitem(spark, dir)
-      .select(floor(col("l_extendedprice") * 100).cast("long").as("pc"))
+    val iv = priceBands(spark, dir, "p_partkey", "lo", "hi")
+    val pts = pricePoints(spark, dir)
     val w = autoWidthPoints(pts, "pc", iv, "lo", "hi")
     pointInInterval(pts, iv, "pc", "lo", "hi", w)
       .groupBy("p_partkey")
@@ -321,15 +320,8 @@ object RangeJoin {
     * ScaleRehearsal's rangeladder section, where auto BEAT the
     * hand-tuned width 3.4 s vs 7.4 s wall.) */
   def bandOverlapAutoQuery(spark: SparkSession, dir: String): DataFrame = {
-    def bands(keyAs: String, loAs: String, hiAs: String) =
-      Tables.part(spark, dir)
-        .select(col("p_partkey"),
-          floor(col("p_retailprice") * 100).cast("long").as("rp"))
-        .select(col("p_partkey").as(keyAs),
-          (col("rp") - expr("rp DIV 1000")).as(loAs),
-          (col("rp") + expr("rp DIV 1000")).as(hiAs))
-    val (a, b) = (bands("pk_a", "lo_a", "hi_a"),
-      bands("pk_b", "lo_b", "hi_b"))
+    val (a, b) = (priceBands(spark, dir, "pk_a", "lo_a", "hi_a"),
+      priceBands(spark, dir, "pk_b", "lo_b", "hi_b"))
     val w = autoWidth(a, b, "lo_a", "hi_a", "lo_b", "hi_b")
     intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b", w)
       .filter(col("pk_a") < col("pk_b"))

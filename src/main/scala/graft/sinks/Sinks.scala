@@ -77,7 +77,17 @@ object Sinks {
     * default — SPARK-28632 judged the forced one-file-per-bucket
     * read a bad trade for most tables); with this layout the flag's
     * precondition genuinely holds, and enabling it yields an SMJ
-    * with NEITHER Exchange NOR Sort (both asserted in SinksSpec). */
+    * with NEITHER Exchange NOR Sort (both asserted in SinksSpec).
+    *
+    * The trade (r17-ADVICE): the repartition also CAPS write
+    * parallelism at exactly `buckets` tasks — one writer per bucket —
+    * so a large fact written at a small bucket count serializes the
+    * write and concentrates each bucket's rows in one task's memory.
+    * Pick `buckets` with write parallelism and per-task volume in
+    * mind (at 100 TB that means hundreds-to-thousands of buckets,
+    * never single digits); a caller that prefers many files per
+    * bucket over one can write `df` through `bucketBy` directly and
+    * accept the w×b file spray this helper exists to avoid. */
   def writeBucketed(df: DataFrame, bucketCols: Seq[String], buckets: Int,
       table: String): Unit =
     df.repartition(buckets, bucketCols.map(col): _*)

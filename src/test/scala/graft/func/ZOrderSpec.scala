@@ -78,10 +78,14 @@ class ZOrderSpec extends SparkSpec {
     val (rangedRows, rangedIds) = scanOut(s"$dir/ranged")
     val (scatteredRows, scatteredIds) = scanOut(s"$dir/scattered")
     assert(rangedIds === scatteredIds, "layout must never change answers")
-    // scattered: every row group straddles the probe key -> no skip,
-    // the scan materializes the whole table
-    assert(scatteredRows === n,
-      s"scattered layout should read everything: $scatteredRows vs $n")
+    // scattered: every row group straddles the probe key -> row-group
+    // stats skip nothing. Tolerance rather than === n (r17-ADVICE):
+    // dictionary filtering and column-index (page-level) filtering —
+    // parquet reader defaults that vary across parquet-mr/Spark
+    // versions — can legitimately drop some pages even here; the real
+    // check is the ranged-vs-scattered CONTRAST, not an exact count.
+    assert(scatteredRows >= (n * 9) / 10,
+      s"scattered layout should read (nearly) everything: $scatteredRows vs $n")
     // ranged: only the one file whose range holds the probe key
     // survives the footer check (~n/8 of the rows)
     assert(rangedRows <= n / 4,

@@ -74,6 +74,13 @@ class SinksSpec extends SparkSpec {
     Sinks.resetManagedTable(spark, "b_lineitem")
     Sinks.writeBucketed(o, Seq("o_orderkey"), 8, "b_orders")
     Sinks.writeBucketed(l, Seq("l_orderkey"), 8, "b_lineitem")
+    // capture priors so the finally RESTORES rather than clobbers a
+    // session that deliberately ran with other values (r17-ADVICE;
+    // same getOption discipline as ScaleRehearsal.withSqlConfs)
+    val priorBroadcast =
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val priorSortedScan = spark.conf.getOption(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering")
     try {
       // disable auto-broadcast so the join would otherwise shuffle
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -132,9 +139,13 @@ class SinksSpec extends SparkSpec {
       // and both forms agree
       assert(joined.count() === flat.count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      spark.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+      def restore(k: String, prior: Option[String]): Unit = prior match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+      restore("spark.sql.autoBroadcastJoinThreshold", priorBroadcast)
+      restore("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        priorSortedScan)
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
