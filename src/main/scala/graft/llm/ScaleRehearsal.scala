@@ -312,15 +312,24 @@ object ScaleRehearsal {
     * free, steal ~3%. Only shuffle-heavy saturated stages degrade,
     * so the probe must shuffle to arbitrate; an operator-shaped
     * recheck cannot (its own variance is the thing under test). Key
-    * cardinality ∝ n (~2 rows/key) keeps partial aggregation from
-    * collapsing the shuffle, so shuffled rows scale with n. */
+    * cardinality is FIXED at [[ProbeKeys]] for every burst length
+    * (r17-ADVICE): a ∝-n cardinality gave the 10× burst a 10× larger
+    * reduce-side aggregation working set, so crossing a spill/GC
+    * threshold could read as "superlinear box" on a healthy host —
+    * masking a real gate regression behind the downgrade. With the
+    * cardinality pinned at the short burst's value, the reduce state
+    * is identical across bursts and only the SHUFFLE VOLUME scales
+    * with n (20M keys over 32 map partitions stay mostly distinct
+    * per partition at both lengths, so partial aggregation cannot
+    * collapse the map output), isolating exactly the shuffle-path
+    * degradation the probe exists to detect. */
   private def probePerRowCpu(spark: SparkSession, n: Long): Double = {
     val lst = new graft.Bench.TaskTimeListener
     ListenerShim.drainListenerBus(spark.sparkContext)
     spark.sparkContext.addSparkListener(lst)
     try {
       spark.range(n)
-        .groupBy(pmod(xxhash64(col("id")), lit(n / 2)).as("k"))
+        .groupBy(pmod(xxhash64(col("id")), lit(ProbeKeys)).as("k"))
         .agg(count(lit(1)).as("c"))
         .agg(max("c")).queryExecution.toRdd.count()
       ListenerShim.drainListenerBus(spark.sparkContext)
@@ -328,12 +337,34 @@ object ScaleRehearsal {
     } finally spark.sparkContext.removeSparkListener(lst)
   }
 
+  /** Reduce-side key cardinality of [[probePerRowCpu]], shared by
+    * both burst lengths so the probe's aggregation working set is
+    * burst-invariant (see the probe's doc). */
+  val ProbeKeys = 20_000_000L
+
+  /** Sections whose gates failed but were downgraded to ADVISORY by
+    * the saturation probe. A downgrade is NOT a pass: unless
+    * `GRAFT_GATE_ADVISORY=1` explicitly opts in to exit 0, [[main]]
+    * exits [[AdvisoryExit]] so scripted runs keying off exit status
+    * can distinguish "box was sick, re-run" from both success (0)
+    * and a real gate failure (sys.error → 1). (r17-ADVICE: the
+    * silent exit-0 downgrade masked genuine regressions in any
+    * automated run.) */
+  private val advisoryDowngrades =
+    scala.collection.mutable.ArrayBuffer.empty[String]
+
+  /** Distinct exit code for "gates failed under detected box
+    * degradation": 0 = pass, 1 = real gate failure, 3 = advisory. */
+  val AdvisoryExit = 3
+
   /** Shared gate verdict for every measurement section: on failure,
     * [[probePerRowCpu]] arbitrates between a real regression (flat
     * probe → sys.error, exactly as before) and a host whose shuffle
     * path degrades under sustained saturation (superlinear probe →
-    * gates downgrade to an ADVISORY and the run exits 0 — results
-    * printed above are complete either way). */
+    * gates downgrade to an ADVISORY, later sections still run, and
+    * the process ends with [[AdvisoryExit]] unless
+    * GRAFT_GATE_ADVISORY=1 — results printed above are complete
+    * either way). */
   private def gateVerdict(spark: SparkSession, section: String,
       broken: Seq[String], lenient: Boolean): Unit = {
     if (broken.isEmpty || lenient) return
@@ -341,12 +372,13 @@ object ScaleRehearsal {
       probePerRowCpu(spark, 400_000_000L))
     println(f"[scale] saturation probe: per-row cpu short " +
       f"${shortRow * 1e9}%.3f ns vs 10x-burst ${longRow * 1e9}%.3f ns")
-    if (longRow > 1.5 * shortRow)
+    if (longRow > 1.5 * shortRow) {
       println(s"[scale] $section gates failed under DETECTED box " +
         "degradation (the known-linear probe is superlinear in burst " +
         "length) — gates are ADVISORY for this run; re-run on a quiet " +
         "box before adjudicating: " + broken.mkString("; "))
-    else
+      advisoryDowngrades += section
+    } else
       sys.error(s"$section gates failed (results above are complete): " +
         broken.mkString("; "))
   }
@@ -368,8 +400,8 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe",
-      "skew", "stream", "streamjoin", "streamasof", "ladder", "skewcorpus",
-      "prefixcross", "rangeladder", "cbo", "bloom")
+      "skew", "stream", "streamjoin", "streamasof", "streamoverlap",
+      "ladder", "skewcorpus", "prefixcross", "rangeladder", "cbo", "bloom")
     val sections = if (args.isEmpty) all else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
@@ -414,6 +446,7 @@ object ScaleRehearsal {
     if (sections("stream")) streamSection(spark)
     if (sections("streamjoin")) streamJoinSection(spark)
     if (sections("streamasof")) streamAsOfSection(spark)
+    if (sections("streamoverlap")) streamOverlapSection(spark)
     if (sections("ladder")) ladderSection(spark, ladderDir)
     if (sections("skewcorpus")) skewCorpusSection(spark, s"$Root/skewcorpus")
     if (sections("prefixcross")) prefixCrossSection(spark, s"$Root/prefix")
@@ -422,7 +455,12 @@ object ScaleRehearsal {
     if (sections("bloom")) bloomSection(spark)
 
     spark.stop()
-    println("[scale] DONE")
+    if (advisoryDowngrades.nonEmpty) {
+      println("[scale] DONE with ADVISORY downgrades: " +
+        advisoryDowngrades.mkString(", "))
+      if (!sys.env.get("GRAFT_GATE_ADVISORY").contains("1"))
+        sys.exit(AdvisoryExit)
+    } else println("[scale] DONE")
   }
 
   private def complete(dir: String, table: String = "documents"): Boolean =
@@ -1673,6 +1711,114 @@ object ScaleRehearsal {
       require(fp2 <= (fp1 * 3) / 2,
         s"$tag as-of state grew with TOTAL events ($fp1 -> $fp2 bytes)")
     }
+  }
+
+  // ---- (streamoverlap) stream-stream interval-overlap at volume ----
+
+  /** Interval row for the overlap rehearsal (one class serves both
+    * sides — the operator renames per-side columns internally). */
+  case class RehOv(id: Long, lo: java.sql.Timestamp,
+    hi: java.sql.Timestamp)
+
+  /** The r17-VERDICT task-2 measurement: the stream-stream interval-
+    * OVERLAP join ([[graft.streaming.StreamJobs.intervalOverlapStream]])
+    * at volume. Claims under measurement: (a) state is rate-bounded —
+    * rows prune to the watermark − maxSpan horizon, so peak state at
+    * 2× the events (same micro-batch size) stays ~flat; (b) the
+    * sentinel flush leaves only the sentinels buffered (no residue —
+    * unlike as-of, overlap retains nothing per key); (c) the streamed
+    * pair set EXACTLY equals the batch operator
+    * ([[graft.operators.RangeJoin.intervalOverlap]]) on the same rows
+    * (count + per-pair hash sum — the set itself is ~1M pairs).
+    *
+    * Corpus: 250 Hz per side (4 ms step), spans 0–16 ms, the right
+    * side phase-shifted — ~4 true partners per interval, pair output
+    * ∝ events, never quadratic. */
+  private def streamOverlapSection(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    println("[scale] === stream-stream interval-overlap rehearsal " +
+      "(MemoryStream) ===")
+    val base = 1616300000000L
+    val perBatch = 50000L
+    val (widthMs, spanMs) = (32L, 16L)
+    def lRow(i: Long) = RehOv(i, new java.sql.Timestamp(base + i * 4),
+      new java.sql.Timestamp(base + i * 4 + i % (spanMs + 1)))
+    def rRow(j: Long) = RehOv(j, new java.sql.Timestamp(base + j * 4 + 2),
+      new java.sql.Timestamp(base + j * 4 + 2 + (j * 7) % (spanMs + 1)))
+
+    // (peak state rows, final rows, streamed (count, hashsum))
+    def run(n: Long): (Long, Long, (Long, Long)) = {
+      val nb = (n / perBatch).toInt
+      val lSrc = MemoryStream[RehOv]
+      val rSrc = MemoryStream[RehOv]
+      val view = s"scale_ovl_$n"
+      val q = graft.streaming.StreamJobs.intervalOverlapStream(
+          lSrc.toDF(), rSrc.toDF(), "id", "lo", "hi", "id", "lo", "hi",
+          bucketWidthMs = widthMs, maxSpanMs = spanMs,
+          delay = "10 seconds")
+        .writeStream.format("memory").queryName(view)
+        .outputMode("append").start()
+      val states = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val t0 = System.nanoTime()
+      (0 until nb).foreach { b =>
+        val (i0, i1) = (n * b / nb, n * (b + 1) / nb)
+        lSrc.addData((i0 until i1).map(lRow))
+        rSrc.addData((i0 until i1).map(rRow))
+        q.processAllAvailable()
+        states += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val far = new java.sql.Timestamp(base + 4000000000L)
+      lSrc.addData(RehOv(-1L, far, far))
+      rSrc.addData(RehOv(-2L, far, far))
+      q.processAllAvailable()
+      val finalRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      // count + XOR of pair hashes: order-independent and (unlike a
+      // sum) immune to ANSI long overflow at any pair count; the
+      // exactly-once property that makes XOR sound is spec-proven
+      val sig = spark.table(view).filter(col("l_id") >= 0)
+        .agg(count(lit(1)), coalesce(
+          expr("bit_xor(xxhash64(l_id, r_id))"), lit(0L)))
+        .as[(Long, Long)].collect()(0)
+      println(f"[scale] overlap[$n]: ${2 * n} events in $secs%.1f s = " +
+        f"${2 * n / secs / 1e6}%.2f M rows/s; ${sig._1} pairs; state " +
+        s"rows per batch max ${states.max}; post-flush $finalRows")
+      require(states.max < n,
+        s"overlap state ${states.max} is O(events), not rate-bounded")
+      require(finalRows <= 2,
+        s"sentinel flush left $finalRows rows (no-residue contract)")
+      (states.max, finalRows, sig)
+    }
+
+    val (peak1, _, sig1) = run(500000L)
+    val (peak2, _, _) = run(1000000L)
+    println(f"[scale] overlap peak state: $peak1%d rows at 0.5M vs " +
+      f"$peak2%d rows at 1M per side (ratio ${peak2.toDouble / peak1}%.2f)")
+    require(peak2 <= (peak1 * 13) / 10,
+      s"overlap state grew with TOTAL events ($peak1 -> $peak2 rows)")
+
+    // batch parity at 0.5M: same rows through the batch operator
+    val n = 500000L
+    val lDf = spark.range(n).select(col("id").as("l_id"),
+      (lit(base) + col("id") * 4).as("l_lo"),
+      (lit(base) + col("id") * 4 + col("id") % (spanMs + 1)).as("l_hi"))
+    val rDf = spark.range(n).select(col("id").as("r_id"),
+      (lit(base) + col("id") * 4 + 2).as("r_lo"),
+      (lit(base) + col("id") * 4 + 2 + (col("id") * 7) % (spanMs + 1))
+        .as("r_hi"))
+    val batchSig = graft.operators.RangeJoin.intervalOverlap(
+        lDf, rDf, "l_lo", "l_hi", "r_lo", "r_hi", widthMs)
+      .agg(count(lit(1)), coalesce(
+        expr("bit_xor(xxhash64(l_id, r_id))"), lit(0L)))
+      .as[(Long, Long)].collect()(0)
+    require(sig1 == batchSig,
+      s"stream/batch overlap parity broken: streamed $sig1 vs " +
+        s"batch $batchSig (count, hashsum)")
+    println(s"[scale] overlap parity: ${sig1._1} streamed pairs EXACTLY " +
+      "equal the batch operator (count + pair-hash sum)")
   }
 
   // ---- (ladder) growth exponents for the top-CPU pipelines ---------

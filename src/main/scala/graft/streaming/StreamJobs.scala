@@ -562,6 +562,135 @@ object StreamJobs {
       .toDF("k", "left_id", "ts_ms", "payload")
   }
 
+  /** Buffered state for one bucket of [[intervalOverlapStream]]:
+    * (id, lo, hi) interval rows per side, pruned to the
+    * watermark − maxSpan horizon. */
+  case class OverlapBuf(lefts: Seq[(Long, Long, Long)],
+                        rights: Seq[(Long, Long, Long)])
+
+  /** STREAM-STREAM interval-OVERLAP join — completes the range-join
+    * family's streaming surface the way [[asOfNearest]] completed
+    * as-of: every (left row × right row) pair whose inclusive
+    * [lo, hi] intervals intersect, emitted exactly once, live.
+    * Spark's built-in stream-stream join cannot express it scalably:
+    * the overlap predicate has no equi-key, so the planner falls
+    * back to an UNKEYED join with broadcast-or-nested-loop per
+    * micro-batch and no state-eviction rule (the time-range analysis
+    * that bounds [[intervalJoinBounds]] needs `lts ± bound`, not a
+    * pair of interval endpoints). Same device as the batch operator
+    * ([[graft.operators.RangeJoin.intervalOverlap]]): intervals
+    * explode to the fixed-width buckets they overlap, the bucket id
+    * becomes the grouping key for SYMMETRIC keyed state, and a true
+    * pair — which meets in every bucket its intersection overlaps —
+    * is emitted only from the intersection's FIRST bucket
+    * (`floorDiv(max(lLo, rLo), width)`), which both sides are
+    * guaranteed to populate. No dedup pass, no cross product.
+    *
+    * Emission is ON ARRIVAL (inner join, append mode): a pair's
+    * condition depends only on its two members, so it is final the
+    * moment the later member arrives — no watermark wait, unlike the
+    * as-of family whose answers quantify over unseen rows.
+    *
+    * State shape: a buffered interval can still match a FUTURE
+    * arrival only while `hi >= watermark − maxSpan` (a conforming
+    * future row has hi ≥ watermark and spans ≤ maxSpan, so its lo is
+    * ≥ watermark − maxSpan); both sides prune to that horizon every
+    * invocation, making state O(rate × (delay + maxSpan) ×
+    * avg-buckets-per-interval) — rate-bounded, never event-count —
+    * and an event-time timer sweeps buckets the input goes quiet on
+    * (armed at min kept hi + maxSpan + 1 > watermark, the timer
+    * contract). Measured at 2× ingest in ScaleRehearsal
+    * `streamoverlap`: peak state flat.
+    *
+    * Contract: LONG ids (unique per side), TIMESTAMP bounds with
+    * lo <= hi and span ≤ `maxSpanMs` (violations raise — a silent
+    * drop would lose true pairs, the batch span-guard philosophy);
+    * null bounds and inverted intervals never match and are dropped;
+    * each side arrives in its own event-time (hi) order within the
+    * watermark delay. Batch parity with the batch operator is
+    * asserted in StreamingSpec and at volume in the rehearsal. */
+  def intervalOverlapStream(left: DataFrame, right: DataFrame,
+      lId: String, lLo: String, lHi: String,
+      rId: String, rLo: String, rHi: String,
+      bucketWidthMs: Long, maxSpanMs: Long,
+      delay: String = "1 minute"): DataFrame = {
+    require(bucketWidthMs >= 1, s"bucket width $bucketWidthMs must be >= 1")
+    require(maxSpanMs >= 0, s"max span $maxSpanMs must be >= 0")
+    import left.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def side(df: DataFrame, id: String, lo: String, hi: String,
+        tag: Int): DataFrame =
+      df.filter(col(lo).isNotNull && col(hi).isNotNull &&
+          col(lo) <= col(hi))
+        .select(col(id).cast("long").as("id"),
+          unix_millis(col(lo)).as("lo"), col(hi).as("ts"),
+          lit(tag).as("side"))
+    val fdiv = graft.operators.RangeJoin.fdiv(_, bucketWidthMs)
+    side(left, lId, lLo, lHi, 1)
+      .unionByName(side(right, rId, rLo, rHi, 0))
+      .withWatermark("ts", delay)
+      .withColumn("hi", unix_millis(col("ts")))
+      // exact signed floor-division bucket explode, the SAME device
+      // as the batch operator (bucket copies bounded by the span
+      // guard: ≤ maxSpan/width + 1 per row). The guard raises rather
+      // than drops: an over-span interval would outlive the state
+      // eviction horizon and silently lose pairs. Column ops, not a
+      // typed flatMap — the watermarked `ts` column must SURVIVE to
+      // the flatMapGroupsWithState input or the event-time timeout
+      // is rejected at analysis.
+      .withColumn("__b", explode(sequence(
+        when(col("hi") - col("lo") > lit(maxSpanMs), expr(
+          "raise_error(concat('interval-overlap stream row ', " +
+            "cast(id as string), ' spans ', cast(hi - lo as string), " +
+            s"' ms > maxSpanMs $maxSpanMs -- raise maxSpanMs (it is " +
+            "the state eviction horizon, so it must bound every " +
+            "span)'))").cast("long"))
+          .otherwise(expr(fdiv("lo"))),
+        expr(fdiv("hi")))))
+      .select(col("__b"), col("id"), col("lo"), col("hi"), col("side"),
+        col("ts"))
+      .as[(Long, Long, Long, Long, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OverlapBuf, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (bucket, rows, state: GroupState[OverlapBuf]) =>
+          val st = state.getOption.getOrElse(OverlapBuf(Nil, Nil))
+          var newL = List.empty[(Long, Long, Long)]
+          var newR = List.empty[(Long, Long, Long)]
+          rows.foreach { case (_, id, lo, hi, tag, _) =>
+            if (tag == 1) newL ::= ((id, lo, hi)) else newR ::= ((id, lo, hi))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // the pair's responsibility bucket: first bucket of the
+          // intersection — emitted there and nowhere else
+          def resp(aLo: Long, bLo: Long): Boolean =
+            Math.floorDiv(math.max(aLo, bLo), bucketWidthMs) == bucket
+          def overlaps(a: (Long, Long, Long), b: (Long, Long, Long)) =
+            a._2 <= b._3 && b._2 <= a._3
+          val out =
+            (for (l <- newL; r <- st.rights ++ newR
+                  if overlaps(l, r) && resp(l._2, r._2))
+              yield (l._1, r._1)) ++
+            (for (l <- st.lefts; r <- newR
+                  if overlaps(l, r) && resp(l._2, r._2))
+              yield (l._1, r._1))
+          val horizon = satSubMs(wm, maxSpanMs)
+          val keptL = (newL ++ st.lefts).filter(_._3 >= horizon)
+          val keptR = (newR ++ st.rights).filter(_._3 >= horizon)
+          if (keptL.isEmpty && keptR.isEmpty) state.remove()
+          else {
+            state.update(OverlapBuf(keptL, keptR))
+            // sweep this bucket once the watermark passes the point
+            // where everything buffered is unmatchable (> wm by the
+            // horizon filter above, satisfying the timer contract)
+            state.setTimeoutTimestamp(satAddMs(
+              (keptL ++ keptR).map(_._3).min, maxSpanMs + 1))
+          }
+          out.iterator
+      }
+      .toDF("l_id", "r_id")
+  }
+
   /** Funnel streaming: the [[graft.ads.EventFlows.funnelOf]] state
     * machine as keyed state — per user, first `view`, first `click`
     * strictly after it, first `purchase` strictly after that. State is

@@ -13,6 +13,8 @@ case class Li(ship_ts: Timestamp, sku_id: Long, order_id: Long,
   amount_cents: Long)
 case class AL(lid: Long, lk: Long, lts: Timestamp)
 case class AR(rk: Long, rts: Timestamp, pay: Long)
+case class OvL(ol_id: Long, ol_lo: Timestamp, ol_hi: Timestamp)
+case class OvR(or_id: Long, or_lo: Timestamp, or_hi: Timestamp)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -482,6 +484,107 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSet === batch)
     assert(streamed.toSet === Set((10L, 1L), (10L, 2L), (11L, 2L),
       (11L, 3L)))
+  }
+
+  test("stream-stream interval overlap: exactly-once across shared " +
+      "buckets, cross-batch state, watermark flush") {
+    implicit val sc = spark.sqlContext
+    val lSrc = MemoryStream[OvL]
+    val rSrc = MemoryStream[OvR]
+    // 10 s buckets (10:00:00 UTC epoch-ms is bucket-aligned), 15 s max span
+    val q = StreamJobs.intervalOverlapStream(lSrc.toDF(), rSrc.toDF(),
+        "ol_id", "ol_lo", "ol_hi", "or_id", "or_lo", "or_hi",
+        bucketWidthMs = 10000L, maxSpanMs = 15000L)
+      .writeStream.format("memory").queryName("ovs_out")
+      .outputMode("append").start()
+    // A and B share TWO buckets (both cover :00 and :10) — the
+    // responsibility rule must emit their pair exactly once
+    lSrc.addData(OvL(1, t("2021-03-21 10:00:01"), t("2021-03-21 10:00:12")))
+    rSrc.addData(OvR(1, t("2021-03-21 10:00:02"), t("2021-03-21 10:00:17")))
+    q.processAllAvailable()
+    // cross-batch: D arrives a batch after B and must still meet it
+    lSrc.addData(OvL(2, t("2021-03-21 10:00:15"), t("2021-03-21 10:00:16")))
+    rSrc.addData(OvR(2, t("2021-03-21 10:00:30"), t("2021-03-21 10:00:31")))
+    q.processAllAvailable()
+    // far-future sentinels push the watermark past every real row:
+    // all real state must prune to the wm − maxSpan horizon
+    lSrc.addData(OvL(99, t("2021-04-01 00:00:00"), t("2021-04-01 00:00:00")))
+    rSrc.addData(OvR(98, t("2021-04-01 00:00:00"), t("2021-04-01 00:00:00")))
+    q.processAllAvailable()
+    val finalState = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    val got = spark.table("ovs_out").filter(col("l_id") < 90)
+      .as[(Long, Long)].collect()
+    assert(got.length === got.distinct.length,
+      "a pair meeting in two buckets must emit once")
+    assert(got.toSet === Set((1L, 1L), (2L, 1L)))
+    assert(finalState <= 2,
+      s"only the sentinels may remain buffered, got $finalState rows")
+  }
+
+  test("stream-stream interval overlap: randomized batch parity, " +
+      "width-independent") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    val base = t("2021-03-21 10:00:00").getTime
+    def gen(n: Int) = (0 until n).map { i =>
+      val lo = base + rnd.nextInt(120000)
+      (i.toLong, lo, lo + rnd.nextInt(15000))
+    }
+    val ls = gen(150).sortBy(_._3)
+    val rs = gen(150).map { case (i, lo, hi) => (i + 1000L, lo, hi) }
+      .sortBy(_._3)
+    val lSrc = MemoryStream[OvL]
+    val rSrc = MemoryStream[OvR]
+    val q = StreamJobs.intervalOverlapStream(lSrc.toDF(), rSrc.toDF(),
+        "ol_id", "ol_lo", "ol_hi", "or_id", "or_lo", "or_hi",
+        bucketWidthMs = 10000L, maxSpanMs = 15000L)
+      .writeStream.format("memory").queryName("ovs_rand")
+      .outputMode("append").start()
+    // each side in its own event-time (hi) order, three micro-batches
+    for (b <- 0 until 3) {
+      lSrc.addData(ls.slice(b * 50, (b + 1) * 50).map { case (i, lo, hi) =>
+        OvL(i, new Timestamp(lo), new Timestamp(hi)) }: _*)
+      rSrc.addData(rs.slice(b * 50, (b + 1) * 50).map { case (i, lo, hi) =>
+        OvR(i, new Timestamp(lo), new Timestamp(hi)) }: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("ovs_rand").as[(Long, Long)].collect()
+    assert(got.length === got.distinct.length)
+    // parity with the batch operator on the SAME rows (ms domain) —
+    // at the streaming width AND another, per the width-independence
+    // contract both forms share
+    for (w <- Seq(10000L, 3000L)) {
+      val batch = graft.operators.RangeJoin.intervalOverlap(
+          ls.toDF("l_id", "lo_l", "hi_l"), rs.toDF("r_id", "lo_r", "hi_r"),
+          "lo_l", "hi_l", "lo_r", "hi_r", w)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(got.toSet === batch, s"parity at batch width $w")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("stream-stream interval overlap: an over-span row fails loudly") {
+    // a span past maxSpanMs would outlive the state-eviction horizon
+    // and silently lose pairs — the operator must raise instead
+    implicit val sc = spark.sqlContext
+    val lSrc = MemoryStream[OvL]
+    val rSrc = MemoryStream[OvR]
+    val q = StreamJobs.intervalOverlapStream(lSrc.toDF(), rSrc.toDF(),
+        "ol_id", "ol_lo", "ol_hi", "or_id", "or_lo", "or_hi",
+        bucketWidthMs = 10000L, maxSpanMs = 15000L)
+      .writeStream.format("memory").queryName("ovs_guard")
+      .outputMode("append").start()
+    lSrc.addData(OvL(1, t("2021-03-21 10:00:00"), t("2021-03-21 10:05:00")))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxSpanMs")),
+      s"error should name the knob: ${messages(e)}")
   }
 
   test("socket line ingest: live TCP endpoint, parse + corrupt channel") {
