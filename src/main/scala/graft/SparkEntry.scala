@@ -298,6 +298,7 @@ object SparkEntry {
     // join-derived (DYNAMIC) partition pruning through a dim (r17)
     "q_src_lake_dpp"        -> (sources.PartitionedLake.dppParquet(_, _)),
     "q_src_lake_dpp_orc"    -> (sources.PartitionedLake.dppOrc(_, _)),
+    "q_src_lake_star"       -> (sources.PartitionedLake.starQuery(_, _)),
     // Heaps-law vocabulary growth curve (r9)
     "q_llm_vocab_growth"    -> (llm.VocabCoverage.vocabGrowth(_, _)),
     // word-break DP (typed partition loop; HOF form is interpreted) (r9)
@@ -513,6 +514,7 @@ object SparkEntry {
     "q_src_lake_prune_orc"  -> sources.PartitionedLake.pruneOracle,
     "q_src_lake_dpp"        -> sources.PartitionedLake.dppOracle,
     "q_src_lake_dpp_orc"    -> sources.PartitionedLake.dppOracle,
+    "q_src_lake_star"       -> sources.PartitionedLake.starOracle,
     "q_llm_vocab_growth"    -> llm.VocabCoverage.vocabGrowthOracle,
     "q_llm_word_break"      -> llm.Segmentation.wordBreakOracle,
     "q_llm_containment"     -> llm.Dedup.containmentOracle,

@@ -185,6 +185,112 @@ object PartitionedLake {
   def dppOrc(spark: SparkSession, dir: String): DataFrame =
     dppQuery(spark, dir, "orc")
 
+  /** Nation key of the selective customer dim in [[starQuery]] —
+    * chosen non-empty at every sf (~1/25 of customers, ~9% of the
+    * fact's user traffic at sf0.01). */
+  val StarNation = 19
+
+  /** SQL confs [[starQuery]] executes under. Auto-broadcast is
+    * disabled so the customer-dim join SHUFFLES (a broadcast join
+    * already probes row-by-row during the scan — the bloom
+    * semi-filter only pays on shuffle joins; the calendar dim keeps
+    * its explicit `broadcast()` hint, which survives a -1
+    * threshold), and the bloom thresholds are opened because the
+    * 10 GB `applicationSideScanSizeThreshold` default keeps the
+    * feature silent below cluster scale (PLANS §r17 bloom) — at the
+    * 100 TB shape the DEFAULT config fires and none of these
+    * overrides are needed. */
+  private[graft] val starConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+
+  /** The composed star-schema frame behind [[starQuery]] — the
+    * r17-VERDICT task-1 shape: ONE fact scan of the dt-partitioned
+    * lake carrying all three scan-side devices AT ONCE, the way the
+    * reference's six-dim fact access
+    * (gmall-time/.../app/dwm2/OrderWideApp2.java:190-322) must touch
+    * a 100 TB lake:
+    *
+    *  1. DYNAMIC PARTITION PRUNING from the calendar dim: the
+    *     busy-day join ([[busyDays]], window-form filter) prunes the
+    *     fact to the busy days' directories at runtime —
+    *     `dynamicpruningexpression` in the scan's PartitionFilters,
+    *     numFiles < lake total (directory level);
+    *  2. RUNTIME BLOOM FILTER from a SECOND, non-partition dim key:
+    *     customers of one nation — `InjectRuntimeFilter` builds a
+    *     bloom from the filtered dim and semi-filters the fact on
+    *     `user_id` BEFORE its shuffle (`might_contain` on the fact
+    *     side — row level, covering the key DPP cannot);
+    *  3. PUSHED DATA PREDICATE: `event_type <> 'error'` reaches the
+    *     file scan's PushedFilters (row-group level), with unread
+    *     columns pruned from ReadSchema.
+    *
+    * All three are asserted on the SAME executed scan in
+    * PartitionedLakeSpec; each device is proven separately by
+    * [[dppQuery]], the bloom rehearsal, and [[pruneQuery]] — this
+    * query proves they COMPOSE. */
+  private[graft] def starFrame(spark: SparkSession, dir: String,
+      format: String): DataFrame = {
+    val schema = eventsWithDt(spark, dir).schema
+    val fact = spark.read.format(format).schema(schema)
+      .load(lakeDir(spark, dir, format))
+      .filter(col("event_type") =!= "error")
+    val cal = busyDays(spark, dir)
+    val users = Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === StarNation)
+      .select(col("c_custkey"))
+    fact.join(users, col("user_id") === col("c_custkey"))
+      .join(broadcast(cal), fact("dt") === cal("d_dt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("user_id")).as("user_sum"),
+        max(col("event_id")).as("max_event"))
+  }
+
+  /** Board form of [[starFrame]]: executes EAGERLY under
+    * [[starConfs]] (plan-shaping confs must hold at EXECUTION time,
+    * and a returned lazy frame would execute after the caller's conf
+    * scope closed), then hands back the tiny aggregate as a local
+    * frame. The result is conf-independent — the shared oracle is
+    * the proof. */
+  def starQuery(spark: SparkSession, dir: String,
+      format: String = "parquet"): DataFrame = {
+    val prior = starConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    starConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val (schema, rows) = try {
+      val df = starFrame(spark, dir, format)
+      (df.schema, df.collect())
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** The oracle replays the three-way star over the raw parquet
+    * tables — same busy-day arithmetic as [[dppOracle]], plus the
+    * nation-filtered customer dim and the pushed predicate. */
+  lazy val starOracle: String =
+    s"""WITH day_n AS MATERIALIZED (
+       |  SELECT CAST(ts AS DATE) AS d_dt, CAST(count(*) AS BIGINT) AS d_n
+       |  FROM events GROUP BY 1),
+       |tot AS MATERIALIZED (
+       |  SELECT CAST(sum(d_n) AS BIGINT) AS t_n,
+       |         CAST(count(*) AS BIGINT) AS t_days FROM day_n),
+       |busy AS MATERIALIZED (
+       |  SELECT d_dt FROM day_n, tot WHERE d_n * t_days > t_n)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(user_id) AS BIGINT) AS user_sum,
+       |       max(event_id) AS max_event
+       |FROM events
+       |JOIN busy ON CAST(ts AS DATE) = busy.d_dt
+       |JOIN customer ON user_id = c_custkey
+       |WHERE c_nationkey = $StarNation AND event_type <> 'error'
+       |GROUP BY 1""".stripMargin
+
   /** The oracle replays fact-through-dim over the parquet events
     * table; the busy-day dim is the same exact integer arithmetic. */
   lazy val dppOracle: String =

@@ -26,4 +26,13 @@ object PlanWalk {
     case f: FileSourceScanExec => Seq(f)
     case other => other.children.flatMap(allScans)
   }
+
+  /** Every node of an executed plan, same AQE descent as
+    * [[allScans]] — for assertions that must locate a node RELATIVE
+    * to another (e.g. a runtime filter above a specific scan). */
+  def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+    case s: QueryStageExec => s +: allNodes(s.plan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
 }

@@ -116,6 +116,86 @@ class PartitionedLakeSpec extends SparkSpec {
     }
   }
 
+  test("star query: DPP + runtime bloom + pushed predicate compose on " +
+      "ONE executed fact scan") {
+    // value check via the board surface (conf save/restore inside)
+    val got = PartitionedLake.starQuery(spark, Sf).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = graft.Tables.events(spark, Sf)
+      .join(graft.Tables.customer(spark, Sf)
+          .filter(col("c_nationkey") === PartitionedLake.StarNation),
+        col("user_id") === col("c_custkey"))
+      .filter(col("event_type") =!= "error")
+      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+      .collect() // only used to confirm fixture non-degenerate below
+    assert(got.nonEmpty, "star query returned no groups")
+    assert(want.nonEmpty)
+    // plan assertions on the executed frame under the SAME confs the
+    // board query uses — the metric-bearing instance must be the LAST
+    // lake render (starFrame re-renders via lakeDir) and executed
+    // exactly once (the dppQuery metric discipline)
+    val prior = PartitionedLake.starConfs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    PartitionedLake.starConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = PartitionedLake.starFrame(spark, Sf, "parquet")
+      q.queryExecution.toRdd.count()
+      val plan = q.queryExecution.executedPlan
+      val planStr = plan.toString
+      // exactly one fact scan, found by its dynamic partition filter
+      val factScans = graft.PlanWalk.allScans(plan)
+        .filter(_.toString.contains("dynamicpruning"))
+      assert(factScans.size === 1,
+        s"expected exactly one dynamically-pruned fact scan:\n$planStr")
+      val scanStr = factScans.head.toString
+      // device 1: runtime partition pruning (directory level)
+      val pf = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(scanStr)
+        .getOrElse("")
+      assert(pf.contains("dynamicpruning"),
+        s"fact scan must carry the dynamic partition filter:\n$scanStr")
+      // device 2: the bloom semi-filter on the NON-partition dim key.
+      // A subquery-bearing predicate cannot enter the scan's pushed
+      // DataFilters — it plans as the FilterExec DIRECTLY ABOVE the
+      // fact scan (same codegen stage, before the user_id Exchange),
+      // so locate the might_contain Filter whose SUBTREE is this scan
+      val bloomOverFact = graft.PlanWalk.allNodes(plan).exists {
+        case f: org.apache.spark.sql.execution.FilterExec =>
+          val c = f.condition.toString
+          c.contains("might_contain") && c.contains("xxhash64(user_id") &&
+            graft.PlanWalk.allScans(f)
+              .exists(_.toString.contains("dynamicpruning"))
+        case _ => false
+      }
+      assert(bloomOverFact,
+        s"the user_id bloom must semi-filter the fact scan before its " +
+          s"shuffle:\n$planStr")
+      // device 3: the data predicate pushed to the file format...
+      assert(scanStr.contains("PushedFilters") &&
+        scanStr.contains("Not(EqualTo(event_type,error))"),
+        s"event_type predicate must push to the scan:\n$scanStr")
+      // ...and unreferenced columns pruned from the read
+      val rs = "ReadSchema: [^\\n]*".r.findFirstIn(scanStr).getOrElse("")
+      assert(!rs.contains("props") && !rs.contains("value"),
+        s"unread columns must prune from ReadSchema: $rs")
+      // directory-level economy on the executed scan's own metric
+      val filesRead = factScans.head.metrics("numFiles").value
+      val root = new java.io.File(PartitionedLake.lakeRoot(Sf, "parquet"))
+      val lakeFiles = dataFiles(root).size
+      assert(filesRead < lakeFiles,
+        s"DPP read $filesRead of $lakeFiles lake files — no pruning")
+      // and the composed answer matches the board surface
+      val again = q // plan already executed; re-collect for values
+      val fromFrame = PartitionedLake.starFrame(spark, Sf, "parquet")
+        .collect().map(r => Option(r.getString(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(fromFrame === got)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   for (format <- Seq("parquet", "orc")) {
     test(s"$format lake: one-day query equals the parquet-table slice") {
       val got = PartitionedLake.pruneQuery(spark, Sf, format).collect()
