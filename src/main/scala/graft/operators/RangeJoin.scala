@@ -189,17 +189,83 @@ object RangeJoin {
     }
   }
 
-  /** [[autoWidth]] for the point-in-interval form: points enter the
-    * census as degenerate (p, p) intervals, so their occupancy crowds
-    * buckets exactly as [[pointInInterval]]'s probe side will, while
-    * the interval side contributes its spans to the explode term —
-    * the same two costs the width balances in the overlap form. */
+  /** Per-bucket candidate work above which [[autoWidthPoints]]
+    * re-keys: the same ~17M-pair task budget the overlap form's
+    * [[AutoOccupancyCap]] encodes (there work ≈ occupancy², here it
+    * is the point×interval PRODUCT, so the budget is the cap
+    * squared). */
+  val AutoWorkBudget: Long = AutoOccupancyCap * AutoOccupancyCap
+
+  /** [[autoWidth]] for the point-in-interval form — with the POINT
+    * term the overlap formula lacks (r18, measured): a first cut fed
+    * points into the shared census as degenerate (p, p) intervals,
+    * and a 2M-point crowd drove v* = sqrt(S·probe)/maxN to width 1 —
+    * where the uniform interval BACKGROUND explodes 512× (256M rows,
+    * 14–47 s) for a hot task that was never span-limited in the
+    * first place. The asymmetry the formula must carry: a point
+    * lives in ONE bucket at ANY width (refining costs points
+    * nothing), and an interval overlapping a crowded bucket still
+    * overlaps its refinement (span ≫ width ⇒ the interval count per
+    * bucket does NOT shrink with v). So within a crowded probe
+    * bucket of P points and I overlapping intervals, a width-v task
+    * does ≈ P·I·v/probe candidate evaluations — linear in v — while
+    * the corpus pays explode Σspans/v. Marginal balance:
+    * v* = sqrt(spanSum · probe / (P·I)).
+    *
+    * Census: one pass per side at `probeWidth` — per-bucket point
+    * counts join (full-outer) per-bucket exploded interval counts;
+    * the hottest bucket is the one maximizing the P·I product (that
+    * product IS the task's work), and interval span sum/max ride the
+    * interval leg via the first-bucket trick. The probe width stands
+    * while max work ≤ [[AutoWorkBudget]] — an absolute task budget,
+    * not a ratio: point work is the product of two occupancies, so
+    * splitting pays whenever the product is large, skewed or not.
+    * The clamp to [max(guard floor, 1), probeWidth] is the overlap
+    * form's (the guard floor keeps the widest interval under
+    * [[MaxSpanBuckets]]); no crowd-median floor — the hot-side cost
+    * is linear in v, so there is no span scale below which
+    * rebalancing stops paying.
+    *
+    * Derived width feeds the existing knob; results width-invariant
+    * by the operator's contract (spec-asserted, and the board leg
+    * q_range_price_band_auto runs under the fixed-width oracle). */
   def autoWidthPoints(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      probeWidth: Long = BucketWidth): Long =
-    autoWidth(
-      points.select(col(pointCol).as("__plo"), col(pointCol).as("__phi")),
-      intervals, "__plo", "__phi", loCol, hiCol, probeWidth)
+      probeWidth: Long = BucketWidth): Long = {
+    require(probeWidth >= 1, s"probe width $probeWidth must be >= 1")
+    val p = points.filter(col(pointCol).isNotNull)
+      .select(expr(fdiv(pointCol, probeWidth)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__pn"))
+    val iv = intervals.select(col(loCol).cast("long").as("__lo"),
+      col(hiCol).cast("long").as("__hi"))
+      .withColumn("__span", expr("coalesce(try_add(try_subtract(__hi," +
+        s" __lo), 1L), ${Long.MaxValue}L)"))
+    val firstB = expr(fdiv("__lo", probeWidth))
+    val ivn = bucketExplode(iv, "__lo", "__hi", probeWidth)
+      .groupBy("__b")
+      .agg(count(lit(1)).as("__in"),
+        sum(when(col("__b") === firstB, col("__span").cast("double")))
+          .as("__s1"),
+        max(when(col("__b") === firstB, col("__span"))).as("__mx1"))
+    val work = coalesce(col("__pn"), lit(0L)) *
+      coalesce(col("__in"), lit(0L))
+    val stats = p.join(ivn, Seq("__b"), "full_outer").agg(
+      max(work).as("maxWork"),
+      sum(col("__s1")).as("spanSum"), max(col("__mx1")).as("maxSpan"))
+      .collect()(0)
+    if (stats.isNullAt(0) || stats.isNullAt(1)) return probeWidth
+    val (maxWork, spanSum, maxSpan) =
+      (stats.getLong(0), stats.getDouble(1), stats.getLong(2))
+    if (maxWork <= AutoWorkBudget) probeWidth
+    else {
+      val d = MaxSpanBuckets - 1
+      val guardFloor = maxSpan / d + (if (maxSpan % d == 0) 0 else 1)
+      val vStar =
+        math.sqrt(spanSum * probeWidth.toDouble / maxWork.toDouble)
+      math.min(probeWidth,
+        math.max(vStar.toLong, math.max(guardFloor, 1L)))
+    }
+  }
 
   /** Generic point-in-interval join: every (point row × interval row)
     * pair with `lo <= point <= hi`, produced exactly once. */

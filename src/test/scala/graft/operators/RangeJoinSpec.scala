@@ -153,23 +153,45 @@ class RangeJoinSpec extends SparkSpec {
     assert(auto.nonEmpty, "vacuous fixture — no price lands in any band")
   }
 
-  test("autoWidthPoints: crowded points re-key like crowded intervals") {
-    // 4000 points crammed into ONE probe bucket over a thin interval
-    // background — the degenerate-interval census must flag them
-    def pts(salt: Long) = spark.range(4000).select(
-      pmod(xxhash64(col("id"), lit(salt)), lit(993L)).as("p"))
-    def iv(salt: Long) = spark.range(64).select(col("id").as("i_id"),
-      (pmod(xxhash64(col("id"), lit(salt)), lit(64L)) * 1024L).as("lo"))
+  test("autoWidthPoints: a small crowd is under the work budget and " +
+      "keeps the probe width") {
+    // 4000 points in one bucket × ~1 local interval ≈ 4000 candidate
+    // evaluations — re-keying a trivial task buys nothing, so the
+    // work-budget rule must keep the probe width (the r18 point-term
+    // lesson: point OCCUPANCY alone is not a reason to refine)
+    val pts = spark.range(4000).select(
+      pmod(xxhash64(col("id"), lit(3L)), lit(993L)).as("p"))
+    val iv = spark.range(64).select(col("id").as("i_id"),
+      (pmod(xxhash64(col("id"), lit(5L)), lit(64L)) * 1024L).as("lo"))
       .withColumn("hi", col("lo") + lit(512L))
-    val w = RangeJoin.autoWidthPoints(pts(3L), "p", iv(5L), "lo", "hi")
+    val w = RangeJoin.autoWidthPoints(pts, "p", iv, "lo", "hi")
+    assert(w === RangeJoin.BucketWidth,
+      s"a ~4000-pair hot task is under the work budget, got $w")
+  }
+
+  test("autoWidthPoints: a crowd whose point x interval product " +
+      "exceeds the work budget re-keys; result width-invariant") {
+    // bucket 0 holds 50k points in [0,512) and 404 intervals: 400
+    // value-disjoint from the points ([600,1023] — candidates, never
+    // matches) + 4 covering ones. Work = 50k × 404 ≈ 20.2M > the
+    // ~16.8M budget → re-key; at the refined width the disjoint 400
+    // stop sharing buckets with the points at all, which is the win
+    val pts = spark.range(50000).select(
+      pmod(xxhash64(col("id"), lit(3L)), lit(512L)).as("p"))
+    val iv = spark.range(404).select(col("id").as("i_id"),
+        when(col("id") < 4, lit(0L)).otherwise(lit(600L)).as("lo"),
+        when(col("id") < 4, lit(700L)).otherwise(lit(1023L)).as("hi"))
+    val w = RangeJoin.autoWidthPoints(pts, "p", iv, "lo", "hi")
     assert(w < RangeJoin.BucketWidth,
-      s"single-bucket point crowding must re-key, got $w")
-    // and the join at the derived width matches the probe width
+      s"a 20M-pair hot task must re-key, got $w")
+    // the join at the derived width matches the probe width (per-
+    // interval match counts — 200k output rows stay in Spark)
     def got(width: Long) = RangeJoin.pointInInterval(
-      pts(3L), iv(5L), "p", "lo", "hi", width)
-      .select("p", "i_id").as[(Long, Long)].collect()
-      .groupBy(identity).view.mapValues(_.size).toMap
+      pts, iv, "p", "lo", "hi", width)
+      .groupBy("i_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
     assert(got(w) === got(RangeJoin.BucketWidth))
+    assert(got(w).values.sum === 200000L)
   }
 
   test("band-overlap AUTO query matches the fixed-width board query") {
