@@ -383,6 +383,36 @@ object ScaleRehearsal {
         broken.mkString("; "))
   }
 
+  /** Wall + worst-stage task balance for one run — ONE copy of the
+    * measure idiom the range sections share (it had grown local
+    * copies; hoisted r18 when the point-form section became its
+    * third user). Returns (result, max/mean task-duration ratio of
+    * the worst stage, max task seconds). */
+  private def balMeasured[A](spark: SparkSession,
+      bal: StageBalanceListener)(tag: String)(f: => A): (A, Double, Double) = {
+    bal.clear()
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    val t0 = System.nanoTime()
+    val r = f
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val (mx, mean, n) = bal.worstDurSkew(2000L)
+    val ratio = mx / mean.max(1.0)
+    println(f"[scale] $tag: $secs%.1f s; worst stage task-duration " +
+      f"max/mean = $ratio%.1f× ($n tasks, max ${mx / 1e3}%.1f s)")
+    (r, ratio, mx / 1e3)
+  }
+
+  /** Warm-rep plateau of [[balMeasured]] — min over 2 reps, the
+    * PLANS adjudication rule applied to gate inputs (a single rep's
+    * max-task carries 0.4–4.8 s of GC/IO attribution, r17). */
+  private def balPlateau[A](spark: SparkSession,
+      bal: StageBalanceListener)(tag: String)(f: => A): (A, Double, Double) = {
+    val (_, rt1, mx1) = balMeasured(spark, bal)(tag)(f)
+    val (r2, rt2, mx2) = balMeasured(spark, bal)(s"$tag (rep 2)")(f)
+    (r2, math.min(rt1, rt2), math.min(mx1, mx2))
+  }
+
   /** Per-stage shuffle-read records per task — the balance evidence
     * for the wedge join: a skewed join puts one task orders of
     * magnitude above the stage mean. */
@@ -401,7 +431,8 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe",
       "skew", "stream", "streamjoin", "streamasof", "streamoverlap",
-      "ladder", "skewcorpus", "prefixcross", "rangeladder", "cbo", "bloom")
+      "ladder", "skewcorpus", "prefixcross", "rangeladder", "rangepoints",
+      "buckets", "cbo", "bloom")
     val sections = if (args.isEmpty) all else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
@@ -451,6 +482,8 @@ object ScaleRehearsal {
     if (sections("skewcorpus")) skewCorpusSection(spark, s"$Root/skewcorpus")
     if (sections("prefixcross")) prefixCrossSection(spark, s"$Root/prefix")
     if (sections("rangeladder")) rangeLadderSection(spark)
+    if (sections("rangepoints")) rangePointsSection(spark)
+    if (sections("buckets")) bucketsSection(spark)
     if (sections("cbo")) cboSection(spark)
     if (sections("bloom")) bloomSection(spark)
 
@@ -2365,19 +2398,8 @@ object ScaleRehearsal {
     val bal = new StageBalanceListener
     ListenerShim.drainListenerBus(spark.sparkContext)
     spark.sparkContext.addSparkListener(bal)
-    def measured[A](tag: String)(f: => A): (A, Double, Double) = {
-      bal.clear()
-      ListenerShim.drainListenerBus(spark.sparkContext)
-      val t0 = System.nanoTime()
-      val r = f
-      ListenerShim.drainListenerBus(spark.sparkContext)
-      val secs = (System.nanoTime() - t0) / 1e9
-      val (mx, mean, n) = bal.worstDurSkew(2000L)
-      val ratio = mx / mean.max(1.0)
-      println(f"[scale] $tag: $secs%.1f s; worst stage task-duration " +
-        f"max/mean = $ratio%.1f× ($n tasks, max ${mx / 1e3}%.1f s)")
-      (r, ratio, mx / 1e3)
-    }
+    def measured[A](tag: String)(f: => A): (A, Double, Double) =
+      balMeasured(spark, bal)(tag)(f)
     try {
       val wideHi = w * 3000 - 1
       val wide = spark.range(1).select(col("id").as("l_id"),
@@ -2413,11 +2435,8 @@ object ScaleRehearsal {
       // GC attribution — r17 measured the SAME unmitigated hot run at
       // 0.4–4.8 s across a night of reps — so every gate-feeding hot
       // run takes min over 2 reps
-      def plateau[A](tag: String)(f: => A): (A, Double, Double) = {
-        val (_, rt1, mx1) = measured(tag)(f)
-        val (r2, rt2, mx2) = measured(s"$tag (rep 2)")(f)
-        (r2, math.min(rt1, rt2), math.min(mx1, mx2))
-      }
+      def plateau[A](tag: String)(f: => A): (A, Double, Double) =
+        balPlateau(spark, bal)(tag)(f)
       val ((nHot, aqeSplit), wHot, mxHot) = withConfs(noBc,
         "spark.sql.adaptive.skewJoin.enabled" -> "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
@@ -2486,6 +2505,211 @@ object ScaleRehearsal {
         f"($mxAuto%.1f s) is not in the hand-tuned class ($mxFine%.1f s)")
     } finally spark.sparkContext.removeSparkListener(bal)
     gateVerdict(spark, "rangeladder", broken.toSeq, lenient)
+  }
+
+  // ---- (rangepoints) point-crowd auto width, rehearsed end to end --
+
+  /** r17-VERDICT task 4: the POINT form of the census-derived width
+    * under skew, rehearsed the way the overlap form was (hot-bucket
+    * corpus, auto vs hand-tuned vs unmitigated, max-task plateau
+    * comparison). The skew shape is a POINT CROWD: a hot value range
+    * holds millions of probe points while the interval side stays
+    * uniform — one bucket's task evaluates crowd × local-intervals
+    * candidate pairs while its siblings do thousands. The width knob
+    * re-keys the crowd across many buckets (points never explode —
+    * each lives in ONE bucket at any width — so refining the width
+    * costs only the INTERVAL side's explode fan-out). */
+  private def rangePointsSection(spark: SparkSession): Unit = {
+    import graft.operators.RangeJoin
+    println("[scale] === point-in-interval hot crowd (point-form auto width) ===")
+    val w = RangeJoin.BucketWidth
+    val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
+    val broken = scala.collection.mutable.ArrayBuffer.empty[String]
+    def gate(ok: Boolean, msg: String): Unit = if (!ok) {
+      println(s"[scale] GATE FAILED (rangepoints): $msg")
+      broken += msg
+    }
+    val domain = RangeBase * w / RangeOcc
+    // interval side: uniform, spans [0, w) — ~24 intervals overlap
+    // any given probe-width bucket
+    val iv = spark.range(RangeBase).select(col("id").as("iv_id"),
+        pmod(xxhash64(col("id"), lit(7L)), lit(domain)).as("lo"))
+      .withColumn("hi",
+        col("lo") + pmod(xxhash64(col("iv_id"), lit(8L)), lit(w)))
+    // point side: uniform background + a 20M crowd inside bucket 0
+    // (crowd × ~36 local intervals ≈ 720M candidate evaluations in
+    // ONE task at the probe width — the material hot task a 2M crowd
+    // was too light to produce)
+    val HotP = 20000000L
+    val pts = spark.range(RangeBase).select(
+        pmod(xxhash64(col("id"), lit(5L)), lit(domain)).as("p"))
+      .unionByName(spark.range(HotP).select(
+        pmod(xxhash64(col("id"), lit(55L)), lit(w)).as("p")))
+    def pj(width: Long) =
+      RangeJoin.pointInInterval(pts, iv, "p", "lo", "hi", width)
+        .groupBy().agg(count(lit(1)).as("n"))
+        .head.getLong(0)
+    val bal = new StageBalanceListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(bal)
+    val noBc = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    try withSqlConfs(spark)(noBc) {
+      pj(w / 64): Unit // codegen warmup on the cheap shape
+      val (nHot, _, mxHot) = balPlateau(spark, bal)(
+        s"point crowd ($HotP in one bucket) at width $w")(pj(w))
+      val (nFine, rtFine, mxFine) = balPlateau(spark, bal)(
+        s"point crowd re-keyed at width ${w / 64} (hand-tuned)")(pj(w / 64))
+      require(nHot == nFine,
+        s"width knob changed the result: $nHot vs $nFine")
+      gate(mxHot / mxFine.max(0.05) >= 2.0,
+        f"the width knob did not materially shrink the hot task: " +
+          f"$mxHot%.1f s → $mxFine%.1f s")
+      val t0 = System.nanoTime()
+      val wAuto = RangeJoin.autoWidthPoints(pts, "p", iv, "lo", "hi")
+      println(f"[scale] autoWidthPoints picked $wAuto (probe $w, " +
+        f"hand-tuned ${w / 64}; census ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      gate(wAuto < w,
+        s"autoWidthPoints failed to flag the point crowd (kept $wAuto)")
+      val (nAuto, rtAuto, mxAuto) = balPlateau(spark, bal)(
+        s"point crowd at AUTO width $wAuto")(pj(wAuto))
+      require(nHot == nAuto,
+        s"auto width changed the result: $nHot vs $nAuto")
+      println(f"[scale] point-form balance: width-$w hot task $mxHot%.1f s " +
+        f"→ hand-tuned $mxFine%.1f s → auto($wAuto) $mxAuto%.1f s " +
+        "(results identical)")
+      // auto's promise: MATERIAL mitigation of the unmitigated hot
+      // task, and the hand-tuned width's balance CLASS (max/mean
+      // ratio). The absolute max-task is deliberately NOT compared
+      // against hand-tuned: v* optimizes total cost, and below it a
+      // finer width keeps smoothing BUCKET-TO-PARTITION PACKING at
+      // local[32] (probe/v* hot buckets over 32 partitions lump ~2
+      // buckets into one task — measured r18: auto-27 1.7 s vs
+      // hand-16 0.4 s max task on identical ~170M-candidate work) —
+      // a granularity artifact of partitions ≈ buckets, not a
+      // candidate-work difference; the gate that would catch a REAL
+      // formula regression is the 4× mitigation bound
+      gate(mxHot / mxAuto.max(0.05) >= 4.0,
+        f"auto width did not materially shrink the hot task: " +
+          f"$mxHot%.1f s → $mxAuto%.1f s")
+      gate(rtAuto <= rtFine * 1.75 + 0.5,
+        f"auto width's task balance ($rtAuto%.1f×) is not in the " +
+          f"hand-tuned class ($rtFine%.1f×)")
+    } finally spark.sparkContext.removeSparkListener(bal)
+    gateVerdict(spark, "rangepoints", broken.toSeq, lenient)
+  }
+
+  // ---- (buckets) bucket-count evolution: coalesce vs re-bucket -----
+
+  /** r17-VERDICT task 5: what happens when two bucketed tables'
+    * bucket counts drift apart (the 2:1 mismatch every growing lake
+    * hits when one fact doubles its bucket count and its join
+    * partners lag). Three executions of the same orders⋈lineitem
+    * rollup over catalog tables written through
+    * [[graft.sinks.Sinks.writeBucketed]]:
+    *
+    *  A. 8 vs 16 buckets, coalesce OFF — Spark must restore
+    *     co-partitioning with an Exchange at read time (the
+    *     amortized write-time shuffle is LOST);
+    *  B. 8 vs 16, `spark.sql.bucketing.coalesceBucketsInJoin.enabled`
+    *     — the 16-bucket side reads 2 files per task and the join
+    *     runs shuffle-free at the COARSER parallelism (8 tasks);
+    *  C. 16 vs 16 (the re-bucketed world) — shuffle-free at full
+    *     parallelism, after paying one rewrite of the lagging table.
+    *
+    * The pin this section exists to record (PLANS §r18): coalesce
+    * buys shuffle-freedom instantly but caps the join at the
+    * coarser count; re-bucketing restores parallelism for every
+    * future read at one rewrite's cost — prefer coalesce for ad-hoc
+    * mismatches, re-bucket when the join repeats. Answers gated
+    * identical across all three; plans gated (A has Exchange, B/C
+    * none). */
+  private def bucketsSection(spark: SparkSession): Unit = {
+    import graft.Tables
+    import graft.sinks.Sinks
+    println("[scale] === bucket-count evolution: coalesce vs re-bucket ===")
+    val dir = "/root/testdata/sf0.1"
+    val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
+    val broken = scala.collection.mutable.ArrayBuffer.empty[String]
+    def gate(ok: Boolean, msg: String): Unit = if (!ok) {
+      println(s"[scale] GATE FAILED (buckets): $msg"); broken += msg
+    }
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice")
+    val writes = Seq(
+      ("scale_o8", o, "o_orderkey", 8),
+      ("scale_o16", o, "o_orderkey", 16),
+      ("scale_l16", l, "l_orderkey", 16))
+    writes.foreach { case (t, df, k, b) =>
+      Sinks.resetManagedTable(spark, t)
+      time(s"writeBucketed $t ($b buckets)") {
+        Sinks.writeBucketed(df, Seq(k), b, t)
+      }
+    }
+    def shape(ot: String) = spark.table(ot)
+      .join(spark.table("scale_l16"),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+    val noBc = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val cpuL = new graft.Bench.TaskTimeListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(cpuL)
+    try {
+      val runs = Seq(
+        ("A: 8 vs 16, coalesce OFF (Exchange restores co-partitioning)",
+          "scale_o8", "false", true),
+        ("B: 8 vs 16, coalesce ON (shuffle-free at 8 tasks)",
+          "scale_o8", "true", false),
+        ("C: 16 vs 16 re-bucketed (shuffle-free at 16 tasks)",
+          "scale_o16", "false", false))
+      val results = runs.map { case (tag, ot, coalesceOn, expectExchange) =>
+        withSqlConfs(spark)(noBc ++ Seq(
+          "spark.sql.bucketing.coalesceBucketsInJoin.enabled" ->
+            coalesceOn): _*) {
+          val reps = for (_ <- 1 to 2) yield {
+            ListenerShim.drainListenerBus(spark.sparkContext)
+            val (_, c0) = cpuL.snapshot
+            val df = shape(ot)
+            val w0 = System.nanoTime()
+            val rows = df.collect()
+            val wall = (System.nanoTime() - w0) / 1e9
+            ListenerShim.drainListenerBus(spark.sparkContext)
+            val (_, c1) = cpuL.snapshot
+            (df, rows, wall, c1 - c0)
+          }
+          val (df, rows, wall, cpu) = reps.last
+          val plan = df.queryExecution.executedPlan.toString
+          val cut = plan.indexOf("== Initial Plan ==") match {
+            case -1 => plan.length; case i => i
+          }
+          val nEx = "Exchange hashpartitioning".r
+            .findAllIn(plan.take(cut)).size
+          val coalesced = plan.take(cut).contains("SelectedBucketsCount") &&
+            plan.take(cut).contains("Coalesced")
+          println(f"[scale] $tag: cpu $cpu%.2f s (warm rep), wall " +
+            f"$wall%.2f s, exchanges $nEx, coalesced-scan $coalesced")
+          gate(if (expectExchange) nEx > 0 else nEx == 0,
+            s"$tag: expected ${if (expectExchange) ">0" else "0"} " +
+              s"exchanges, saw $nEx")
+          (rows.map(_.toString).toSeq.sorted, cpu, wall)
+        }
+      }
+      gate(results.map(_._1).distinct.size == 1,
+        "bucket layout changed the ANSWER across the three runs")
+      val Seq((_, cpuA, wallA), (_, cpuB, wallB), (_, cpuC, wallC)) = results
+      println(f"[scale] buckets verdict: mismatch+Exchange cpu $cpuA%.2f / " +
+        f"wall $wallA%.2f; coalesce cpu $cpuB%.2f / wall $wallB%.2f; " +
+        f"re-bucket cpu $cpuC%.2f / wall $wallC%.2f")
+    } finally {
+      spark.sparkContext.removeSparkListener(cpuL)
+      writes.foreach { case (t, _, _, _) =>
+        spark.sql(s"DROP TABLE IF EXISTS $t") }
+    }
+    gateVerdict(spark, "buckets", broken.toSeq, lenient)
   }
 
   // ---- (cbo) catalog-stats stance for the multi-join plans ---------
