@@ -299,6 +299,10 @@ object SparkEntry {
     "q_src_lake_dpp"        -> (sources.PartitionedLake.dppParquet(_, _)),
     "q_src_lake_dpp_orc"    -> (sources.PartitionedLake.dppOrc(_, _)),
     "q_src_lake_star"       -> (sources.PartitionedLake.starQuery(_, _)),
+    "q_range_band_overlap_stream" ->
+      (operators.RangeJoin.bandOverlapStreamQuery(_, _)),
+    "q_range_price_band_salted" ->
+      (operators.RangeJoin.priceBandSaltedQuery(_, _)),
     // Heaps-law vocabulary growth curve (r9)
     "q_llm_vocab_growth"    -> (llm.VocabCoverage.vocabGrowth(_, _)),
     // word-break DP (typed partition loop; HOF form is interpreted) (r9)
@@ -357,7 +361,9 @@ object SparkEntry {
     "q_range_price_band"   -> operators.RangeJoin.priceBandOracle,
     "q_range_band_overlap" -> operators.RangeJoin.bandOverlapOracle,
     "q_range_band_overlap_auto" -> operators.RangeJoin.bandOverlapOracle,
+    "q_range_band_overlap_stream" -> operators.RangeJoin.bandOverlapOracle,
     "q_range_price_band_auto" -> operators.RangeJoin.priceBandOracle,
+    "q_range_price_band_salted" -> operators.RangeJoin.priceBandOracle,
     "q_skew_salted_agg"    -> func.Skew.saltedJoinOracle,
     "q_dws_visitor_stats"  -> dws.VisitorStats.oracle,
     "q_dws_visitor_stats_hop" -> dws.VisitorStats.hoppingOracle,

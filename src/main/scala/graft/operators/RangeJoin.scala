@@ -231,10 +231,22 @@ object RangeJoin {
     * q_range_price_band_auto runs under the fixed-width oracle). */
   def autoWidthPoints(points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      probeWidth: Long = BucketWidth): Long = {
-    require(probeWidth >= 1, s"probe width $probeWidth must be >= 1")
-    val p = points.filter(col(pointCol).isNotNull)
-      .select(expr(fdiv(pointCol, probeWidth)).as("__b"))
+      probeWidth: Long = BucketWidth): Long =
+    autoPointMitigation(points, pointCol, intervals, loCol, hiCol,
+      probeWidth)._1
+
+  /** The point-form census rollup: hottest bucket's point×interval
+    * WORK product and its interval occupancy, the interval side's
+    * span sum/count/max, and the largest same-VALUE point
+    * multiplicity (the component no width can split). */
+  private case class PointCensus(maxWork: Long, hotIn: Long,
+    spanSum: Double, ivCount: Long, maxSpan: Long, maxVal: Long)
+
+  private def pointCensus(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      probeWidth: Long): Option[PointCensus] = {
+    val p0 = points.filter(col(pointCol).isNotNull)
+    val p = p0.select(expr(fdiv(pointCol, probeWidth)).as("__b"))
       .groupBy("__b").agg(count(lit(1)).as("__pn"))
     val iv = intervals.select(col(loCol).cast("long").as("__lo"),
       col(hiCol).cast("long").as("__hi"))
@@ -246,25 +258,138 @@ object RangeJoin {
       .agg(count(lit(1)).as("__in"),
         sum(when(col("__b") === firstB, col("__span").cast("double")))
           .as("__s1"),
+        count(when(col("__b") === firstB, lit(1))).as("__c1"),
         max(when(col("__b") === firstB, col("__span"))).as("__mx1"))
     val work = coalesce(col("__pn"), lit(0L)) *
       coalesce(col("__in"), lit(0L))
     val stats = p.join(ivn, Seq("__b"), "full_outer").agg(
       max(work).as("maxWork"),
-      sum(col("__s1")).as("spanSum"), max(col("__mx1")).as("maxSpan"))
+      expr("max_by(coalesce(__in, 0L), " +
+        "coalesce(__pn, 0L) * coalesce(__in, 0L))").as("hotIn"),
+      sum(col("__s1")).as("spanSum"),
+      coalesce(sum(col("__c1")), lit(0L)).as("ivCount"),
+      max(col("__mx1")).as("maxSpan"))
       .collect()(0)
-    if (stats.isNullAt(0) || stats.isNullAt(1)) return probeWidth
-    val (maxWork, spanSum, maxSpan) =
-      (stats.getLong(0), stats.getDouble(1), stats.getLong(2))
-    if (maxWork <= AutoWorkBudget) probeWidth
-    else {
-      val d = MaxSpanBuckets - 1
-      val guardFloor = maxSpan / d + (if (maxSpan % d == 0) 0 else 1)
-      val vStar =
-        math.sqrt(spanSum * probeWidth.toDouble / maxWork.toDouble)
-      math.min(probeWidth,
-        math.max(vStar.toLong, math.max(guardFloor, 1L)))
+    if (stats.isNullAt(0) || stats.isNullAt(2)) return None
+    val maxVal = p0.groupBy(col(pointCol))
+      .agg(count(lit(1)).as("__c")).agg(max(col("__c")))
+      .collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    Some(PointCensus(stats.getLong(0), stats.getLong(1),
+      stats.getDouble(2), stats.getLong(3), stats.getLong(4), maxVal))
+  }
+
+  /** Hard cap on the salt factor [[autoPointMitigation]] derives —
+    * the interval side replicates salt×, so a runaway estimate must
+    * not explode the build side unboundedly. */
+  val AutoMaxSalt = 1024
+
+  /** Width AND salt for the point form — the full mitigation ladder,
+    * derived from ONE census pass per side:
+    *
+    *  - benign (hottest bucket's point×interval product under
+    *    [[AutoWorkBudget]]): `(probeWidth, 1)` — mitigation costs
+    *    explode/replication, paying it on a balanced corpus is loss;
+    *  - crowded RANGE: the balanced width v* =
+    *    sqrt(spanSum·probe/maxWork) (see [[autoWidthPoints]]'s cost
+    *    model) splits the crowd, `(v*, 1)`;
+    *  - crowded VALUE (the skew NO width can touch — same-value
+    *    points share a bucket at every width): keep the probe width
+    *    (refining would only inflate the interval explode for
+    *    nothing) and SALT at k = ceil(maxWork / budget), bounding
+    *    per-task work at the budget for the price of k× interval
+    *    replication ([[pointInIntervalSalted]]);
+    *  - mixed: refine to v* AND salt the residual.
+    *
+    * Regime detection: the value-degenerate component of the hot
+    * bucket is maxVal × hotIn (largest same-value multiplicity ×
+    * local intervals); when it carries ≥ half the bucket's work the
+    * crowd is a value crowd. The residual a chosen width v cannot
+    * split is estimated with interval occupancy shrunk to
+    * hotIn · (s̄+v)/(s̄+probe) — intervals thin out with the bucket
+    * only past their own span scale. Estimates are deliberately
+    * conservative (ceil, probe-width occupancy bounds); the result
+    * is placement-only either way — answers are width- AND
+    * salt-invariant by contract, which the shared oracle proves on
+    * the board (q_range_price_band_salted). */
+  def autoPointMitigation(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      probeWidth: Long = BucketWidth): (Long, Int) = {
+    require(probeWidth >= 1, s"probe width $probeWidth must be >= 1")
+    pointCensus(points, pointCol, intervals, loCol, hiCol,
+        probeWidth) match {
+      case None => (probeWidth, 1)
+      case Some(c) if c.maxWork <= AutoWorkBudget => (probeWidth, 1)
+      case Some(c) =>
+        def saltFor(work: Double): Int = math.min(AutoMaxSalt.toDouble,
+          math.max(1.0, math.ceil(work / AutoWorkBudget))).toInt
+        val valueCore = c.maxVal.toDouble * c.hotIn
+        if (valueCore * 2 >= c.maxWork.toDouble) {
+          // value crowd: width is useless, salt at the probe width
+          (probeWidth, saltFor(c.maxWork.toDouble))
+        } else {
+          val d = MaxSpanBuckets - 1
+          val guardFloor =
+            c.maxSpan / d + (if (c.maxSpan % d == 0) 0 else 1)
+          val vStar =
+            math.sqrt(c.spanSum * probeWidth.toDouble / c.maxWork.toDouble)
+          val v = math.min(probeWidth,
+            math.max(vStar.toLong, math.max(guardFloor, 1L)))
+          // what v cannot split: the range crowd shrinks ∝ v, the
+          // value core only through interval thinning
+          val sBar = c.spanSum / math.max(c.ivCount, 1L)
+          val hotInV = c.hotIn * (sBar + v) / (sBar + probeWidth)
+          val residual = math.max(c.maxWork.toDouble * v / probeWidth,
+            c.maxVal.toDouble * hotInV)
+          (v, saltFor(residual))
+        }
     }
+  }
+
+  /** SALTED point-in-interval join — the escalation tier past the
+    * width knob, for the skew width cannot touch: a crowd of points
+    * at ONE exact value maps to the same bucket at EVERY width (the
+    * bucket of a point is a function of its value), so refinement
+    * spreads a crowded RANGE but never a crowded VALUE. Salting
+    * splits on ROW IDENTITY instead: each point lands in one of
+    * `salt` groups, each interval REPLICATES to all of them, and the
+    * join key becomes (bucket, salt-group) — per-task candidate work
+    * drops by the salt factor at the cost of salt× the interval
+    * side's exploded rows (the standard replicate-the-small-side
+    * skew device, here composed with the bucket equi-join).
+    *
+    * The salt assignment is deliberately NON-deterministic
+    * (row-position based): the RESULT is salt-assignment-invariant —
+    * every point meets the full interval set of its group exactly
+    * once, whichever group it lands in — so placement needs no
+    * stable identity, and the driver's oracle hash compare proves
+    * the invariance end to end (board leg q_range_price_band_salted).
+    * Contract otherwise as [[pointInInterval]]; `salt = 1` IS
+    * [[pointInInterval]]. */
+  def pointInIntervalSalted(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long = BucketWidth, salt: Int = 1): DataFrame = {
+    require(salt >= 1, s"salt $salt must be >= 1")
+    if (salt == 1)
+      return pointInInterval(points, intervals, pointCol, loCol, hiCol,
+        bucketWidth)
+    require(bucketWidth >= 1, s"bucket width $bucketWidth must be >= 1")
+    val clash = (points.columns ++ intervals.columns)
+      .filter(c => c == "__b" || c == "__s")
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with internal names")
+    val iv = bucketExplode(intervals, loCol, hiCol, bucketWidth)
+      .withColumn("__s", explode(sequence(lit(0), lit(salt - 1))))
+    val pt = points
+      .filter(col(pointCol).isNotNull)
+      .withColumn("__b", expr(fdiv(pointCol, bucketWidth)))
+      .withColumn("__s",
+        pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
+    pt.join(iv, Seq("__b", "__s"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__b", "__s")
   }
 
   /** Generic point-in-interval join: every (point row × interval row)
@@ -363,6 +488,18 @@ object RangeJoin {
       .groupBy(col("pk_a").as("p_partkey"))
       .agg(count(lit(1)).as("overlap_ct"))
 
+  /** [[priceBandQuery]] through the SALTED operator (fixed salt 4) —
+    * same oracle as the unsalted query: the driver's hash compare is
+    * the cross-engine proof that salt placement never changes the
+    * answer, the contract [[autoPointMitigation]]'s value-crowd
+    * regime leans on. */
+  def priceBandSaltedQuery(spark: SparkSession, dir: String): DataFrame =
+    pointInIntervalSalted(pricePoints(spark, dir),
+        priceBands(spark, dir, "p_partkey", "lo", "hi"),
+        "pc", "lo", "hi", BucketWidth, salt = 4)
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("match_ct"))
+
   /** [[priceBandQuery]] at the width [[autoWidthPoints]] derives —
     * same oracle as the fixed-width query (width-independence), same
     * device as [[bandOverlapAutoQuery]] but for the point form. */
@@ -392,6 +529,54 @@ object RangeJoin {
     intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b", w)
       .filter(col("pk_a") < col("pk_b"))
       .groupBy(col("pk_a").as("p_partkey"))
+      .agg(count(lit(1)).as("overlap_ct"))
+  }
+
+  /** Monotonic suffix for the streaming board query's memory-sink
+    * view names — each invocation (Verify, bench reps) needs a fresh
+    * streaming query against a fresh sink. */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicLong
+
+  /** The overlap audit through the STREAMING operator
+    * ([[graft.streaming.StreamJobs.intervalOverlapStream]]) under the
+    * SAME oracle as [[bandOverlapQuery]] — the driver's hash compare
+    * is the standing proof that the streaming path (bucket state,
+    * responsibility emission, watermark pruning) computes exactly the
+    * batch operator's answer on real data. Cents map to epoch-ms
+    * timestamps (the streaming form's event-time contract); both
+    * sides feed in hi order through one micro-batch — emission is
+    * on-arrival, so no sentinel flush is needed for completeness.
+    * The driver-side collect of the band table is demonstration
+    * harness, not the production path (a deployment reads
+    * `readStream`; the operator itself never collects). */
+  def bandOverlapStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = priceBands(spark, dir, "pk", "lo", "hi")
+      .select("pk", "lo", "hi").as[(Long, Long, Long)]
+      .collect().sortBy(_._3)
+      .map { case (pk, lo, hi) =>
+        (pk, new java.sql.Timestamp(lo), new java.sql.Timestamp(hi)) }
+    val lSrc = MemoryStream[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+    val rSrc = MemoryStream[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+    val view = s"band_overlap_stream_${streamRuns.incrementAndGet()}"
+    val q = graft.streaming.StreamJobs.intervalOverlapStream(
+        lSrc.toDF().toDF("id", "lo", "hi"),
+        rSrc.toDF().toDF("id", "lo", "hi"),
+        "id", "lo", "hi", "id", "lo", "hi",
+        bucketWidthMs = BucketWidth, maxSpanMs = 1024L,
+        delay = "1 second")
+      .writeStream.format("memory").queryName(view)
+      .outputMode("append").start()
+    try {
+      lSrc.addData(rows.toIndexedSeq)
+      rSrc.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(view)
+      .filter(col("l_id") < col("r_id"))
+      .groupBy(col("l_id").as("p_partkey"))
       .agg(count(lit(1)).as("overlap_ct"))
   }
 

@@ -144,13 +144,66 @@ class RangeJoinSpec extends SparkSpec {
     assert(!got.keySet.exists(_._1 == 4L), "inverted interval never matches")
   }
 
-  test("price-band AUTO query matches the fixed-width board query") {
+  test("price-band AUTO and SALTED queries match the fixed-width " +
+      "board query") {
     val auto = RangeJoin.priceBandAutoQuery(spark, Sf)
       .as[(Long, Long)].collect().toMap
     val fixed = RangeJoin.priceBandQuery(spark, Sf)
       .as[(Long, Long)].collect().toMap
     assert(auto === fixed)
+    val salted = RangeJoin.priceBandSaltedQuery(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(salted === fixed)
     assert(auto.nonEmpty, "vacuous fixture — no price lands in any band")
+  }
+
+  test("pointInIntervalSalted: salt placement never changes the answer") {
+    // random corpus through salt 1 (the plain operator) and salt 5 —
+    // per-pair multiplicity maps must be identical: every point meets
+    // the full interval set of its salt group exactly once
+    val pts = spark.range(3000).select(
+      pmod(xxhash64(col("id"), lit(9L)), lit(50000L)).as("p"))
+    val iv = spark.range(500).select(col("id").as("i_id"),
+        pmod(xxhash64(col("id"), lit(11L)), lit(50000L)).as("lo"))
+      .withColumn("hi", col("lo") + pmod(xxhash64(col("i_id"), lit(12L)),
+        lit(2000L)))
+    def got(salt: Int) = RangeJoin.pointInIntervalSalted(
+      pts, iv, "p", "lo", "hi", RangeJoin.BucketWidth, salt)
+      .groupBy("i_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val plain = got(1)
+    assert(got(5) === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("autoPointMitigation: a value crowd salts at the probe width, " +
+      "a range crowd refines without salt") {
+    // VALUE crowd: 50k points at ONE value share a bucket at every
+    // width — the regime detector must keep the probe width (refining
+    // only inflates the interval explode) and derive salt ≥ 2 for the
+    // ~20M-pair hot task
+    val vPts = spark.range(50000).select(lit(100L).as("p"))
+    val iv = spark.range(404).select(col("id").as("i_id"),
+        when(col("id") < 4, lit(0L)).otherwise(lit(600L)).as("lo"),
+        when(col("id") < 4, lit(700L)).otherwise(lit(1023L)).as("hi"))
+    val (wv, kv) = RangeJoin.autoPointMitigation(vPts, "p", iv, "lo", "hi")
+    assert(wv === RangeJoin.BucketWidth,
+      s"a value crowd must keep the probe width, got $wv")
+    assert(kv >= 2, s"a value crowd must salt, got $kv")
+    // RANGE crowd (the sibling fixture): spread over [0,512) — width
+    // splits it, and the residual after refinement needs no salt
+    val rPts = spark.range(50000).select(
+      pmod(xxhash64(col("id"), lit(3L)), lit(512L)).as("p"))
+    val (wr, kr) = RangeJoin.autoPointMitigation(rPts, "p", iv, "lo", "hi")
+    assert(wr < RangeJoin.BucketWidth,
+      s"a range crowd must refine, got $wr")
+    assert(kr === 1, s"a split range crowd needs no salt, got $kr")
+    // and the salted join at the derived mitigation matches salt-1
+    def got(pts: org.apache.spark.sql.DataFrame, w: Long, k: Int) =
+      RangeJoin.pointInIntervalSalted(pts, iv, "p", "lo", "hi", w, k)
+        .groupBy("i_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+    assert(got(vPts, wv, kv) === got(vPts, RangeJoin.BucketWidth, 1))
   }
 
   test("autoWidthPoints: a small crowd is under the work budget and " +
@@ -192,6 +245,21 @@ class RangeJoinSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got(w) === got(RangeJoin.BucketWidth))
     assert(got(w).values.sum === 200000L)
+  }
+
+  test("band-overlap STREAM query matches the fixed-width board query") {
+    // the streaming operator (bucket state + responsibility emission)
+    // over the same bands, under the same oracle — repeated calls
+    // must also work (fresh stream + sink per invocation)
+    val streamed = RangeJoin.bandOverlapStreamQuery(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    val fixed = RangeJoin.bandOverlapQuery(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === fixed)
+    val again = RangeJoin.bandOverlapStreamQuery(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(again === fixed)
+    assert(streamed.nonEmpty)
   }
 
   test("band-overlap AUTO query matches the fixed-width board query") {
