@@ -311,36 +311,31 @@ object ScaleRehearsal {
     * stayed FLAT per row (26 ns short vs 5 ns long), memory 120 GB
     * free, steal ~3%. Only shuffle-heavy saturated stages degrade,
     * so the probe must shuffle to arbitrate; an operator-shaped
-    * recheck cannot (its own variance is the thing under test). Key
-    * cardinality is FIXED at [[ProbeKeys]] for every burst length
-    * (r17-ADVICE): a ∝-n cardinality gave the 10× burst a 10× larger
-    * reduce-side aggregation working set, so crossing a spill/GC
-    * threshold could read as "superlinear box" on a healthy host —
-    * masking a real gate regression behind the downgrade. With the
-    * cardinality pinned at the short burst's value, the reduce state
-    * is identical across bursts and only the SHUFFLE VOLUME scales
-    * with n (20M keys over 32 map partitions stay mostly distinct
-    * per partition at both lengths, so partial aggregation cannot
-    * collapse the map output), isolating exactly the shuffle-path
-    * degradation the probe exists to detect. */
+    * recheck cannot (its own variance is the thing under test). The
+    * probe is a bare `repartition` — shuffle write + read of n rows
+    * with NO aggregation state at all (r17-ADVICE, r18 lesson): the
+    * original ∝-n key cardinality gave the 10× burst a 10× larger
+    * reduce working set, and the first fix (fixed 20M keys) merely
+    * moved the scale-variance to the MAP-side hash (40M rows over
+    * 20M keys don't collapse at either burst, so per-partition map
+    * state still grew with n — measured: the "calibrated" probe
+    * read 0.8×–2.8× across three same-session runs on one box).
+    * A state-free shuffle has nothing whose footprint can grow with
+    * burst length: per-row cost is serialize + write + read,
+    * provably flat, isolating exactly the shuffle-path weather the
+    * probe arbitrates. */
   private def probePerRowCpu(spark: SparkSession, n: Long): Double = {
     val lst = new graft.Bench.TaskTimeListener
     ListenerShim.drainListenerBus(spark.sparkContext)
     spark.sparkContext.addSparkListener(lst)
     try {
       spark.range(n)
-        .groupBy(pmod(xxhash64(col("id")), lit(ProbeKeys)).as("k"))
-        .agg(count(lit(1)).as("c"))
-        .agg(max("c")).queryExecution.toRdd.count()
+        .repartition(64, col("id"))
+        .queryExecution.toRdd.count()
       ListenerShim.drainListenerBus(spark.sparkContext)
       lst.snapshot._2 / n
     } finally spark.sparkContext.removeSparkListener(lst)
   }
-
-  /** Reduce-side key cardinality of [[probePerRowCpu]], shared by
-    * both burst lengths so the probe's aggregation working set is
-    * burst-invariant (see the probe's doc). */
-  val ProbeKeys = 20_000_000L
 
   /** Sections whose gates failed but were downgraded to ADVISORY by
     * the saturation probe. A downgrade is NOT a pass: unless
@@ -2553,7 +2548,18 @@ object ScaleRehearsal {
     ListenerShim.drainListenerBus(spark.sparkContext)
     spark.sparkContext.addSparkListener(bal)
     val noBc = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
-    try withSqlConfs(spark)(noBc) {
+    // AQE's size-based skew split is pinned OFF for the measured
+    // runs: unlike the interval EXPANSION crowd (tiny input, big
+    // output — invisible to AQE, the r16/r17 finding), a POINT crowd
+    // is INPUT-proportional (20M rows ≈ 160 MB in one partition), so
+    // near its thresholds AQE sometimes splits the hot partition on
+    // its own — observed r18: the same unmitigated run planned 7
+    // tasks / 9.7 s max in one rep and 64 tasks / 1.8 s in the next,
+    // a bimodal baseline no gate can sit on. The devices under test
+    // are the operator's own (width, salt); the AQE interplay is
+    // probed separately below at default confs.
+    val noSkew = "spark.sql.adaptive.skewJoin.enabled" -> "false"
+    try withSqlConfs(spark)(noBc, noSkew) {
       pj(w / 64): Unit // codegen warmup on the cheap shape
       val (nHot, _, mxHot) = balPlateau(spark, bal)(
         s"point crowd ($HotP in one bucket) at width $w")(pj(w))
@@ -2594,7 +2600,74 @@ object ScaleRehearsal {
       gate(rtAuto <= rtFine * 1.75 + 0.5,
         f"auto width's task balance ($rtAuto%.1f×) is not in the " +
           f"hand-tuned class ($rtFine%.1f×)")
+
+      // ---- degenerate VALUE crowd: the skew width cannot touch ----
+      // 20M points at ONE exact value share a bucket at EVERY width;
+      // the mitigation ladder's next rung is salting (replicate the
+      // interval side k ways, split the points by row identity)
+      val vPts = spark.range(RangeBase).select(
+          pmod(xxhash64(col("id"), lit(5L)), lit(domain)).as("p"))
+        .unionByName(spark.range(HotP).select(lit(500L).as("p")))
+      def pv(width: Long, salt: Int) =
+        RangeJoin.pointInIntervalSalted(vPts, iv, "p", "lo", "hi",
+          width, salt)
+          .groupBy().agg(count(lit(1)).as("n")).head.getLong(0)
+      val (nV, _, mxV) = balPlateau(spark, bal)(
+        s"VALUE crowd ($HotP at one value) unmitigated, width $w")(
+        pv(w, 1))
+      val (nVF, _, mxVF) = balPlateau(spark, bal)(
+        s"VALUE crowd at width ${w / 64} (the knob that cannot help)")(
+        pv(w / 64, 1))
+      require(nV == nVF, s"width changed the result: $nV vs $nVF")
+      println(f"[scale] value-crowd width futility: $mxV%.1f s at $w " +
+        f"→ $mxVF%.1f s at ${w / 64} (same-value points share a " +
+        "bucket at every width)")
+      val t1 = System.nanoTime()
+      val (wMit, kMit) = RangeJoin.autoPointMitigation(
+        vPts, "p", iv, "lo", "hi")
+      println(f"[scale] autoPointMitigation picked (width $wMit, " +
+        f"salt $kMit; census ${(System.nanoTime() - t1) / 1e9}%.1f s)")
+      gate(wMit == w,
+        s"value crowd should keep the probe width, got $wMit")
+      gate(kMit > 1, s"value crowd must salt, got $kMit")
+      val (nVS, _, mxVS) = balPlateau(spark, bal)(
+        s"VALUE crowd SALTED (width $wMit, salt $kMit)")(
+        pv(wMit, kMit))
+      require(nV == nVS, s"salt changed the result: $nV vs $nVS")
+      println(f"[scale] value-crowd ladder: unmitigated $mxV%.1f s → " +
+        f"width-${w / 64} $mxVF%.1f s (futile) → salt-$kMit " +
+        f"$mxVS%.1f s (results identical)")
+      // the same 2× bar as the width knob's efficacy gate: the
+      // salted run still pays the crowd's full shuffle/sort and
+      // ~160M output rows — the knob divides the CANDIDATE work,
+      // not the irreducible volume
+      gate(mxV / mxVS.max(0.05) >= 2.0,
+        f"salting did not materially shrink the value-crowd hot " +
+          f"task: $mxV%.1f s → $mxVS%.1f s")
     } finally spark.sparkContext.removeSparkListener(bal)
+    // informational: the same value crowd at DEFAULT AQE confs —
+    // does the size-based skew split engage on an input-proportional
+    // crowd without the operator's devices? (observed: sometimes,
+    // near its 256 MB/factor-5 thresholds — worth knowing, not worth
+    // gating)
+    locally {
+      val vPts = spark.range(RangeBase).select(
+          pmod(xxhash64(col("id"), lit(5L)), lit(domain)).as("p"))
+        .unionByName(spark.range(HotP).select(lit(500L).as("p")))
+      withSqlConfs(spark)(noBc) {
+        val ds = RangeJoin.pointInInterval(vPts, iv, "p", "lo", "hi", w)
+          .groupBy().agg(count(lit(1)).as("n"))
+        val t0 = System.nanoTime()
+        ds.queryExecution.toRdd.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val split = ds.queryExecution.executedPlan.toString
+          .toLowerCase.contains("skew=true")
+        println(f"[scale] value crowd at DEFAULT AQE: $secs%.1f s, " +
+          s"skew split engaged = $split (input-proportional skew IS " +
+          "AQE-visible when the partition crosses its size thresholds " +
+          "— unlike the interval expansion case)")
+      }
+    }
     gateVerdict(spark, "rangepoints", broken.toSeq, lenient)
   }
 
