@@ -282,22 +282,12 @@ object ScaleRehearsal {
     r
   }
 
-  /** Run `body` with SQL confs set, restoring priors — ONE copy of
-    * the save/set/try/restore idiom (it had grown three hand copies
-    * across sections; r17 review). Sections keep a local
-    * `withConfs` delegating here. */
+  /** Delegates to the shared [[graft.func.Confs.withSqlConfs]]
+    * (hoisted to main code r18 — the star query and lake spec use it
+    * too). Sections keep a local `withConfs` delegating here. */
   private def withSqlConfs[A](spark: SparkSession)(
-      kvs: (String, String)*)(body: => A): A = {
-    // getOption, not get: an optional conf with no default (e.g.
-    // spark.sql.adaptive.autoBroadcastJoinThreshold) reads as None
-    // and must be UNSET on restore, not set(null)
-    val prior = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+      kvs: (String, String)*)(body: => A): A =
+    graft.func.Confs.withSqlConfs(spark)(kvs: _*)(body)
 
   /** Operator-independent saturation probe, shared by every
     * gate-bearing section's failure path: a SHUFFLE-bearing hash
@@ -1811,6 +1801,8 @@ object ScaleRehearsal {
         .agg(count(lit(1)), coalesce(
           expr("bit_xor(xxhash64(l_id, r_id))"), lit(0L)))
         .as[(Long, Long)].collect()(0)
+      // drop the sink view — it pins the full pair set otherwise
+      spark.catalog.dropTempView(view)
       println(f"[scale] overlap[$n]: ${2 * n} events in $secs%.1f s = " +
         f"${2 * n / secs / 1e6}%.2f M rows/s; ${sig._1} pairs; state " +
         s"rows per batch max ${states.max}; post-flush $finalRows")
@@ -2605,12 +2597,13 @@ object ScaleRehearsal {
       // 20M points at ONE exact value share a bucket at EVERY width;
       // the mitigation ladder's next rung is salting (replicate the
       // interval side k ways, split the points by row identity)
-      val vPts = spark.range(RangeBase).select(
+      val vPts = spark.range(RangeBase).select(col("id").as("rid"),
           pmod(xxhash64(col("id"), lit(5L)), lit(domain)).as("p"))
-        .unionByName(spark.range(HotP).select(lit(500L).as("p")))
+        .unionByName(spark.range(HotP).select(
+          (col("id") + RangeBase).as("rid"), lit(500L).as("p")))
       def pv(width: Long, salt: Int) =
         RangeJoin.pointInIntervalSalted(vPts, iv, "p", "lo", "hi",
-          width, salt)
+          width, salt, Seq("rid"))
           .groupBy().agg(count(lit(1)).as("n")).head.getLong(0)
       val (nV, _, mxV) = balPlateau(spark, bal)(
         s"VALUE crowd ($HotP at one value) unmitigated, width $w")(

@@ -258,14 +258,10 @@ object PartitionedLake {
     * the proof. */
   def starQuery(spark: SparkSession, dir: String,
       format: String = "parquet"): DataFrame = {
-    val prior = starConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    starConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-    val (schema, rows) = try {
+    val (schema, rows) = graft.func.Confs.withSqlConfs(spark)(
+        starConfs: _*) {
       val df = starFrame(spark, dir, format)
       (df.schema, df.collect())
-    } finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }

@@ -161,19 +161,25 @@ class RangeJoinSpec extends SparkSpec {
     // random corpus through salt 1 (the plain operator) and salt 5 —
     // per-pair multiplicity maps must be identical: every point meets
     // the full interval set of its salt group exactly once
-    val pts = spark.range(3000).select(
+    val pts = spark.range(3000).select(col("id").as("rid"),
       pmod(xxhash64(col("id"), lit(9L)), lit(50000L)).as("p"))
     val iv = spark.range(500).select(col("id").as("i_id"),
         pmod(xxhash64(col("id"), lit(11L)), lit(50000L)).as("lo"))
       .withColumn("hi", col("lo") + pmod(xxhash64(col("i_id"), lit(12L)),
         lit(2000L)))
     def got(salt: Int) = RangeJoin.pointInIntervalSalted(
-      pts, iv, "p", "lo", "hi", RangeJoin.BucketWidth, salt)
+      pts, iv, "p", "lo", "hi", RangeJoin.BucketWidth, salt, Seq("rid"))
       .groupBy("i_id").agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect().toMap
     val plain = got(1)
     assert(got(5) === plain)
     assert(plain.nonEmpty)
+    // salt > 1 without stable id columns must refuse, not silently
+    // fall back to a recompute-unsafe assignment
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInIntervalSalted(
+        pts, iv, "p", "lo", "hi", RangeJoin.BucketWidth, 5)
+    }
   }
 
   test("autoPointMitigation: a value crowd salts at the probe width, " +
@@ -182,7 +188,8 @@ class RangeJoinSpec extends SparkSpec {
     // width — the regime detector must keep the probe width (refining
     // only inflates the interval explode) and derive salt ≥ 2 for the
     // ~20M-pair hot task
-    val vPts = spark.range(50000).select(lit(100L).as("p"))
+    val vPts = spark.range(50000).select(col("id").as("rid"),
+      lit(100L).as("p"))
     val iv = spark.range(404).select(col("id").as("i_id"),
         when(col("id") < 4, lit(0L)).otherwise(lit(600L)).as("lo"),
         when(col("id") < 4, lit(700L)).otherwise(lit(1023L)).as("hi"))
@@ -200,7 +207,8 @@ class RangeJoinSpec extends SparkSpec {
     assert(kr === 1, s"a split range crowd needs no salt, got $kr")
     // and the salted join at the derived mitigation matches salt-1
     def got(pts: org.apache.spark.sql.DataFrame, w: Long, k: Int) =
-      RangeJoin.pointInIntervalSalted(pts, iv, "p", "lo", "hi", w, k)
+      RangeJoin.pointInIntervalSalted(pts, iv, "p", "lo", "hi", w, k,
+          Seq("rid"))
         .groupBy("i_id").agg(count(lit(1)).as("n"))
         .as[(Long, Long)].collect().toMap
     assert(got(vPts, wv, kv) === got(vPts, RangeJoin.BucketWidth, 1))

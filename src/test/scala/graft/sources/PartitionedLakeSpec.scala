@@ -122,23 +122,12 @@ class PartitionedLakeSpec extends SparkSpec {
     val got = PartitionedLake.starQuery(spark, Sf).collect()
       .map(r => Option(r.getString(0)) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val want = graft.Tables.events(spark, Sf)
-      .join(graft.Tables.customer(spark, Sf)
-          .filter(col("c_nationkey") === PartitionedLake.StarNation),
-        col("user_id") === col("c_custkey"))
-      .filter(col("event_type") =!= "error")
-      .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
-      .collect() // only used to confirm fixture non-degenerate below
     assert(got.nonEmpty, "star query returned no groups")
-    assert(want.nonEmpty)
     // plan assertions on the executed frame under the SAME confs the
     // board query uses — the metric-bearing instance must be the LAST
     // lake render (starFrame re-renders via lakeDir) and executed
     // exactly once (the dppQuery metric discipline)
-    val prior = PartitionedLake.starConfs.map { case (k, _) =>
-      k -> spark.conf.getOption(k) }
-    PartitionedLake.starConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    graft.func.Confs.withSqlConfs(spark)(PartitionedLake.starConfs: _*) {
       val q = PartitionedLake.starFrame(spark, Sf, "parquet")
       q.queryExecution.toRdd.count()
       val plan = q.queryExecution.executedPlan
@@ -185,14 +174,10 @@ class PartitionedLakeSpec extends SparkSpec {
       assert(filesRead < lakeFiles,
         s"DPP read $filesRead of $lakeFiles lake files — no pruning")
       // and the composed answer matches the board surface
-      val again = q // plan already executed; re-collect for values
       val fromFrame = PartitionedLake.starFrame(spark, Sf, "parquet")
         .collect().map(r => Option(r.getString(0)) ->
           (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       assert(fromFrame === got)
-    } finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 
