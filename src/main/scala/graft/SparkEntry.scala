@@ -361,7 +361,8 @@ object SparkEntry {
     "q_range_price_band"   -> operators.RangeJoin.priceBandOracle,
     "q_range_band_overlap" -> operators.RangeJoin.bandOverlapOracle,
     "q_range_band_overlap_auto" -> operators.RangeJoin.bandOverlapOracle,
-    "q_range_band_overlap_stream" -> operators.RangeJoin.bandOverlapOracle,
+    "q_range_band_overlap_stream" ->
+      operators.RangeJoin.bandOverlapStreamOracle,
     "q_range_price_band_auto" -> operators.RangeJoin.priceBandOracle,
     "q_range_price_band_salted" -> operators.RangeJoin.priceBandOracle,
     "q_skew_salted_agg"    -> func.Skew.saltedJoinOracle,

@@ -564,22 +564,33 @@ object RangeJoin {
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong
 
   /** The overlap audit through the STREAMING operator
-    * ([[graft.streaming.StreamJobs.intervalOverlapStream]]) under the
-    * SAME oracle as [[bandOverlapQuery]] — the driver's hash compare
-    * is the standing proof that the streaming path (bucket state,
-    * responsibility emission, watermark pruning) computes exactly the
-    * batch operator's answer on real data. Cents map to epoch-ms
-    * timestamps (the streaming form's event-time contract); both
-    * sides feed in hi order through one micro-batch — emission is
-    * on-arrival, so no sentinel flush is needed for completeness.
-    * The driver-side collect of the band table is demonstration
-    * harness, not the production path (a deployment reads
-    * `readStream`; the operator itself never collects). */
+    * ([[graft.streaming.StreamJobs.intervalOverlapStream]]) under
+    * [[bandOverlapStreamOracle]] — [[bandOverlapOracle]] on the same
+    * band subset — so the driver's hash compare proves the streaming
+    * path (bucket state, responsibility emission, watermark pruning)
+    * computes exactly the theta-join answer on real data. Cents map
+    * to epoch-ms timestamps (the streaming form's event-time
+    * contract); both sides feed in hi order through one micro-batch —
+    * emission is on-arrival, so no sentinel flush is needed for
+    * completeness. The driver-side collect of the band table is
+    * demonstration harness, not the production path (a deployment
+    * reads `readStream`; the operator itself never collects).
+    *
+    * Runs on the `pk % 5 = 0` band SUBSET (oracle filtered
+    * identically): the harness — driver-collected input, per-bucket
+    * Scala state loops, a single-partition memory sink — costs
+    * O(pairs) OUTSIDE Tungsten, and the full sf0.1 corpus's ~5M raw
+    * pairs put 60–130 s of harness time on the bench for zero extra
+    * proof (measured r18). The subset keeps the cross-engine
+    * evidence and the bench honest; VOLUME parity for the operator
+    * itself is the rehearsal's job (2.1M pairs, count+hash-equal to
+    * the batch operator). */
   def bandOverlapStreamQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = priceBands(spark, dir, "pk", "lo", "hi")
+      .filter(col("pk") % 5 === 0)
       .select("pk", "lo", "hi").as[(Long, Long, Long)]
       .collect().sortBy(_._3)
       .map { case (pk, lo, hi) =>
@@ -612,6 +623,18 @@ object RangeJoin {
     spark.catalog.dropTempView(view)
     spark.createDataFrame(java.util.Arrays.asList(rowsOut: _*), schema)
   }
+
+  /** [[bandOverlapOracle]] restricted to the streaming leg's band
+    * subset — identical arithmetic, `p_partkey % 5 = 0` both sides. */
+  val bandOverlapStreamOracle: String =
+    """WITH iv AS (SELECT p_partkey, rp - rp // 1000 AS lo, rp + rp // 1000 AS hi
+      |            FROM (SELECT p_partkey,
+      |                         CAST(floor(p_retailprice * 100) AS BIGINT) AS rp
+      |                  FROM part WHERE p_partkey % 5 = 0))
+      |SELECT a.p_partkey, CAST(count(*) AS BIGINT) AS overlap_ct
+      |FROM iv a JOIN iv b
+      |  ON a.p_partkey < b.p_partkey AND a.lo <= b.hi AND b.lo <= a.hi
+      |GROUP BY 1""".stripMargin
 
   /** DuckDB plans the overlap predicate natively (IEJoin). */
   val bandOverlapOracle: String =

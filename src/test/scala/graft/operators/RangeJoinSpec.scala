@@ -255,13 +255,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(got(w).values.sum === 200000L)
   }
 
-  test("band-overlap STREAM query matches the fixed-width board query") {
+  test("band-overlap STREAM query matches the batch operator on its " +
+      "band subset") {
     // the streaming operator (bucket state + responsibility emission)
-    // over the same bands, under the same oracle — repeated calls
-    // must also work (fresh stream + sink per invocation)
+    // over the pk%5 band subset — repeated calls must also work
+    // (fresh stream + sink per invocation)
     val streamed = RangeJoin.bandOverlapStreamQuery(spark, Sf)
       .as[(Long, Long)].collect().toMap
-    val fixed = RangeJoin.bandOverlapQuery(spark, Sf)
+    def bands(k: String, lo: String, hi: String) =
+      graft.Tables.part(spark, Sf)
+        .filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey"),
+          floor(col("p_retailprice") * 100).cast("long").as("rp"))
+        .select(col("p_partkey").as(k),
+          (col("rp") - expr("rp DIV 1000")).as(lo),
+          (col("rp") + expr("rp DIV 1000")).as(hi))
+    val fixed = RangeJoin.intervalOverlap(bands("pk_a", "lo_a", "hi_a"),
+        bands("pk_b", "lo_b", "hi_b"), "lo_a", "hi_a", "lo_b", "hi_b")
+      .filter(col("pk_a") < col("pk_b"))
+      .groupBy(col("pk_a")).agg(count(lit(1)).as("n"))
       .as[(Long, Long)].collect().toMap
     assert(streamed === fixed)
     val again = RangeJoin.bandOverlapStreamQuery(spark, Sf)
