@@ -14,8 +14,13 @@ object Confs {
   def withSqlConfs[A](spark: SparkSession)(
       kvs: (String, String)*)(body: => A): A = {
     val prior = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prior.foreach {
+    // the sets live INSIDE the try: a throwing set (static conf,
+    // validated value) must still restore the prefix already applied,
+    // or the partial confs leak into the shared session (r18 review)
+    try {
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally prior.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }

@@ -1747,7 +1747,7 @@ object ScaleRehearsal {
     * unlike as-of, overlap retains nothing per key); (c) the streamed
     * pair set EXACTLY equals the batch operator
     * ([[graft.operators.RangeJoin.intervalOverlap]]) on the same rows
-    * (count + per-pair hash sum — the set itself is ~1M pairs).
+    * (count + per-pair hash XOR — the set itself is ~1M pairs).
     *
     * Corpus: 250 Hz per side (4 ms step), spans 0–16 ms, the right
     * side phase-shifted — ~4 true partners per interval, pair output
@@ -1766,8 +1766,14 @@ object ScaleRehearsal {
     def rRow(j: Long) = RehOv(j, new java.sql.Timestamp(base + j * 4 + 2),
       new java.sql.Timestamp(base + j * 4 + 2 + (j * 7) % (spanMs + 1)))
 
-    // (peak state rows, final rows, streamed (count, hashsum))
-    def run(n: Long): (Long, Long, (Long, Long)) = {
+    // (peak state bytes, peak buckets, final buckets, streamed
+    // (count, hashxor)). BYTES are the load-bearing gate metric
+    // (r18 review): flatMapGroupsWithState's numRowsTotal counts
+    // state KEYS — one OverlapBuf per bucket — so a regression that
+    // grows the per-bucket BUFFERS without growing the bucket count
+    // would keep the key count flat; memoryUsedBytes sees the
+    // buffered intervals themselves.
+    def run(n: Long): (Long, Long, Long, (Long, Long)) = {
       val nb = (n / perBatch).toInt
       val lSrc = MemoryStream[RehOv]
       val rSrc = MemoryStream[RehOv]
@@ -1778,21 +1784,24 @@ object ScaleRehearsal {
           delay = "10 seconds")
         .writeStream.format("memory").queryName(view)
         .outputMode("append").start()
-      val states = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val buckets = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
       val t0 = System.nanoTime()
       (0 until nb).foreach { b =>
         val (i0, i1) = (n * b / nb, n * (b + 1) / nb)
         lSrc.addData((i0 until i1).map(lRow))
         rSrc.addData((i0 until i1).map(rRow))
         q.processAllAvailable()
-        states += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        buckets += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        mem += q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val far = new java.sql.Timestamp(base + 4000000000L)
       lSrc.addData(RehOv(-1L, far, far))
       rSrc.addData(RehOv(-2L, far, far))
       q.processAllAvailable()
-      val finalRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val finalBuckets =
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       q.stop()
       // count + XOR of pair hashes: order-independent and (unlike a
       // sum) immune to ANSI long overflow at any pair count; the
@@ -1804,21 +1813,25 @@ object ScaleRehearsal {
       // drop the sink view — it pins the full pair set otherwise
       spark.catalog.dropTempView(view)
       println(f"[scale] overlap[$n]: ${2 * n} events in $secs%.1f s = " +
-        f"${2 * n / secs / 1e6}%.2f M rows/s; ${sig._1} pairs; state " +
-        s"rows per batch max ${states.max}; post-flush $finalRows")
-      require(states.max < n,
-        s"overlap state ${states.max} is O(events), not rate-bounded")
-      require(finalRows <= 2,
-        s"sentinel flush left $finalRows rows (no-residue contract)")
-      (states.max, finalRows, sig)
+        f"${2 * n / secs / 1e6}%.2f M rows/s; ${sig._1} pairs; peak " +
+        s"state ${mem.max / 1024} KiB in ${buckets.max} buckets; " +
+        s"post-flush $finalBuckets buckets")
+      require(buckets.max < n,
+        s"overlap state ${buckets.max} buckets is O(events)")
+      require(finalBuckets <= 2,
+        s"sentinel flush left $finalBuckets buckets (no-residue " +
+          "contract: only the sentinels' own buckets may remain)")
+      (mem.max, buckets.max, finalBuckets, sig)
     }
 
-    val (peak1, _, sig1) = run(500000L)
-    val (peak2, _, _) = run(1000000L)
-    println(f"[scale] overlap peak state: $peak1%d rows at 0.5M vs " +
-      f"$peak2%d rows at 1M per side (ratio ${peak2.toDouble / peak1}%.2f)")
-    require(peak2 <= (peak1 * 13) / 10,
-      s"overlap state grew with TOTAL events ($peak1 -> $peak2 rows)")
+    val (peakB1, peakK1, _, sig1) = run(500000L)
+    val (peakB2, peakK2, _, _) = run(1000000L)
+    println(f"[scale] overlap peak state: ${peakB1 / 1024}%d KiB / " +
+      f"$peakK1%d buckets at 0.5M vs ${peakB2 / 1024}%d KiB / " +
+      f"$peakK2%d buckets at 1M per side " +
+      f"(bytes ratio ${peakB2.toDouble / peakB1}%.2f)")
+    require(peakB2 <= (peakB1 * 3) / 2,
+      s"overlap state BYTES grew with TOTAL events ($peakB1 -> $peakB2)")
 
     // batch parity at 0.5M: same rows through the batch operator
     val n = 500000L
@@ -1836,9 +1849,9 @@ object ScaleRehearsal {
       .as[(Long, Long)].collect()(0)
     require(sig1 == batchSig,
       s"stream/batch overlap parity broken: streamed $sig1 vs " +
-        s"batch $batchSig (count, hashsum)")
+        s"batch $batchSig (count, hash-xor)")
     println(s"[scale] overlap parity: ${sig1._1} streamed pairs EXACTLY " +
-      "equal the batch operator (count + pair-hash sum)")
+      "equal the batch operator (count + pair-hash XOR)")
   }
 
   // ---- (ladder) growth exponents for the top-CPU pipelines ---------
@@ -2524,7 +2537,7 @@ object ScaleRehearsal {
       .withColumn("hi",
         col("lo") + pmod(xxhash64(col("iv_id"), lit(8L)), lit(w)))
     // point side: uniform background + a 20M crowd inside bucket 0
-    // (crowd × ~36 local intervals ≈ 720M candidate evaluations in
+    // (crowd × ~24 local intervals ≈ 480M candidate evaluations in
     // ONE task at the probe width — the material hot task a 2M crowd
     // was too light to produce)
     val HotP = 20000000L

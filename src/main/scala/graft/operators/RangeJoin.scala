@@ -470,7 +470,7 @@ object RangeJoin {
     * so a drift in the band construction can never silently decouple
     * the auto legs from the fixed-width oracles they share
     * (r17-ADVICE: the construction had grown four verbatim copies). */
-  private def priceBands(spark: SparkSession, dir: String,
+  private[graft] def priceBands(spark: SparkSession, dir: String,
       keyAs: String, loAs: String, hiAs: String): DataFrame =
     Tables.part(spark, dir)
       .select(col("p_partkey"),

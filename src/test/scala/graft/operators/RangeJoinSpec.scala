@@ -262,14 +262,11 @@ class RangeJoinSpec extends SparkSpec {
     // (fresh stream + sink per invocation)
     val streamed = RangeJoin.bandOverlapStreamQuery(spark, Sf)
       .as[(Long, Long)].collect().toMap
+    // the ONE shared band builder + the leg's subset filter — no
+    // fifth hand copy of the band arithmetic (r18 review)
     def bands(k: String, lo: String, hi: String) =
-      graft.Tables.part(spark, Sf)
-        .filter(col("p_partkey") % 5 === 0)
-        .select(col("p_partkey"),
-          floor(col("p_retailprice") * 100).cast("long").as("rp"))
-        .select(col("p_partkey").as(k),
-          (col("rp") - expr("rp DIV 1000")).as(lo),
-          (col("rp") + expr("rp DIV 1000")).as(hi))
+      RangeJoin.priceBands(spark, Sf, k, lo, hi)
+        .filter(col(k) % 5 === 0)
     val fixed = RangeJoin.intervalOverlap(bands("pk_a", "lo_a", "hi_a"),
         bands("pk_b", "lo_b", "hi_b"), "lo_a", "hi_a", "lo_b", "hi_b")
       .filter(col("pk_a") < col("pk_b"))
