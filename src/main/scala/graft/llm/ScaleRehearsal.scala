@@ -353,11 +353,23 @@ object ScaleRehearsal {
   private def gateVerdict(spark: SparkSession, section: String,
       broken: Seq[String], lenient: Boolean): Unit = {
     if (broken.isEmpty || lenient) return
-    val (shortRow, longRow) = (probePerRowCpu(spark, 40_000_000L),
-      probePerRowCpu(spark, 400_000_000L))
-    println(f"[scale] saturation probe: per-row cpu short " +
-      f"${shortRow * 1e9}%.3f ns vs 10x-burst ${longRow * 1e9}%.3f ns")
-    if (longRow > 1.5 * shortRow) {
+    // TWO short/long pairs, degraded if EITHER reads superlinear:
+    // the box's shuffle weather is gusty on the minute scale
+    // (measured r18: ratios 0.68 / 2.82 / 3.33 across three
+    // back-to-back pairs on one box), so a single pair can land
+    // between gusts, read flat, and escalate a weather failure into
+    // a hard error. The asymmetry is deliberate: a false DEGRADED
+    // downgrades a real regression to an exit-3 advisory (re-run
+    // adjudicates); a false FLAT turns weather into a phantom
+    // regression.
+    val ratios = (1 to 2).map { _ =>
+      val (s, l) = (probePerRowCpu(spark, 40_000_000L),
+        probePerRowCpu(spark, 400_000_000L))
+      println(f"[scale] saturation probe: per-row cpu short " +
+        f"${s * 1e9}%.3f ns vs 10x-burst ${l * 1e9}%.3f ns")
+      l / s
+    }
+    if (ratios.max > 1.5) {
       println(s"[scale] $section gates failed under DETECTED box " +
         "degradation (the known-linear probe is superlinear in burst " +
         "length) — gates are ADVISORY for this run; re-run on a quiet " +
