@@ -303,6 +303,8 @@ object SparkEntry {
       (operators.RangeJoin.bandOverlapStreamQuery(_, _)),
     "q_range_price_band_salted" ->
       (operators.RangeJoin.priceBandSaltedQuery(_, _)),
+    "q_range_band_overlap_salted" ->
+      (operators.RangeJoin.bandOverlapSaltedQuery(_, _)),
     // Heaps-law vocabulary growth curve (r9)
     "q_llm_vocab_growth"    -> (llm.VocabCoverage.vocabGrowth(_, _)),
     // word-break DP (typed partition loop; HOF form is interpreted) (r9)
@@ -365,6 +367,7 @@ object SparkEntry {
       operators.RangeJoin.bandOverlapStreamOracle,
     "q_range_price_band_auto" -> operators.RangeJoin.priceBandOracle,
     "q_range_price_band_salted" -> operators.RangeJoin.priceBandOracle,
+    "q_range_band_overlap_salted" -> operators.RangeJoin.bandOverlapOracle,
     "q_skew_salted_agg"    -> func.Skew.saltedJoinOracle,
     "q_dws_visitor_stats"  -> dws.VisitorStats.oracle,
     "q_dws_visitor_stats_hop" -> dws.VisitorStats.hoppingOracle,

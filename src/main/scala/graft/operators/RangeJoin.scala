@@ -147,19 +147,42 @@ object RangeJoin {
     * width-independent by the operator's contract (spec-asserted). */
   def autoWidth(left: DataFrame, right: DataFrame,
       lLo: String, lHi: String, rLo: String, rHi: String,
-      probeWidth: Long = BucketWidth): Long = {
+      probeWidth: Long = BucketWidth): Long =
+    overlapCensus(left, right, lLo, lHi, rLo, rHi, probeWidth) match {
+      case None => probeWidth // empty/all-invalid input
+      case Some(c) if c.benign => probeWidth
+      case Some(c) => overlapWidthFor(c, probeWidth)
+    }
+
+  /** The overlap-form census rollup: pooled per-bucket occupancy
+    * max/mean, the hottest bucket's id and median span, and the
+    * corpus span sum/count/max (counted once per interval via the
+    * first-bucket trick). */
+  private case class OverlapCensus(maxN: Long, avgN: Double,
+      hotMed: Long, hotB: Long, spanSum: Double, ivCount: Long,
+      maxSpan: Long) {
+    /** The probe width stands: ratio test (blind on narrow domains)
+      * AND the absolute occupancy work budget. */
+    def benign: Boolean =
+      maxN <= AutoSkewFactor * avgN && maxN <= AutoOccupancyCap
+  }
+
+  /** Both sides' valid intervals pooled and exploded at `probeWidth`,
+    * rolled up to ONE statistics row (see [[autoWidth]]'s scaladoc
+    * for the device). Returns None on empty/all-invalid input. */
+  private def overlapCensus(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      probeWidth: Long): Option[OverlapCensus] = {
     require(probeWidth >= 1, s"probe width $probeWidth must be >= 1")
-    def norm(df: DataFrame, lo: String, hi: String) = df.select(
-      col(lo).cast("long").as("__lo"), col(hi).cast("long").as("__hi"))
-    val iv = norm(left, lLo, lHi).unionByName(norm(right, rLo, rHi))
+    val iv = pooledIntervals(left, right, lLo, lHi, rLo, rHi)
       // saturating span (signed contract — same device as the guard);
       // bucketExplode re-applies the valid-interval filter
       .withColumn("__span", expr("coalesce(try_add(try_subtract(__hi," +
         s" __lo), 1L), ${Long.MaxValue}L)"))
     // ONE pass: per-bucket occupancy + median span from the exploded
-    // frame; the corpus-wide span sum/max ride the same frame counted
-    // once per interval via its FIRST bucket (__b == fdiv(lo) exactly
-    // once per exploded interval)
+    // frame; the corpus-wide span sum/count/max ride the same frame
+    // counted once per interval via its FIRST bucket (__b == fdiv(lo)
+    // exactly once per exploded interval)
     val firstB = expr(fdiv("__lo", probeWidth))
     val census = bucketExplode(iv, "__lo", "__hi", probeWidth)
       .groupBy("__b")
@@ -167,26 +190,42 @@ object RangeJoin {
         expr("percentile_approx(__span, 0.5)").as("__med"),
         sum(when(col("__b") === firstB, col("__span").cast("double")))
           .as("__s1"),
+        count(when(col("__b") === firstB, lit(1))).as("__c1"),
         max(when(col("__b") === firstB, col("__span"))).as("__mx1"))
     // bounded collect: ONE row of corpus statistics
     val stats = census.agg(
       max(col("__n")).as("maxN"), avg(col("__n")).as("avgN"),
       expr("max_by(__med, __n)").as("hotMed"),
-      sum(col("__s1")).as("spanSum"), max(col("__mx1")).as("maxSpan"))
+      expr("max_by(__b, __n)").as("hotB"),
+      sum(col("__s1")).as("spanSum"),
+      coalesce(sum(col("__c1")), lit(0L)).as("ivCount"),
+      max(col("__mx1")).as("maxSpan"))
       .collect()(0)
-    if (stats.isNullAt(0)) return probeWidth // empty/all-invalid input
-    val (maxN, avgN, hotMed) =
-      (stats.getLong(0), stats.getDouble(1), stats.getLong(2))
-    val (spanSum, maxSpan) = (stats.getDouble(3), stats.getLong(4))
-    if (maxN <= AutoSkewFactor * avgN && maxN <= AutoOccupancyCap)
-      probeWidth
-    else {
-      val d = MaxSpanBuckets - 1
-      val guardFloor = maxSpan / d + (if (maxSpan % d == 0) 0 else 1)
-      val vStar = math.sqrt(spanSum * probeWidth.toDouble) / maxN
-      val floor = math.max(math.max(hotMed, guardFloor), 1L)
-      math.min(probeWidth, math.max(vStar.toLong, floor))
-    }
+    if (stats.isNullAt(0)) None
+    else Some(OverlapCensus(stats.getLong(0), stats.getDouble(1),
+      stats.getLong(2), stats.getLong(3), stats.getDouble(4),
+      stats.getLong(5), stats.getLong(6)))
+  }
+
+  /** Both sides' (lo, hi) columns normalized to LONG and pooled —
+    * the census frame, and the value-core pass's input. */
+  private def pooledIntervals(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String): DataFrame = {
+    def norm(df: DataFrame, lo: String, hi: String) = df.select(
+      col(lo).cast("long").as("__lo"), col(hi).cast("long").as("__hi"))
+    norm(left, lLo, lHi).unionByName(norm(right, rLo, rHi))
+  }
+
+  /** The balanced width for a flagged overlap census (see
+    * [[autoWidth]]'s scaladoc for the cost model): v* =
+    * sqrt(spanSum·probe)/maxN clamped to [max(crowd median span,
+    * guard floor, 1), probeWidth]. */
+  private def overlapWidthFor(c: OverlapCensus, probeWidth: Long): Long = {
+    val d = MaxSpanBuckets - 1
+    val guardFloor = c.maxSpan / d + (if (c.maxSpan % d == 0) 0 else 1)
+    val vStar = math.sqrt(c.spanSum * probeWidth.toDouble) / c.maxN
+    val floor = math.max(math.max(c.hotMed, guardFloor), 1L)
+    math.min(probeWidth, math.max(vStar.toLong, floor))
   }
 
   /** Per-bucket candidate work above which [[autoWidthPoints]]
@@ -275,10 +314,25 @@ object RangeJoin {
       stats.getLong(5)))
   }
 
-  /** Hard cap on the salt factor [[autoPointMitigation]] derives —
-    * the interval side replicates salt×, so a runaway estimate must
+  /** Hard cap on the salt factor the auto-mitigations derive — the
+    * replicated side replicates salt×, so a runaway estimate must
     * not explode the build side unboundedly. */
   val AutoMaxSalt = 1024
+
+  /** Salt factor that bounds `work` candidate evaluations per task at
+    * [[AutoWorkBudget]], capped at [[AutoMaxSalt]]. The cap is LOUD
+    * (no-silent-caps): when it binds, per-task work stays above the
+    * budget and the caller should hear that the run is under-mitigated
+    * rather than infer it from a slow task. */
+  private def saltFor(work: Double): Int = {
+    val raw = math.max(1.0, math.ceil(work / AutoWorkBudget))
+    if (raw > AutoMaxSalt)
+      println(s"[range-join] derived salt ${raw.toLong} CLAMPED at " +
+        s"AutoMaxSalt=$AutoMaxSalt — per-task candidate work stays " +
+        f"~${work / AutoMaxSalt}%.0f, above the $AutoWorkBudget budget; " +
+        "this run is under-mitigated (split the input or raise the cap)")
+    math.min(AutoMaxSalt.toDouble, raw).toInt
+  }
 
   /** Width AND salt for the point form — the full mitigation ladder,
     * derived from one bucket-census pass per side (plus one
@@ -325,8 +379,6 @@ object RangeJoin {
       case None => (probeWidth, 1)
       case Some(c) if c.maxWork <= AutoWorkBudget => (probeWidth, 1)
       case Some(c) =>
-        def saltFor(work: Double): Int = math.min(AutoMaxSalt.toDouble,
-          math.max(1.0, math.ceil(work / AutoWorkBudget))).toInt
         val maxValHot = points.filter(col(pointCol).isNotNull)
           .filter(expr(fdiv(pointCol, probeWidth)) === lit(c.hotB))
           .groupBy(col(pointCol)).agg(count(lit(1)).as("__c"))
@@ -465,6 +517,132 @@ object RangeJoin {
       .drop("__b")
   }
 
+  /** SALTED interval-overlap join — the escalation tier past the
+    * width knob for the overlap form's value crowd: near-identical
+    * intervals (the SCD2/validity-audit shape — one [lo, hi] carried
+    * by thousands of rows on BOTH sides) share buckets at EVERY
+    * width, because an interval's bucket set is a function of its
+    * bounds alone. Refinement splits a crowded RANGE of distinct
+    * intervals; it can never split a crowd of SAME-RANGE intervals —
+    * the exact overlap analog of the point form's value crowd
+    * ([[pointInIntervalSalted]]). Salting splits on ROW IDENTITY
+    * instead: each LEFT row lands in one of `salt` groups (derived
+    * deterministically from `saltIdCols` — left-side stable
+    * row-identity columns; nondeterministic placement is the
+    * SPARK-23207 partial-retry pair-loss hazard), each RIGHT exploded
+    * row REPLICATES to all groups, and the join key becomes (bucket,
+    * salt group). Per-task candidate work drops by the salt factor
+    * for the price of salt× the right side's exploded rows.
+    *
+    * Exactly-once: within the responsibility bucket a true pair's
+    * left row sits in ONE salt group and its right row is present in
+    * every group, so the pair meets exactly once — the responsibility
+    * rule is unchanged and the answer is salt-placement-invariant
+    * (board leg q_range_band_overlap_salted shares
+    * [[bandOverlapOracle]] with the unsalted query: the driver's hash
+    * compare is the cross-engine proof). Contract otherwise as
+    * [[intervalOverlap]]; `salt = 1` IS [[intervalOverlap]]. Pick id
+    * columns with high cardinality WITHIN the crowd — rows sharing id
+    * values land in one group and cannot be split apart. */
+  def intervalOverlapSalted(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bucketWidth: Long = BucketWidth, salt: Int = 1,
+      saltIdCols: Seq[String] = Nil): DataFrame = {
+    require(salt >= 1, s"salt $salt must be >= 1")
+    if (salt == 1)
+      return intervalOverlap(left, right, lLo, lHi, rLo, rHi, bucketWidth)
+    require(saltIdCols.nonEmpty,
+      "salt > 1 needs saltIdCols: stable LEFT-side row-identity " +
+        "columns to derive the salt group from (a nondeterministic " +
+        "assignment breaks exactly-once under partial stage " +
+        "recomputation)")
+    val missing = saltIdCols.filterNot(left.columns.contains)
+    require(missing.isEmpty,
+      s"saltIdCols ${missing.mkString(",")} are not LEFT columns — " +
+        "the split side is the left one; swap the inputs to salt the " +
+        "other side")
+    require(bucketWidth >= 1, s"bucket width $bucketWidth must be >= 1")
+    val shared = left.columns.toSet intersect right.columns.toSet
+    require(shared.isEmpty,
+      s"inputs share columns ${shared.mkString(",")} — rename before joining")
+    val clash = (left.columns ++ right.columns)
+      .filter(c => c == "__b" || c == "__s")
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(",")} collide with internal names")
+    val l = bucketExplode(left, lLo, lHi, bucketWidth)
+      .withColumn("__s",
+        pmod(xxhash64(saltIdCols.map(col): _*), lit(salt.toLong))
+          .cast("int"))
+    val r = bucketExplode(right, rLo, rHi, bucketWidth)
+      .withColumn("__s", explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, Seq("__b", "__s"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__b") ===
+        expr(fdiv(s"greatest($lLo, $rLo)", bucketWidth)))
+      .drop("__b", "__s")
+  }
+
+  /** Width AND salt for the overlap form — the full mitigation
+    * ladder, mirroring [[autoPointMitigation]] with the overlap
+    * form's cost model (per-bucket work ≈ occupancy², not a
+    * point×interval product):
+    *
+    *  - benign (the [[autoWidth]] tests pass): `(probeWidth, 1)`;
+    *  - crowded RANGE of distinct intervals: the balanced width
+    *    [[autoWidth]] derives, `(v*, 1)` when v* splits the work
+    *    under budget;
+    *  - crowded VALUE (near-identical intervals both sides — the
+    *    SCD2 validity-audit shape no width can split): keep the
+    *    probe width and SALT at k = ceil(maxN² / budget);
+    *  - mixed: refine to v* AND salt the residual.
+    *
+    * Regime detection: the value core of the hot bucket is
+    * maxDupHot² — the largest multiplicity of one EXACT (lo, hi)
+    * among the pooled intervals overlapping the hottest bucket,
+    * squared (those rows pair with each other in the same bucket at
+    * every width). maxDupHot costs one extra pooled pass FILTERED to
+    * the hot bucket, run ONLY on the mitigation path — the benign
+    * majority pays the bucket census alone. The residual a chosen
+    * width v cannot split shrinks each SIDE's occupancy to
+    * maxN·(s̄+v)/(s̄+probe) (an interval overlaps a refined bucket
+    * while its span covers it), so the range part shrinks
+    * quadratically while the dup core stays exactly maxDupHot².
+    * Estimates are conservative; the result is placement-only —
+    * answers are width- AND salt-invariant by contract. */
+  def autoOverlapMitigation(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      probeWidth: Long = BucketWidth): (Long, Int) =
+    overlapCensus(left, right, lLo, lHi, rLo, rHi, probeWidth) match {
+      case None => (probeWidth, 1)
+      case Some(c) if c.benign => (probeWidth, 1)
+      case Some(c) =>
+        val maxWork = c.maxN.toDouble * c.maxN
+        val hotLoB = expr(fdiv("__lo", probeWidth))
+        val hotHiB = expr(fdiv("__hi", probeWidth))
+        val maxDupHot = pooledIntervals(left, right, lLo, lHi, rLo, rHi)
+          .filter(col("__lo").isNotNull && col("__hi").isNotNull &&
+            col("__lo") <= col("__hi"))
+          .filter(hotLoB <= lit(c.hotB) && hotHiB >= lit(c.hotB))
+          .groupBy(col("__lo"), col("__hi")).agg(count(lit(1)).as("__c"))
+          .agg(max(col("__c"))).collect()(0) match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }
+        val valueCore = maxDupHot.toDouble * maxDupHot
+        if (valueCore * 2 >= maxWork) {
+          // value crowd: width is useless, salt at the probe width
+          (probeWidth, saltFor(maxWork))
+        } else {
+          val v = overlapWidthFor(c, probeWidth)
+          // what v cannot split: each side's occupancy thins with the
+          // bucket only past its own span scale; the dup core never
+          val sBar = c.spanSum / math.max(c.ivCount, 1L)
+          val occV = c.maxN * (sBar + v) / (sBar + probeWidth)
+          val residual = math.max(occV * occV, valueCore)
+          (v, saltFor(residual))
+        }
+    }
+
   /** part's ±0.1% retail-price band in integer cents — the ONE
     * builder behind both the fixed-width and auto-width query pairs,
     * so a drift in the band construction can never silently decouple
@@ -557,6 +735,21 @@ object RangeJoin {
       .groupBy(col("pk_a").as("p_partkey"))
       .agg(count(lit(1)).as("overlap_ct"))
   }
+
+  /** [[bandOverlapQuery]] through the SALTED overlap operator (fixed
+    * salt 4, left rows split by part key) — same oracle as the
+    * unsalted query: the driver's hash compare is the cross-engine
+    * proof that salt placement never changes the overlap answer, the
+    * contract [[autoOverlapMitigation]]'s value-crowd regime leans
+    * on. */
+  def bandOverlapSaltedQuery(spark: SparkSession, dir: String): DataFrame =
+    intervalOverlapSalted(priceBands(spark, dir, "pk_a", "lo_a", "hi_a"),
+        priceBands(spark, dir, "pk_b", "lo_b", "hi_b"),
+        "lo_a", "hi_a", "lo_b", "hi_b", BucketWidth, salt = 4,
+        saltIdCols = Seq("pk_a"))
+      .filter(col("pk_a") < col("pk_b"))
+      .groupBy(col("pk_a").as("p_partkey"))
+      .agg(count(lit(1)).as("overlap_ct"))
 
   /** Monotonic suffix for the streaming board query's memory-sink
     * view names — each invocation (Verify, bench reps) needs a fresh

@@ -214,6 +214,100 @@ class RangeJoinSpec extends SparkSpec {
     assert(got(vPts, wv, kv) === got(vPts, RangeJoin.BucketWidth, 1))
   }
 
+  test("intervalOverlapSalted: salt placement never changes the answer") {
+    // random corpus + a planted SAME-RANGE crowd through salt 1 (the
+    // plain operator) and salt 6 — per-pair multiplicity maps must be
+    // identical: a left row meets its group's full replicated right
+    // set exactly once at the responsibility bucket
+    def side(n: Int, salt: Long, id: String, lo: String, hi: String) =
+      spark.range(n).select(col("id").as(id),
+        pmod(xxhash64(col("id"), lit(salt)), lit(50000L)).as(lo))
+        .withColumn(hi, col(lo) + pmod(xxhash64(col(id), lit(salt + 1)),
+          lit(2000L)))
+        .unionByName(spark.range(200).select((col("id") + 900000L).as(id),
+          lit(100L).as(lo)).withColumn(hi, lit(800L)))
+    val a = side(1500, 9L, "a_id", "lo_a", "hi_a")
+    val b = side(1500, 19L, "b_id", "lo_b", "hi_b")
+    def got(salt: Int) = RangeJoin.intervalOverlapSalted(
+      a, b, "lo_a", "hi_a", "lo_b", "hi_b", RangeJoin.BucketWidth, salt,
+      Seq("a_id"))
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val plain = got(1)
+    val salted = got(6)
+    assert(salted === plain)
+    assert(plain.values.forall(_ == 1), "pair produced more than once")
+    assert(plain.nonEmpty)
+    // salt > 1 without stable LEFT id columns must refuse
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlapSalted(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b", RangeJoin.BucketWidth, 6)
+    }
+    // id columns that live on the RIGHT must refuse with the swap hint
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlapSalted(
+        a, b, "lo_a", "hi_a", "lo_b", "hi_b", RangeJoin.BucketWidth, 6,
+        Seq("b_id"))
+    }
+    assert(e.getMessage.contains("swap the inputs"))
+  }
+
+  test("autoOverlapMitigation: a same-range crowd salts at the probe " +
+      "width, a distinct-interval crowd refines, benign keeps probe") {
+    // VALUE crowd: 5000 IDENTICAL [100, 110] intervals on each side —
+    // every width puts them all in one bucket (25M-pair hot task);
+    // the detector must keep the probe width and salt
+    def dup(id: String, lo: String, hi: String) =
+      spark.range(5000).select(col("id").as(id), lit(100L).as(lo))
+        .withColumn(hi, lit(110L))
+    val (wv, kv) = RangeJoin.autoOverlapMitigation(
+      dup("a_id", "lo_a", "hi_a"), dup("b_id", "lo_b", "hi_b"),
+      "lo_a", "hi_a", "lo_b", "hi_b")
+    assert(wv === RangeJoin.BucketWidth,
+      s"a same-range crowd must keep the probe width, got $wv")
+    assert(kv >= 2, s"a same-range crowd must salt, got $kv")
+    // RANGE crowd: 5000 DISTINCT tiny intervals crammed into one
+    // probe bucket — width splits it (the autoWidth fixture)
+    def crowd(salt: Long, id: String, lo: String, hi: String) =
+      spark.range(5000).select(col("id").as(id),
+        pmod(xxhash64(col("id"), lit(salt)), lit(993L)).as(lo))
+        .withColumn(hi,
+          col(lo) + pmod(xxhash64(col(id), lit(salt + 1)), lit(7L)))
+    val (wr, kr) = RangeJoin.autoOverlapMitigation(
+      crowd(3L, "a_id", "lo_a", "hi_a"), crowd(33L, "b_id", "lo_b", "hi_b"),
+      "lo_a", "hi_a", "lo_b", "hi_b")
+    assert(wr < RangeJoin.BucketWidth,
+      s"a distinct-interval crowd must refine, got $wr")
+    assert(kr === 1, s"a width-split range crowd needs no salt, got $kr")
+    // benign corpus: spread wide, nothing crosses the budget
+    def uni(salt: Long, id: String, lo: String, hi: String) =
+      spark.range(4000).select(col("id").as(id),
+        pmod(xxhash64(col("id"), lit(salt)), lit(65536L)).as(lo))
+        .withColumn(hi,
+          col(lo) + pmod(xxhash64(col(id), lit(salt + 1)), lit(1024L)))
+    val (wb, kb) = RangeJoin.autoOverlapMitigation(
+      uni(7L, "a_id", "lo_a", "hi_a"), uni(77L, "b_id", "lo_b", "hi_b"),
+      "lo_a", "hi_a", "lo_b", "hi_b")
+    assert((wb, kb) === (RangeJoin.BucketWidth, 1))
+    // and the salted join at the derived mitigation matches salt-1
+    val aD = dup("a_id", "lo_a", "hi_a")
+    val bD = dup("b_id", "lo_b", "hi_b").filter(col("b_id") < 50)
+    def pairs(w: Long, k: Int) = RangeJoin.intervalOverlapSalted(
+      aD, bD, "lo_a", "hi_a", "lo_b", "hi_b", w, k, Seq("a_id"))
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(pairs(wv, kv) === pairs(RangeJoin.BucketWidth, 1))
+  }
+
+  test("band-overlap SALTED query matches the fixed-width board query") {
+    val salted = RangeJoin.bandOverlapSaltedQuery(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    val fixed = RangeJoin.bandOverlapQuery(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(salted === fixed)
+    assert(salted.nonEmpty)
+  }
+
   test("autoWidthPoints: a small crowd is under the work budget and " +
       "keeps the probe width") {
     // 4000 points in one bucket × ~1 local interval ≈ 4000 candidate
