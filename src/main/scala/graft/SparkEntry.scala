@@ -363,8 +363,9 @@ object SparkEntry {
     "q_range_price_band"   -> operators.RangeJoin.priceBandOracle,
     "q_range_band_overlap" -> operators.RangeJoin.bandOverlapOracle,
     "q_range_band_overlap_auto" -> operators.RangeJoin.bandOverlapOracle,
-    "q_range_band_overlap_stream" ->
-      operators.RangeJoin.bandOverlapStreamOracle,
+    // full corpus since r19 (file-sink drain) — the SAME oracle as
+    // the batch overlap leg: streaming path, identical answer
+    "q_range_band_overlap_stream" -> operators.RangeJoin.bandOverlapOracle,
     "q_range_price_band_auto" -> operators.RangeJoin.priceBandOracle,
     "q_range_price_band_salted" -> operators.RangeJoin.priceBandOracle,
     "q_range_band_overlap_salted" -> operators.RangeJoin.bandOverlapOracle,

@@ -607,8 +607,17 @@ object StreamJobs {
     * drop would lose true pairs, the batch span-guard philosophy);
     * null bounds and inverted intervals never match and are dropped;
     * each side arrives in its own event-time (hi) order within the
-    * watermark delay. Batch parity with the batch operator is
-    * asserted in StreamingSpec and at volume in the rehearsal. */
+    * watermark delay. CAVEAT the span guard cannot cover: a row
+    * arriving LATER than the watermark delay is dropped by Spark's
+    * own pre-stateful late-row filter BEFORE this operator sees it —
+    * true pairs are then silently lost, with no error (the guard can
+    * only raise on rows it receives). Size `delay` to the source's
+    * real out-of-orderness; the observable is the state operator's
+    * `numRowsDroppedByWatermark` progress metric, surfaced in the
+    * streamoverlap rehearsal so an ordering violation shows up in
+    * the measurement record rather than as quietly-missing pairs.
+    * Batch parity with the batch operator is asserted in
+    * StreamingSpec and at volume in the rehearsal. */
   def intervalOverlapStream(left: DataFrame, right: DataFrame,
       lId: String, lLo: String, lHi: String,
       rId: String, rLo: String, rHi: String,

@@ -349,22 +349,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(got(w).values.sum === 200000L)
   }
 
-  test("band-overlap STREAM query matches the batch operator on its " +
-      "band subset") {
+  test("band-overlap STREAM query matches the batch board query on " +
+      "the FULL corpus") {
     // the streaming operator (bucket state + responsibility emission)
-    // over the pk%5 band subset — repeated calls must also work
-    // (fresh stream + sink per invocation)
+    // through the file-sink drain — full corpus since r19; repeated
+    // calls must also work (fresh stream + sink subdir per invocation)
     val streamed = RangeJoin.bandOverlapStreamQuery(spark, Sf)
       .as[(Long, Long)].collect().toMap
-    // the ONE shared band builder + the leg's subset filter — no
-    // fifth hand copy of the band arithmetic (r18 review)
-    def bands(k: String, lo: String, hi: String) =
-      RangeJoin.priceBands(spark, Sf, k, lo, hi)
-        .filter(col(k) % 5 === 0)
-    val fixed = RangeJoin.intervalOverlap(bands("pk_a", "lo_a", "hi_a"),
-        bands("pk_b", "lo_b", "hi_b"), "lo_a", "hi_a", "lo_b", "hi_b")
-      .filter(col("pk_a") < col("pk_b"))
-      .groupBy(col("pk_a")).agg(count(lit(1)).as("n"))
+    val fixed = RangeJoin.bandOverlapQuery(spark, Sf)
       .as[(Long, Long)].collect().toMap
     assert(streamed === fixed)
     val again = RangeJoin.bandOverlapStreamQuery(spark, Sf)
