@@ -362,13 +362,23 @@ object ScaleRehearsal {
     // downgrades a real regression to an exit-3 advisory (re-run
     // adjudicates); a false FLAT turns weather into a phantom
     // regression.
-    val ratios = (1 to 2).map { _ =>
+    // DRILL-ONLY stub: GRAFT_GATE_PROBE_STUB="r1,r2" substitutes the
+    // measured pair ratios so the gatedrill section can exercise BOTH
+    // verdict outcomes deterministically (a healthy box always reads
+    // flat). Never set outside the drill — it bypasses the real probe.
+    val stub = sys.env.get("GRAFT_GATE_PROBE_STUB").map { s =>
+      val rs = s.split(",").toIndexedSeq.map(_.trim.toDouble)
+      println(s"[scale] gateVerdict: probe ratios STUBBED at " +
+        s"${rs.mkString(",")} (GRAFT_GATE_PROBE_STUB — drill only)")
+      rs
+    }
+    val ratios = stub.getOrElse((1 to 2).map { _ =>
       val (s, l) = (probePerRowCpu(spark, 40_000_000L),
         probePerRowCpu(spark, 400_000_000L))
       println(f"[scale] saturation probe: per-row cpu short " +
         f"${s * 1e9}%.3f ns vs 10x-burst ${l * 1e9}%.3f ns")
       l / s
-    }
+    })
     if (ratios.max > 1.5) {
       println(s"[scale] $section gates failed under DETECTED box " +
         "degradation (the known-linear probe is superlinear in burst " +
@@ -429,7 +439,7 @@ object ScaleRehearsal {
     val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe",
       "skew", "stream", "streamjoin", "streamasof", "streamoverlap",
       "ladder", "skewcorpus", "prefixcross", "rangeladder", "rangepoints",
-      "buckets", "cbo", "bloom")
+      "overlapsalt", "aqesalt", "buckets", "cbo", "bloom", "gatedrill")
     val sections = if (args.isEmpty) all else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
@@ -480,7 +490,10 @@ object ScaleRehearsal {
     if (sections("prefixcross")) prefixCrossSection(spark, s"$Root/prefix")
     if (sections("rangeladder")) rangeLadderSection(spark)
     if (sections("rangepoints")) rangePointsSection(spark)
+    if (sections("overlapsalt")) overlapSaltSection(spark)
+    if (sections("aqesalt")) aqeSaltSection(spark)
     if (sections("buckets")) bucketsSection(spark)
+    if (sections("gatedrill")) gateDrillSection(spark)
     if (sections("cbo")) cboSection(spark)
     if (sections("bloom")) bloomSection(spark)
 
@@ -1798,6 +1811,7 @@ object ScaleRehearsal {
         .outputMode("append").start()
       val buckets = scala.collection.mutable.ArrayBuffer.empty[Long]
       val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var lateDropped = 0L
       val t0 = System.nanoTime()
       (0 until nb).foreach { b =>
         val (i0, i1) = (n * b / nb, n * (b + 1) / nb)
@@ -1806,6 +1820,8 @@ object ScaleRehearsal {
         q.processAllAvailable()
         buckets += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
         mem += q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum
+        lateDropped +=
+          q.lastProgress.stateOperators.map(_.numRowsDroppedByWatermark).sum
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val far = new java.sql.Timestamp(base + 4000000000L)
@@ -1827,7 +1843,17 @@ object ScaleRehearsal {
       println(f"[scale] overlap[$n]: ${2 * n} events in $secs%.1f s = " +
         f"${2 * n / secs / 1e6}%.2f M rows/s; ${sig._1} pairs; peak " +
         s"state ${mem.max / 1024} KiB in ${buckets.max} buckets; " +
-        s"post-flush $finalBuckets buckets")
+        s"post-flush $finalBuckets buckets; " +
+        s"late-dropped $lateDropped rows")
+      // the silent failure mode the operator's span guard CANNOT see
+      // (r18-ADVICE): rows later than the watermark delay are dropped
+      // by Spark's pre-stateful filter, losing true pairs with no
+      // error — surfaced here so an ordering violation shows up in
+      // the measurement record; this corpus is in-order, so any drop
+      // is a harness bug
+      require(lateDropped == 0L,
+        s"watermark late-drop filter removed $lateDropped rows from " +
+          "an in-order corpus")
       require(buckets.max < n,
         s"overlap state ${buckets.max} buckets is O(events)")
       require(finalBuckets <= 2,
@@ -2687,6 +2713,229 @@ object ScaleRehearsal {
       }
     }
     gateVerdict(spark, "rangepoints", broken.toSeq, lenient)
+  }
+
+  // ---- (overlapsalt) same-range interval crowd: the overlap form's
+  // value crowd, and its salt rung -----------------------------------
+
+  /** r18-VERDICT task 4: a crowd of SAME-RANGE intervals on BOTH
+    * sides — the SCD2 validity-audit shape — has quadratic per-bucket
+    * work NO width can split (an interval's bucket set is a function
+    * of its bounds, so identical intervals share buckets at every
+    * width): the exact overlap analog of the point form's value
+    * crowd. Ladder: unmitigated → fine width (measured FUTILE — the
+    * honesty leg) → [[graft.operators.RangeJoin.autoOverlapMitigation]]'s
+    * salt rung (split left by row identity, replicate right k ways).
+    * Answers required identical across every rung; the salted hot
+    * task gated ≥2× under the unmitigated one (same bar as the point
+    * form — the knob divides CANDIDATE work, not the crowd's
+    * irreducible ~100M true pairs). */
+  private def overlapSaltSection(spark: SparkSession): Unit = {
+    import graft.operators.RangeJoin
+    println("[scale] === interval-overlap same-range crowd (salt rung) ===")
+    val w = RangeJoin.BucketWidth
+    val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
+    val broken = scala.collection.mutable.ArrayBuffer.empty[String]
+    def gate(ok: Boolean, msg: String): Unit = if (!ok) {
+      println(s"[scale] GATE FAILED (overlapsalt): $msg")
+      broken += msg
+    }
+    val domain = RangeBase * w / RangeOcc
+    def bg(n: Long, salt: Long, id: String, lo: String,
+        hi: String): DataFrame =
+      spark.range(n).select(col("id").as(id),
+        pmod(xxhash64(col("id"), lit(salt)), lit(domain)).as(lo))
+        .withColumn(hi,
+          col(lo) + pmod(xxhash64(col(id), lit(salt + 1)), lit(w)))
+    // the crowd: HotD intervals per side ALL on [100, 107] — one
+    // bucket at every width, HotD² = 4e8 true pairs in one task
+    // (10k² = 1e8 proved too light r19: one codegen'd SMJ task chews
+    // 1e8 long-pair emissions in ~0.6 s and the ladder contrast
+    // drowns in stage noise)
+    val HotD = 20000L
+    def crowd(base: Long, id: String, lo: String, hi: String): DataFrame =
+      spark.range(HotD).select((col("id") + base).as(id),
+        lit(100L).as(lo)).withColumn(hi, lit(107L))
+    val l = bg(RangeBase, 7L, "l_id", "l_lo", "l_hi")
+      .unionByName(crowd(10000000L, "l_id", "l_lo", "l_hi"))
+    val r = bg(RangeBase, 77L, "r_id", "r_lo", "r_hi")
+      .unionByName(crowd(20000000L, "r_id", "r_lo", "r_hi"))
+    def run(width: Long, salt: Int): Long =
+      RangeJoin.intervalOverlapSalted(l, r, "l_lo", "l_hi", "r_lo",
+          "r_hi", width, salt, Seq("l_id"))
+        .groupBy().agg(count(lit(1)).as("n")).head.getLong(0)
+    val bal = new StageBalanceListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(bal)
+    val noBc = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    // baseline pins AQE's skew split OFF (rangepoints rule: a
+    // bimodal baseline is not a baseline); the AQE interplay has its
+    // own section (aqesalt)
+    val noSkew = "spark.sql.adaptive.skewJoin.enabled" -> "false"
+    try withSqlConfs(spark)(noBc, noSkew) {
+      // codegen warmup on crowd-free shapes (both plan shapes)
+      val (wl, wr) = (bg(10000, 1L, "l_id", "l_lo", "l_hi"),
+        bg(10000, 2L, "r_id", "r_lo", "r_hi"))
+      RangeJoin.intervalOverlap(wl, wr,
+        "l_lo", "l_hi", "r_lo", "r_hi").count(): Unit
+      RangeJoin.intervalOverlapSalted(wl, wr, "l_lo", "l_hi", "r_lo",
+        "r_hi", w, 2, Seq("l_id")).count(): Unit
+      val (n0, _, mx0) = balPlateau(spark, bal)(
+        s"same-range crowd ($HotD × $HotD one range) unmitigated, " +
+          s"width $w")(run(w, 1))
+      // the honesty leg: the finest practical width cannot split it
+      val (n1, _, mx1) = balPlateau(spark, bal)(
+        s"same-range crowd at width ${w / 64} (the knob that cannot " +
+          "help)")(run(w / 64, 1))
+      require(n0 == n1, s"width changed the result: $n0 vs $n1")
+      println(f"[scale] overlap value-crowd width futility: $mx0%.1f s " +
+        f"at $w → $mx1%.1f s at ${w / 64} (same-range intervals share " +
+        "a bucket at every width)")
+      val t0 = System.nanoTime()
+      val (wMit, kMit) = RangeJoin.autoOverlapMitigation(l, r,
+        "l_lo", "l_hi", "r_lo", "r_hi")
+      println(f"[scale] autoOverlapMitigation picked (width $wMit, " +
+        f"salt $kMit; census ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      gate(wMit == w,
+        s"a same-range crowd should keep the probe width, got $wMit")
+      gate(kMit > 1, s"a same-range crowd must salt, got $kMit")
+      val (nS, _, mxS) = balPlateau(spark, bal)(
+        s"same-range crowd SALTED (width $wMit, salt $kMit)")(
+        run(wMit, kMit))
+      require(n0 == nS, s"salt changed the result: $n0 vs $nS")
+      println(f"[scale] overlap value-crowd ladder: unmitigated " +
+        f"$mx0%.1f s → width-${w / 64} $mx1%.1f s (futile) → " +
+        f"salt-$kMit $mxS%.1f s (results identical)")
+      gate(mx0 / mxS.max(0.05) >= 2.0,
+        f"salting did not materially shrink the overlap value-crowd " +
+          f"hot task: $mx0%.1f s → $mxS%.1f s")
+    } finally spark.sparkContext.removeSparkListener(bal)
+    gateVerdict(spark, "overlapsalt", broken.toSeq, lenient)
+  }
+
+  // ---- (aqesalt) AQE skew-split × salt A/B past 256 MB -------------
+
+  /** r18-VERDICT task 3: does AQE's size-based skew split make the
+    * salt's replication pure overhead on INPUT-proportional crowds?
+    * A point value crowd is input-proportional (unlike the interval
+    * EXPANSION crowd, which stays AQE-invisible), so once the hot
+    * partition crosses `skewedPartitionThresholdInBytes` (256 MB
+    * default) AND factor-5×-median, AQE can split it on its own —
+    * r18's 20M-row crowd sat at ~160 MB, UNDER the threshold
+    * (engaged=false). This section doubles the crowd to 40M rows
+    * (past 256 MB serialized) and A/Bs at default AQE confs:
+    *
+    *   A. AQE-only (default skew confs, salt 1)
+    *   B. salt-only (skewJoin off, [[graft.operators.RangeJoin
+    *      .autoPointMitigation]]'s derived (width, salt))
+    *   C. both together
+    *
+    * recording cpu, max task, and whether the split engaged — the
+    * measured pin PLANS records ("salt wins because …" / "past X MB
+    * let AQE take it"). Informational: counts REQUIRED identical, no
+    * perf gates (the devices' own gates live in rangepoints). */
+  private def aqeSaltSection(spark: SparkSession): Unit = {
+    import graft.operators.RangeJoin
+    println("[scale] === AQE skew-split × salt A/B (point value crowd " +
+      "past 256 MB) ===")
+    val w = RangeJoin.BucketWidth
+    val domain = RangeBase * w / RangeOcc
+    val iv = spark.range(RangeBase).select(col("id").as("iv_id"),
+        pmod(xxhash64(col("id"), lit(7L)), lit(domain)).as("lo"))
+      .withColumn("hi",
+        col("lo") + pmod(xxhash64(col("iv_id"), lit(8L)), lit(w)))
+    val HotP = 40000000L
+    val vPts = spark.range(RangeBase).select(col("id").as("rid"),
+        pmod(xxhash64(col("id"), lit(5L)), lit(domain)).as("p"))
+      .unionByName(spark.range(HotP).select(
+        (col("id") + RangeBase).as("rid"), lit(500L).as("p")))
+    def q(width: Long, salt: Int) =
+      RangeJoin.pointInIntervalSalted(vPts, iv, "p", "lo", "hi",
+          width, salt, Seq("rid"))
+        .groupBy().agg(count(lit(1)).as("n"))
+    val bal = new StageBalanceListener
+    val cpuL = new graft.Bench.TaskTimeListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(bal)
+    spark.sparkContext.addSparkListener(cpuL)
+    val noBc = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    val noSkew = "spark.sql.adaptive.skewJoin.enabled" -> "false"
+    // (result, engaged-in-any-rep, min cpu_s, min max-task s) over 2
+    // reps — the balPlateau adjudication rule, plus the engaged flag
+    // read from THE SAME QueryExecution that ran (the skewSection
+    // trap: a fresh .count() derives a plan that never adaptively ran)
+    def measured(tag: String)(width: Long, salt: Int)
+        : (Long, Boolean, Double, Double) = {
+      val reps = (1 to 2).map { i =>
+        bal.clear(); System.gc()
+        ListenerShim.drainListenerBus(spark.sparkContext)
+        val c0 = cpuL.snapshot._2
+        val t0 = System.nanoTime()
+        val ds = q(width, salt)
+        val n = ds.queryExecution.toRdd.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        ListenerShim.drainListenerBus(spark.sparkContext)
+        val cpu = cpuL.snapshot._2 - c0
+        val engaged = ds.queryExecution.executedPlan.toString
+          .toLowerCase.contains("skew=true")
+        val (mx, _, nT) = bal.worstDurSkew(2000L)
+        println(f"[scale] $tag rep$i: $cpu%.1f cpu_s / $wall%.1f " +
+          f"wall_s, max task ${mx / 1e3}%.1f s ($nT tasks), AQE skew " +
+          s"split = $engaged")
+        (n, engaged, cpu, mx / 1e3)
+      }
+      (reps.head._1, reps.exists(_._2),
+        reps.map(_._3).min, reps.map(_._4).min)
+    }
+    try {
+      // derive the operator's own mitigation once (under stable confs)
+      val (wMit, kMit) = withSqlConfs(spark)(noBc, noSkew) {
+        RangeJoin.autoPointMitigation(vPts, "p", iv, "lo", "hi")
+      }
+      println(s"[scale] autoPointMitigation picked (width $wMit, " +
+        s"salt $kMit) for the 40M crowd")
+      withSqlConfs(spark)(noBc, noSkew) {
+        q(w / 64, 1).queryExecution.toRdd.count(): Unit // codegen warmup
+      }
+      val (nA, engA, cpuA, mxA) = withSqlConfs(spark)(noBc) {
+        measured("A: AQE-only (default skew confs)")(w, 1)
+      }
+      val (nB, _, cpuB, mxB) = withSqlConfs(spark)(noBc, noSkew) {
+        measured(s"B: salt-only (width $wMit, salt $kMit)")(wMit, kMit)
+      }
+      val (nC, engC, cpuC, mxC) = withSqlConfs(spark)(noBc) {
+        measured(s"C: both (AQE + salt $kMit)")(wMit, kMit)
+      }
+      require(nA == nB && nB == nC,
+        s"mitigation changed the result: $nA / $nB / $nC")
+      println(f"[scale] aqesalt pin inputs: A cpu $cpuA%.1f s max " +
+        f"$mxA%.1f s (engaged=$engA) | B cpu $cpuB%.1f s max $mxB%.1f s" +
+        f" | C cpu $cpuC%.1f s max $mxC%.1f s (engaged=$engC)")
+    } finally {
+      spark.sparkContext.removeSparkListener(bal)
+      spark.sparkContext.removeSparkListener(cpuL)
+    }
+  }
+
+  // ---- (gatedrill) the gate-arbitration failure path, end to end ---
+
+  /** r18-VERDICT task 6: the hardened two-pair [[gateVerdict]] shipped
+    * at r18's last commit and its failure path had never executed as a
+    * whole. This section FORCES a synthetic gate failure so the full
+    * arbitration runs live: probe pairs → verdict → (advisory exit 3 |
+    * hard error). A healthy box always reads flat (→ sys.error), so to
+    * exercise BOTH outcomes deterministically the drill sets
+    * GRAFT_GATE_PROBE_STUB (see [[gateVerdict]] — drill-only):
+    *
+    *   GRAFT_GATE_PROBE_STUB=1.0,2.0 → ADVISORY downgrade, exit 3
+    *   GRAFT_GATE_PROBE_STUB=1.0,1.0 → sys.error, exit 1
+    *   unset → whatever the live box reads (recorded, not asserted).
+    */
+  private def gateDrillSection(spark: SparkSession): Unit = {
+    println("[scale] === gate-arbitration drill (synthetic failure) ===")
+    gateVerdict(spark, "gatedrill",
+      Seq("synthetic drill gate (forced failure — this IS the drill)"),
+      lenient = false)
   }
 
   // ---- (buckets) bucket-count evolution: coalesce vs re-bucket -----
