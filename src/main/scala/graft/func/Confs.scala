@@ -25,4 +25,20 @@ object Confs {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  /** Per-QUERY scoped session — the lazy-frame answer to the
+    * [[withSqlConfs]] limitation that plan-shaping confs must hold at
+    * the caller's ACTION, not at frame construction: a sibling
+    * session sharing the parent's SparkContext and SharedState (cache,
+    * catalog) whose SessionState is a deep CLONE of the parent's,
+    * with `confs` overlaid and any `configure` injections (optimizer
+    * rules / planner strategies via its `experimental` hooks,
+    * function registration) applied to it alone. Frames built on the
+    * returned session stay LAZY and execute under these confs
+    * whenever acted on; the parent session is never mutated. Mint one
+    * per query — construction is cheap. */
+  def scopedSession(spark: SparkSession, confs: Seq[(String, String)],
+      configure: SparkSession => Unit = _ => ()): SparkSession =
+    org.apache.spark.sql.graftshim.SessionShim
+      .scopedSession(spark, confs.toMap, configure)
 }

@@ -250,21 +250,21 @@ object PartitionedLake {
         max(col("event_id")).as("max_event"))
   }
 
-  /** Board form of [[starFrame]]: executes EAGERLY under
-    * [[starConfs]] (plan-shaping confs must hold at EXECUTION time,
-    * and a returned lazy frame would execute after the caller's conf
-    * scope closed), then hands back the tiny aggregate as a local
-    * frame. The result is conf-independent — the shared oracle is
-    * the proof. */
+  /** Board form of [[starFrame]]: a LAZY frame on a per-query SCOPED
+    * SESSION ([[graft.func.Confs.scopedSession]]) carrying
+    * [[starConfs]]. Plan-shaping confs must hold at EXECUTION time —
+    * the r18 form executed eagerly under a set/try/restore scope and
+    * handed back a localized aggregate, which could never generalize
+    * past tiny results; the scoped session pins the confs to the
+    * frame itself (they apply whenever the caller acts on it, and the
+    * shared session is never mutated), so the composed scan is now a
+    * reusable first-class query. The result is conf-independent — the
+    * shared oracle is the proof; the scoped-vs-parent conf isolation
+    * and the lazy plan are spec-asserted. */
   def starQuery(spark: SparkSession, dir: String,
-      format: String = "parquet"): DataFrame = {
-    val (schema, rows) = graft.func.Confs.withSqlConfs(spark)(
-        starConfs: _*) {
-      val df = starFrame(spark, dir, format)
-      (df.schema, df.collect())
-    }
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+      format: String = "parquet"): DataFrame =
+    starFrame(graft.func.Confs.scopedSession(spark, starConfs),
+      dir, format)
 
   /** The oracle replays the three-way star over the raw parquet
     * tables — same busy-day arithmetic as [[dppOracle]], plus the

@@ -181,6 +181,34 @@ class PartitionedLakeSpec extends SparkSpec {
     }
   }
 
+  test("star query is a LAZY frame on a conf-scoped session — the " +
+      "bloom fires at the CALLER's action") {
+    val df = PartitionedLake.starQuery(spark, Sf)
+    // lazy: the returned plan is the composed star itself, not the
+    // r18 localized-aggregate device
+    val lp = df.queryExecution.logical.toString
+    assert(!lp.contains("LocalRelation"),
+      s"star query must return the lazy composed plan:\n$lp")
+    // the frame's OWN session carries the plan-shaping confs; the
+    // parent session is untouched
+    val key = "spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold"
+    assert(df.sparkSession.conf.get(key) === "0")
+    assert(spark.conf.getOption(key).forall(_ !== "0"),
+      "scoped star confs leaked into the parent session")
+    // and the shaping HOLDS at this (the caller's) action, outside
+    // any conf scope: the executed plan carries the bloom semi-filter
+    df.queryExecution.toRdd.count()
+    val bloom = graft.PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .exists {
+        case f: org.apache.spark.sql.execution.FilterExec =>
+          f.condition.toString.contains("might_contain")
+        case _ => false
+      }
+    assert(bloom,
+      "the runtime bloom must fire when the caller executes the frame")
+  }
+
   for (format <- Seq("parquet", "orc")) {
     test(s"$format lake: one-day query equals the parquet-table slice") {
       val got = PartitionedLake.pruneQuery(spark, Sf, format).collect()
