@@ -104,6 +104,33 @@ object Bench {
       }
     }
 
+    // Within-session weather NORMALIZER (r18-VERDICT task 5): a fixed
+    // state-free shuffle workload — 40M longs through a bare
+    // repartition, nothing whose footprint grows with burst length —
+    // timed at bench start AND end. Cross-round comparisons should
+    // divide per-query cpu by the session's normalizer mean instead of
+    // trusting absolute cpu: r18's +15.5% quiet-box drift was
+    // adjudicated as host weather from circumstantial evidence only
+    // (zero commits in the regressing files); the normalizer makes
+    // that adjudication structural. Min of 2 reps per endpoint (the
+    // shuffle weather gusts on the minute scale, r18-measured
+    // 0.68×–3.33× across back-to-back probe pairs).
+    def normalizerCpu(): Double = {
+      def one(): Double = {
+        System.gc()
+        ListenerShim.drainListenerBus(spark.sparkContext)
+        val c0 = taskTimes.snapshot._2
+        spark.range(40_000_000L)
+          .repartition(64, org.apache.spark.sql.functions.col("id"))
+          .queryExecution.toRdd.count(): Unit
+        ListenerShim.drainListenerBus(spark.sparkContext)
+        taskTimes.snapshot._2 - c0
+      }
+      one(): Unit // codegen/JIT warm for the normalizer's own shape
+      math.min(one(), one())
+    }
+    val normStart = normalizerCpu()
+
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       // min-of-2: immune to one-off stalls (GC pause, page-cache miss).
@@ -160,8 +187,10 @@ object Bench {
     val total = ok2.map(_._1).sum
     val totalTask = ok2.map(_._2).sum
     val totalCpu = ok2.map(_._3).sum
+    val normEnd = normalizerCpu()
     val loadEnd = load1
-    val load = s""""load1_start":$loadStart,"load1_end":$loadEnd"""
+    val load = s""""load1_start":$loadStart,"load1_end":$loadEnd""" +
+      s""","norm_cpu_s_start":${num(normStart)},"norm_cpu_s_end":${num(normEnd)}"""
     val aux = s""""task_s":${jmap(_._2)},"cpu_s":${jmap(_._3)},"total_task_s":${num(totalTask)},"total_cpu_s":${num(totalCpu)}"""
     val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,$aux,$load,"sf":"$sfDir"}"""
     println(fullLine)
