@@ -50,6 +50,30 @@ object Bench {
     /** (task seconds, cpu seconds) totals so far. */
     def snapshot: (Double, Double) = (runMs.sum / 1e3, cpuNs.sum / 1e9)
   }
+
+  /** Total task-cpu seconds of ONE fixed state-free shuffle burst:
+    * `n` longs through a bare `repartition(64, id)` — serialize +
+    * write + read per row, NOTHING whose footprint grows with burst
+    * length. The ONE copy of the workload whose fixedness is
+    * load-bearing twice over: the bench weather normalizer divides
+    * per-query cpu by it, and ScaleRehearsal's saturation probe
+    * compares its per-row cpu across burst lengths — if the shapes
+    * drifted apart the two instruments would silently stop measuring
+    * the same weather (review r19). */
+  def stateFreeShuffleCpu(spark: SparkSession, n: Long): Double = {
+    val lst = new TaskTimeListener
+    org.apache.spark.graftshim.ListenerShim
+      .drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(lst)
+    try {
+      spark.range(n)
+        .repartition(64, org.apache.spark.sql.functions.col("id"))
+        .queryExecution.toRdd.count(): Unit
+      org.apache.spark.graftshim.ListenerShim
+        .drainListenerBus(spark.sparkContext)
+      lst.snapshot._2
+    } finally spark.sparkContext.removeSparkListener(lst)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -118,13 +142,7 @@ object Bench {
     def normalizerCpu(): Double = {
       def one(): Double = {
         System.gc()
-        ListenerShim.drainListenerBus(spark.sparkContext)
-        val c0 = taskTimes.snapshot._2
-        spark.range(40_000_000L)
-          .repartition(64, org.apache.spark.sql.functions.col("id"))
-          .queryExecution.toRdd.count(): Unit
-        ListenerShim.drainListenerBus(spark.sparkContext)
-        taskTimes.snapshot._2 - c0
+        stateFreeShuffleCpu(spark, 40_000_000L)
       }
       one(): Unit // codegen/JIT warm for the normalizer's own shape
       math.min(one(), one())
@@ -187,8 +205,12 @@ object Bench {
     val total = ok2.map(_._1).sum
     val totalTask = ok2.map(_._2).sum
     val totalCpu = ok2.map(_._3).sum
-    val normEnd = normalizerCpu()
+    // ambient load read BEFORE the end normalizer: the normalizer's
+    // own three 40M-row shuffles would dominate the 1-minute average
+    // and corrupt the field that exists to self-identify EXTERNAL
+    // contention (review r19)
     val loadEnd = load1
+    val normEnd = normalizerCpu()
     val load = s""""load1_start":$loadStart,"load1_end":$loadEnd""" +
       s""","norm_cpu_s_start":${num(normStart)},"norm_cpu_s_end":${num(normEnd)}"""
     val aux = s""""task_s":${jmap(_._2)},"cpu_s":${jmap(_._3)},"total_task_s":${num(totalTask)},"total_cpu_s":${num(totalCpu)}"""

@@ -314,18 +314,17 @@ object ScaleRehearsal {
     * burst length: per-row cost is serialize + write + read,
     * provably flat, isolating exactly the shuffle-path weather the
     * probe arbitrates. */
-  private def probePerRowCpu(spark: SparkSession, n: Long): Double = {
-    val lst = new graft.Bench.TaskTimeListener
-    ListenerShim.drainListenerBus(spark.sparkContext)
-    spark.sparkContext.addSparkListener(lst)
-    try {
-      spark.range(n)
-        .repartition(64, col("id"))
-        .queryExecution.toRdd.count()
-      ListenerShim.drainListenerBus(spark.sparkContext)
-      lst.snapshot._2 / n
-    } finally spark.sparkContext.removeSparkListener(lst)
-  }
+  private def probePerRowCpu(spark: SparkSession, n: Long): Double =
+    graft.Bench.stateFreeShuffleCpu(spark, n) / n
+
+  /** Whether AQE's skew split fired in an EXECUTED plan — read from
+    * the same QueryExecution that ran (`ds.count()` derives a fresh
+    * one whose plan never adaptively runs — the skewSection trap,
+    * r11). ONE copy of the plan-string sniff (review r19: it had
+    * grown four). */
+  private def aqeSkewEngaged(
+      qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+    qe.executedPlan.toString.toLowerCase.contains("skew=true")
 
   /** Sections whose gates failed but were downgraded to ADVISORY by
     * the saturation probe. A downgrade is NOT a pass: unless
@@ -365,13 +364,18 @@ object ScaleRehearsal {
     // DRILL-ONLY stub: GRAFT_GATE_PROBE_STUB="r1,r2" substitutes the
     // measured pair ratios so the gatedrill section can exercise BOTH
     // verdict outcomes deterministically (a healthy box always reads
-    // flat). Never set outside the drill — it bypasses the real probe.
-    val stub = sys.env.get("GRAFT_GATE_PROBE_STUB").map { s =>
-      val rs = s.split(",").toIndexedSeq.map(_.trim.toDouble)
-      println(s"[scale] gateVerdict: probe ratios STUBBED at " +
-        s"${rs.mkString(",")} (GRAFT_GATE_PROBE_STUB — drill only)")
-      rs
-    }
+    // flat). Honored ONLY for the drill section — a lingering env var
+    // must never arbitrate a REAL section's gate failure (review r19);
+    // malformed values are ignored, not crashed on.
+    val stub = sys.env.get("GRAFT_GATE_PROBE_STUB")
+      .filter(_ => section == "gatedrill")
+      .map(_.split(",").toIndexedSeq.flatMap(_.trim.toDoubleOption))
+      .filter(_.nonEmpty)
+      .map { rs =>
+        println(s"[scale] gateVerdict: probe ratios STUBBED at " +
+          s"${rs.mkString(",")} (GRAFT_GATE_PROBE_STUB — drill only)")
+        rs
+      }
     val ratios = stub.getOrElse((1 to 2).map { _ =>
       val (s, l) = (probePerRowCpu(spark, 40_000_000L),
         probePerRowCpu(spark, 400_000_000L))
@@ -440,7 +444,10 @@ object ScaleRehearsal {
       "skew", "stream", "streamjoin", "streamasof", "streamoverlap",
       "ladder", "skewcorpus", "prefixcross", "rangeladder", "rangepoints",
       "overlapsalt", "aqesalt", "buckets", "cbo", "bloom", "gatedrill")
-    val sections = if (args.isEmpty) all else {
+    // gatedrill is OPT-IN only: it forces a synthetic gate failure, so
+    // including it in the default sweep would make every full run exit
+    // nonzero (and skip the sections after it) by design of the drill
+    val sections = if (args.isEmpty) all - "gatedrill" else {
       val s = args.toSet
       require(s.subsetOf(all), s"unknown sections: ${s.diff(all)}")
       s
@@ -1811,7 +1818,6 @@ object ScaleRehearsal {
         .outputMode("append").start()
       val buckets = scala.collection.mutable.ArrayBuffer.empty[Long]
       val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var lateDropped = 0L
       val t0 = System.nanoTime()
       (0 until nb).foreach { b =>
         val (i0, i1) = (n * b / nb, n * (b + 1) / nb)
@@ -1820,8 +1826,6 @@ object ScaleRehearsal {
         q.processAllAvailable()
         buckets += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
         mem += q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum
-        lateDropped +=
-          q.lastProgress.stateOperators.map(_.numRowsDroppedByWatermark).sum
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val far = new java.sql.Timestamp(base + 4000000000L)
@@ -1830,6 +1834,12 @@ object ScaleRehearsal {
       q.processAllAvailable()
       val finalBuckets =
         q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // late drops summed over EVERY micro-batch's progress, sentinel
+      // batches included (one feed iteration can span several batches,
+      // and lastProgress sees only the final one — review r19);
+      // recentProgress's 100-entry buffer covers this corpus's ≤ ~45
+      val lateDropped = q.recentProgress.toSeq
+        .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
       q.stop()
       // count + XOR of pair hashes: order-independent and (unlike a
       // sum) immune to ANSI long overflow at any pair count; the
@@ -2489,9 +2499,7 @@ object ScaleRehearsal {
           // the skewSection trap, r11)
           val ds = hotJoin(w)
           val n = ds.queryExecution.toRdd.count()
-          val split = ds.queryExecution.executedPlan.toString
-            .toLowerCase.contains("skew=true")
-          (n, split)
+          (n, aqeSkewEngaged(ds.queryExecution))
         }
       }
       println(s"[scale] hot bucket: AQE skew split engaged = $aqeSplit " +
@@ -2704,8 +2712,7 @@ object ScaleRehearsal {
         val t0 = System.nanoTime()
         ds.queryExecution.toRdd.count()
         val secs = (System.nanoTime() - t0) / 1e9
-        val split = ds.queryExecution.executedPlan.toString
-          .toLowerCase.contains("skew=true")
+        val split = aqeSkewEngaged(ds.queryExecution)
         println(f"[scale] value crowd at DEFAULT AQE: $secs%.1f s, " +
           s"skew split engaged = $split (input-proportional skew IS " +
           "AQE-visible when the partition crosses its size thresholds " +
@@ -2876,8 +2883,7 @@ object ScaleRehearsal {
         val wall = (System.nanoTime() - t0) / 1e9
         ListenerShim.drainListenerBus(spark.sparkContext)
         val cpu = cpuL.snapshot._2 - c0
-        val engaged = ds.queryExecution.executedPlan.toString
-          .toLowerCase.contains("skew=true")
+        val engaged = aqeSkewEngaged(ds.queryExecution)
         val (mx, _, nT) = bal.worstDurSkew(2000L)
         println(f"[scale] $tag rep$i: $cpu%.1f cpu_s / $wall%.1f " +
           f"wall_s, max task ${mx / 1e3}%.1f s ($nT tasks), AQE skew " +

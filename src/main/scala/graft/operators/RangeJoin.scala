@@ -797,6 +797,15 @@ object RangeJoin {
     val rows = priceBands(spark, dir, "pk", "lo", "hi")
       .select("pk", "lo", "hi").as[(Long, Long, Long)]
       .collect().sortBy(_._3)
+    // degenerate empty corpus: no bands → no stream to run (and no
+    // derived span, and no committed sink files to read back) — the
+    // empty aggregate frame directly (review r19; the `when` keeps
+    // p_partkey NULLABLE to match the real path's read-schema-derived
+    // nullability, which the degenerate sweep compares exactly)
+    if (rows.isEmpty)
+      return spark.range(0).select(
+        when(col("id") >= 0, col("id")).as("p_partkey"),
+        col("id").as("overlap_ct"))
     val maxSpan = rows.iterator.map(r => r._3 - r._2).max
     val ts = rows.map { case (pk, lo, hi) =>
       (pk, new java.sql.Timestamp(lo), new java.sql.Timestamp(hi)) }
