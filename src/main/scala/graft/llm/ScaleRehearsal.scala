@@ -1798,14 +1798,15 @@ object ScaleRehearsal {
     def rRow(j: Long) = RehOv(j, new java.sql.Timestamp(base + j * 4 + 2),
       new java.sql.Timestamp(base + j * 4 + 2 + (j * 7) % (spanMs + 1)))
 
-    // (peak state bytes, peak buckets, final buckets, streamed
-    // (count, hashxor)). BYTES are the load-bearing gate metric
-    // (r18 review): flatMapGroupsWithState's numRowsTotal counts
-    // state KEYS — one OverlapBuf per bucket — so a regression that
-    // grows the per-bucket BUFFERS without growing the bucket count
-    // would keep the key count flat; memoryUsedBytes sees the
-    // buffered intervals themselves.
-    def run(n: Long): (Long, Long, Long, (Long, Long)) = {
+    // (median state bytes, max state bytes, peak buckets, final
+    // buckets, streamed (count, hashxor)). BYTES are the load-bearing
+    // gate metric (r18 review): flatMapGroupsWithState's numRowsTotal
+    // counts state KEYS — one OverlapBuf per bucket — so a regression
+    // that grows the per-bucket BUFFERS without growing the bucket
+    // count would keep the key count flat; memoryUsedBytes sees the
+    // buffered intervals themselves. The gate statistic is the MEDIAN
+    // over batches (r19 — see below).
+    def run(n: Long): (Long, Long, Long, Long, (Long, Long)) = {
       val nb = (n / perBatch).toInt
       val lSrc = MemoryStream[RehOv]
       val rSrc = MemoryStream[RehOv]
@@ -1818,6 +1819,19 @@ object ScaleRehearsal {
         .outputMode("append").start()
       val buckets = scala.collection.mutable.ArrayBuffer.empty[Long]
       val mem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // late drops harvested per FEED ITERATION from recentProgress,
+      // deduped by batchId: one iteration can span several batches
+      // (lastProgress alone misses the early ones), and the rolling
+      // 100-entry recentProgress buffer only has to cover ONE
+      // iteration's batches between harvests — so the guard survives
+      // arbitrarily long runs (review r19, both passes)
+      val seenBatches = scala.collection.mutable.Set.empty[Long]
+      var lateDropped = 0L
+      def harvestDrops(): Unit = q.recentProgress.foreach { p =>
+        if (seenBatches.add(p.batchId))
+          lateDropped +=
+            p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      }
       val t0 = System.nanoTime()
       (0 until nb).foreach { b =>
         val (i0, i1) = (n * b / nb, n * (b + 1) / nb)
@@ -1826,6 +1840,7 @@ object ScaleRehearsal {
         q.processAllAvailable()
         buckets += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
         mem += q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum
+        harvestDrops()
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val far = new java.sql.Timestamp(base + 4000000000L)
@@ -1834,12 +1849,7 @@ object ScaleRehearsal {
       q.processAllAvailable()
       val finalBuckets =
         q.lastProgress.stateOperators.map(_.numRowsTotal).sum
-      // late drops summed over EVERY micro-batch's progress, sentinel
-      // batches included (one feed iteration can span several batches,
-      // and lastProgress sees only the final one — review r19);
-      // recentProgress's 100-entry buffer covers this corpus's ≤ ~45
-      val lateDropped = q.recentProgress.toSeq
-        .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+      harvestDrops() // sentinel-flush batches included
       q.stop()
       // count + XOR of pair hashes: order-independent and (unlike a
       // sum) immune to ANSI long overflow at any pair count; the
@@ -1869,17 +1879,46 @@ object ScaleRehearsal {
       require(finalBuckets <= 2,
         s"sentinel flush left $finalBuckets buckets (no-residue " +
           "contract: only the sentinels' own buckets may remain)")
-      (mem.max, buckets.max, finalBuckets, sig)
+      // MEDIAN of the per-batch state readings alongside the max: the
+      // max is the wrong statistic for a FLAT-state gate — the store's
+      // memoryUsedBytes spikes when extra map versions are retained
+      // (maintenance timing), and a run with 2× the batches gets 2×
+      // the draws at that spike, biasing its max upward by sample
+      // count alone (measured r19: 1M-rung max read 4323 / 6372 /
+      // 6325 KiB across quiet same-code runs). The median is immune
+      // to the spikes and still catches a REAL leak: monotone growth
+      // puts half the 2×-run's samples above the 1×-run's ceiling.
+      val memMed = mem.sorted.apply(mem.size / 2)
+      (memMed, mem.max, buckets.max, finalBuckets, sig)
     }
 
-    val (peakB1, peakK1, _, sig1) = run(500000L)
-    val (peakB2, peakK2, _, _) = run(1000000L)
-    println(f"[scale] overlap peak state: ${peakB1 / 1024}%d KiB / " +
-      f"$peakK1%d buckets at 0.5M vs ${peakB2 / 1024}%d KiB / " +
+    // min-of-2 plateau on the PEAK BYTES (the repo's adjudication rule
+    // applied to the state gate): a single run's peak is BIMODAL — the
+    // HDFS-backed store's memoryUsedBytes includes retained in-memory
+    // map versions, whose count rides maintenance timing, not operator
+    // state (measured r19: 4323 vs 6372 KiB on back-to-back quiet runs
+    // of the SAME 1M corpus, buckets 315 = 315 both times). The
+    // reproducible floor is the operator's state; the excursions are
+    // store internals. Signatures required identical across reps.
+    def plateauRun(n: Long): (Long, Long, Long, (Long, Long)) = {
+      val (m1, x1, k1, _, s1) = run(n)
+      val (m2, x2, k2, _, s2) = run(n)
+      require(s1 == s2, s"overlap[$n] pair signature varies across " +
+        s"reps: $s1 vs $s2")
+      require(k1 == k2, s"overlap[$n] peak bucket count varies across " +
+        s"reps: $k1 vs $k2")
+      (math.min(m1, m2), math.min(x1, x2), k1, s1)
+    }
+    val (medB1, maxB1, peakK1, sig1) = plateauRun(500000L)
+    val (medB2, maxB2, peakK2, _) = plateauRun(1000000L)
+    println(f"[scale] overlap steady state: median ${medB1 / 1024}%d " +
+      f"KiB (max ${maxB1 / 1024}%d) / $peakK1%d buckets at 0.5M vs " +
+      f"median ${medB2 / 1024}%d KiB (max ${maxB2 / 1024}%d) / " +
       f"$peakK2%d buckets at 1M per side " +
-      f"(bytes ratio ${peakB2.toDouble / peakB1}%.2f)")
-    require(peakB2 <= (peakB1 * 3) / 2,
-      s"overlap state BYTES grew with TOTAL events ($peakB1 -> $peakB2)")
+      f"(median ratio ${medB2.toDouble / medB1}%.2f)")
+    require(medB2 <= (medB1 * 3) / 2,
+      s"overlap steady-state BYTES grew with TOTAL events " +
+        s"($medB1 -> $medB2 median)")
 
     // batch parity at 0.5M: same rows through the batch operator
     val n = 500000L
@@ -2736,7 +2775,7 @@ object ScaleRehearsal {
     * Answers required identical across every rung; the salted hot
     * task gated ≥2× under the unmitigated one (same bar as the point
     * form — the knob divides CANDIDATE work, not the crowd's
-    * irreducible ~100M true pairs). */
+    * irreducible 4e8 true pairs). */
   private def overlapSaltSection(spark: SparkSession): Unit = {
     import graft.operators.RangeJoin
     println("[scale] === interval-overlap same-range crowd (salt rung) ===")

@@ -761,9 +761,12 @@ object RangeJoin {
       .groupBy(col("pk_a").as("p_partkey"))
       .agg(count(lit(1)).as("overlap_ct"))
 
-  /** Monotonic suffix for the streaming board query's memory-sink
-    * view names — each invocation (Verify, bench reps) needs a fresh
-    * streaming query against a fresh sink. */
+  /** Monotonic suffix for the streaming board query's per-run
+    * sink/checkpoint SUBDIRECTORIES — each invocation (Verify, bench
+    * reps) needs a fresh streaming query against a fresh sink path,
+    * and the returned lazy frame keeps reading its run's parquet, so
+    * subdirs accumulate under the one JVM-cached base until its
+    * exit-time cleanup. */
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong
 
   /** The overlap audit through the STREAMING operator
