@@ -1939,6 +1939,28 @@ object ScaleRehearsal {
         s"batch $batchSig (count, hash-xor)")
     println(s"[scale] overlap parity: ${sig1._1} streamed pairs EXACTLY " +
       "equal the batch operator (count + pair-hash XOR)")
+
+    // --- informational RocksDB provider A/B (r19 forward note): the
+    // same 0.5M corpus through the RocksDB state store. The provider
+    // swap must not change the ANSWER (required); the throughput and
+    // state lines say whether the HDFS-backed store's in-memory
+    // version retention — the source of the max-statistic spikes
+    // fixed above — is also a cpu story. No gate: provider cost is an
+    // environment knob, not an operator property.
+    locally {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = spark.conf.get(providerKey)
+      spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+        "streaming.state.RocksDBStateStoreProvider")
+      try {
+        val (med, mx, k, _, sig) = run(500000L)
+        require(sig == sig1,
+          s"RocksDB provider changed the answer: $sig vs $sig1")
+        println(f"[scale] overlap RocksDB A/B: median ${med / 1024}%d " +
+          f"KiB (max ${mx / 1024}%d) / $k%d buckets — signature " +
+          "identical to the HDFS-backed runs")
+      } finally spark.conf.set(providerKey, prior)
+    }
   }
 
   // ---- (ladder) growth exponents for the top-CPU pipelines ---------
@@ -2910,14 +2932,14 @@ object ScaleRehearsal {
     // reps — the balPlateau adjudication rule, plus the engaged flag
     // read from THE SAME QueryExecution that ran (the skewSection
     // trap: a fresh .count() derives a plan that never adaptively ran)
-    def measured(tag: String)(width: Long, salt: Int)
+    def measured(tag: String)(mk: => org.apache.spark.sql.DataFrame)
         : (Long, Boolean, Double, Double) = {
       val reps = (1 to 2).map { i =>
         bal.clear(); System.gc()
         ListenerShim.drainListenerBus(spark.sparkContext)
         val c0 = cpuL.snapshot._2
         val t0 = System.nanoTime()
-        val ds = q(width, salt)
+        val ds = mk
         val n = ds.queryExecution.toRdd.count()
         val wall = (System.nanoTime() - t0) / 1e9
         ListenerShim.drainListenerBus(spark.sparkContext)
@@ -2943,19 +2965,52 @@ object ScaleRehearsal {
         q(w / 64, 1).queryExecution.toRdd.count(): Unit // codegen warmup
       }
       val (nA, engA, cpuA, mxA) = withSqlConfs(spark)(noBc) {
-        measured("A: AQE-only (default skew confs)")(w, 1)
+        measured("A: AQE-only (default skew confs)")(q(w, 1))
       }
       val (nB, _, cpuB, mxB) = withSqlConfs(spark)(noBc, noSkew) {
-        measured(s"B: salt-only (width $wMit, salt $kMit)")(wMit, kMit)
+        measured(s"B: salt-only (width $wMit, salt $kMit)")(q(wMit, kMit))
       }
       val (nC, engC, cpuC, mxC) = withSqlConfs(spark)(noBc) {
-        measured(s"C: both (AQE + salt $kMit)")(wMit, kMit)
+        measured(s"C: both (AQE + salt $kMit)")(q(wMit, kMit))
       }
       require(nA == nB && nB == nC,
         s"mitigation changed the result: $nA / $nB / $nC")
       println(f"[scale] aqesalt pin inputs: A cpu $cpuA%.1f s max " +
         f"$mxA%.1f s (engaged=$engA) | B cpu $cpuB%.1f s max $mxB%.1f s" +
         f" | C cpu $cpuC%.1f s max $mxC%.1f s (engaged=$engC)")
+
+      // --- INCOMPRESSIBLE crowd (r19, run 2): the compressed-bytes
+      // gate is why AQE declined above — the crowd's sequential rids
+      // LZ4 under the 256 MB threshold. Random 8-byte rids cannot
+      // compress, so the same 40M-row crowd crosses it for real, and
+      // the open question becomes: once the split DOES engage, does
+      // it fight the salt's replication? Same p values → the count
+      // must equal the compressible runs'.
+      val vPtsRnd = spark.range(RangeBase).select(col("id").as("rid"),
+          pmod(xxhash64(col("id"), lit(5L)), lit(domain)).as("p"))
+        .unionByName(spark.range(HotP).select(
+          xxhash64(col("id") + RangeBase).as("rid"), lit(500L).as("p")))
+      def q2(width: Long, salt: Int) =
+        RangeJoin.pointInIntervalSalted(vPtsRnd, iv, "p", "lo", "hi",
+            width, salt, Seq("rid"))
+          .groupBy().agg(count(lit(1)).as("n"))
+      val (nA2, engA2, cpuA2, mxA2) = withSqlConfs(spark)(noBc) {
+        measured("A2: AQE-only, incompressible rids")(q2(w, 1))
+      }
+      val (nB2, _, cpuB2, mxB2) = withSqlConfs(spark)(noBc, noSkew) {
+        measured(s"B2: salt-only (salt $kMit), incompressible rids")(
+          q2(wMit, kMit))
+      }
+      val (nC2, engC2, cpuC2, mxC2) = withSqlConfs(spark)(noBc) {
+        measured(s"C2: both (AQE + salt $kMit), incompressible rids")(
+          q2(wMit, kMit))
+      }
+      require(nA2 == nA && nB2 == nA && nC2 == nA,
+        s"rid encoding changed the result: $nA2 / $nB2 / $nC2 vs $nA")
+      println(f"[scale] aqesalt pin inputs (incompressible): A2 cpu " +
+        f"$cpuA2%.1f s max $mxA2%.1f s (engaged=$engA2) | B2 cpu " +
+        f"$cpuB2%.1f s max $mxB2%.1f s | C2 cpu $cpuC2%.1f s max " +
+        f"$mxC2%.1f s (engaged=$engC2)")
     } finally {
       spark.sparkContext.removeSparkListener(bal)
       spark.sparkContext.removeSparkListener(cpuL)
