@@ -2885,13 +2885,17 @@ object ScaleRehearsal {
 
   /** r18-VERDICT task 3: does AQE's size-based skew split make the
     * salt's replication pure overhead on INPUT-proportional crowds?
-    * A point value crowd is input-proportional (unlike the interval
-    * EXPANSION crowd, which stays AQE-invisible), so once the hot
-    * partition crosses `skewedPartitionThresholdInBytes` (256 MB
-    * default) AND factor-5×-median, AQE can split it on its own —
-    * r18's 20M-row crowd sat at ~160 MB, UNDER the threshold
-    * (engaged=false). This section doubles the crowd to 40M rows
-    * (past 256 MB serialized) and A/Bs at default AQE confs:
+    * The r18 estimate said a 40M-row crowd crosses the 256 MB
+    * detection threshold; the MEASURED answer (r19, REPL-read
+    * MapOutputStatistics): the crowd's partition is **0.41 MB** —
+    * column pruning drops the id column the unsalted join never
+    * reads, the surviving (p, __b) columns are CONSTANTS, and LZ4
+    * crushes 40M such rows to ~0.01 B/row, BELOW the 400 KB median
+    * partition. Byte-based skew detection prices partitions in
+    * post-compression bytes, and this crowd's ~960M candidate
+    * evaluations have no byte footprint — the detector is
+    * structurally blind to compute skew on low-entropy keys, at ANY
+    * crowd size. The section A/Bs at default AQE confs:
     *
     *   A. AQE-only (default skew confs, salt 1)
     *   B. salt-only (skewJoin off, [[graft.operators.RangeJoin
@@ -2979,13 +2983,34 @@ object ScaleRehearsal {
         f"$mxA%.1f s (engaged=$engA) | B cpu $cpuB%.1f s max $mxB%.1f s" +
         f" | C cpu $cpuC%.1f s max $mxC%.1f s (engaged=$engC)")
 
-      // --- INCOMPRESSIBLE crowd (r19, run 2): the compressed-bytes
-      // gate is why AQE declined above — the crowd's sequential rids
-      // LZ4 under the 256 MB threshold. Random 8-byte rids cannot
-      // compress, so the same 40M-row crowd crosses it for real, and
-      // the open question becomes: once the split DOES engage, does
-      // it fight the salt's replication? Same p values → the count
-      // must equal the compressible runs'.
+      // --- D: isolate WHERE the decline happens (r19, run 3). The
+      // skewSection's crowd DOES split — but under
+      // forceOptimizeSkewedJoin=true, which skips OptimizeSkewedJoin's
+      // validate-then-REVERT step. Force did NOT flip this crowd
+      // (engaged=false in every rep), pinning the decline at
+      // DETECTION — consistent with the measured 0.41 MB hot
+      // partition: there is nothing for the byte detector to see.
+      val (nD, engD, cpuD, mxD) = withSqlConfs(spark)(noBc,
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
+        measured("D: AQE-only + forceOptimizeSkewedJoin")(q(w, 1))
+      }
+      require(nD == nA, s"force changed the result: $nD vs $nA")
+      println(f"[scale] aqesalt D (force): cpu $cpuD%.1f s max " +
+        f"$mxD%.1f s, engaged=$engD — " +
+        (if (engD) "the default-mode decline is the VALIDATE-REVERT, " +
+          "not size detection"
+         else "not detection-gated either: the crowd is invisible to " +
+          "the split at force too"))
+
+      // --- INCOMPRESSIBLE-rid crowd (r19, run 2): this variant was
+      // built to cross the byte threshold with uncompressible random
+      // rids — and measured engaged=false in every rep, which is what
+      // EXPOSED the real cause: the unsalted join never reads rid, so
+      // column pruning drops it before the shuffle and the encoding
+      // is irrelevant (the shuffled columns are constants either
+      // way). Kept as the negative control: identical counts, the
+      // salted runs DO shuffle the rid (their salt group derives from
+      // it), and the A2-vs-A identity is the pruning proof.
       val vPtsRnd = spark.range(RangeBase).select(col("id").as("rid"),
           pmod(xxhash64(col("id"), lit(5L)), lit(domain)).as("p"))
         .unionByName(spark.range(HotP).select(
