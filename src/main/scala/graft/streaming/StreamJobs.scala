@@ -562,9 +562,9 @@ object StreamJobs {
       .toDF("k", "left_id", "ts_ms", "payload")
   }
 
-  /** Buffered state for one bucket of [[intervalOverlapStream]]:
-    * (id, lo, hi) interval rows per side, pruned to the
-    * watermark − maxSpan horizon. */
+  /** Buffered state for one (bucket, salt group) of
+    * [[intervalOverlapStream]]: (id, lo, hi) interval rows per side,
+    * pruned to the watermark − maxSpan horizon. */
   case class OverlapBuf(lefts: Seq[(Long, Long, Long)],
                         rights: Seq[(Long, Long, Long)])
 
@@ -617,23 +617,75 @@ object StreamJobs {
     * streamoverlap rehearsal so an ordering violation shows up in
     * the measurement record rather than as quietly-missing pairs.
     * Batch parity with the batch operator is asserted in
-    * StreamingSpec and at volume in the rehearsal. */
+    * StreamingSpec and at volume in the rehearsal.
+    *
+    * VALUE-CROWD rung (`saltLeft`/`saltRight` > 1) — the streaming
+    * twin of [[graft.operators.RangeJoin.intervalOverlapSalted]],
+    * closing the batch↔stream asymmetry the r19 round left: a
+    * same-range crowd (near-identical intervals on BOTH sides — the
+    * SCD2 shape) lands every row in ONE bucket at every width, which
+    * here means one FMGWS GROUP: O(crowd) state under a single key
+    * and O(crowd²) pair yield in a single task, with no AQE escape
+    * (keyed state is hash-placed by group, never size-split). The
+    * salt extends the GROUP KEY with a deterministic GRID dimension —
+    * 2-D where the batch operator's is 1-D, because streaming has a
+    * cost batch does not: per-KEY state. Each left row lands in grid
+    * ROW `i = pmod(xxhash64(id), saltLeft)` and replicates across all
+    * `saltRight` columns; each right row lands in grid COLUMN
+    * `j = pmod(xxhash64(id), saltRight)` and replicates across all
+    * `saltLeft` rows (ids are stable row identity by this operator's
+    * own contract, so placement survives partial recomputation — the
+    * SPARK-23207 discipline). A true pair's two rows share exactly
+    * ONE cell, (i_left, j_right), so with the responsibility rule
+    * untouched the pair still meets exactly once — the batch
+    * operator's proof, one dimension higher. `saltRight = 1` IS the
+    * batch form's 1-D split (lefts split, rights replicated).
+    *
+    * Costs and wins, for a crowd of C per side: per-cell pair work
+    * drops to C²/(saltLeft·saltRight); per-KEY state drops to
+    * C/saltLeft + C/saltRight (the 1-D form leaves it ~C — the
+    * replicated side dominates the key); total state pays the grid
+    * replication C·saltRight + C·saltLeft. Placement-only — answers
+    * are salt-invariant (spec + rehearsal-asserted). Size the knobs
+    * from a batch census of the same feed
+    * ([[graft.operators.RangeJoin.autoOverlapMitigation]]'s
+    * value-crowd arm, splitting its k ≈ saltLeft·saltRight near-
+    * square); the sf corpora are benign, so the board leg runs
+    * unsalted and the crowd regime is rehearsed (ScaleRehearsal
+    * `streamoverlapsalt`: unmitigated vs 1-D vs 2-D ladder). */
   def intervalOverlapStream(left: DataFrame, right: DataFrame,
       lId: String, lLo: String, lHi: String,
       rId: String, rLo: String, rHi: String,
       bucketWidthMs: Long, maxSpanMs: Long,
-      delay: String = "1 minute"): DataFrame = {
+      delay: String = "1 minute", saltLeft: Int = 1,
+      saltRight: Int = 1): DataFrame = {
     require(bucketWidthMs >= 1, s"bucket width $bucketWidthMs must be >= 1")
     require(maxSpanMs >= 0, s"max span $maxSpanMs must be >= 0")
+    require(saltLeft >= 1 && saltRight >= 1,
+      s"salts ($saltLeft, $saltRight) must be >= 1")
     import left.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     def side(df: DataFrame, id: String, lo: String, hi: String,
-        tag: Int): DataFrame =
+        tag: Int): DataFrame = {
+      // this side's hashed grid coordinate and replication extent
+      // (lefts hash rows/replicate columns; rights the transpose);
+      // a generator cannot nest in arithmetic, so the replication
+      // coordinate explodes first — one no-op row when unsalted
+      val (hashMod, repl) =
+        if (tag == 1) (saltLeft, saltRight) else (saltRight, saltLeft)
+      val hashed =
+        pmod(xxhash64(col("id")), lit(hashMod.toLong)).cast("int")
       df.filter(col(lo).isNotNull && col(hi).isNotNull &&
           col(lo) <= col(hi))
         .select(col(id).cast("long").as("id"),
           unix_millis(col(lo)).as("lo"), col(hi).as("ts"),
           lit(tag).as("side"))
+        .withColumn("__g", explode(sequence(lit(0), lit(repl - 1))))
+        .withColumn("__s",
+          if (tag == 1) hashed * saltRight + col("__g")
+          else col("__g") * saltRight + hashed)
+        .drop("__g")
+    }
     val fdiv = graft.operators.RangeJoin.fdiv(_, bucketWidthMs)
     side(left, lId, lLo, lHi, 1)
       .unionByName(side(right, rId, rLo, rHi, 0))
@@ -657,16 +709,16 @@ object StreamJobs {
           .otherwise(expr(fdiv("lo"))),
         expr(fdiv("hi")))))
       .select(col("__b"), col("id"), col("lo"), col("hi"), col("side"),
-        col("ts"))
-      .as[(Long, Long, Long, Long, Int, java.sql.Timestamp)]
-      .groupByKey(_._1)
+        col("ts"), col("__s"))
+      .as[(Long, Long, Long, Long, Int, java.sql.Timestamp, Int)]
+      .groupByKey(r => (r._1, r._7))
       .flatMapGroupsWithState[OverlapBuf, (Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (bucket, rows, state: GroupState[OverlapBuf]) =>
+        case ((bucket, _), rows, state: GroupState[OverlapBuf]) =>
           val st = state.getOption.getOrElse(OverlapBuf(Nil, Nil))
           var newL = List.empty[(Long, Long, Long)]
           var newR = List.empty[(Long, Long, Long)]
-          rows.foreach { case (_, id, lo, hi, tag, _) =>
+          rows.foreach { case (_, id, lo, hi, tag, _, _) =>
             if (tag == 1) newL ::= ((id, lo, hi)) else newR ::= ((id, lo, hi))
           }
           val wm = state.getCurrentWatermarkMs()

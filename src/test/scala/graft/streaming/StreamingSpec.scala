@@ -565,6 +565,58 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream interval overlap SALTED: salt-invariant, " +
+      "exactly-once across salt-grid cells, crowd included") {
+    // the value-crowd rung: a same-range crowd (all rows one interval)
+    // collapses into ONE group unsalted; on the 4×2 salt grid each
+    // left row sits in 2 cells (its hash row × both columns) and each
+    // right row in 4 (both coordinates replicate) — the answer must
+    // not notice (placement-only), and no pair may emit twice though
+    // its two rows now share state in exactly one grid cell
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val base = t("2021-03-21 10:00:00").getTime
+    def gen(n: Int, idBase: Long) = (0 until n).map { i =>
+      val lo = base + rnd.nextInt(120000)
+      (idBase + i, lo, lo + rnd.nextInt(15000))
+    }
+    // 60 background rows + a 25-per-side crowd on ONE exact interval
+    val crowd = base + 40000L
+    val ls = (gen(60, 0L) ++ (0 until 25).map(i =>
+      (500L + i, crowd, crowd + 9000L))).sortBy(_._3)
+    val rs = (gen(60, 1000L) ++ (0 until 25).map(i =>
+      (1500L + i, crowd, crowd + 9000L))).sortBy(_._3)
+    val lSrc = MemoryStream[OvL]
+    val rSrc = MemoryStream[OvR]
+    val q = StreamJobs.intervalOverlapStream(lSrc.toDF(), rSrc.toDF(),
+        "ol_id", "ol_lo", "ol_hi", "or_id", "or_lo", "or_hi",
+        bucketWidthMs = 10000L, maxSpanMs = 15000L,
+        saltLeft = 4, saltRight = 2)
+      .writeStream.format("memory").queryName("ovs_salt")
+      .outputMode("append").start()
+    // two micro-batches so crowd pairing also crosses batches (a
+    // buffered right must meet a later left inside its salt group)
+    for (b <- 0 until 2) {
+      lSrc.addData(ls.slice(b * 43, (b + 1) * 43).map { case (i, lo, hi) =>
+        OvL(i, new Timestamp(lo), new Timestamp(hi)) }: _*)
+      rSrc.addData(rs.slice(b * 43, (b + 1) * 43).map { case (i, lo, hi) =>
+        OvR(i, new Timestamp(lo), new Timestamp(hi)) }: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("ovs_salt").as[(Long, Long)].collect()
+    assert(got.length === got.distinct.length,
+      "a pair must emit once though the right row sits in every salt group")
+    val batch = graft.operators.RangeJoin.intervalOverlap(
+        ls.toDF("l_id", "lo_l", "hi_l"), rs.toDF("r_id", "lo_r", "hi_r"),
+        "lo_l", "hi_l", "lo_r", "hi_r", 10000L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got.toSet === batch, "salt placement changed the answer")
+    // the crowd really pairs all-to-all (the shape under test)
+    assert(got.count { case (l, r) => l >= 500 && l < 525 &&
+      r >= 1500 && r < 1525 } === 625)
+  }
+
   test("stream-stream interval overlap: an over-span row fails loudly") {
     // a span past maxSpanMs would outlive the state-eviction horizon
     // and silently lose pairs — the operator must raise instead
