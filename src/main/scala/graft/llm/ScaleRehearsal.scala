@@ -366,11 +366,14 @@ object ScaleRehearsal {
     // verdict outcomes deterministically (a healthy box always reads
     // flat). Honored ONLY for the drill section — a lingering env var
     // must never arbitrate a REAL section's gate failure (review r19);
-    // malformed values are ignored, not crashed on.
+    // malformed values are ignored, not crashed on — and EXACTLY two
+    // ratios must parse (r19-ADVICE: "1.0,junk" used to arbitrate the
+    // drill on a single pair instead of the two-pair protocol it
+    // exists to drill; a partial stub now falls back to live probes).
     val stub = sys.env.get("GRAFT_GATE_PROBE_STUB")
       .filter(_ => section == "gatedrill")
       .map(_.split(",").toIndexedSeq.flatMap(_.trim.toDoubleOption))
-      .filter(_.nonEmpty)
+      .filter(_.size == 2)
       .map { rs =>
         println(s"[scale] gateVerdict: probe ratios STUBBED at " +
           s"${rs.mkString(",")} (GRAFT_GATE_PROBE_STUB — drill only)")
@@ -442,8 +445,9 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val all = Set("closure", "vocab", "recall", "graph", "offsets", "bpe",
       "skew", "stream", "streamjoin", "streamasof", "streamoverlap",
-      "ladder", "skewcorpus", "prefixcross", "rangeladder", "rangepoints",
-      "overlapsalt", "aqesalt", "buckets", "cbo", "bloom", "gatedrill")
+      "streamoverlapsalt", "ladder", "skewcorpus", "prefixcross",
+      "rangeladder", "rangepoints", "overlapsalt", "aqesalt", "buckets",
+      "cbo", "bloom", "gatedrill", "scopedsession")
     // gatedrill is OPT-IN only: it forces a synthetic gate failure, so
     // including it in the default sweep would make every full run exit
     // nonzero (and skip the sections after it) by design of the drill
@@ -492,6 +496,8 @@ object ScaleRehearsal {
     if (sections("streamjoin")) streamJoinSection(spark)
     if (sections("streamasof")) streamAsOfSection(spark)
     if (sections("streamoverlap")) streamOverlapSection(spark)
+    if (sections("streamoverlapsalt")) streamOverlapSaltSection(spark)
+    if (sections("scopedsession")) scopedSessionSection(spark)
     if (sections("ladder")) ladderSection(spark, ladderDir)
     if (sections("skewcorpus")) skewCorpusSection(spark, s"$Root/skewcorpus")
     if (sections("prefixcross")) prefixCrossSection(spark, s"$Root/prefix")
@@ -1798,7 +1804,7 @@ object ScaleRehearsal {
     def rRow(j: Long) = RehOv(j, new java.sql.Timestamp(base + j * 4 + 2),
       new java.sql.Timestamp(base + j * 4 + 2 + (j * 7) % (spanMs + 1)))
 
-    // (median state bytes, max state bytes, peak buckets, final
+    // (median state bytes, p90 state bytes, peak buckets, final
     // buckets, streamed (count, hashxor)). BYTES are the load-bearing
     // gate metric (r18 review): flatMapGroupsWithState's numRowsTotal
     // counts state KEYS — one OverlapBuf per bucket — so a regression
@@ -1862,7 +1868,9 @@ object ScaleRehearsal {
       spark.catalog.dropTempView(view)
       println(f"[scale] overlap[$n]: ${2 * n} events in $secs%.1f s = " +
         f"${2 * n / secs / 1e6}%.2f M rows/s; ${sig._1} pairs; peak " +
-        s"state ${mem.max / 1024} KiB in ${buckets.max} buckets; " +
+        s"state ${mem.max / 1024} KiB (p90 ${
+          mem.sorted.apply(math.min(mem.size - 1, (mem.size * 9) / 10)) /
+            1024} KiB) in ${buckets.max} buckets; " +
         s"post-flush $finalBuckets buckets; " +
         s"late-dropped $lateDropped rows")
       // the silent failure mode the operator's span guard CANNOT see
@@ -1888,18 +1896,27 @@ object ScaleRehearsal {
       // 6325 KiB across quiet same-code runs). The median is immune
       // to the spikes and still catches a REAL leak: monotone growth
       // puts half the 2×-run's samples above the 1×-run's ceiling.
-      val memMed = mem.sorted.apply(mem.size / 2)
-      (memMed, mem.max, buckets.max, finalBuckets, sig)
+      // The P90 rides along as the gate's robust UPPER statistic
+      // (r19-ADVICE): a leak that manifests as GROWING INTERMITTENT
+      // spikes — rather than monotone growth — leaves the median flat,
+      // while a spike regime covering >10% of batches moves the p90;
+      // min-of-2-reps (below) keeps one unlucky maintenance window
+      // from tripping it.
+      val sortedMem = mem.sorted
+      val memMed = sortedMem(mem.size / 2)
+      val memP90 = sortedMem(math.min(mem.size - 1, (mem.size * 9) / 10))
+      (memMed, memP90, buckets.max, finalBuckets, sig)
     }
 
-    // min-of-2 plateau on the PEAK BYTES (the repo's adjudication rule
-    // applied to the state gate): a single run's peak is BIMODAL — the
-    // HDFS-backed store's memoryUsedBytes includes retained in-memory
-    // map versions, whose count rides maintenance timing, not operator
-    // state (measured r19: 4323 vs 6372 KiB on back-to-back quiet runs
-    // of the SAME 1M corpus, buckets 315 = 315 both times). The
-    // reproducible floor is the operator's state; the excursions are
-    // store internals. Signatures required identical across reps.
+    // min-of-2 plateau on the state statistics (the repo's
+    // adjudication rule applied to the state gate): a single run's
+    // upper readings are BIMODAL — the HDFS-backed store's
+    // memoryUsedBytes includes retained in-memory map versions, whose
+    // count rides maintenance timing, not operator state (measured
+    // r19: 4323 vs 6372 KiB on back-to-back quiet runs of the SAME 1M
+    // corpus, buckets 315 = 315 both times). The reproducible floor
+    // is the operator's state; the excursions are store internals.
+    // Signatures required identical across reps.
     def plateauRun(n: Long): (Long, Long, Long, (Long, Long)) = {
       val (m1, x1, k1, _, s1) = run(n)
       val (m2, x2, k2, _, s2) = run(n)
@@ -1909,16 +1926,27 @@ object ScaleRehearsal {
         s"reps: $k1 vs $k2")
       (math.min(m1, m2), math.min(x1, x2), k1, s1)
     }
-    val (medB1, maxB1, peakK1, sig1) = plateauRun(500000L)
-    val (medB2, maxB2, peakK2, _) = plateauRun(1000000L)
+    val (medB1, p90B1, peakK1, sig1) = plateauRun(500000L)
+    val (medB2, p90B2, peakK2, _) = plateauRun(1000000L)
     println(f"[scale] overlap steady state: median ${medB1 / 1024}%d " +
-      f"KiB (max ${maxB1 / 1024}%d) / $peakK1%d buckets at 0.5M vs " +
-      f"median ${medB2 / 1024}%d KiB (max ${maxB2 / 1024}%d) / " +
+      f"KiB (p90 ${p90B1 / 1024}%d) / $peakK1%d buckets at 0.5M vs " +
+      f"median ${medB2 / 1024}%d KiB (p90 ${p90B2 / 1024}%d) / " +
       f"$peakK2%d buckets at 1M per side " +
-      f"(median ratio ${medB2.toDouble / medB1}%.2f)")
+      f"(median ratio ${medB2.toDouble / medB1}%.2f, " +
+      f"p90 ratio ${p90B2.toDouble / math.max(p90B1, 1L)}%.2f)")
     require(medB2 <= (medB1 * 3) / 2,
       s"overlap steady-state BYTES grew with TOTAL events " +
         s"($medB1 -> $medB2 median)")
+    // the robust UPPER gate (r19-ADVICE): the median is blind to a
+    // leak that shows as GROWING INTERMITTENT spikes; the p90 (min of
+    // 2 reps each side) trips when a spike regime covers >10% of the
+    // 2×-run's batches, while one maintenance window per rep stays
+    // excluded. The 3× + 1 MiB band is deliberately loose — p90 still
+    // samples store internals (r19 measured ~6 MiB excursions over a
+    // 0.6 MiB floor); the MEDIAN gate above stays the tight one.
+    require(p90B2 <= 3 * p90B1 + (1L << 20),
+      s"overlap p90 state BYTES grew with TOTAL events " +
+        s"($p90B1 -> $p90B2 p90, min of 2 reps each)")
 
     // batch parity at 0.5M: same rows through the batch operator
     val n = 500000L
@@ -1953,14 +1981,208 @@ object ScaleRehearsal {
       spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
         "streaming.state.RocksDBStateStoreProvider")
       try {
-        val (med, mx, k, _, sig) = run(500000L)
+        val (med, p90, k, _, sig) = run(500000L)
         require(sig == sig1,
           s"RocksDB provider changed the answer: $sig vs $sig1")
         println(f"[scale] overlap RocksDB A/B: median ${med / 1024}%d " +
-          f"KiB (max ${mx / 1024}%d) / $k%d buckets — signature " +
+          f"KiB (p90 ${p90 / 1024}%d) / $k%d buckets — signature " +
           "identical to the HDFS-backed runs")
       } finally spark.conf.set(providerKey, prior)
     }
+  }
+
+  // ---- (streamoverlapsalt) streaming overlap value-crowd rung ------
+
+  /** The r19-VERDICT task-1 measurement: the batch↔stream asymmetry
+    * closed. A same-range crowd (C near-identical intervals per side)
+    * lands every row in ONE FMGWS group of
+    * [[graft.streaming.StreamJobs.intervalOverlapStream]] — O(crowd)
+    * state under a single key and O(crowd²) pair yield in a single
+    * task, the exact shape the batch salt rung
+    * ([[graft.operators.RangeJoin.intervalOverlapSalted]]) mitigates.
+    * Ladder: unmitigated (1,1) → the batch form's 1-D split (16,1) →
+    * the streaming-native 2-D grid (4,4), same 16-cell parallelism.
+    * Claims under gate: (a) answers are salt-invariant (count +
+    * pair-hash XOR identical across all three); (b) the salt
+    * materially shrinks the hot task (the crowd's pair yield spreads
+    * across the grid cells); (c) at the SAME cell count the 2-D grid
+    * buffers LESS total state than 1-D — 1-D replicates the whole
+    * right side into every group (total ≈ C·(1+16), per-key still
+    * ~C), the grid pays C·4 per side (per-key ~C/2). The watermark
+    * delay is set past the feed window so nothing prunes mid-run:
+    * the state readings compare the variants' full buffered shape,
+    * not prune timing. Pure-crowd corpus by design — the benign
+    * regime is the board leg's (q_range_band_overlap_stream, full
+    * corpus, unsalted); this section measures only the crowd the sf
+    * data cannot produce. */
+  private def streamOverlapSaltSection(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    println("[scale] === streaming overlap same-range crowd " +
+      "(salt-grid rung) ===")
+    val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
+    val broken = scala.collection.mutable.ArrayBuffer.empty[String]
+    def gate(ok: Boolean, msg: String): Unit = if (!ok) {
+      println(s"[scale] GATE FAILED (streamoverlapsalt): $msg")
+      broken += msg
+    }
+    val base = 1616300000000L
+    val (widthMs, spanMs) = (32L, 16L)
+    val C = 8000
+    // ONE exact bucket-aligned interval carried by every row — the
+    // SCD2 crowd; C² = 64M true pairs either way (placement-only)
+    def crowd(idBase: Long): IndexedSeq[RehOv] = (0 until C).map(i =>
+      RehOv(idBase + i, new java.sql.Timestamp(base + 96),
+        new java.sql.Timestamp(base + 96 + spanMs)))
+    val (lRows, rRows) = (crowd(0L), crowd(1000000L))
+    // (count, xor, state bytes, state keys) for one full run
+    def run(sl: Int, sr: Int): (Long, Long, Long, Long) = {
+      val lSrc = MemoryStream[RehOv]
+      val rSrc = MemoryStream[RehOv]
+      var cnt = 0L
+      var xorAcc = 0L
+      val q = graft.streaming.StreamJobs.intervalOverlapStream(
+          lSrc.toDF(), rSrc.toDF(), "id", "lo", "hi", "id", "lo", "hi",
+          bucketWidthMs = widthMs, maxSpanMs = spanMs,
+          delay = "1 hour", saltLeft = sl, saltRight = sr)
+        .writeStream.outputMode("append")
+        // signature accumulated per batch in the operator's own
+        // tasks (count + order-independent pair-hash XOR) — a raw
+        // 64M-pair sink would bury the yield cost under IO
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val r = b.agg(count(lit(1)), coalesce(
+            expr("bit_xor(xxhash64(l_id, r_id))"), lit(0L))).collect()(0)
+          cnt += r.getLong(0); xorAcc ^= r.getLong(1)
+        }.start()
+      // two batches: the second's lefts must pair with the first's
+      // buffered rights INSIDE their grid cell (cross-batch state)
+      (0 until 2).foreach { b =>
+        lSrc.addData(lRows.slice(b * C / 2, (b + 1) * C / 2))
+        rSrc.addData(rRows.slice(b * C / 2, (b + 1) * C / 2))
+        q.processAllAvailable()
+      }
+      val bytes = q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum
+      val keys = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q.stop()
+      (cnt, xorAcc, bytes, keys)
+    }
+    val bal = new StageBalanceListener
+    ListenerShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(bal)
+    try {
+      // codegen/state-store warmup on a tiny crowd (all variants)
+      Seq((1, 1), (16, 1), (4, 4)).foreach { case (sl, sr) =>
+        val s = MemoryStream[RehOv]; val r = MemoryStream[RehOv]
+        val wq = graft.streaming.StreamJobs.intervalOverlapStream(
+            s.toDF(), r.toDF(), "id", "lo", "hi", "id", "lo", "hi",
+            widthMs, spanMs, "1 hour", sl, sr)
+          .writeStream.format("noop").outputMode("append").start()
+        s.addData(lRows.take(50)); r.addData(rRows.take(50))
+        wq.processAllAvailable(); wq.stop()
+      }
+      // min-of-2 plateau on the max task (the repo's adjudication
+      // rule); signatures and state shape required identical across
+      // reps — the buffered content is deterministic with no pruning
+      def plateau(tag: String, sl: Int, sr: Int)
+          : ((Long, Long, Long, Long), Double) = {
+        val (r1, _, mx1) = balMeasured(spark, bal)(tag)(run(sl, sr))
+        val (r2, _, mx2) = balMeasured(spark, bal)(s"$tag (rep 2)")(
+          run(sl, sr))
+        require(r1._1 == r2._1 && r1._2 == r2._2,
+          s"$tag signature varies across reps: $r1 vs $r2")
+        (r1, math.min(mx1, mx2))
+      }
+      val ((n0, x0, b0, k0), mx0) = plateau(
+        s"crowd $C×$C unmitigated (one FMGWS group)", 1, 1)
+      val ((n1, x1, b1, k1), mx1) = plateau(
+        "crowd SALTED 1-D (16,1) — the batch form's split", 16, 1)
+      val ((n2, x2, b2, k2), mx2) = plateau(
+        "crowd SALTED 2-D grid (4,4) — same 16 cells", 4, 4)
+      require(n0 == 1L * C * C, s"crowd must pair all-to-all: $n0")
+      require((n1, x1) == ((n0, x0)) && (n2, x2) == ((n0, x0)),
+        s"salt changed the answer: ($n0,$x0) vs ($n1,$x1) vs ($n2,$x2)")
+      println(f"[scale] streamoverlap crowd ladder: max task " +
+        f"$mx0%.1f s unmitigated → $mx1%.1f s 1-D(16,1) → $mx2%.1f s " +
+        f"2-D(4,4); state ${b0 / 1024} KiB/$k0 keys → ${b1 / 1024} " +
+        f"KiB/$k1 keys → ${b2 / 1024} KiB/$k2 keys " +
+        f"(per-key ${b0 / k0 / 1024} → ${b1 / k1 / 1024} → " +
+        f"${b2 / k2 / 1024} KiB)")
+      gate(mx0 / mx1.max(0.05) >= 2.0,
+        f"1-D salt did not materially shrink the crowd's hot task: " +
+          f"$mx0%.1f s → $mx1%.1f s")
+      gate(mx0 / mx2.max(0.05) >= 2.0,
+        f"2-D salt did not materially shrink the crowd's hot task: " +
+          f"$mx0%.1f s → $mx2%.1f s")
+      gate(b2 < b1,
+        s"the 2-D grid should buffer less total state than 1-D at " +
+          s"the same cell count: $b2 vs $b1 bytes")
+    } finally spark.sparkContext.removeSparkListener(bal)
+    gateVerdict(spark, "streamoverlapsalt", broken.toSeq, lenient)
+  }
+
+  // ---- (scopedsession) per-query session mint lifecycle ------------
+
+  /** The r19-VERDICT task-6 sanity: [[graft.func.Confs.scopedSession]]
+    * mints a cloned SessionState per query (the star leg does it on
+    * every Verify/Bench invocation) — before the idiom spreads to
+    * more legs, prove a mint leaves NOTHING behind on the shared
+    * machinery. Observables: (a) the shared LiveListenerBus's
+    * registered-listener count (a clone that subscribed anything
+    * would both accumulate listeners and RETAIN its SessionState
+    * forever); (b) post-GC heap across 10k mints (a retained clone
+    * graph would show as monotone growth — each carries conf maps,
+    * registries, experimental hooks); (c) mint throughput, since
+    * "cheap enough to mint per query" is the API's own claim. A
+    * sampled mint runs a real action so the measurement covers the
+    * session being USED, not just constructed. */
+  private def scopedSessionSection(spark: SparkSession): Unit = {
+    println("[scale] === scoped-session mint lifecycle (10k) ===")
+    val lenient = sys.env.get("GRAFT_LADDER_LENIENT").contains("1")
+    val broken = scala.collection.mutable.ArrayBuffer.empty[String]
+    def gate(ok: Boolean, msg: String): Unit = if (!ok) {
+      println(s"[scale] GATE FAILED (scopedsession): $msg")
+      broken += msg
+    }
+    val sc = spark.sparkContext
+    def heapUsed(): Long = {
+      System.gc(); Thread.sleep(200); System.gc()
+      val rt = Runtime.getRuntime
+      rt.totalMemory() - rt.freeMemory()
+    }
+    ListenerShim.drainListenerBus(sc)
+    val l0 = ListenerShim.listenerCount(sc)
+    val h0 = heapUsed()
+    val mints = 10000
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < mints) {
+      val s = graft.func.Confs.scopedSession(spark,
+        Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true"))
+      // every 1000th mint runs a real action on its session (conf
+      // read + plan + execute), so lifecycle covers used sessions
+      if (i % 1000 == 0) {
+        require(s.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1")
+        require(s.range(2).count() == 2L)
+      }
+      i += 1
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    ListenerShim.drainListenerBus(sc)
+    val l1 = ListenerShim.listenerCount(sc)
+    val h1 = heapUsed()
+    println(f"[scale] scopedsession: $mints mints in $secs%.1f s = " +
+      f"${mints / secs}%.0f mints/s; shared-bus listeners $l0 -> $l1; " +
+      f"post-GC heap ${h0 / 1048576} -> ${h1 / 1048576} MiB " +
+      f"(${(h1 - h0) / 1048576}%+d)")
+    gate(l1 <= l0 + 2,
+      s"scoped-session mints accumulated shared-bus listeners: " +
+        s"$l0 -> $l1 across $mints mints")
+    gate(h1 - h0 < 512L * 1048576,
+      s"post-GC heap grew ${(h1 - h0) / 1048576} MiB across $mints " +
+        "mints — cloned SessionStates look retained")
+    gateVerdict(spark, "scopedsession", broken.toSeq, lenient)
   }
 
   // ---- (ladder) growth exponents for the top-CPU pipelines ---------

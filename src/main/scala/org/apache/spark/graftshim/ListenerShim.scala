@@ -14,4 +14,11 @@ object ListenerShim {
     * not swallowed — a silently-partial drain would corrupt the
     * per-query attribution it exists to protect). */
   def drainListenerBus(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+
+  /** Number of listeners currently registered on the shared
+    * LiveListenerBus — the accumulation observable for the
+    * per-query-session idiom (ScaleRehearsal `scopedsession`): if
+    * minting a scoped session registered anything on the SHARED bus,
+    * 10k mints would show here (and retain their SessionStates). */
+  def listenerCount(sc: SparkContext): Int = sc.listenerBus.listeners.size()
 }
