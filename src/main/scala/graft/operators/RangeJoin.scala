@@ -543,7 +543,11 @@ object RangeJoin {
     * compare is the cross-engine proof). Contract otherwise as
     * [[intervalOverlap]]; `salt = 1` IS [[intervalOverlap]]. Pick id
     * columns with high cardinality WITHIN the crowd — rows sharing id
-    * values land in one group and cannot be split apart. */
+    * values land in one group and cannot be split apart (this
+    * operator is lazy, so it cannot see the hazard itself; derive the
+    * knobs through [[autoOverlapMitigation]] with `saltIdCols` and
+    * its one-pass degeneracy check warns loudly when the hot bucket's
+    * left rows reach under half the derived groups). */
   def intervalOverlapSalted(left: DataFrame, right: DataFrame,
       lLo: String, lHi: String, rLo: String, rHi: String,
       bucketWidth: Long = BucketWidth, salt: Int = 1,
@@ -612,10 +616,47 @@ object RangeJoin {
     * while its span covers it), so the range part shrinks
     * quadratically while the dup core stays exactly maxDupHot².
     * Estimates are conservative; the result is placement-only —
-    * answers are width- AND salt-invariant by contract. */
+    * answers are width- AND salt-invariant by contract.
+    *
+    * Pass `saltIdCols` (the columns the caller will hand
+    * [[intervalOverlapSalted]]) to also get the DEGENERATE-SALT
+    * diagnostic (r19-ADVICE): a salt derived from id columns that are
+    * constant or low-cardinality WITHIN the crowd is a silent no-op —
+    * the crowd's left rows all hash to a handful of groups while the
+    * right side still pays the full salt× replication. The check
+    * counts the distinct salt groups the hot bucket's left rows
+    * actually reach (one pass, filtered to the hot bucket, run ONLY
+    * when a salt > 1 was derived) and warns LOUDLY — same
+    * no-silent-caps posture as [[saltFor]]'s clamp — when under half
+    * the derived groups are populated. Diagnostic only: the answer is
+    * still exact either way; the cost is wasted replication. */
   def autoOverlapMitigation(left: DataFrame, right: DataFrame,
       lLo: String, lHi: String, rLo: String, rHi: String,
-      probeWidth: Long = BucketWidth): (Long, Int) =
+      probeWidth: Long = BucketWidth,
+      saltIdCols: Seq[String] = Nil): (Long, Int) = {
+    // one copy of the warn-on-degenerate-placement check, applied to
+    // whichever arm derived a salt (reuses the census's hot bucket)
+    def checked(hotB: Long)(w: Long, k: Int): (Long, Int) = {
+      if (k > 1 && saltIdCols.nonEmpty) {
+        val hotLoB = expr(fdiv(lLo, probeWidth))
+        val hotHiB = expr(fdiv(lHi, probeWidth))
+        val groups = left
+          .filter(col(lLo).isNotNull && col(lHi).isNotNull &&
+            col(lLo) <= col(lHi))
+          .filter(hotLoB <= lit(hotB) && hotHiB >= lit(hotB))
+          .select(pmod(xxhash64(saltIdCols.map(col): _*),
+            lit(k.toLong)).as("__s"))
+          .agg(countDistinct(col("__s"))).collect()(0).getLong(0)
+        if (groups * 2 < k)
+          println(s"[range-join] derived salt $k is DEGENERATE on " +
+            s"saltIdCols ${saltIdCols.mkString(",")}: the hot " +
+            s"bucket's left rows reach only $groups of $k groups — " +
+            "the crowd cannot be split apart on these ids while the " +
+            "right side still pays the full replication; pick id " +
+            "columns with high cardinality WITHIN the crowd")
+      }
+      (w, k)
+    }
     overlapCensus(left, right, lLo, lHi, rLo, rHi, probeWidth) match {
       case None => (probeWidth, 1)
       case Some(c) if c.benign => (probeWidth, 1)
@@ -641,7 +682,7 @@ object RangeJoin {
         val valueCore = (maxDupHot.toDouble / 2) * (maxDupHot.toDouble / 2)
         if (valueCore * 2 >= maxWork) {
           // value crowd: width is useless, salt at the probe width
-          (probeWidth, saltFor(maxWork))
+          checked(c.hotB)(probeWidth, saltFor(maxWork))
         } else {
           val v = overlapWidthFor(c, probeWidth)
           // what v cannot split: each side's occupancy thins with the
@@ -649,9 +690,10 @@ object RangeJoin {
           val sBar = c.spanSum / math.max(c.ivCount, 1L)
           val occV = c.maxN * (sBar + v) / (sBar + probeWidth)
           val residual = math.max((occV / 2) * (occV / 2), valueCore)
-          (v, saltFor(residual))
+          checked(c.hotB)(v, saltFor(residual))
         }
     }
+  }
 
   /** part's ±0.1% retail-price band in integer cents — the ONE
     * builder behind both the fixed-width and auto-width query pairs,
@@ -726,21 +768,28 @@ object RangeJoin {
       .agg(count(lit(1)).as("match_ct"))
   }
 
-  /** The overlap audit at the CENSUS-DERIVED width — [[autoWidth]]
-    * run end to end on real data, then the same join at the width it
-    * picks. Same oracle as [[bandOverlapQuery]]: the operator's
-    * contract is width-independence, so the driver's hash compare IS
-    * the proof that the auto-derived width changes nothing but the
-    * plan's balance. (At the sf corpora the price bands are benign —
-    * near-uniform occupancy — so auto keeps the probe width; the
-    * skewed-regime behavior is rehearsed on the hot-bucket corpus in
-    * ScaleRehearsal's rangeladder section, where auto BEAT the
-    * hand-tuned width 3.4 s vs 7.4 s wall.) */
+  /** The overlap audit at the CENSUS-DERIVED mitigation —
+    * [[autoOverlapMitigation]] run end to end on real data, then the
+    * same join at the FULL (width, salt) it picks (r19-VERDICT task
+    * 5: the auto API's value path was exercised only by spec +
+    * rehearsal; this puts it under the driver's cross-engine hash).
+    * Same oracle as [[bandOverlapQuery]]: the operator's contract is
+    * width- AND salt-independence, so the hash compare IS the proof
+    * that the derived mitigation changes nothing but the plan's
+    * balance. (At the sf corpora the price bands are benign —
+    * near-uniform occupancy — so auto returns (probeWidth, 1) and
+    * the salted operator IS [[intervalOverlap]]: the leg proves the
+    * auto path adds nothing on healthy data; the skewed regimes are
+    * rehearsed on hot-bucket corpora in ScaleRehearsal's rangeladder
+    * and overlapsalt sections, where auto BEAT the hand-tuned width
+    * 3.4 s vs 7.4 s wall and derived the salt the crowd needed.) */
   def bandOverlapAutoQuery(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = (priceBands(spark, dir, "pk_a", "lo_a", "hi_a"),
       priceBands(spark, dir, "pk_b", "lo_b", "hi_b"))
-    val w = autoWidth(a, b, "lo_a", "hi_a", "lo_b", "hi_b")
-    intervalOverlap(a, b, "lo_a", "hi_a", "lo_b", "hi_b", w)
+    val (w, k) = autoOverlapMitigation(a, b, "lo_a", "hi_a", "lo_b", "hi_b",
+      saltIdCols = Seq("pk_a"))
+    intervalOverlapSalted(a, b, "lo_a", "hi_a", "lo_b", "hi_b", w, k,
+        saltIdCols = Seq("pk_a"))
       .filter(col("pk_a") < col("pk_b"))
       .groupBy(col("pk_a").as("p_partkey"))
       .agg(count(lit(1)).as("overlap_ct"))
@@ -795,9 +844,19 @@ object RangeJoin {
     * reads `readStream`; the operator itself never collects). */
   def bandOverlapStreamQuery(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import spark.implicits._
-    implicit val sqlc: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = priceBands(spark, dir, "pk", "lo", "hi")
+    // the stream leg runs on a per-query SCOPED session at 8 shuffle
+    // partitions (the stateful operator's state-partition count is
+    // fixed at query start from this conf): the leg's live state is a
+    // few hundred KiB, but EVERY micro-batch commits one HDFS-store
+    // delta file per partition, so the session's 32 buys nothing but
+    // 4× the per-batch commit fan-out (r19-VERDICT task 4, A/B in
+    // PLANS §r20). At a deployment's real volume the knob goes back
+    // up with the state it amortizes.
+    val ss: SparkSession = graft.func.Confs.scopedSession(spark,
+      Seq("spark.sql.shuffle.partitions" -> "8"))
+    import ss.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val rows = priceBands(ss, dir, "pk", "lo", "hi")
       .select("pk", "lo", "hi").as[(Long, Long, Long)]
       .collect().sortBy(_._3)
     // degenerate empty corpus: no bands → no stream to run (and no

@@ -190,19 +190,26 @@ object PartitionedLake {
     * fact's user traffic at sf0.01). */
   val StarNation = 19
 
-  /** SQL confs [[starQuery]] executes under. Auto-broadcast is
-    * disabled so the customer-dim join SHUFFLES (a broadcast join
-    * already probes row-by-row during the scan — the bloom
-    * semi-filter only pays on shuffle joins; the calendar dim keeps
-    * its explicit `broadcast()` hint, which survives a -1
-    * threshold), and the bloom thresholds are opened because the
-    * 10 GB `applicationSideScanSizeThreshold` default keeps the
-    * feature silent below cluster scale (PLANS §r17 bloom) — at the
-    * 100 TB shape the DEFAULT config fires and none of these
-    * overrides are needed. */
+  /** SQL confs [[starQuery]] executes under — narrowed to the set
+    * only a session conf CAN carry (r19-VERDICT task 3). The bloom
+    * thresholds are opened because the 10 GB
+    * `applicationSideScanSizeThreshold` default keeps the feature
+    * silent below cluster scale (PLANS §r17 bloom). The static
+    * `autoBroadcastJoinThreshold = -1` must stay session-scoped even
+    * though the JOIN SHAPE is now fenced per-join (the SHUFFLE_HASH
+    * hint in [[starFrame]]): Catalyst's `InjectRuntimeFilter` gates
+    * injection on `isProbablyShuffleJoin`, which consults the
+    * SIZE-based `canBroadcastBySize(dim)` — a toy-scale dim under the
+    * 10 MB default reads broadcastable and vetoes the bloom REGARDLESS
+    * of how the join is actually planned, and no per-join hint reaches
+    * that estimate. The r18/r19 form also pinned
+    * `spark.sql.adaptive.autoBroadcastJoinThreshold = -1`; that one IS
+    * replaceable by the hint (AQE's runtime broadcast demotion honors
+    * an explicit per-join strategy), so it is gone. At the 100 TB
+    * shape the DEFAULT config fires and none of these overrides are
+    * needed — the dim is past every broadcast estimate. */
   private[graft] val starConfs: Seq[(String, String)] = Seq(
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
@@ -242,7 +249,13 @@ object PartitionedLake {
     val users = Tables.customer(spark, dir)
       .filter(col("c_nationkey") === StarNation)
       .select(col("c_custkey"))
-    fact.join(users, col("user_id") === col("c_custkey"))
+    // per-join fences (r19-VERDICT task 3): the customer join is
+    // pinned SHUFFLE_HASH so the bloom semi-filter has a shuffle to
+    // pay off on (and AQE cannot demote it to broadcast at toy scale
+    // — this hint replaces the session-wide adaptive threshold the
+    // r19 form pinned); the calendar join keeps its explicit
+    // broadcast, which DPP rides for free
+    fact.join(users.hint("SHUFFLE_HASH"), col("user_id") === col("c_custkey"))
       .join(broadcast(cal), fact("dt") === cal("d_dt"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_rows"),
