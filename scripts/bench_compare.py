@@ -78,14 +78,23 @@ def main():
         rows.append((abs(rn / ro - 1), q, ro, rn,
                      ncpu[q] - ocpu[q]))
     rows.sort(reverse=True)
-    print(f"\ntop {top_n} by |normalized ratio change| "
-          f"(FLAG = >25% normalized AND >0.3 raw cpu_s):")
-    for chg, q, ro, rn, rawd in rows[:top_n]:
-        flag = "FLAG" if chg > 0.25 and abs(rawd) > 0.3 else "    "
+
+    def flagged(row):
+        chg, _, _, _, rawd = row
+        return chg > 0.25 and abs(rawd) > 0.3
+
+    # every flagged row prints, even past topN: the flag requires the
+    # raw-delta bar the |ratio| sort key ignores, so a small topN could
+    # otherwise count a query as flagged yet never show it
+    shown = rows[:top_n] + [r for r in rows[top_n:] if flagged(r)]
+    print(f"\ntop {top_n} by |normalized ratio change|, plus every "
+          f"flagged row (FLAG = >25% normalized AND >0.3 raw cpu_s):")
+    for row in shown:
+        chg, q, ro, rn, rawd = row
+        flag = "FLAG" if flagged(row) else "    "
         print(f"  {flag} {q:42s} {ro:8.4f} -> {rn:8.4f} "
               f"({rn / ro - 1:+.1%}; raw {rawd:+.2f} cpu_s)")
-    flags = [q for chg, q, ro, rn, rawd in rows
-             if chg > 0.25 and abs(rawd) > 0.3]
+    flags = [r[1] for r in rows if flagged(r)]
     print(f"\nflagged: {len(flags)}"
           + (f" — {', '.join(flags)}" if flags else ""))
 
