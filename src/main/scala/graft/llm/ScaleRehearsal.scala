@@ -1868,9 +1868,8 @@ object ScaleRehearsal {
       spark.catalog.dropTempView(view)
       println(f"[scale] overlap[$n]: ${2 * n} events in $secs%.1f s = " +
         f"${2 * n / secs / 1e6}%.2f M rows/s; ${sig._1} pairs; peak " +
-        s"state ${mem.max / 1024} KiB (p90 ${
-          mem.sorted.apply(math.min(mem.size - 1, (mem.size * 9) / 10)) /
-            1024} KiB) in ${buckets.max} buckets; " +
+        s"state ${mem.max / 1024} KiB (p90 ${p90Of(mem.toSeq) / 1024} " +
+        s"KiB) in ${buckets.max} buckets; " +
         s"post-flush $finalBuckets buckets; " +
         s"late-dropped $lateDropped rows")
       // the silent failure mode the operator's span guard CANNOT see
@@ -1902,10 +1901,8 @@ object ScaleRehearsal {
       // while a spike regime covering >10% of batches moves the p90;
       // min-of-2-reps (below) keeps one unlucky maintenance window
       // from tripping it.
-      val sortedMem = mem.sorted
-      val memMed = sortedMem(mem.size / 2)
-      val memP90 = sortedMem(math.min(mem.size - 1, (mem.size * 9) / 10))
-      (memMed, memP90, buckets.max, finalBuckets, sig)
+      val memMed = mem.sorted.apply(mem.size / 2)
+      (memMed, p90Of(mem.toSeq), buckets.max, finalBuckets, sig)
     }
 
     // min-of-2 plateau on the state statistics (the repo's
@@ -1989,6 +1986,18 @@ object ScaleRehearsal {
           "identical to the HDFS-backed runs")
       } finally spark.conf.set(providerKey, prior)
     }
+  }
+
+  /** Nearest-rank 90th percentile (ceil(0.9·n)-th order statistic) —
+    * the state gate's robust upper statistic. Nearest-rank rather
+    * than an index floor because at the 0.5M rung's 10 batches a
+    * floored index lands on the MAX itself, re-admitting the single
+    * maintenance-window spike the statistic exists to exclude (one
+    * spike per rep is store timing; a leak shows as a spike REGIME
+    * covering >10% of batches). */
+  private def p90Of(xs: Seq[Long]): Long = {
+    val s = xs.sorted
+    s(math.max(0, math.ceil(s.size * 0.9).toInt - 1))
   }
 
   // ---- (streamoverlapsalt) streaming overlap value-crowd rung ------

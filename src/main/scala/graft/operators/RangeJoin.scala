@@ -547,7 +547,7 @@ object RangeJoin {
     * operator is lazy, so it cannot see the hazard itself; derive the
     * knobs through [[autoOverlapMitigation]] with `saltIdCols` and
     * its one-pass degeneracy check warns loudly when the hot bucket's
-    * left rows reach under half the derived groups). */
+    * left rows reach half or fewer of the derived groups). */
   def intervalOverlapSalted(left: DataFrame, right: DataFrame,
       lLo: String, lHi: String, rLo: String, rHi: String,
       bucketWidth: Long = BucketWidth, salt: Int = 1,
@@ -627,7 +627,7 @@ object RangeJoin {
     * counts the distinct salt groups the hot bucket's left rows
     * actually reach (one pass, filtered to the hot bucket, run ONLY
     * when a salt > 1 was derived) and warns LOUDLY — same
-    * no-silent-caps posture as [[saltFor]]'s clamp — when under half
+    * no-silent-caps posture as [[saltFor]]'s clamp — when half or fewer of
     * the derived groups are populated. Diagnostic only: the answer is
     * still exact either way; the cost is wasted replication. */
   def autoOverlapMitigation(left: DataFrame, right: DataFrame,
@@ -647,7 +647,10 @@ object RangeJoin {
           .select(pmod(xxhash64(saltIdCols.map(col): _*),
             lit(k.toLong)).as("__s"))
           .agg(countDistinct(col("__s"))).collect()(0).getLong(0)
-        if (groups * 2 < k)
+        // fires at half-or-less populated (<=, not <: a fully
+        // degenerate constant id under the smallest derivable salt
+        // k=2 populates exactly one group — half — and must warn)
+        if (groups * 2 <= k)
           println(s"[range-join] derived salt $k is DEGENERATE on " +
             s"saltIdCols ${saltIdCols.mkString(",")}: the hot " +
             s"bucket's left rows reach only $groups of $k groups — " +

@@ -299,6 +299,35 @@ class RangeJoinSpec extends SparkSpec {
     assert(pairs(wv, kv) === pairs(RangeJoin.BucketWidth, 1))
   }
 
+  test("autoOverlapMitigation: degenerate saltIdCols warn loudly, " +
+      "healthy ids stay silent") {
+    // the hazard the lazy operator cannot see (r19-ADVICE): a salt
+    // derived from id columns CONSTANT within the crowd is a no-op —
+    // every crowd row hashes to one group while the right side still
+    // pays the full replication. The census path must say so.
+    def crowd(idCol: org.apache.spark.sql.Column, id: String,
+        lo: String, hi: String) =
+      spark.range(5000).select(idCol.as(id), lit(100L).as(lo))
+        .withColumn(hi, lit(110L))
+    val r = crowd(col("id"), "b_id", "lo_b", "hi_b")
+    def run(l: org.apache.spark.sql.DataFrame): ((Long, Int), String) = {
+      val buf = new java.io.ByteArrayOutputStream
+      val wk = Console.withOut(new java.io.PrintStream(buf, true)) {
+        RangeJoin.autoOverlapMitigation(l, r,
+          "lo_a", "hi_a", "lo_b", "hi_b", saltIdCols = Seq("a_id"))
+      }
+      (wk, buf.toString)
+    }
+    val ((_, kBad), outBad) = run(crowd(lit(7L), "a_id", "lo_a", "hi_a"))
+    assert(kBad >= 2, s"the crowd must still derive a salt, got $kBad")
+    assert(outBad.contains("DEGENERATE"),
+      s"constant ids must trip the degeneracy warning, got: $outBad")
+    val ((_, kOk), outOk) = run(crowd(col("id"), "a_id", "lo_a", "hi_a"))
+    assert(kOk >= 2)
+    assert(!outOk.contains("DEGENERATE"),
+      s"high-cardinality ids must stay silent, got: $outOk")
+  }
+
   test("band-overlap SALTED query matches the fixed-width board query") {
     val salted = RangeJoin.bandOverlapSaltedQuery(spark, Sf)
       .as[(Long, Long)].collect().toMap
