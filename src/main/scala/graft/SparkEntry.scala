@@ -301,6 +301,8 @@ object SparkEntry {
     "q_src_lake_star"       -> (sources.PartitionedLake.starQuery(_, _)),
     "q_range_band_overlap_stream" ->
       (operators.RangeJoin.bandOverlapStreamQuery(_, _)),
+    "q_range_band_overlap_stream_salted" ->
+      (operators.RangeJoin.bandOverlapStreamSaltedQuery(_, _)),
     "q_range_price_band_salted" ->
       (operators.RangeJoin.priceBandSaltedQuery(_, _)),
     "q_range_band_overlap_salted" ->
@@ -366,6 +368,10 @@ object SparkEntry {
     // full corpus since r19 (file-sink drain) — the SAME oracle as
     // the batch overlap leg: streaming path, identical answer
     "q_range_band_overlap_stream" -> operators.RangeJoin.bandOverlapOracle,
+    // the 2-D salt-grid streaming path under the SAME oracle: engine-
+    // AND grid-independence in one cross-engine hash (r20)
+    "q_range_band_overlap_stream_salted" ->
+      operators.RangeJoin.bandOverlapOracle,
     "q_range_price_band_auto" -> operators.RangeJoin.priceBandOracle,
     "q_range_price_band_salted" -> operators.RangeJoin.priceBandOracle,
     "q_range_band_overlap_salted" -> operators.RangeJoin.bandOverlapOracle,

@@ -845,7 +845,23 @@ object RangeJoin {
     * driver-side collect of the 20k-row band table remains
     * demonstration harness, not the production path (a deployment
     * reads `readStream`; the operator itself never collects). */
-  def bandOverlapStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+  def bandOverlapStreamQuery(spark: SparkSession, dir: String): DataFrame =
+    bandOverlapStreamImpl(spark, dir, saltLeft = 1, saltRight = 1)
+
+  /** [[bandOverlapStreamQuery]] through the 2-D salt GRID (fixed 2×2)
+    * — same oracle as the batch board query: the driver's hash compare
+    * is the cross-engine proof that grid placement (left rows hashed
+    * into grid rows and replicated across columns, rights the
+    * transpose, responsibility rule untouched) never changes the
+    * streaming answer — the invariance the crowd mitigation's
+    * correctness leans on, proven here on real data rather than only
+    * on the spec's synthetic crowd. */
+  def bandOverlapStreamSaltedQuery(spark: SparkSession,
+      dir: String): DataFrame =
+    bandOverlapStreamImpl(spark, dir, saltLeft = 2, saltRight = 2)
+
+  private def bandOverlapStreamImpl(spark: SparkSession, dir: String,
+      saltLeft: Int, saltRight: Int): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // the stream leg runs on a per-query SCOPED session at 8 shuffle
     // partitions (the stateful operator's state-partition count is
@@ -887,7 +903,7 @@ object RangeJoin {
         rSrc.toDF().toDF("id", "lo", "hi"),
         "id", "lo", "hi", "id", "lo", "hi",
         bucketWidthMs = BucketWidth, maxSpanMs = maxSpan,
-        delay = "1 second")
+        delay = "1 second", saltLeft = saltLeft, saltRight = saltRight)
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .outputMode("append").start()

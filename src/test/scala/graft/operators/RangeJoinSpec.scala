@@ -392,6 +392,12 @@ class RangeJoinSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(again === fixed)
     assert(streamed.nonEmpty)
+    // the 2-D salt-grid path on the same real corpus: grid placement
+    // (rows hashed, transpose replication, responsibility untouched)
+    // must be invisible in the answer — the board leg's contract
+    val gridded = RangeJoin.bandOverlapStreamSaltedQuery(spark, Sf)
+      .as[(Long, Long)].collect().toMap
+    assert(gridded === fixed)
   }
 
   test("band-overlap AUTO query matches the fixed-width board query") {
