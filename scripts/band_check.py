@@ -12,8 +12,10 @@ minute-scale gust noise. An isolated flag in an untouched file whose
 sibling legs read in-band is weather; a real regression concentrates
 in touched operators and survives a re-run (PLANS §r20 wrap).
 
-Exit code: 0 when nothing flags, 3 (advisory) when something does —
-the flag is a prompt to adjudicate, not a verdict by itself.
+Exit code: 0 when every banded query is present and in band, 3
+(advisory) when anything flags OR a banded query is missing from the
+artifact — the flag is a prompt to adjudicate, not a verdict by
+itself.
 """
 import json
 import os
@@ -39,10 +41,15 @@ def main():
     print(f"artifact {sys.argv[1]}  norm={norm:.3f}  "
           f"(bands pinned from {spec['pinned_from']} @ {pinned_norm:.3f})")
     flags = []
+    missing = []
     for q, band in sorted(spec["bands"].items(),
                           key=lambda kv: -kv[1]):
         if q not in cpu:
+            # a banded query the artifact never measured is itself an
+            # advisory condition — a crashed/renamed run must not read
+            # as "fully in band" to an exit-code consumer
             print(f"  MISS {q:42s} not in artifact")
+            missing.append(q)
             continue
         ratio = cpu[q] / norm
         dev = ratio / band - 1
@@ -54,8 +61,10 @@ def main():
         print(f"  {mark} {q:42s} band {band:.4f} now {ratio:.4f} "
               f"({dev:+.1%}; raw {raw:+.2f} cpu_s)")
     print(f"\nflagged: {len(flags)}"
-          + (f" — {', '.join(flags)}" if flags else ""))
-    sys.exit(3 if flags else 0)
+          + (f" — {', '.join(flags)}" if flags else "")
+          + (f"; missing: {len(missing)} — {', '.join(missing)}"
+             if missing else ""))
+    sys.exit(3 if flags or missing else 0)
 
 
 if __name__ == "__main__":

@@ -370,9 +370,14 @@ object ScaleRehearsal {
     // ratios must parse (r19-ADVICE: "1.0,junk" used to arbitrate the
     // drill on a single pair instead of the two-pair protocol it
     // exists to drill; a partial stub now falls back to live probes).
+    // both bars on the RAW tokens: "1.0,junk,2.0" must fall back to
+    // live probes, not be silently repaired to its parsable pair
+    // (review r20 — flatMap-then-count alone admits it)
     val stub = sys.env.get("GRAFT_GATE_PROBE_STUB")
       .filter(_ => section == "gatedrill")
-      .map(_.split(",").toIndexedSeq.flatMap(_.trim.toDoubleOption))
+      .map(_.split(",", -1).toIndexedSeq.map(_.trim))
+      .filter(_.size == 2)
+      .map(_.flatMap(_.toDoubleOption))
       .filter(_.size == 2)
       .map { rs =>
         println(s"[scale] gateVerdict: probe ratios STUBBED at " +
@@ -2012,12 +2017,21 @@ object ScaleRehearsal {
     * Ladder: unmitigated (1,1) → the batch form's 1-D split (16,1) →
     * the streaming-native 2-D grid (4,4), same 16-cell parallelism.
     * Claims under gate: (a) answers are salt-invariant (count +
-    * pair-hash XOR identical across all three); (b) the salt
+    * pair-hash XOR identical across all three); (b) the 1-D salt
     * materially shrinks the hot task (the crowd's pair yield spreads
-    * across the grid cells); (c) at the SAME cell count the 2-D grid
-    * buffers LESS total state than 1-D — 1-D replicates the whole
-    * right side into every group (total ≈ C·(1+16), per-key still
-    * ~C), the grid pays C·4 per side (per-key ~C/2). The watermark
+    * across the grid cells); (c) the 2-D grid's placement claims —
+    * at the SAME cell count it buffers LESS total state than 1-D
+    * (1-D replicates the whole right side into every group, total ≈
+    * C·(1+16) with per-key still ~C; the grid pays C·4 per side,
+    * per-key ~C/2) and its per-key state drops to ≤ 3/4 of the
+    * unmitigated single key's. The 2-D TIME reading is reported,
+    * not gated: its pairing parallelism equals 1-D's by
+    * construction, and the r20 full sweep measured the unmitigated
+    * baseline swinging 18.8 s (cold JVM) → 4.0 s (warm, 12 sections
+    * in) on identical code — a warmth axis the saturation probe
+    * cannot arbitrate, which makes a time RATIO against a ~4 s warm
+    * baseline a coin flip while the placement observables stay
+    * deterministic. The watermark
     * delay is set past the feed window so nothing prunes mid-run:
     * the state readings compare the variants' full buffered shape,
     * not prune timing. Pure-crowd corpus by design — the benign
@@ -2090,9 +2104,13 @@ object ScaleRehearsal {
         s.addData(lRows.take(50)); r.addData(rRows.take(50))
         wq.processAllAvailable(); wq.stop()
       }
-      // min-of-2 plateau on the max task (the repo's adjudication
-      // rule); signatures and state shape required identical across
-      // reps — the buffered content is deterministic with no pruning
+      // min-of-2 plateau on the max task AND the state bytes (the
+      // repo's adjudication rule — the HDFS store's memoryUsedBytes
+      // rides maintenance timing, ~2 MiB excursions on identical
+      // back-to-back runs per the r19 streamoverlap record, so a
+      // single rep's reading could flip the b2 < b1 gate on a
+      // healthy box; review r20). Signature and KEY COUNT are
+      // deterministic (no pruning mid-run) and required identical.
       def plateau(tag: String, sl: Int, sr: Int)
           : ((Long, Long, Long, Long), Double) = {
         val (r1, _, mx1) = balMeasured(spark, bal)(tag)(run(sl, sr))
@@ -2100,7 +2118,10 @@ object ScaleRehearsal {
           run(sl, sr))
         require(r1._1 == r2._1 && r1._2 == r2._2,
           s"$tag signature varies across reps: $r1 vs $r2")
-        (r1, math.min(mx1, mx2))
+        require(r1._4 == r2._4,
+          s"$tag state keys vary across reps: ${r1._4} vs ${r2._4}")
+        ((r1._1, r1._2, math.min(r1._3, r2._3), r1._4),
+          math.min(mx1, mx2))
       }
       val ((n0, x0, b0, k0), mx0) = plateau(
         s"crowd $C×$C unmitigated (one FMGWS group)", 1, 1)
@@ -2120,12 +2141,28 @@ object ScaleRehearsal {
       gate(mx0 / mx1.max(0.05) >= 2.0,
         f"1-D salt did not materially shrink the crowd's hot task: " +
           f"$mx0%.1f s → $mx1%.1f s")
-      gate(mx0 / mx2.max(0.05) >= 2.0,
-        f"2-D salt did not materially shrink the crowd's hot task: " +
-          f"$mx0%.1f s → $mx2%.1f s")
+      // the 2-D grid is gated on its DISTINGUISHING claims — state
+      // placement — not on a second time ratio: its cell count (and
+      // so its pairing parallelism) EQUALS 1-D's by construction,
+      // while max-task time at this corpus size is warmth-dominated.
+      // The round-20 full sweep disproved the old mx0/mx2 gate on
+      // its own readings: unmitigated read 18.8 s in a cold JVM and
+      // 4.0 s warm after 12 sections (same code, flat saturation
+      // probes — the probe CANNOT arbitrate JIT warmth, only box
+      // load), so a 2× time bar on a ~4 s baseline is a coin flip.
+      // The structural claim 100 TB cares about is deterministic:
+      // no single FMGWS key holds the crowd's O(C²) pairing or its
+      // O(C) state once salted, and 2-D buffers less than 1-D.
+      if (mx2 > mx0)
+        println(f"[scale] NOTE: 2-D max task $mx2%.1f s read above " +
+          f"unmitigated $mx0%.1f s — warmth/GC attribution at this " +
+          "corpus size (placement claims gated below are unaffected)")
       gate(b2 < b1,
         s"the 2-D grid should buffer less total state than 1-D at " +
           s"the same cell count: $b2 vs $b1 bytes")
+      gate(b2 / k2 * 4 <= b0 / k0 * 3,
+        s"2-D per-key state should drop to ~C/2 of the unmitigated " +
+          s"single key's C+C: ${b2 / k2} vs ${b0 / k0} bytes/key")
     } finally spark.sparkContext.removeSparkListener(bal)
     gateVerdict(spark, "streamoverlapsalt", broken.toSeq, lenient)
   }

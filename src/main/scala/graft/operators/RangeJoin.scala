@@ -640,23 +640,31 @@ object RangeJoin {
       if (k > 1 && saltIdCols.nonEmpty) {
         val hotLoB = expr(fdiv(lLo, probeWidth))
         val hotHiB = expr(fdiv(lHi, probeWidth))
-        val groups = left
+        val row = left
           .filter(col(lLo).isNotNull && col(lHi).isNotNull &&
             col(lLo) <= col(lHi))
           .filter(hotLoB <= lit(hotB) && hotHiB >= lit(hotB))
           .select(pmod(xxhash64(saltIdCols.map(col): _*),
             lit(k.toLong)).as("__s"))
-          .agg(countDistinct(col("__s"))).collect()(0).getLong(0)
-        // fires at half-or-less populated (<=, not <: a fully
-        // degenerate constant id under the smallest derivable salt
-        // k=2 populates exactly one group — half — and must warn)
-        if (groups * 2 <= k)
+          .agg(countDistinct(col("__s")), count(lit(1))).collect()(0)
+        val (groups, cnt) = (row.getLong(0), row.getLong(1))
+        // the achievable ceiling is min(k, #hot left rows): when the
+        // crowd sits on the RIGHT side the pooled census can derive
+        // k far above the few left rows in the hot bucket, and those
+        // rows reaching "only" their own count of groups is perfect
+        // placement, not degeneracy (review r20). Within that
+        // ceiling, fires at half-or-less populated (<=, not <: a
+        // fully degenerate constant id under the smallest derivable
+        // salt k=2 populates exactly one group — half — and must
+        // warn; healthy hashing leaves the populated count near the
+        // ceiling, collisions only shaving a few percent).
+        if (groups * 2 <= math.min(k.toLong, cnt))
           println(s"[range-join] derived salt $k is DEGENERATE on " +
             s"saltIdCols ${saltIdCols.mkString(",")}: the hot " +
-            s"bucket's left rows reach only $groups of $k groups — " +
-            "the crowd cannot be split apart on these ids while the " +
-            "right side still pays the full replication; pick id " +
-            "columns with high cardinality WITHIN the crowd")
+            s"bucket's $cnt left rows reach only $groups of $k " +
+            "groups — the crowd cannot be split apart on these ids " +
+            "while the right side still pays the full replication; " +
+            "pick id columns with high cardinality WITHIN the crowd")
       }
       (w, k)
     }

@@ -667,24 +667,32 @@ object StreamJobs {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     def side(df: DataFrame, id: String, lo: String, hi: String,
         tag: Int): DataFrame = {
-      // this side's hashed grid coordinate and replication extent
-      // (lefts hash rows/replicate columns; rights the transpose);
-      // a generator cannot nest in arithmetic, so the replication
-      // coordinate explodes first — one no-op row when unsalted
-      val (hashMod, repl) =
-        if (tag == 1) (saltLeft, saltRight) else (saltRight, saltLeft)
-      val hashed =
-        pmod(xxhash64(col("id")), lit(hashMod.toLong)).cast("int")
-      df.filter(col(lo).isNotNull && col(hi).isNotNull &&
+      val base = df.filter(col(lo).isNotNull && col(hi).isNotNull &&
           col(lo) <= col(hi))
         .select(col(id).cast("long").as("id"),
           unix_millis(col(lo)).as("lo"), col(hi).as("ts"),
           lit(tag).as("side"))
-        .withColumn("__g", explode(sequence(lit(0), lit(repl - 1))))
-        .withColumn("__s",
-          if (tag == 1) hashed * saltRight + col("__g")
-          else col("__g") * saltRight + hashed)
-        .drop("__g")
+      // the 1×1 grid is the identity: no hash, no generator — the
+      // default (unsalted) plan must stay byte-identical to the
+      // pre-grid operator on its hot ingest path (review r20)
+      if (saltLeft == 1 && saltRight == 1)
+        base.withColumn("__s", lit(0))
+      else {
+        // this side's hashed grid coordinate and replication extent
+        // (lefts hash rows/replicate columns; rights the transpose);
+        // a generator cannot nest in arithmetic, so the replication
+        // coordinate explodes first
+        val (hashMod, repl) =
+          if (tag == 1) (saltLeft, saltRight) else (saltRight, saltLeft)
+        val hashed =
+          pmod(xxhash64(col("id")), lit(hashMod.toLong)).cast("int")
+        base
+          .withColumn("__g", explode(sequence(lit(0), lit(repl - 1))))
+          .withColumn("__s",
+            if (tag == 1) hashed * saltRight + col("__g")
+            else col("__g") * saltRight + hashed)
+          .drop("__g")
+      }
     }
     val fdiv = graft.operators.RangeJoin.fdiv(_, bucketWidthMs)
     side(left, lId, lLo, lHi, 1)

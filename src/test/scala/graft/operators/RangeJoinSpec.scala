@@ -326,6 +326,27 @@ class RangeJoinSpec extends SparkSpec {
     assert(kOk >= 2)
     assert(!outOk.contains("DEGENERATE"),
       s"high-cardinality ids must stay silent, got: $outOk")
+    // the false-positive shape (review r20): the crowd sits on the
+    // RIGHT side (40k rows → derived salt ~24, past the work budget),
+    // so the pooled census derives a salt far above the handful of
+    // left rows in the hot bucket — those rows reaching "only" their
+    // own count of groups is perfect placement, and the warning must
+    // stay quiet (the old k-based bound fired here: ~8 of 24 groups)
+    val bigR = crowd(col("id"), "b_id", "lo_b", "hi_b")
+      .unionByName(spark.range(35000).select(
+        (col("id") + 100000L).as("b_id"), lit(100L).as("lo_b"))
+        .withColumn("hi_b", lit(110L)))
+    val fewLeft = spark.range(10)
+      .select(col("id").as("a_id"), lit(100L).as("lo_a"))
+      .withColumn("hi_a", lit(110L))
+    val buf = new java.io.ByteArrayOutputStream
+    val (_, kFew) = Console.withOut(new java.io.PrintStream(buf, true)) {
+      RangeJoin.autoOverlapMitigation(fewLeft, bigR,
+        "lo_a", "hi_a", "lo_b", "hi_b", saltIdCols = Seq("a_id"))
+    }
+    assert(kFew > 20, s"the right crowd must still derive a large salt, got $kFew")
+    assert(!buf.toString.contains("DEGENERATE"),
+      s"few distinct left rows must not read as degenerate: ${buf.toString}")
   }
 
   test("band-overlap SALTED query matches the fixed-width board query") {
