@@ -2016,22 +2016,23 @@ object ScaleRehearsal {
     * ([[graft.operators.RangeJoin.intervalOverlapSalted]]) mitigates.
     * Ladder: unmitigated (1,1) → the batch form's 1-D split (16,1) →
     * the streaming-native 2-D grid (4,4), same 16-cell parallelism.
-    * Claims under gate: (a) answers are salt-invariant (count +
-    * pair-hash XOR identical across all three); (b) the 1-D salt
-    * materially shrinks the hot task (the crowd's pair yield spreads
-    * across the grid cells); (c) the 2-D grid's placement claims —
-    * at the SAME cell count it buffers LESS total state than 1-D
-    * (1-D replicates the whole right side into every group, total ≈
-    * C·(1+16) with per-key still ~C; the grid pays C·4 per side,
-    * per-key ~C/2) and its per-key state drops to ≤ 3/4 of the
-    * unmitigated single key's. The 2-D TIME reading is reported,
-    * not gated: its pairing parallelism equals 1-D's by
-    * construction, and the r20 full sweep measured the unmitigated
-    * baseline swinging 18.8 s (cold JVM) → 4.0 s (warm, 12 sections
-    * in) on identical code — a warmth axis the saturation probe
-    * cannot arbitrate, which makes a time RATIO against a ~4 s warm
-    * baseline a coin flip while the placement observables stay
-    * deterministic. The watermark
+    * Claims under gate — all DETERMINISTIC (byte-identical across
+    * every observed run): (a) answers are salt-invariant (count +
+    * pair-hash XOR identical across all three); (b) placement — the
+    * unsalted crowd collapses into ONE state key, both salted forms
+    * spread it across exactly the 16 cells; (c) per-key state drops
+    * to ~0.53 of the single key under 1-D (the replicated right
+    * dominates: (C + C/16)/2C) and ~0.25 under the 2-D grid
+    * ((C/4 + C/4)/2C), and the grid buffers less TOTAL state than
+    * 1-D at equal cell count (1-D total ≈ C·(1+16), grid C·4 per
+    * side). TIME is measured and reported, never gated: five
+    * same-code runs put the variants' min-of-2 max task anywhere in
+    * 4.0–18.8 / 1.4–14.5 / 4.1–5.2 s — JIT warmth and GC/commit
+    * attribution swing a ratio across ANY bar in both directions,
+    * and the saturation probe (a box-LOAD instrument) structurally
+    * cannot arbitrate warmth. The r20 sweep and the post-fix
+    * dedicated run each tripped one side of the old time gates on a
+    * healthy box; the placement observables never moved a byte. The watermark
     * delay is set past the feed window so nothing prunes mid-run:
     * the state readings compare the variants' full buffered shape,
     * not prune timing. Pure-crowd corpus by design — the benign
@@ -2138,31 +2139,41 @@ object ScaleRehearsal {
         f"KiB/$k1 keys → ${b2 / 1024} KiB/$k2 keys " +
         f"(per-key ${b0 / k0 / 1024} → ${b1 / k1 / 1024} → " +
         f"${b2 / k2 / 1024} KiB)")
-      gate(mx0 / mx1.max(0.05) >= 2.0,
-        f"1-D salt did not materially shrink the crowd's hot task: " +
-          f"$mx0%.1f s → $mx1%.1f s")
-      // the 2-D grid is gated on its DISTINGUISHING claims — state
-      // placement — not on a second time ratio: its cell count (and
-      // so its pairing parallelism) EQUALS 1-D's by construction,
-      // while max-task time at this corpus size is warmth-dominated.
-      // The round-20 full sweep disproved the old mx0/mx2 gate on
-      // its own readings: unmitigated read 18.8 s in a cold JVM and
-      // 4.0 s warm after 12 sections (same code, flat saturation
-      // probes — the probe CANNOT arbitrate JIT warmth, only box
-      // load), so a 2× time bar on a ~4 s baseline is a coin flip.
-      // The structural claim 100 TB cares about is deterministic:
-      // no single FMGWS key holds the crowd's O(C²) pairing or its
-      // O(C) state once salted, and 2-D buffers less than 1-D.
-      if (mx2 > mx0)
-        println(f"[scale] NOTE: 2-D max task $mx2%.1f s read above " +
-          f"unmitigated $mx0%.1f s — warmth/GC attribution at this " +
-          "corpus size (placement claims gated below are unaffected)")
+      // TIME is reported, never gated, in this section. Five
+      // same-code runs measured the variants' min-of-2 max task at:
+      // unmitigated 18.8/4.0/16.5/17.3 s, 1-D 5.0/1.4/1.5/14.5 s,
+      // 2-D 4.8/5.2/4.8/4.1 s — swings of 4–10× on BOTH sides of
+      // every ratio bar, driven by JIT warmth and GC/state-commit
+      // attribution, axes the saturation probe (which reads box
+      // LOAD) structurally cannot arbitrate. A time-ratio gate here
+      // is a coin flip in either direction; the r20 full sweep and
+      // the post-fix dedicated run each tripped one side of it on a
+      // healthy box. The structural claims 100 TB cares about are
+      // deterministic and byte-identical in every one of those runs
+      // — THOSE are gated:
+      //   placement: the unsalted crowd collapses to ONE key; both
+      //     salted forms spread it across exactly the 16 cells;
+      //   per-key state: 1-D leaves ~(C + C/16)/2C ≈ 0.53 of the
+      //     single key (the replicated right dominates), the 2-D
+      //     grid (C/4 + C/4)/2C = 0.25 — bars at 0.65/0.40;
+      //   totals: the grid buffers less than 1-D at equal cells.
+      if (mx1 > mx0 || mx2 > mx0)
+        println(f"[scale] NOTE: a salted max task ($mx1%.1f / " +
+          f"$mx2%.1f s) read above unmitigated $mx0%.1f s — " +
+          "warmth/GC attribution at this corpus size (the gated " +
+          "placement claims below are unaffected)")
+      gate(k0 == 1L && k1 == 16L && k2 == 16L,
+        s"crowd placement keys must read 1 → 16 → 16 cells, got " +
+          s"$k0 → $k1 → $k2")
+      gate(b1 / k1 * 20 <= b0 / k0 * 13,
+        s"1-D per-key state should drop to ~0.53 of the unmitigated " +
+          s"single key (bar 0.65): ${b1 / k1} vs ${b0 / k0} bytes/key")
+      gate(b2 / k2 * 5 <= b0 / k0 * 2,
+        s"2-D per-key state should drop to ~0.25 of the unmitigated " +
+          s"single key (bar 0.40): ${b2 / k2} vs ${b0 / k0} bytes/key")
       gate(b2 < b1,
         s"the 2-D grid should buffer less total state than 1-D at " +
           s"the same cell count: $b2 vs $b1 bytes")
-      gate(b2 / k2 * 4 <= b0 / k0 * 3,
-        s"2-D per-key state should drop to ~C/2 of the unmitigated " +
-          s"single key's C+C: ${b2 / k2} vs ${b0 / k0} bytes/key")
     } finally spark.sparkContext.removeSparkListener(bal)
     gateVerdict(spark, "streamoverlapsalt", broken.toSeq, lenient)
   }
