@@ -37,7 +37,19 @@ object ItemRank {
   val DampPpm = 850000L
 
   /** Support-filtered co-purchase pair graph (pa < pb by
-    * construction) — shared by [[itemRank]] and [[triangles]]. */
+    * construction) — shared by [[itemRank]] and [[triangles]].
+    *
+    * LAZY localCheckpoint: both consumers fan the pair frame out into
+    * 3+ plan branches (the self-union's two sides + degree/weight
+    * aggregates + the count data cards), and the per-branch checkpoint
+    * boundaries downstream defeat Spark's ReuseExchange across them —
+    * the r20 stage profile showed the full mining pipeline (lineitem
+    * scan → collect_set → pair explode → support aggregate) executing
+    * 3× inside q_ads_triangles' final plan alone and 2–3× in
+    * q_ads_item_rank (~4.3 task-cpu-s per copy at sf0.1). One
+    * materialization per query invocation; never reused across
+    * invocations, so bench timings stay honest (the
+    * [[graft.llm.Dedup.shingleSetsShared]] device). */
   def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_orderkey")
@@ -50,23 +62,52 @@ object ItemRank {
       .select(col("g.pa").as("pa"), col("g.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
       .filter(col("support") >= Queries.CopurchaseMinSupport)
+      .localCheckpoint(false)
 
   def itemRank(spark: SparkSession, dir: String): DataFrame =
     itemRankOf(copurchasePairs(spark, dir))
 
+  /** Directed-edge rows per round partition: each propagation-round
+    * task does O(1) arithmetic per edge (~µs), so millions of rows
+    * amortize the per-task constant (codegen warm-up, shuffle-writer
+    * setup, scheduling) that the r20 profile showed dominating tiny
+    * round stages — 4 rounds × 20 tasks over 7k cached rows cost
+    * ~9.3 task-cpu-s (~125 ms/task) before the round parallelism was
+    * derived from the edge census (0.5 s after). At 10⁹–10¹⁰ edges
+    * this still yields hundreds–thousands of partitions. */
+  val RoundEdgesPerPartition = 4000000L
+
   /** [[itemRank]] over any undirected (pa, pb, support) pair frame —
     * public for tests. */
   def itemRankOf(pairs: DataFrame): DataFrame = {
+    // edge census (one tiny count over the checkpointed pair frame —
+    // the RangeJoin auto-mitigation idiom): the round parallelism is
+    // DERIVED from data size instead of inheriting whatever partition
+    // count the mining aggregate happened to finish with (scale-blind
+    // both ways: 20 near-empty tasks at sf0.1, too FEW at 100 TB)
+    val roundParts = math.max(1L,
+      (2L * pairs.count() + RoundEdgesPerPartition - 1) /
+        RoundEdgesPerPartition).toInt
     val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"),
       col("support").as("w"))
       .union(pairs.select(col("pb").as("src"), col("pa").as("dst"),
         col("support").as("w")))
+    // LAZY localCheckpoint: wout feeds the e2 join AND the score-init
+    // frame; without it the union + weight aggregate runs once per
+    // consumer (the copurchasePairs note — branch-local checkpoint
+    // boundaries defeat ReuseExchange between the two plans)
     val wout = edges.groupBy("src").agg(sum("w").as("w_out"))
+      .localCheckpoint(false)
     // LAZY localCheckpoint: every round joins against e2 — without it
     // the pair-graph construction re-executes once per round
     // (PLANS.md rule #17; the per-round score checkpoint below only
     // truncates the SCORE lineage)
-    val e2 = edges.join(wout, Seq("src")).localCheckpoint(false)
+    // src-keyed repartition at the derived count: every round joins on
+    // src, so the cached layout is already the join's partitioning,
+    // and each round stage runs `roundParts` tasks instead of the
+    // mining aggregate's leftover partitioning
+    val e2 = edges.join(wout, Seq("src"))
+      .repartition(roundParts, col("src")).localCheckpoint(false)
     var scores = wout.select(col("src"), lit(1000000L).as("score"))
     (1 to Rounds).foreach { _ =>
       scores = e2.join(scores, Seq("src"))
@@ -108,9 +149,13 @@ object ItemRank {
   /** [[triangles]] over any undirected (pa, pb) pair frame, pa < pb. */
   def trianglesOf(pairs: DataFrame): DataFrame = {
     val und = pairs.select(col("pa"), col("pb"))
+    // LAZY localCheckpoint: deg feeds both orientation-join sides and
+    // the wedge-count aggregate — three branches that would each
+    // re-run the degree union+aggregate (copurchasePairs note)
     val deg = und.select(col("pa").as("v"))
       .unionByName(und.select(col("pb").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     val fwd = expr("da < db OR (da = db AND pa < pb)")
     // LAZY localCheckpoint: the oriented edge list feeds the wedge
     // join TWICE and the closing semi join (PLANS.md rule #17)
