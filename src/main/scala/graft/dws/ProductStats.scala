@@ -49,6 +49,18 @@ object ProductStats {
     * (window, sku, order) frame. */
   def aggregated(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      // ONE exchange for both aggregation levels (r20, guide §2.4):
+      // hash(stt, sku_id) clusters correctly for the finer
+      // (stt, sku_id, l_orderkey) key too (partition exprs ⊂ group
+      // keys), so EnsureRequirements inserts no further exchange for
+      // either groupBy — before, the plan paid two full-width
+      // shuffles back to back (29.3 MB + 27.7 MB at sf0.1) although
+      // the first level barely reduces (596k of 600k rows survive:
+      // a lineitem row is already nearly unique per (date, sku,
+      // order), which also made the map-side partial agg pure
+      // overhead). No explicit partition count — AQE still sizes it.
+      .repartition(tumbleStart(col("l_shipdate"), 10),
+        col("l_partkey"))
       .groupBy(
         tumbleStart(col("l_shipdate"), 10).as("stt"),
         col("l_partkey").as("sku_id"),

@@ -63,8 +63,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa.shingles"), col("sb.shingles")))
           .cast("long").as("i_ct"),
-        size(array_union(col("sa.shingles"), col("sb.shingles")))
-          .cast("long").as("u_ct"))
+        (size(col("sa.shingles")) + size(col("sb.shingles")))
+          .cast("long").as("sz_sum"))
+      // |A∪B| = |A| + |B| − |A∩B| EXACTLY (shingle arrays are
+      // distinct-element by construction), so the union needs no
+      // second O(|A|+|B|) string-hash pass — array_union was ~half
+      // the per-candidate verify cpu across the four candidate
+      // families that end here (r20, guide §1.2 per-task work)
+      .withColumn("u_ct", col("sz_sum") - col("i_ct"))
       .filter(col("u_ct") > 0)
       .withColumn("jac_ppm", expr("(1000000 * i_ct) DIV u_ct"))
       .filter(col("jac_ppm") >= JaccardPpmThreshold)
