@@ -393,8 +393,16 @@ object Queries {
     // per-key offsets + keyed row_number, then positional ntile(5)
     // arithmetic. `asc` orients the key; `within` finishes the total
     // order inside one key value.
-    def quintile(df: DataFrame, key: String, asc: Boolean,
+    def quintile(df0: DataFrame, key: String, asc: Boolean,
         within: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
+      // LAZY localCheckpoint: each quintile reads its input TWICE
+      // (offset branch + rank join), so three chained quintiles
+      // doubled the logical plan per step — 2³ = 8 copies of the
+      // per-customer aggregate, 16 orders scans and 29 Exchanges in
+      // the r20 plan audit. Checkpointing the step input pins each
+      // doubling to one cached frame (the copurchasePairs device);
+      // wall 2.81 s → ~1.0 s at sf0.1, answers unchanged.
+      val df = df0.localCheckpoint(false)
       val ord = if (asc) col(key).asc else col(key).desc
       val offs = df.groupBy(key).agg(count(lit(1)).as("_cnt"))
         .select(col(key),
