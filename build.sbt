@@ -38,4 +38,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // signature). The bench box has 128 GiB; give the forked driver
   // enough old-gen that the suite never tips into full-GC churn.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 240m (the JDK17 default) fills on a 201-query board: every query
+  // contributes whole-stage-codegen classes across warmup + 2 timed
+  // reps, and once the reserve is tight the sweeper (UseCodeCacheFlushing,
+  // on by default) silently evicts HOT compiled methods, which then
+  // re-warm — the "JVM warmth" axis that swung same-code sections
+  // 4.7× across r19/r20 sweeps and made late-running queries read
+  // 2–3× their isolated cost. Reserved (virtual) only — committed on
+  // demand, so the larger reserve costs nothing when unused.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )
