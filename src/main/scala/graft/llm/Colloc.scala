@@ -46,7 +46,13 @@ object Colloc {
 
   /** [[pmi]] over any (doc_id, text) frame — public for tests. */
   def pmiOf(docs: DataFrame): DataFrame = {
+    // LAZY localCheckpoint: toks feeds the unigram table, the bigram
+    // table and (before r20) the pair total — without it the
+    // tokenize pass ran 3× (r20 profile: three single-task 5000-doc
+    // stages, ~0.3–0.45 cpu-s each; at corpus scale that is three
+    // full text passes for one)
     val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("text")).as("t"))
+      .localCheckpoint(false)
     // guard size >= 2: Spark's sequence(1, 0) DESCENDS instead of
     // emitting empty (the LangModel lesson)
     val pairs = toks.filter(size(col("t")) >= 2)
@@ -57,9 +63,14 @@ object Colloc {
       .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= MinPairCount)
-    val n = pairs.agg(count(lit(1)).as("n_pairs"))
+    // one pair pass: the UNFILTERED bigram aggregate yields both the
+    // ranked table and the pair total (Σ c_ab over all bigram types
+    // IS count(pairs) exactly) — before, `n` re-exploded the pair
+    // stream a second time
+    val biAll = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(false)
+    val bi = biAll.filter(col("c_ab") >= MinPairCount)
+    val n = biAll.agg(sum(col("c_ab")).as("n_pairs"))
     val scored = bi
       // no broadcast hints on the unigram sides: corpus-derived
       // (PLANS.md rule #2) — AQE decides

@@ -917,7 +917,15 @@ object CorpusOps {
   private def splitAndPrunedPostings(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
+    // LAZY localCheckpoints (r20): `split` feeds the posting join AND
+    // the verdict frame (hashSplit re-scanned documents per consumer),
+    // and `pruned` feeds the train and test branches (each re-ran the
+    // explode + df join) — the plan audit read documents 5× in
+    // q_llm_contamination. The split cache is (doc_id, split); the
+    // pruned cache is the df-pruned posting list this family is
+    // built around.
     val split = hashSplit(spark, dir).select(col("doc_id"), col("split"))
+      .localCheckpoint(false)
     val post = Dedup.shingleSetsShared(docs)
       .join(split, Seq("doc_id"))
       .select(col("doc_id"), col("split"), explode(col("shingles")).as("sh"))
@@ -925,7 +933,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= Dedup.MaxDf)
       .select(col("sh"))
-    (split, post.join(rare, Seq("sh")))
+    (split, post.join(rare, Seq("sh")).localCheckpoint(false))
   }
 
   /** The shared tail: every test doc left-joined to its shared-shingle

@@ -45,17 +45,25 @@ object Dsir {
     * its token count and integer log2 importance score (positive =
     * target-like). Token-less documents score 0. */
   def dsirScoreOf(docs: DataFrame): DataFrame = {
-    def toks(d: DataFrame) = d.select(col("doc_id"), col("lang"),
+    def toksOf(d: DataFrame) = d.select(col("doc_id"), col("lang"),
         Tokenizer.explodeTokens(col("text")).as("w"))
       .withColumn("b",
         conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long") % DsirBuckets)
-    val bs = toks(docs).groupBy("b").agg(
+      // the token string is consumed by the bucket hash above; both
+      // consumers below key on (doc_id, lang, b) only — drop it so
+      // the shared cache holds 3 small columns, not the corpus text
+      .select(col("doc_id"), col("lang"), col("b"))
+    // LAZY localCheckpoint: the bucket stats and the per-doc scoring
+    // each re-ran the tokenize+md5 pass before r20 (plan audit:
+    // documents scanned 3× in q_llm_dsir_score)
+    val toks = toksOf(docs).localCheckpoint(false)
+    val bs = toks.groupBy("b").agg(
       sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("tf_t"),
       sum(when(col("lang") =!= TargetLang, 1L).otherwise(0L)).as("tf_s"))
     val wt = bs.select(col("b"),
       (length(bin(col("tf_t") + 1L)).cast("long") -
         length(bin(col("tf_s") + 1L)).cast("long")).as("wt"))
-    val scored = toks(docs)
+    val scored = toks
       .join(broadcast(wt), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"), sum("wt").as("score_bits"))

@@ -91,8 +91,17 @@ object Index {
 
   /** [[idfRarity]] over any (doc_id, text) frame — public for tests. */
   def idfRarityOf(docs: DataFrame): DataFrame = {
-    val exploded = docs.select(col("doc_id"),
-      explode(Tokenizer.tokens(col("text"))).as("token"))
+    // LAZY localCheckpoint at the DOC level (arrays, not the exploded
+    // token stream — same bytes as the corpus, far fewer rows): the
+    // df table and the scoring join each re-ran the tokenize pass
+    // before r20 (plan audit: documents scanned 3× here); both
+    // explodes below re-read the one cached pass, and the final
+    // left-join base reuses it too (a bare projection never changes
+    // the doc_id set)
+    val toks = docs.select(col("doc_id"),
+        Tokenizer.tokens(col("text")).as("t"))
+      .localCheckpoint(false)
+    val exploded = toks.select(col("doc_id"), explode(col("t")).as("token"))
     val dfs = exploded.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
     // no broadcast hint on dfs: vocabulary-sized = corpus-derived
@@ -102,7 +111,7 @@ object Index {
       .agg(count(lit(1)).as("n_tokens"),
         sum(expr("1000000 DIV df")).as("idf_sum"))
       .withColumn("rarity_ppm", expr("idf_sum DIV n_tokens"))
-    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+    toks.select("doc_id").join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("idf_sum"), col("rarity_ppm"))
@@ -160,6 +169,10 @@ object Index {
       .select(col("doc_id"), Tokenizer.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
         coalesce(size(col("t")).cast("long"), lit(0L)).as("dl"))
+      // LAZY localCheckpoint: the corpus stats and the term-frequency
+      // branch each re-ran the tokenize pass before r20 (documents
+      // scanned 3× in the bm25 plan)
+      .localCheckpoint(false)
     val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("a_tokens"))
     val tf = toks
       .select(col("doc_id"), col("dl"), explode(col("t")).as("token"))

@@ -34,7 +34,13 @@ object LangModel {
 
   /** [[bigramScore]] over any (doc_id, text) frame — public for tests. */
   def bigramScoreOf(docs: DataFrame): DataFrame = {
+    // LAZY localCheckpoint: toks feeds the pair stream (twice — bigram
+    // counts + the scoring join) and the unigram table; without it the
+    // tokenize pass appears 4× in the plan (r20 audit: documents
+    // scanned 4× in q_llm_bigram_lm) — at corpus scale, four full
+    // text passes for one
     val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("text")).as("t"))
+      .localCheckpoint(false)
     // guard size >= 2: Spark's sequence(1, 0) DESCENDS instead of
     // emitting empty, so short docs must not reach the transform
     val pairs = toks.filter(size(col("t")) >= 2)

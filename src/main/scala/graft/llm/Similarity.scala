@@ -1022,7 +1022,13 @@ object Similarity {
     // heavy expressions evaluated exactly once, in narrow projections:
     // bands carry only ids so the candidate join + distinct shuffles
     // 16-byte rows, never embedding arrays
-    val sigs = signaturesWith(e, bands * bits)
+    // LAZY localCheckpoint: the band frame below feeds BOTH sides of
+    // the candidate self-join, so without it the typed signature
+    // projection (planes × 64 fused multiply-adds per vector) runs
+    // twice — the r20 plan audit read the embeddings scan 4× in this
+    // family's plans. The cached frame is (vec_id, sig): 16 bytes a
+    // row, never the vectors.
+    val sigs = signaturesWith(e, bands * bits).localCheckpoint(false)
     val bandsDf = sigs.select(col("vec_id"), posexplode(
       array((0 until bands).map(b =>
         shiftright(col("sig"), bits * b)
