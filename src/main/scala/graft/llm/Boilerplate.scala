@@ -65,6 +65,10 @@ object Boilerplate {
         col("pos").as("block_idx"),
         md5(concat_ws(" ", col("col"))).as("bkey"),
         size(col("col")).cast("long").as("blen"))
+      // LAZY localCheckpoint: the df table and the verdict join both
+      // read the block frame — without it the tokenize + per-block
+      // md5 pass runs twice (r20 plan audit: documents scanned 2×)
+      .localCheckpoint(false)
     val df = blocks.groupBy("bkey")
       .agg(countDistinct(col("doc_id")).as("block_df"))
     val boiler = df.filter(col("block_df") >= MinDf)

@@ -1109,7 +1109,11 @@ object Dedup {
 
   /** [[simhashDuplicates]] over any (doc_id, text) frame. */
   def simhashDuplicatesOf(docs: DataFrame): DataFrame = {
-    val sh = simhashOf(docs)
+    // LAZY localCheckpoint: the band frame feeds both sides of the
+    // candidate self-join — without it the typed tokenize+md5 simhash
+    // pass runs twice (r20 plan audit: documents scanned 2× here).
+    // The cache is (doc_id, simhash): 12 bytes a row.
+    val sh = simhashOf(docs).localCheckpoint(false)
     val bands = sh.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until SimBands).map(b =>
         shiftright(col("simhash"), SimBandBits * b)

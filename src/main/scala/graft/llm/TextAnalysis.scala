@@ -348,6 +348,10 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), Tokenizer.explodeTokens(col("text")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // LAZY localCheckpoint: the df table and the ranking join both
+      // read the tf aggregate — without it the tokenize + tf groupBy
+      // runs twice (r20 plan audit: documents scanned 2× here)
+      .localCheckpoint(false)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")

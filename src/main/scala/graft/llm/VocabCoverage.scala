@@ -152,13 +152,20 @@ object VocabCoverage {
 
   /** [[oovRate]] over any (doc_id, text) frame. */
   def oovRateOf(docs: DataFrame): DataFrame = {
-    val vocab = docs
-      .select(explode(Tokenizer.tokens(col("text"))).as("word"))
+    // LAZY localCheckpoint: the vocabulary head and the per-doc OOV
+    // scoring each re-ran the tokenize pass (r20 plan audit:
+    // documents scanned 2× here); both now read one cached pass of
+    // doc-level token arrays
+    val toks = docs
+      .select(col("doc_id"), Tokenizer.tokens(col("text")).as("t"))
+      .localCheckpoint(false)
+    val vocab = toks
+      .select(explode(col("t")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word")).limit(VocabBudget)
       .select(col("word"), lit(1L).as("in_vocab"))
-    docs
-      .select(col("doc_id"), explode_outer(Tokenizer.tokens(col("text"))).as("word"))
+    toks
+      .select(col("doc_id"), explode_outer(col("t")).as("word"))
       .join(broadcast(vocab), Seq("word"), "left")
       .groupBy("doc_id")
       .agg(
