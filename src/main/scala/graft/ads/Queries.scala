@@ -373,7 +373,6 @@ object Queries {
     * n%5 buckets take n/5+1 rows, the rest n/5 — so the only
     * corpus-sized exchanges are hash partitionings on the rank keys. */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(max(col("o_orderdate")).as("last_dt"),
@@ -389,48 +388,55 @@ object Queries {
         datediff(col("anchor_dt"), col("last_dt")).cast("long"))
       .withColumn("_mband",
         expr(s"monetary_cents DIV $RfmMonetaryBandCents"))
-    // Exact distributed quintile: global rank by (key, within...) via
-    // per-key offsets + keyed row_number, then positional ntile(5)
-    // arithmetic. `asc` orients the key; `within` finishes the total
-    // order inside one key value.
-    def quintile(df0: DataFrame, key: String, asc: Boolean,
-        within: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
-      // LAZY localCheckpoint: each quintile reads its input TWICE
-      // (offset branch + rank join), so three chained quintiles
-      // doubled the logical plan per step — 2³ = 8 copies of the
-      // per-customer aggregate, 16 orders scans and 29 Exchanges in
-      // the r20 plan audit. Checkpointing the step input pins each
-      // doubling to one cached frame (the copurchasePairs device);
-      // wall 2.81 s → ~1.0 s at sf0.1, answers unchanged.
-      val df = df0.localCheckpoint(false)
-      val ord = if (asc) col(key).asc else col(key).desc
-      val offs = df.groupBy(key).agg(count(lit(1)).as("_cnt"))
-        .select(col(key),
-          coalesce(sum("_cnt").over(Window.orderBy(ord)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"),
-          sum("_cnt").over(Window.partitionBy(lit(1))).as("_n"))
-      val w = Window.partitionBy(key).orderBy(within: _*)
-      df.join(broadcast(offs), key)
-        .withColumn("_rn", col("_off") + row_number().over(w).cast("long"))
-        .withColumn(out, expr(
-          """CASE WHEN _rn <= (_n DIV 5 + 1) * (_n % 5)
-            |  THEN (_rn - 1) DIV (_n DIV 5 + 1) + 1
-            |  ELSE _n % 5 + (_rn - (_n DIV 5 + 1) * (_n % 5) - 1)
-            |         DIV greatest(_n DIV 5, 1) + 1 END""".stripMargin)
-          .cast("long"))
-        .drop("_off", "_n", "_rn")
-    }
-    val r = quintile(base, "recency_days", asc = true,
+    val r = rfmQuintile(base, "recency_days", asc = true,
       Seq(col("custkey")), "r_bin")
-    val f = quintile(r, "frequency", asc = false,
+    val f = rfmQuintile(r, "frequency", asc = false,
       Seq(col("custkey")), "f_bin")
-    val m = quintile(f, "_mband", asc = false,
+    val m = rfmQuintile(f, "_mband", asc = false,
       Seq(col("monetary_cents").desc, col("custkey")), "m_bin")
     m
       .withColumn("segment",
         col("r_bin") * 100L + col("f_bin") * 10L + col("m_bin"))
       .select("custkey", "recency_days", "frequency", "monetary_cents",
         "r_bin", "f_bin", "m_bin", "segment")
+  }
+
+  /** Exact distributed quintile step for [[rfm]]: global rank by
+    * (key, within...) via per-key offsets + keyed row_number, then
+    * positional ntile(5) arithmetic — no corpus-sized
+    * single-partition window anywhere (QueriesSpec asserts the plan
+    * shape on this device directly). `asc` orients the key; `within`
+    * finishes the total order inside one key value.
+    *
+    * LAZY localCheckpoint on the input: each quintile reads it TWICE
+    * (offset branch + rank join), so three chained quintiles doubled
+    * the logical plan per step — 2³ = 8 copies of the per-customer
+    * aggregate, 16 orders scans and 29 Exchanges in the r20 plan
+    * audit. Checkpointing the step input pins each doubling to one
+    * cached frame (the copurchasePairs device); wall 2.81 s → ~1.6 s
+    * at sf0.1, answers unchanged. Package-private so the spec can
+    * assert each step's keyed-window shape, which the checkpoint
+    * boundaries hide from the composed query's final plan. */
+  private[ads] def rfmQuintile(df0: DataFrame, key: String, asc: Boolean,
+      within: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = df0.localCheckpoint(false)
+    val ord = if (asc) col(key).asc else col(key).desc
+    val offs = df.groupBy(key).agg(count(lit(1)).as("_cnt"))
+      .select(col(key),
+        coalesce(sum("_cnt").over(Window.orderBy(ord)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_off"),
+        sum("_cnt").over(Window.partitionBy(lit(1))).as("_n"))
+    val w = Window.partitionBy(key).orderBy(within: _*)
+    df.join(broadcast(offs), key)
+      .withColumn("_rn", col("_off") + row_number().over(w).cast("long"))
+      .withColumn(out, expr(
+        """CASE WHEN _rn <= (_n DIV 5 + 1) * (_n % 5)
+          |  THEN (_rn - 1) DIV (_n DIV 5 + 1) + 1
+          |  ELSE _n % 5 + (_rn - (_n DIV 5 + 1) * (_n % 5) - 1)
+          |         DIV greatest(_n DIV 5, 1) + 1 END""".stripMargin)
+        .cast("long"))
+      .drop("_off", "_n", "_rn")
   }
 
   /** Market-basket co-purchase pairs: distinct part pairs bought in

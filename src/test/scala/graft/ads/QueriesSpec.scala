@@ -115,17 +115,35 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("rfm: customer-sized windows are keyed, not single-partition") {
-    val plan = Queries.rfm(spark, Sf).queryExecution.executedPlan.toString
-    // each quintile's rank runs under a key-partitioned window (the
-    // curriculum distributed-rank device); the only single-partition
-    // windows are the tiny per-key offsets frames behind broadcasts
-    for (k <- Seq("recency_days", "frequency", "_mband"))
+    // Since r20 each quintile step checkpoints its input (the plan-
+    // doubling fix), so the COMPOSED query's final plan only shows the
+    // last step — assert the keyed-window property on the device
+    // itself, per rank key, exactly as rfm invokes it.
+    import spark.implicits._
+    val base = (1L to 50L).map(i =>
+        (i, i % 7, i % 5, i * 100L, i % 3))
+      .toDF("custkey", "recency_days", "frequency", "monetary_cents",
+        "_mband")
+    for ((k, asc, within) <- Seq(
+        ("recency_days", true, Seq($"custkey")),
+        ("frequency", false, Seq($"custkey")),
+        ("_mband", false, Seq($"monetary_cents".desc, $"custkey")))) {
+      val plan = Queries.rfmQuintile(base, k, asc, within, "bin")
+        .queryExecution.executedPlan.toString
+      // the rank runs under a key-partitioned window (the curriculum
+      // distributed-rank device); the only single-partition windows
+      // are the tiny per-key offsets frames behind broadcasts
       assert(plan.contains(s"hashpartitioning($k"),
         s"$k rank must run under a key-partitioned window:\n$plan")
-    // no global ntile: a WindowExec whose required child distribution
-    // is all-tuples-in-one-partition over the CUSTOMER frame would
-    // print as ntile(5) — assert it's gone entirely
-    assert(!plan.contains("ntile("),
-      s"quintiles must be positional arithmetic, not global ntile:\n$plan")
+      assert(!plan.contains("ntile("),
+        s"quintiles must be positional arithmetic, not global ntile:\n$plan")
+    }
+    // and the composed query stays ntile-free end to end (the last
+    // step's window is the one visible past the checkpoints)
+    val full = Queries.rfm(spark, Sf).queryExecution.executedPlan.toString
+    assert(full.contains("hashpartitioning(_mband"),
+      s"final quintile must stay key-partitioned:\n$full")
+    assert(!full.contains("ntile("),
+      s"quintiles must be positional arithmetic, not global ntile:\n$full")
   }
 }
