@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.func.Materialize.MatOps
 
 /** Item importance over the co-purchase graph — weighted PageRank in
   * exact integer ppm, the "customers also buy" ranking signal the
@@ -62,7 +63,7 @@ object ItemRank {
       .select(col("g.pa").as("pa"), col("g.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
       .filter(col("support") >= Queries.CopurchaseMinSupport)
-      .localCheckpoint(false)
+      .matLazily
 
   def itemRank(spark: SparkSession, dir: String): DataFrame =
     itemRankOf(copurchasePairs(spark, dir))
@@ -97,7 +98,7 @@ object ItemRank {
     // consumer (the copurchasePairs note — branch-local checkpoint
     // boundaries defeat ReuseExchange between the two plans)
     val wout = edges.groupBy("src").agg(sum("w").as("w_out"))
-      .localCheckpoint(false)
+      .matLazily
     // LAZY localCheckpoint: every round joins against e2 — without it
     // the pair-graph construction re-executes once per round
     // (PLANS.md rule #17; the per-round score checkpoint below only
@@ -107,7 +108,7 @@ object ItemRank {
     // and each round stage runs `roundParts` tasks instead of the
     // mining aggregate's leftover partitioning
     val e2 = edges.join(wout, Seq("src"))
-      .repartition(roundParts, col("src")).localCheckpoint(false)
+      .repartition(roundParts, col("src")).matLazily
     var scores = wout.select(col("src"), lit(1000000L).as("score"))
     (1 to Rounds).foreach { _ =>
       scores = e2.join(scores, Seq("src"))
@@ -120,7 +121,7 @@ object ItemRank {
         // driver decision reads per-round state here, so the rounds
         // chain into ONE job at the terminal action while the logical
         // plan still truncates per round
-        .localCheckpoint(false)
+        .matLazily
     }
     scores.select(col("src").as("item"), col("score").as("rank_ppm"))
   }
@@ -155,7 +156,7 @@ object ItemRank {
     val deg = und.select(col("pa").as("v"))
       .unionByName(und.select(col("pb").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
+      .matLazily
     val fwd = expr("da < db OR (da = db AND pa < pb)")
     // LAZY localCheckpoint: the oriented edge list feeds the wedge
     // join TWICE and the closing semi join (PLANS.md rule #17)
@@ -166,7 +167,7 @@ object ItemRank {
         when(fwd, col("pa")).otherwise(col("pb")).as("src"),
         when(fwd, col("pb")).otherwise(col("pa")).as("dst"),
         when(fwd, col("db")).otherwise(col("da")).as("ddeg"))
-      .localCheckpoint(false)
+      .matLazily
     val wedges = e.as("x").join(e.as("y"),
         col("x.src") === col("y.src") &&
           (col("x.ddeg") < col("y.ddeg") ||

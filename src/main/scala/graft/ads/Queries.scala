@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.Exprs._
+import graft.func.Materialize.MatOps
 
 /** ADS layer: the reference's query surface — the MyBatis @Select
   * ClickHouse SQL behind the Sugar dashboard REST API
@@ -420,7 +421,7 @@ object Queries {
   private[ads] def rfmQuintile(df0: DataFrame, key: String, asc: Boolean,
       within: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val df = df0.localCheckpoint(false)
+    val df = df0.matLazily
     val ord = if (asc) col(key).asc else col(key).desc
     val offs = df.groupBy(key).agg(count(lit(1)).as("_cnt"))
       .select(col(key),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.func.Materialize.MatOps
 
 /** DWD CDC routing layer: the reference's config-driven BaseDBApp2 +
   * TableProcessFunction — a MySQL `table_process` table maps
@@ -161,7 +162,7 @@ object DbRouter {
   def upsertDimTable(spark: SparkSession, table: String, batch: DataFrame,
       keys: Seq[String], tsCol: String): Unit = {
     ensureDimTable(spark, table, batch)
-    val current = spark.table(table).localCheckpoint()
+    val current = spark.table(table).matEagerly
     graft.sinks.Sinks.dedupLatest(current.unionByName(batch), keys, tsCol)
       .write.mode("overwrite").format("parquet").saveAsTable(table)
   }

@@ -2,6 +2,7 @@ package graft.func
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.func.Materialize.MatOps
 
 /** Skew-mitigation utilities for hot-key joins at 100 TB.
   *
@@ -72,7 +73,7 @@ object Skew {
   def skewReport(spark: SparkSession, dir: String): DataFrame = {
     def keyStats(df: DataFrame, key: String, label: String): DataFrame = {
       val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // feeds totals AND the argmax branch
+        .matLazily // feeds totals AND the argmax branch
       val tot = counts.agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"))
       val top = counts.orderBy(col("c").desc, col("k")).limit(1)
         .select(col("c").as("max_rows"))

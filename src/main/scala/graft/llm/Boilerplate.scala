@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.OracleSql
+import graft.func.Materialize.MatOps
 
 /** Boilerplate removal over `documents` — the RefinedWeb/CCNet-style
   * curation pass that strips corpus-common text segments (nav bars,
@@ -68,7 +69,7 @@ object Boilerplate {
       // LAZY localCheckpoint: the df table and the verdict join both
       // read the block frame — without it the tokenize + per-block
       // md5 pass runs twice (r20 plan audit: documents scanned 2×)
-      .localCheckpoint(false)
+      .matLazily
     val df = blocks.groupBy("bkey")
       .agg(countDistinct(col("doc_id")).as("block_df"))
     val boiler = df.filter(col("block_df") >= MinDf)

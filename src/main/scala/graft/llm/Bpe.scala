@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.OracleSql
+import graft.func.Materialize.MatOps
 
 /** Byte-pair-encoding vocabulary induction (Sennrich et al. 2016) over
   * the corpus — the real merge loop, not a stand-in, in its BATCHED
@@ -140,7 +141,7 @@ object Bpe {
                              batchCap: Int, candCap: Int)
       : (Seq[(String, Long)], DataFrame) = {
     var vocab = wordVocab(docs).withColumn("syms", initSyms)
-      .localCheckpoint() // bounded (distinct words); pins the loop input
+      .matEagerly // bounded (distinct words); pins the loop input
     // the ReplacePasses fixpoint bound assumes ≤ 2·passes symbols per
     // word (char count + eow marker): batch patterns are mutually
     // non-interacting, so each splice consumes 2 pre-round symbols —
@@ -185,7 +186,7 @@ object Bpe {
         vocab = (1 to ReplacePasses)
           .foldLeft(vocab)((df, _) =>
             df.withColumn("syms", anyLeftmostOnce(col("syms"))))
-          .localCheckpoint()
+          .matEagerly
         all ++= batch.map(m => (m.pair, m.freq))
       } // empty batch: pairs exhausted — identity round, same as the
         // oracle's empty m<k> (the CTE chain is static either way)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.{OracleSql, Tokenizer}
+import graft.func.Materialize.MatOps
 
 /** Collocation mining over `documents`: top adjacent-bigram pairs by
   * pointwise mutual information — the corpus-analysis pass that
@@ -52,7 +53,7 @@ object Colloc {
     // stages, ~0.3–0.45 cpu-s each; at corpus scale that is three
     // full text passes for one)
     val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("text")).as("t"))
-      .localCheckpoint(false)
+      .matLazily
     // guard size >= 2: Spark's sequence(1, 0) DESCENDS instead of
     // emitting empty (the LangModel lesson)
     val pairs = toks.filter(size(col("t")) >= 2)
@@ -68,7 +69,7 @@ object Colloc {
     // IS count(pairs) exactly) — before, `n` re-exploded the pair
     // stream a second time
     val biAll = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint(false)
+      .matLazily
     val bi = biAll.filter(col("c_ab") >= MinPairCount)
     val n = biAll.agg(sum(col("c_ab")).as("n_pairs"))
     val scored = bi

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.{Exprs, OracleSql, Tokenizer}
+import graft.func.Materialize.MatOps
 
 /** Corpus layout operators — the physical-arrangement half of a
   * training-data pipeline (reference analog: the shard/bucket layout
@@ -322,7 +323,7 @@ object CorpusLayout {
     val q = TextAnalysis.qualityOf(docs)
       .filter(col("n_tokens") > 0L)
       .select("doc_id", "n_tokens", "quality_ppm")
-      .localCheckpoint(false)
+      .matLazily
     // bounded frame: one row per distinct score
     val g = q.groupBy("quality_ppm").agg(sum("n_tokens").as("tok_sum"))
     val offsets = g.select(col("quality_ppm"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.func.Materialize.MatOps
 
 /** Corpus-curation operators an LLM training-data pipeline runs after
   * dedup: repetition-based quality signals (the Gopher/MassiveText
@@ -925,7 +926,7 @@ object CorpusOps {
     // pruned cache is the df-pruned posting list this family is
     // built around.
     val split = hashSplit(spark, dir).select(col("doc_id"), col("split"))
-      .localCheckpoint(false)
+      .matLazily
     val post = Dedup.shingleSetsShared(docs)
       .join(split, Seq("doc_id"))
       .select(col("doc_id"), col("split"), explode(col("shingles")).as("sh"))
@@ -933,7 +934,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= Dedup.MaxDf)
       .select(col("sh"))
-    (split, post.join(rare, Seq("sh")).localCheckpoint(false))
+    (split, post.join(rare, Seq("sh")).matLazily)
   }
 
   /** The shared tail: every test doc left-joined to its shared-shingle
@@ -972,7 +973,7 @@ object CorpusOps {
     // materialized once (eager localCheckpoint, lineage-free): it feeds
     // the count, the bloom aggregate, and the exact verify join
     val trainSh = pruned.filter(col("split") === "train")
-      .select(col("sh")).distinct().localCheckpoint()
+      .select(col("sh")).distinct().matEagerly
     val nTrain = trainSh.count()
     // stat.bloomFilter NPEs on a 0-row frame (null aggregation buffer);
     // an empty train split means an empty filter — nothing can be
@@ -1029,7 +1030,7 @@ object CorpusOps {
     // materialized once: feeds the size aggregate, the per-bucket
     // builds, and the exact verify join
     val trainSh = pruned.filter(col("split") === "train")
-      .select(col("sh")).distinct().localCheckpoint()
+      .select(col("sh")).distinct().matEagerly
     val trainB = trainSh.select(col("sh"), bucket.as("bucket"))
     // per-bucket cardinalities size each filter: S scalars to the
     // driver (coordination, not data — the k-means precedent)

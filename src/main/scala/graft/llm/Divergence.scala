@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.{OracleSql, Tokenizer}
+import graft.func.Materialize.MatOps
 
 /** Per-source distribution drift — for every source, the total-
   * variation distance between its unigram distribution and the whole
@@ -43,7 +44,7 @@ object Divergence {
     // it the corpus tokenize+count pass executes three times
     // (PLANS.md rule #17)
     val sw = words.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
-      .localCheckpoint(false)
+      .matLazily
     val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
     val ns = sw.groupBy("source")
       .agg(sum("c_sw").as("n_s"), count(lit(1)).as("vocab_s"))

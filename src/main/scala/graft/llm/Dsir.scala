@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.{OracleSql, Tokenizer}
+import graft.func.Materialize.MatOps
 
 /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
   * in integer-exact form: score every document by how target-like its
@@ -56,7 +57,7 @@ object Dsir {
     // LAZY localCheckpoint: the bucket stats and the per-doc scoring
     // each re-ran the tokenize+md5 pass before r20 (plan audit:
     // documents scanned 3× in q_llm_dsir_score)
-    val toks = toksOf(docs).localCheckpoint(false)
+    val toks = toksOf(docs).matLazily
     val bs = toks.groupBy("b").agg(
       sum(when(col("lang") === TargetLang, 1L).otherwise(0L)).as("tf_t"),
       sum(when(col("lang") =!= TargetLang, 1L).otherwise(0L)).as("tf_s"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.{OracleSql, Tokenizer}
+import graft.func.Materialize.MatOps
 
 /** Corpus-wide lexical index structures over `documents`: an inverted
   * index (token → document frequency + bounded posting-list head) and
@@ -100,7 +101,7 @@ object Index {
     // the doc_id set)
     val toks = docs.select(col("doc_id"),
         Tokenizer.tokens(col("text")).as("t"))
-      .localCheckpoint(false)
+      .matLazily
     val exploded = toks.select(col("doc_id"), explode(col("t")).as("token"))
     val dfs = exploded.select("doc_id", "token").distinct()
       .groupBy("token").agg(count(lit(1)).as("df"))
@@ -172,7 +173,7 @@ object Index {
       // LAZY localCheckpoint: the corpus stats and the term-frequency
       // branch each re-ran the tokenize pass before r20 (documents
       // scanned 3× in the bm25 plan)
-      .localCheckpoint(false)
+      .matLazily
     val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("a_tokens"))
     val tf = toks
       .select(col("doc_id"), col("dl"), explode(col("t")).as("token"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.{OracleSql, Tokenizer}
+import graft.func.Materialize.MatOps
 
 /** Statistical language-model scoring over `documents`: a bigram
   * maximum-likelihood fluency score — the integer-exact cousin of the
@@ -40,7 +41,7 @@ object LangModel {
     // scanned 4× in q_llm_bigram_lm) — at corpus scale, four full
     // text passes for one
     val toks = docs.select(col("doc_id"), Tokenizer.tokens(col("text")).as("t"))
-      .localCheckpoint(false)
+      .matLazily
     // guard size >= 2: Spark's sequence(1, 0) DESCENDS instead of
     // emitting empty, so short docs must not reach the transform
     val pairs = toks.filter(size(col("t")) >= 2)
@@ -95,7 +96,7 @@ object LangModel {
       .filter(col("n_bigrams") >= 1L)
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .select("doc_id", "lang", "fluency_ppm")
-      .localCheckpoint(false)
+      .matLazily
     // bounded frame: one row per distinct (lang, score)
     val counts = scored.groupBy("lang", "fluency_ppm")
       .agg(count(lit(1)).as("cnt"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.func.Materialize.MatOps
 
 /** Multimodal-column plumbing: media payloads as opaque `binary`
   * columns with typed metadata, and a per-partition "decode" stage.
@@ -265,7 +266,7 @@ object Multimodal {
       })
       .toDF("doc_id", "ph")
       .filter(col("ph") =!= -1L) // empty payloads carry no hash
-      .localCheckpoint(false) // feeds the band join twice + the verify
+      .matLazily // feeds the band join twice + the verify
     val bandW = 32 / PhBands
     val bands = ph.select(col("doc_id"), col("ph"),
       posexplode(array((0 until PhBands).map(j =>

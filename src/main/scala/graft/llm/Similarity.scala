@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.func.Materialize.MatOps
 
 /** Similarity search over the `embeddings` table (64-dim FLOAT[]).
   *
@@ -1028,7 +1029,7 @@ object Similarity {
     // twice — the r20 plan audit read the embeddings scan 4× in this
     // family's plans. The cached frame is (vec_id, sig): 16 bytes a
     // row, never the vectors.
-    val sigs = signaturesWith(e, bands * bits).localCheckpoint(false)
+    val sigs = signaturesWith(e, bands * bits).matLazily
     val bandsDf = sigs.select(col("vec_id"), posexplode(
       array((0 until bands).map(b =>
         shiftright(col("sig"), bits * b)
@@ -1152,7 +1153,7 @@ object Similarity {
     val tagged = pairs
       .crossJoin(broadcast(tdf))
       .filter(col("cos_ppm") >= col("threshold_ppm"))
-      .localCheckpoint(false)
+      .matLazily
     val np = tagged.groupBy("threshold_ppm").agg(count(lit(1)).as("n_pairs"))
     val nv = tagged
       .select(col("threshold_ppm"),
@@ -1231,7 +1232,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         cosinePpm(col("qv"), col("embedding")).as("rel_ppm"))
       .orderBy(col("rel_ppm").desc, col("vec_id")).limit(MmrPool)
-      .localCheckpoint(false)
+      .matLazily
     val mat = pool.as("a")
       .join(pool.as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),

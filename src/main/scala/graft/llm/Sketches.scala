@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.{OracleSql, Tokenizer}
+import graft.func.Materialize.MatOps
 
 /** Mergeable integer sketches — the bounded-state devices a 100 TB
   * pipeline uses where exact answers would cost a corpus- or
@@ -122,7 +123,7 @@ object Sketches {
     // LAZY localCheckpoint: the ≤ m-row register table feeds the R/nb
     // scalar AND the S aggregation — without it the corpus scan runs
     // twice (PLANS.md rule #17)
-    val sk = hllSketchOf(docs).localCheckpoint(false)
+    val sk = hllSketchOf(docs).matLazily
     val mx = sk.agg(max("r_max").as("rr"), count(lit(1)).as("nb"))
     val s = sk.crossJoin(broadcast(mx))
       .groupBy("rr", "nb")
@@ -341,7 +342,7 @@ object Sketches {
   def cmsTopKOf(docs: DataFrame): DataFrame = {
     // LAZY localCheckpoint: the vocabulary feeds the sketch AND the
     // top-k candidates — one corpus pass (PLANS.md rule #17)
-    val vocab = vocabOf(docs).localCheckpoint(false)
+    val vocab = vocabOf(docs).matLazily
     val sk = sketchFromVocab(vocab)
     val top = vocab.orderBy(col("c").desc, col("w")).limit(CmsTopK)
     cmsCellsOf(top)
@@ -443,7 +444,7 @@ object Sketches {
 
   /** [[kmvEstimate]] over any (source, text) frame. */
   def kmvEstimateOf(docs: DataFrame): DataFrame = {
-    val hv = kmvHashes(docs).localCheckpoint(false)
+    val hv = kmvHashes(docs).matLazily
     val sk = kmvSketchOf(docs)
       .groupBy("source")
       .agg(count(lit(1)).as("n_sk"), max("hv").as("h_k"))
@@ -493,7 +494,7 @@ object Sketches {
   def kmvOverlapOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sk = kmvSketchOf(docs).select(col("source"), col("hv"))
-      .localCheckpoint(false)
+      .matLazily
     val srcs = sk.select("source").distinct()
     val prs = srcs.select(col("source").as("src_a"))
       .join(srcs.select(col("source").as("src_b")),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.Tokenizer
+import graft.func.Materialize.MatOps
 
 /** Text-analysis operators for an LLM data pipeline, over `documents`:
   * language ID (marker-token heuristic), quality scoring, token
@@ -351,7 +352,7 @@ object TextAnalysis {
       // LAZY localCheckpoint: the df table and the ranking join both
       // read the tf aggregate — without it the tokenize + tf groupBy
       // runs twice (r20 plan audit: documents scanned 2× here)
-      .localCheckpoint(false)
+      .matLazily
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")

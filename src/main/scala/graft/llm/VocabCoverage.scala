@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.{OracleSql, Tokenizer}
+import graft.func.Materialize.MatOps
 
 /** Vocabulary data-card operators: the corpus frequency-rank table
   * (which words carry the token mass — the Zipf curve every tokenizer
@@ -46,7 +47,7 @@ object VocabCoverage {
     val words = docs
       .select(explode(Tokenizer.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .localCheckpoint(false)
+      .matLazily
     // tiny frame: one row per distinct frequency (Zipf: O(√tokens))
     val offs = words.groupBy("freq")
       .agg(count(lit(1)).as("_cnt"), sum("freq").as("_mass"))
@@ -158,7 +159,7 @@ object VocabCoverage {
     // doc-level token arrays
     val toks = docs
       .select(col("doc_id"), Tokenizer.tokens(col("text")).as("t"))
-      .localCheckpoint(false)
+      .matLazily
     val vocab = toks
       .select(explode(col("t")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
