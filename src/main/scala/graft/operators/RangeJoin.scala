@@ -821,6 +821,26 @@ object RangeJoin {
       .groupBy(col("pk_a").as("p_partkey"))
       .agg(count(lit(1)).as("overlap_ct"))
 
+  /** Target buffered-interval rows per STATE partition for the
+    * streaming overlap leg — ~0.5 MiB of store rows at the ~64 B/row
+    * the HDFS-backed store carries, against a fixed per-partition
+    * per-batch commit cost (one delta file each). Partition count =
+    * est. state rows / this, so the fan-out follows the state volume:
+    * tiny corpora stop paying 32× commit overhead for KiBs of state,
+    * real volume gets real parallelism from the same rule. */
+  val StreamStatePartTargetRows = 8192L
+
+  /** State-partition count for [[bandOverlapStreamImpl]] derived from
+    * the estimated buffered-row census (r20-VERDICT task 2 — replaces
+    * the hand-pinned 8): ceil(rows / [[StreamStatePartTargetRows]]),
+    * clamped to [1, 1024] (the cap bounds scheduler fan-out; at 1024
+    * partitions the per-partition state is past 0.5 MiB again and
+    * cluster-side tuning should own the knob). */
+  def overlapStreamStateParts(estStateRows: Long): Int =
+    math.max(1L, math.min(1024L,
+      (estStateRows + StreamStatePartTargetRows - 1) /
+        StreamStatePartTargetRows)).toInt
+
   /** Monotonic suffix for the streaming board query's per-run
     * sink/checkpoint SUBDIRECTORIES — each invocation (Verify, bench
     * reps) needs a fresh streaming query against a fresh sink path,
@@ -871,21 +891,12 @@ object RangeJoin {
   private def bandOverlapStreamImpl(spark: SparkSession, dir: String,
       saltLeft: Int, saltRight: Int): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    // the stream leg runs on a per-query SCOPED session at 8 shuffle
-    // partitions (the stateful operator's state-partition count is
-    // fixed at query start from this conf): the leg's live state is a
-    // few hundred KiB, but EVERY micro-batch commits one HDFS-store
-    // delta file per partition, so the session's 32 buys nothing but
-    // 4× the per-batch commit fan-out (r19-VERDICT task 4, A/B in
-    // PLANS §r20). At a deployment's real volume the knob goes back
-    // up with the state it amortizes.
-    val ss: SparkSession = graft.func.Confs.scopedSession(spark,
-      Seq("spark.sql.shuffle.partitions" -> "8"))
-    import ss.implicits._
-    implicit val sqlc: org.apache.spark.sql.SQLContext = ss.sqlContext
-    val rows = priceBands(ss, dir, "pk", "lo", "hi")
-      .select("pk", "lo", "hi").as[(Long, Long, Long)]
-      .collect().sortBy(_._3)
+    val rows = {
+      import spark.implicits._
+      priceBands(spark, dir, "pk", "lo", "hi")
+        .select("pk", "lo", "hi").as[(Long, Long, Long)]
+        .collect().sortBy(_._3)
+    }
     // degenerate empty corpus: no bands → no stream to run (and no
     // derived span, and no committed sink files to read back) — the
     // empty aggregate frame directly (review r19; the `when` keeps
@@ -895,6 +906,26 @@ object RangeJoin {
       return spark.range(0).select(
         when(col("id") >= 0, col("id")).as("p_partkey"),
         col("id").as("overlap_ct"))
+    // the stream leg runs on a per-query SCOPED session whose shuffle-
+    // partition count — the stateful operator's state-partition count,
+    // fixed at query start from this conf — is DERIVED from the band
+    // census (r20-VERDICT task 2; the r19/r20 rounds pinned 8 from an
+    // A/B at sf0.1, a constant that could not follow the data): EVERY
+    // micro-batch commits one HDFS-store delta file per partition, a
+    // fixed per-partition cost, so the count must scale with the state
+    // it amortizes — estimated buffered rows = Σ buckets per interval
+    // × each side's grid replication — not with the session's core
+    // count. At sf0.1 (~20k bands × ~1 bucket × 2 sides ≈ 40k rows)
+    // this derives 5, parity with the hand-pinned 8 (A/B in
+    // OPTIMIZATION_r21.md); at a deployment's real volume the same
+    // derivation scales the count up with the state.
+    val estStateRows = rows.iterator.map { case (_, lo, hi) =>
+      (hi - lo) / BucketWidth + 1 }.sum * (saltLeft + saltRight)
+    val ss: SparkSession = graft.func.Confs.scopedSession(spark,
+      Seq("spark.sql.shuffle.partitions" ->
+        overlapStreamStateParts(estStateRows).toString))
+    import ss.implicits._
+    implicit val sqlc: org.apache.spark.sql.SQLContext = ss.sqlContext
     val maxSpan = rows.iterator.map(r => r._3 - r._2).max
     val ts = rows.map { case (pk, lo, hi) =>
       (pk, new java.sql.Timestamp(lo), new java.sql.Timestamp(hi)) }
@@ -912,6 +943,16 @@ object RangeJoin {
         "id", "lo", "hi", "id", "lo", "hi",
         bucketWidthMs = BucketWidth, maxSpanMs = maxSpan,
         delay = "1 second", saltLeft = saltLeft, saltRight = saltRight)
+      // the query's l_id < r_id predicate applied BEFORE the sink
+      // (r21, guide §2.3 shuffle/IO fewer bytes): both stream sides
+      // carry the same band set, so the raw yield holds every
+      // unordered pair TWICE plus the 1-per-band self-pairs — at
+      // sf0.1 that was 15.0M sink rows of which the read-back filter
+      // kept 7.5M. Filtering inside the streaming query halves the
+      // encode + parquet write + read-back; the read-back filter
+      // stays (idempotent on the pre-filtered rows) so the returned
+      // frame's contract is visible at one site.
+      .filter(col("l_id") < col("r_id"))
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .outputMode("append").start()

@@ -563,10 +563,17 @@ object StreamJobs {
   }
 
   /** Buffered state for one (bucket, salt group) of
-    * [[intervalOverlapStream]]: (id, lo, hi) interval rows per side,
-    * pruned to the watermark − maxSpan horizon. */
-  case class OverlapBuf(lefts: Seq[(Long, Long, Long)],
-                        rights: Seq[(Long, Long, Long)])
+    * [[intervalOverlapStream]]: interval rows per side PACKED as raw
+    * longs `[id0, lo0, hi0, id1, lo1, hi1, ...]`, pruned to the
+    * watermark − maxSpan horizon. Packed on purpose (r20-VERDICT task
+    * 1, guide §5 state/memory): the previous `Seq[(Long, Long, Long)]`
+    * state paid a Catalyst array-of-struct encoder on every state
+    * read/write — per-element struct writers in, per-element Tuple3
+    * allocation out, for every live group in every micro-batch. A
+    * primitive `Array[Long]` rides the UnsafeArrayData fast path (one
+    * flat copy each way, no per-element objects), and the pair-yield
+    * loop indexes it directly. */
+  case class OverlapBuf(lefts: Array[Long], rights: Array[Long])
 
   /** STREAM-STREAM interval-OVERLAP join — completes the range-join
     * family's streaming surface the way [[asOfNearest]] completed
@@ -723,37 +730,75 @@ object StreamJobs {
       .flatMapGroupsWithState[OverlapBuf, (Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((bucket, _), rows, state: GroupState[OverlapBuf]) =>
-          val st = state.getOption.getOrElse(OverlapBuf(Nil, Nil))
-          var newL = List.empty[(Long, Long, Long)]
-          var newR = List.empty[(Long, Long, Long)]
+          // raw-long hot path (r20-VERDICT task 1, guide §1.2 per-task
+          // work): a crowded bucket yields occupancy² candidate checks
+          // per trigger, so the loop indexes packed long arrays with
+          // no per-candidate allocation — the previous List/tuple
+          // for-comprehension allocated a Tuple3 per buffered row and
+          // a cons cell per candidate on exactly this path
+          val st = state.getOption.orNull
+          val oldL = if (st == null) Array.emptyLongArray else st.lefts
+          val oldR = if (st == null) Array.emptyLongArray else st.rights
+          val lb = new scala.collection.mutable.ArrayBuilder.ofLong
+          val rb = new scala.collection.mutable.ArrayBuilder.ofLong
           rows.foreach { case (_, id, lo, hi, tag, _, _) =>
-            if (tag == 1) newL ::= ((id, lo, hi)) else newR ::= ((id, lo, hi))
+            val b = if (tag == 1) lb else rb
+            b += id; b += lo; b += hi
           }
+          val newL = lb.result(); val newR = rb.result()
           val wm = state.getCurrentWatermarkMs()
-          // the pair's responsibility bucket: first bucket of the
-          // intersection — emitted there and nowhere else
-          def resp(aLo: Long, bLo: Long): Boolean =
-            Math.floorDiv(math.max(aLo, bLo), bucketWidthMs) == bucket
-          def overlaps(a: (Long, Long, Long), b: (Long, Long, Long)) =
-            a._2 <= b._3 && b._2 <= a._3
-          val out =
-            (for (l <- newL; r <- st.rights ++ newR
-                  if overlaps(l, r) && resp(l._2, r._2))
-              yield (l._1, r._1)) ++
-            (for (l <- st.lefts; r <- newR
-                  if overlaps(l, r) && resp(l._2, r._2))
-              yield (l._1, r._1))
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+          // pairs overlap when lLo <= rHi && rLo <= lHi, and emit only
+          // in the responsibility bucket: the FIRST bucket of the
+          // intersection — there and nowhere else
+          def emit(ls: Array[Long], rs: Array[Long]): Unit = {
+            var i = 0
+            while (i < ls.length) {
+              val lLo = ls(i + 1); val lHi = ls(i + 2)
+              var j = 0
+              while (j < rs.length) {
+                val rLo = rs(j + 1)
+                if (lLo <= rs(j + 2) && rLo <= lHi &&
+                    Math.floorDiv(if (lLo > rLo) lLo else rLo,
+                      bucketWidthMs) == bucket)
+                  out += ((ls(i), rs(j)))
+                j += 3
+              }
+              i += 3
+            }
+          }
+          // new lefts meet every buffered + new right; buffered lefts
+          // meet only the new rights (their pairs with buffered rights
+          // were emitted when the later of the two arrived)
+          emit(newL, oldR); emit(newL, newR); emit(oldL, newR)
           val horizon = satSubMs(wm, maxSpanMs)
-          val keptL = (newL ++ st.lefts).filter(_._3 >= horizon)
-          val keptR = (newR ++ st.rights).filter(_._3 >= horizon)
+          def keep(neu: Array[Long], old: Array[Long]): Array[Long] = {
+            val b = new scala.collection.mutable.ArrayBuilder.ofLong
+            b.sizeHint(neu.length + old.length)
+            def add(a: Array[Long]): Unit = {
+              var i = 0
+              while (i < a.length) {
+                if (a(i + 2) >= horizon) { b += a(i); b += a(i + 1); b += a(i + 2) }
+                i += 3
+              }
+            }
+            add(neu); add(old)
+            b.result()
+          }
+          val keptL = keep(newL, oldL); val keptR = keep(newR, oldR)
           if (keptL.isEmpty && keptR.isEmpty) state.remove()
           else {
             state.update(OverlapBuf(keptL, keptR))
             // sweep this bucket once the watermark passes the point
             // where everything buffered is unmatchable (> wm by the
             // horizon filter above, satisfying the timer contract)
-            state.setTimeoutTimestamp(satAddMs(
-              (keptL ++ keptR).map(_._3).min, maxSpanMs + 1))
+            var minHi = Long.MaxValue
+            def scanHi(a: Array[Long]): Unit = {
+              var i = 2
+              while (i < a.length) { if (a(i) < minHi) minHi = a(i); i += 3 }
+            }
+            scanHi(keptL); scanHi(keptR)
+            state.setTimeoutTimestamp(satAddMs(minHi, maxSpanMs + 1))
           }
           out.iterator
       }

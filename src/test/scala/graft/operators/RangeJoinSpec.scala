@@ -575,4 +575,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(RangeJoin.autoWidth(inv, nul,
       "lo_a", "hi_a", "lo_b", "hi_b") === RangeJoin.BucketWidth)
   }
+
+  test("overlapStreamStateParts: census-derived, clamped, no constant") {
+    // the stream leg's state-partition count follows the buffered-row
+    // census (r20-VERDICT task 2): ceil(rows / target), never a pinned
+    // local-mode constant
+    val t = RangeJoin.StreamStatePartTargetRows
+    assert(RangeJoin.overlapStreamStateParts(0L) === 1)
+    assert(RangeJoin.overlapStreamStateParts(1L) === 1)
+    assert(RangeJoin.overlapStreamStateParts(t) === 1)
+    assert(RangeJoin.overlapStreamStateParts(t + 1) === 2)
+    assert(RangeJoin.overlapStreamStateParts(10 * t) === 10)
+    // sf0.1-shaped census (~20k bands x 1 bucket x 2 sides) lands in
+    // the same small-partition regime the r19/r20 A/B pinned at 8
+    val sf01 = RangeJoin.overlapStreamStateParts(40000L)
+    assert(sf01 >= 4 && sf01 <= 12, s"sf0.1-shaped census derived $sf01")
+    // the clamp bounds runaway estimates
+    assert(RangeJoin.overlapStreamStateParts(Long.MaxValue / 2) === 1024)
+  }
 }
