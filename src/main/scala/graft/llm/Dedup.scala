@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.func.Tokenizer
+import graft.func.Materialize.MatOps
 
 /** Deduplication operators for an LLM training-data pipeline, over the
   * `documents` table: exact (hash-groupBy), MinHash+LSH near-dup
@@ -247,7 +248,7 @@ object Dedup {
     * honest. Same shape at 100 TB: persist the shingle intermediate
     * before multi-way reuse instead of recomputing it per branch. */
   private[llm] def shingleSetsShared(docs: DataFrame): DataFrame =
-    shingleSets(docs).localCheckpoint(false)
+    shingleSets(docs).matLazily
 
   /** Wide signature frame: doc_id, h0..h{K-1} (BIGINT minhashes). */
   private def signaturesWide(docs: DataFrame): DataFrame =
@@ -325,7 +326,7 @@ object Dedup {
   def lshDuplicatesOf(docs: DataFrame,
                       bands: Int, rows: Int): DataFrame = {
     val shl = shingleSetsShared(docs)
-    val bands0 = bandedOf(signaturesWideOf(shl).localCheckpoint(false),
+    val bands0 = bandedOf(signaturesWideOf(shl).matLazily,
       bands, rows)
     val cands = bands0.as("a").join(bands0.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -485,7 +486,15 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDf)
       .select(col("sh"))
-    val pruned = postings.join(rare, Seq("sh"))
+    // LAZY materialization of the df-pruned postings (r20-VERDICT task
+    // 5, guide §2.4): the self-join below consumes `pruned` on BOTH
+    // sides, and each side re-derives explode + df-aggregate + join
+    // from the shingle checkpoint (ReuseExchange cannot fuse the probe
+    // side's explode with the aggregate's). One narrow (sh, doc_id)
+    // materialization feeds both sides — same device as the
+    // contamination postings (r20). Shared by q_llm_ngram_jaccard(2)
+    // and q_llm_containment(2).
+    val pruned = postings.join(rare, Seq("sh")).matLazily
     val cands = pruned.as("a").join(pruned.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -535,7 +544,7 @@ object Dedup {
       .map { case ((_, id), r) => (id, r) }
       .toDF("doc_id", "rank")
       .withColumn("b", expr(s"rank DIV $SnWindow"))
-      .localCheckpoint(false)
+      .matLazily
     val probes = ranked.select(col("doc_id"), col("rank"),
       explode(array(col("b"), col("b") + 1L)).as("jb"))
     val cands = probes.as("x")
@@ -714,7 +723,14 @@ object Dedup {
   def ngramJaccardPrefixOf(docs: DataFrame): DataFrame = {
     val t = JaccardPpmThreshold
     val shl = shingleSetsShared(docs)
-    val prefix = prefixPostings(shl)
+    // LAZY materialization of the prefix postings (r21, guide §2.4 —
+    // the jaccardCandidates/contamination device): the self-join
+    // consumes `prefix` on BOTH sides, and each side re-derived
+    // explode + df-aggregate + join + per-doc rank window from the
+    // shingle checkpoint. The frame is ~(1−t) of the postings —
+    // small by the prefix principle — so one narrow materialization
+    // replaces the duplicated five-op chain.
+    val prefix = prefixPostings(shl).matLazily
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
         col("a.sz") * lit(1000000L) >= col("b.sz") * lit(t) &&
@@ -921,7 +937,7 @@ object Dedup {
       .agg(min(col("dst")).as("nbr"))
       .select(col("doc_id"),
         least(col("doc_id"), col("nbr")).as("keeper"))
-      .localCheckpoint()
+      .matEagerly
     var moved = 1L
     var rounds = 0
     while (moved > 0 && rounds < ClosureMaxRounds) {
@@ -946,7 +962,7 @@ object Dedup {
           least(col("keeper"), coalesce(col("k_keeper"), col("keeper")))
             .as("keeper"),
           col("prev_keeper"))
-        .localCheckpoint()
+        .matEagerly
       moved = next.filter(col("keeper") =!= col("prev_keeper")).count()
       labels = next.select("doc_id", "keeper")
       rounds += 1
@@ -1113,7 +1129,7 @@ object Dedup {
     // candidate self-join — without it the typed tokenize+md5 simhash
     // pass runs twice (r20 plan audit: documents scanned 2× here).
     // The cache is (doc_id, simhash): 12 bytes a row.
-    val sh = simhashOf(docs).localCheckpoint(false)
+    val sh = simhashOf(docs).matLazily
     val bands = sh.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until SimBands).map(b =>
         shiftright(col("simhash"), SimBandBits * b)
@@ -1189,7 +1205,7 @@ object Dedup {
           (id, i + 1L, toks.slice(i, i + SpanK).mkString(" "))
         }
       }).toDF("doc_id", "pos", "g")
-      .localCheckpoint(false) // feeds the df count AND the semijoin
+      .matLazily // feeds the df count AND the semijoin
     val crossDoc = post.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("docs"))
       .filter(col("docs") >= 2)
@@ -1324,13 +1340,19 @@ object Dedup {
   /** [[qualityKeepList]] over any (doc_id, lang, text) frame and
     * (doc_a, doc_b) pair graph — public for tests. */
   def qualityKeepListOf(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val lab = docs.select(col("doc_id"))
-      .join(closureKeepers(pairs), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
+    // keepers attach directly to the scored frame (r21, guide §2.4):
+    // scoreOf is a row-preserving projection of `docs`, so the old
+    // separate docs.select(doc_id) scan and its equi-join against the
+    // scored frame re-derived a doc_id set the scored frame already
+    // carries — one documents scan and one join for nothing. The
+    // closure label table is ≪ corpus (pair-graph nodes only), so the
+    // left join broadcasts at scale.
     val scored = QualityModel.scoreOf(docs).select(col("doc_id"), col("score"))
     val w = Window.partitionBy("keeper")
       .orderBy(col("score").desc, col("doc_id"))
-    lab.join(scored, "doc_id")
+    scored.join(closureKeepers(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"),
+        col("score"))
       .withColumn("kept",
         when(row_number().over(w) === 1, 1).otherwise(0).cast("int"))
       .select(col("doc_id"), col("keeper"), col("score"), col("kept"))
