@@ -215,6 +215,15 @@ object Bench {
       s""","norm_cpu_s_start":${num(normStart)},"norm_cpu_s_end":${num(normEnd)}"""
     val aux = s""""task_s":${jmap(_._2)},"cpu_s":${jmap(_._3)},"total_task_s":${num(totalTask)},"total_cpu_s":${num(totalCpu)}"""
     val fullLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,$aux,$load,"sf":"$sfDir"}"""
+    // Short headline FIRST (r20-VERDICT task 7): harvesters keep a
+    // head+tail of program output, and the r19 artifact lost its
+    // per-query comparison because the giant full line printed first
+    // and truncated. With the headline leading, the head always holds
+    // a parseable total; the full line and the trailing headline stay
+    // unchanged for continuity (additions-only).
+    val okCount = results.count(_._2._1 >= 0)
+    val headline = s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":$okCount,"failed":${results.size - okCount},"total_task_s":${num(totalTask)},"total_cpu_s":${num(totalCpu)},$load,"sf":"$sfDir"}"""
+    println(headline)
     println(fullLine)
     // The harvester keeps only a head+tail of program output, so the
     // full per-query map is unrecoverable from the official artifact
@@ -245,8 +254,7 @@ object Bench {
     // n_queries counts only the timings inside `value` — a failed query
     // contributes to neither, and the failed count is its own field so
     // a partial run can't masquerade as a fast complete one.
-    val ok = results.count(_._2._1 >= 0)
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","n_queries":$ok,"failed":${results.size - ok},"total_task_s":${num(totalTask)},"total_cpu_s":${num(totalCpu)},$load,"sf":"$sfDir"}""")
+    println(headline)
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
